@@ -1,0 +1,59 @@
+"""SparkSession construction and tuning.
+
+Everything here targets a large multi-executor cluster; the local[N] master
+is only the test harness. Session-level knobs are chosen so the same code
+runs unchanged on a 1000-executor cluster against ~100 TB:
+
+- AQE on (runtime re-planning, skew-join splitting, partition coalescing)
+- broadcast threshold left to Spark's default but join code uses explicit
+  ``broadcast()`` hints for dimension tables
+- shuffle partitions sized for the local harness via env; on a real cluster
+  AQE coalescing makes the initial number far less critical
+- UTC session timezone so timestamp field extraction matches the naive
+  (isAdjustedToUTC=false) parquet test data and the DuckDB oracle
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: runtime confs that are safe to (re)apply to an existing session,
+#: e.g. the driver-provided one handed to ``__spark_entry__.entry``.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet stores TIMESTAMP(NANOS) which Spark cannot read natively;
+    # read as raw int64 nanos and convert explicitly (tables.load_events).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to a session we did not build."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime conf on this build; builder path sets it
+    return spark
+
+
+def get_spark(app_name: str = "hive-dwrf-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", cpus or "32")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Arrow makes pandas_udf / mapInPandas exchange columnar batches
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return apply_runtime_confs(builder.getOrCreate())

@@ -1,0 +1,54 @@
+"""Loaders for the driver-generated TPC-H-ish parquet tables (TESTDATA.md).
+
+At 100 TB scale these reads are plain distributed parquet scans; nothing here
+collects to the driver. The only special case is ``events``: its parquet
+stores TIMESTAMP(NANOS) which Spark rejects, so we read nanoseconds as int64
+(``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microseconds as a
+TIMESTAMP_NTZ — the same value DuckDB produces for ``CAST(ts AS TIMESTAMP)``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import apply_runtime_confs
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # int64 nanos -> microsecond TIMESTAMP_NTZ (truncation, like DuckDB's
+        # CAST(ts_ns AS TIMESTAMP)). Integer DIV — a double division here
+        # would lose precision at 1e18 nanosecond magnitudes.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so spark.sql() queries run as-is."""
+    for t in TABLE_NAMES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
