@@ -1,0 +1,668 @@
+"""DWRF file writer: Arrow batches -> stripes of encoded column streams.
+
+Produces the reference's on-disk layout (WriterImpl.java):
+
+    "ORC" | stripe_1..N [index | dictionary | data | StripeFooter]
+          | Footer | PostScript | 1-byte postscript length
+
+but with a batch/columnar architecture: each stripe is encoded from a
+buffered Arrow table in one vectorized pass per column (no per-row
+TreeWriter fan-out). Encoding policy per column per stripe:
+
+- adaptive dictionary for STRING/INT-family when distinct/total <= threshold
+  (OrcConf defaults 0.8 / 0.7; the reference's entropy sampling heuristic
+  WriterImpl.java:1297-1363 is not replicated — thresholds are options)
+- PRESENT stream suppressed when the stripe has no nulls (WriterImpl.java:537-548)
+- TIMESTAMP as seconds-from-2015-epoch (signed RLE) + trailing-zero-packed
+  nanos (unsigned RLE), WriterImpl.java:1736-1798; we use floor-division
+  semantics so sub-second values round-trip exactly for any sign
+- ROW_INDEX per column every `row_index_stride` rows with stride-level
+  statistics (positions are not recorded: our reader prunes at stride/stripe
+  granularity and never mid-stream seeks, sidestepping the reference's
+  seek machinery LazyTreeReader.java:300-365)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import codecs, proto
+from .constants import (
+    DEFAULT_COMPRESSION_BLOCK_SIZE,
+    DEFAULT_INT_DICT_THRESHOLD,
+    DEFAULT_ROW_INDEX_STRIDE,
+    DEFAULT_STRING_DICT_THRESHOLD,
+    DEFAULT_STRIPE_SIZE,
+    DEFAULT_ZLIB_LEVEL,
+    MAGIC,
+    TIMESTAMP_BASE_SECONDS,
+    ColumnEncodingKind,
+    CompressionKind,
+    StreamKind,
+    TypeKind,
+)
+from .stats import ColumnStats
+from .types import collect_arrow_types, schema_to_type_tree
+from pyarrow import types as patypes
+
+
+def _ns_timestamp_ids(types: list[proto.Type], schema: pa.Schema) -> list[int]:
+    return [
+        tid
+        for tid, at in collect_arrow_types(schema).items()
+        if patypes.is_timestamp(at) and at.unit == "ns"
+    ]
+
+_INT_KINDS = (TypeKind.SHORT, TypeKind.INT, TypeKind.LONG)
+
+
+def _validity_mask(arr: pa.Array) -> np.ndarray:
+    return arr.is_valid().to_numpy(zero_copy_only=False)
+
+
+def _binary_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Dense (lengths, data bytes) for a null-free binary/string array."""
+    b = arr.cast(pa.large_binary())
+    offsets_buf = b.buffers()[1]
+    data_buf = b.buffers()[2]
+    offsets = np.frombuffer(offsets_buf, dtype=np.int64)[b.offset : b.offset + len(b) + 1]
+    if data_buf is None:
+        return np.zeros(len(b), dtype=np.int64), np.zeros(0, dtype=np.uint8)
+    data = np.frombuffer(data_buf, dtype=np.uint8)[offsets[0] : offsets[-1]]
+    return np.diff(offsets), data
+
+
+def _pack_nanos(nanos: np.ndarray) -> np.ndarray:
+    """Trailing-decimal-zero packing (WriterImpl.formatNanos)."""
+    n = nanos.astype(np.int64)
+    packed = n << 3
+    div100 = (n != 0) & (n % 100 == 0)
+    if div100.any():
+        m = np.where(div100, n // 100, 0)
+        tz = np.where(div100, 1, 0)
+        for _ in range(6):
+            more = div100 & (m % 10 == 0) & (tz < 7) & (m != 0)
+            if not more.any():
+                break
+            m = np.where(more, m // 10, m)
+            tz = np.where(more, tz + 1, tz)
+        packed = np.where(div100, (m << 3) | tz, packed)
+    return packed.astype(np.uint64)
+
+
+class _StripeEncoder:
+    """Encodes one stripe's worth of rows; accumulates streams + stats."""
+
+    def __init__(self, types: list[proto.Type], opts: dict):
+        self.types = types
+        self.opts = opts
+        self.streams: list[tuple[int, StreamKind, bytes]] = []
+        self.encodings: dict[int, proto.ColumnEncoding] = {}
+        self.stats: dict[int, ColumnStats] = {}
+        self.row_indexes: dict[int, proto.RowIndex] = {}
+        self.raw_size = 0
+
+    def _add(self, column: int, kind: StreamKind, data: bytes) -> None:
+        if data:
+            self.streams.append((column, kind, data))
+
+    def _stat(self, column: int, kind: TypeKind) -> ColumnStats:
+        if column not in self.stats:
+            self.stats[column] = ColumnStats(kind)
+        return self.stats[column]
+
+    def _stride_entries(self, column: int, entries: list[proto.RowIndexEntry]):
+        self.row_indexes[column] = proto.RowIndex(entry=entries)
+
+    # -- encode dispatch ---------------------------------------------------
+
+    def encode_root(self, table: pa.Table) -> None:
+        root = self.types[0]
+        n = table.num_rows
+        self._stat(0, TypeKind.STRUCT).update_count_only(n)
+        self.encodings[0] = proto.ColumnEncoding(kind=int(ColumnEncodingKind.DIRECT))
+        stride = self.opts["row_index_stride"]
+        if stride:
+            bounds = list(range(0, n, stride)) + [n]
+            entries = []
+            for i in range(len(bounds) - 1):
+                st = ColumnStats(TypeKind.STRUCT)
+                st.update_count_only(bounds[i + 1] - bounds[i])
+                entries.append(proto.RowIndexEntry(statistics=st.to_proto()))
+            self._stride_entries(0, entries)
+        for field_pos, type_id in enumerate(root.subtypes):
+            col = table.column(field_pos).combine_chunks()
+            if isinstance(col, pa.ChunkedArray):
+                col = (
+                    col.chunk(0)
+                    if col.num_chunks == 1
+                    else pa.concat_arrays(col.chunks)
+                )
+            self.encode_column(type_id, col, top_level=True)
+
+    def encode_column(self, type_id: int, arr: pa.Array, top_level: bool = False):
+        t = self.types[type_id]
+        kind = TypeKind(t.kind)
+        present = _validity_mask(arr)
+        has_nulls = not present.all()
+        if has_nulls:
+            self._add(type_id, StreamKind.PRESENT, codecs.encode_bits(present))
+            dense = arr.drop_null()
+        else:
+            dense = arr
+        self.encodings.setdefault(
+            type_id, proto.ColumnEncoding(kind=int(ColumnEncodingKind.DIRECT))
+        )
+
+        handler = {
+            TypeKind.BOOLEAN: self._encode_boolean,
+            TypeKind.BYTE: self._encode_byte,
+            TypeKind.SHORT: self._encode_int,
+            TypeKind.INT: self._encode_int,
+            TypeKind.LONG: self._encode_int,
+            TypeKind.FLOAT: self._encode_float,
+            TypeKind.DOUBLE: self._encode_float,
+            TypeKind.STRING: self._encode_string,
+            TypeKind.BINARY: self._encode_binary,
+            TypeKind.TIMESTAMP: self._encode_timestamp,
+            TypeKind.LIST: self._encode_list,
+            TypeKind.MAP: self._encode_map,
+            TypeKind.STRUCT: self._encode_struct,
+            TypeKind.UNION: self._encode_union,
+        }[kind]
+        handler(type_id, dense, present if top_level else None)
+
+    # -- per-type encoders ---------------------------------------------------
+    # Each receives the null-free dense array; `present` (top-level only)
+    # drives per-stride statistics for pruning.
+
+    def _stride_stats(
+        self, type_id: int, present: np.ndarray | None, kind: TypeKind, update
+    ) -> None:
+        """Build per-stride RowIndex entries for a top-level column.
+
+        `update(stats_obj, lo, hi)` is called with the dense-value slice
+        bounds of each stride (dense index space).
+        """
+        stride = self.opts["row_index_stride"]
+        if not stride or present is None:
+            return
+        n = len(present)
+        dense_pos = np.cumsum(present) - present  # dense index of each row
+        entries = []
+        for start in range(0, n, stride):
+            end = min(start + stride, n)
+            lo = int(dense_pos[start])
+            hi = lo + int(present[start:end].sum())
+            st = ColumnStats(kind)
+            update(st, lo, hi)
+            entries.append(proto.RowIndexEntry(statistics=st.to_proto()))
+        self._stride_entries(type_id, entries)
+
+    def _encode_boolean(self, type_id, dense, present):
+        vals = dense.to_numpy(zero_copy_only=False).astype(bool)
+        self._add(type_id, StreamKind.DATA, codecs.encode_bits(vals))
+        self._stat(type_id, TypeKind.BOOLEAN).update_bools(vals)
+        self.raw_size += len(vals)
+        self._stride_stats(
+            type_id,
+            present,
+            TypeKind.BOOLEAN,
+            lambda st, lo, hi: st.update_bools(vals[lo:hi]),
+        )
+
+    def _encode_byte(self, type_id, dense, present):
+        vals = dense.to_numpy(zero_copy_only=False).astype(np.int8)
+        self._add(type_id, StreamKind.DATA, codecs.encode_byte_rle(vals.view(np.uint8)))
+        self._stat(type_id, TypeKind.BYTE).update_ints(vals.astype(np.int64))
+        self.raw_size += len(vals)
+        self._stride_stats(
+            type_id,
+            present,
+            TypeKind.BYTE,
+            lambda st, lo, hi: st.update_ints(vals[lo:hi].astype(np.int64)),
+        )
+
+    def _encode_int(self, type_id, dense, present):
+        kind = TypeKind(self.types[type_id].kind)
+        vals = dense.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(vals)
+        use_dict = False
+        if n and self.opts["int_dict_threshold"] < 1.0 and n >= 32:
+            uniques, ids = np.unique(vals, return_inverse=True)
+            use_dict = len(uniques) / n <= self.opts["int_dict_threshold"]
+        if use_dict:
+            self.encodings[type_id] = proto.ColumnEncoding(
+                kind=int(ColumnEncodingKind.DICTIONARY), dictionarySize=len(uniques)
+            )
+            self._add(
+                type_id,
+                StreamKind.DICTIONARY_DATA,
+                codecs.encode_int_rle(uniques, signed=True),
+            )
+            self._add(
+                type_id,
+                StreamKind.DATA,
+                codecs.encode_int_rle(ids.astype(np.int64), signed=False),
+            )
+        else:
+            self._add(type_id, StreamKind.DATA, codecs.encode_int_rle(vals, signed=True))
+        self._stat(type_id, kind).update_ints(vals)
+        self.raw_size += n * 8
+        self._stride_stats(
+            type_id,
+            present,
+            kind,
+            lambda st, lo, hi: st.update_ints(vals[lo:hi]),
+        )
+
+    def _encode_float(self, type_id, dense, present):
+        kind = TypeKind(self.types[type_id].kind)
+        np_t = np.float32 if kind == TypeKind.FLOAT else np.float64
+        vals = dense.to_numpy(zero_copy_only=False).astype(np_t)
+        self._add(type_id, StreamKind.DATA, vals.astype(f"<{vals.dtype.char}").tobytes())
+        st = self._stat(type_id, kind)
+        st.update_doubles(vals.astype(np.float64))
+        self.raw_size += len(vals) * vals.dtype.itemsize
+        self._stride_stats(
+            type_id,
+            present,
+            kind,
+            lambda s, lo, hi: s.update_doubles(vals[lo:hi].astype(np.float64)),
+        )
+
+    def _encode_string(self, type_id, dense, present):
+        n = len(dense)
+        lengths, data = _binary_parts(dense)
+        use_dict = False
+        if n >= 32 and self.opts["string_dict_threshold"] < 1.0:
+            encoded = pc.dictionary_encode(dense)
+            dict_arr = encoded.dictionary
+            use_dict = len(dict_arr) / n <= self.opts["string_dict_threshold"]
+        if use_dict:
+            # DWRF dictionaries are sorted by UTF-8 bytes (StringDictionaryEncoder
+            # sort path); remap ids through the sort permutation.
+            ids = encoded.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            keys = np.asarray(dict_arr.cast(pa.binary()).to_pylist(), dtype=object)
+            order = np.argsort(keys)
+            rank = np.empty_like(order)
+            rank[order] = np.arange(len(order))
+            sorted_keys = keys[order]
+            key_bytes = b"".join(sorted_keys)
+            key_lengths = np.fromiter(
+                (len(k) for k in sorted_keys), dtype=np.int64, count=len(sorted_keys)
+            )
+            self.encodings[type_id] = proto.ColumnEncoding(
+                kind=int(ColumnEncodingKind.DICTIONARY), dictionarySize=len(sorted_keys)
+            )
+            self._add(type_id, StreamKind.DICTIONARY_DATA, key_bytes)
+            self._add(
+                type_id, StreamKind.LENGTH, codecs.encode_int_rle(key_lengths, signed=False)
+            )
+            self._add(
+                type_id, StreamKind.DATA, codecs.encode_int_rle(rank[ids], signed=False)
+            )
+            lo_s = sorted_keys[0].decode("utf-8", "replace") if len(sorted_keys) else None
+            hi_s = sorted_keys[-1].decode("utf-8", "replace") if len(sorted_keys) else None
+        else:
+            self._add(type_id, StreamKind.DATA, data.tobytes())
+            self._add(
+                type_id, StreamKind.LENGTH, codecs.encode_int_rle(lengths, signed=False)
+            )
+            if n:
+                mm = pc.min_max(dense)
+                lo_s, hi_s = mm["min"].as_py(), mm["max"].as_py()
+            else:
+                lo_s = hi_s = None
+        self._stat(type_id, TypeKind.STRING).update_strings(lo_s, hi_s, n)
+        self.raw_size += int(lengths.sum()) + n
+        if present is not None and self.opts["row_index_stride"]:
+            # stride stats: count-only for strings (min/max per stride would
+            # force per-stride sorts; stripe-level min/max already prunes)
+            self._stride_stats(
+                type_id,
+                present,
+                TypeKind.STRING,
+                lambda st, lo, hi: st.update_strings(None, None, hi - lo),
+            )
+
+    def _encode_binary(self, type_id, dense, present):
+        lengths, data = _binary_parts(dense)
+        self._add(type_id, StreamKind.DATA, data.tobytes())
+        self._add(type_id, StreamKind.LENGTH, codecs.encode_int_rle(lengths, signed=False))
+        self._stat(type_id, TypeKind.BINARY).update_count_only(len(dense))
+        self.raw_size += int(lengths.sum())
+
+    def _encode_timestamp(self, type_id, dense, present):
+        # DWRF stores seconds + nanos: full nanosecond fidelity. Encode from
+        # the column's native unit (ns columns are annotated in user metadata
+        # so the reader restores timestamp[ns]).
+        if pa.types.is_timestamp(dense.type) and dense.type.unit == "ns":
+            ns = dense.to_numpy(zero_copy_only=False).astype("datetime64[ns]").view(np.int64)
+            secs = np.floor_divide(ns, 1_000_000_000)
+            nanos = ns - secs * 1_000_000_000
+            us = np.floor_divide(ns, 1000)  # stats granularity
+        else:
+            us = (
+                dense.cast(pa.timestamp("us"))
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .view(np.int64)
+            )
+            secs = np.floor_divide(us, 1_000_000)
+            nanos = (us - secs * 1_000_000) * 1000  # always in [0, 1e9)
+        self._add(
+            type_id,
+            StreamKind.DATA,
+            codecs.encode_int_rle(secs - TIMESTAMP_BASE_SECONDS, signed=True),
+        )
+        self._add(
+            type_id,
+            StreamKind.NANO_DATA,
+            codecs.encode_int_rle(_pack_nanos(nanos).view(np.int64), signed=False),
+        )
+        st = self._stat(type_id, TypeKind.TIMESTAMP)
+        st.update_ints(us)  # min/max in microseconds for pruning
+        self.raw_size += len(us) * 12
+        self._stride_stats(
+            type_id,
+            present,
+            TypeKind.TIMESTAMP,
+            lambda s, lo, hi: s.update_ints(us[lo:hi]),
+        )
+
+    def _encode_list(self, type_id, dense, present):
+        lengths = pc.list_value_length(dense).to_numpy(zero_copy_only=False)
+        self._add(
+            type_id,
+            StreamKind.LENGTH,
+            codecs.encode_int_rle(lengths.astype(np.int64), signed=False),
+        )
+        self._stat(type_id, TypeKind.LIST).update_count_only(len(dense))
+        child = dense.flatten()
+        self.encode_column(self.types[type_id].subtypes[0], child)
+
+    def _encode_map(self, type_id, dense, present):
+        lengths = np.diff(dense.offsets.to_numpy(zero_copy_only=False))
+        self._add(
+            type_id,
+            StreamKind.LENGTH,
+            codecs.encode_int_rle(lengths.astype(np.int64), signed=False),
+        )
+        self._stat(type_id, TypeKind.MAP).update_count_only(len(dense))
+        self.encode_column(self.types[type_id].subtypes[0], dense.keys)
+        self.encode_column(self.types[type_id].subtypes[1], dense.items)
+
+    def _encode_struct(self, type_id, dense, present):
+        self._stat(type_id, TypeKind.STRUCT).update_count_only(len(dense))
+        for i, sub in enumerate(self.types[type_id].subtypes):
+            self.encode_column(sub, dense.field(i))
+
+    def _encode_union(self, type_id, dense, present):
+        """UNION written from its tagged-struct surrogate: field 'tag' plus
+        one field per branch (WriterImpl.java:1996-2008 writes tag byte-RLE
+        then per-branch children holding only that branch's values)."""
+        tags = dense.field(0).to_numpy(zero_copy_only=False).astype(np.uint8)
+        self._add(type_id, StreamKind.DATA, codecs.encode_byte_rle(tags))
+        self._stat(type_id, TypeKind.UNION).update_count_only(len(dense))
+        for i, sub in enumerate(self.types[type_id].subtypes):
+            branch_vals = dense.field(i + 1).filter(pa.array(tags == i))
+            self.encode_column(sub, branch_vals)
+
+
+class DwrfWriter:
+    def __init__(
+        self,
+        sink,
+        schema: pa.Schema,
+        *,
+        compression: CompressionKind | str = CompressionKind.ZLIB,
+        compression_block_size: int = DEFAULT_COMPRESSION_BLOCK_SIZE,
+        zlib_level: int = DEFAULT_ZLIB_LEVEL,
+        stripe_size: int = DEFAULT_STRIPE_SIZE,
+        stripe_rows: int | None = None,
+        row_index_stride: int = DEFAULT_ROW_INDEX_STRIDE,
+        string_dict_threshold: float = DEFAULT_STRING_DICT_THRESHOLD,
+        int_dict_threshold: float = DEFAULT_INT_DICT_THRESHOLD,
+        metadata: dict[str, bytes] | None = None,
+    ):
+        if isinstance(compression, str):
+            compression = CompressionKind[compression.upper()]
+        self._own_file = isinstance(sink, str)
+        self._f = open(sink, "wb") if self._own_file else sink
+        self.schema = schema
+        self.types = schema_to_type_tree(schema)
+        self.compression = compression
+        self.opts = {
+            "row_index_stride": row_index_stride,
+            "string_dict_threshold": string_dict_threshold,
+            "int_dict_threshold": int_dict_threshold,
+        }
+        self.block_size = compression_block_size
+        self.zlib_level = zlib_level
+        self.stripe_size = stripe_size
+        self.stripe_rows = stripe_rows
+        self.metadata = dict(metadata or {})
+        ns_ids = _ns_timestamp_ids(self.types, schema)
+        if ns_ids:
+            self.metadata["dwrf.timestamp.ns.ids"] = ",".join(
+                str(i) for i in ns_ids
+            ).encode()
+        self._buffer: list[pa.RecordBatch] = []
+        self._buffered_rows = 0
+        self._buffered_bytes = 0
+        self._stripes: list[proto.StripeInformation] = []
+        self._file_stats: dict[int, ColumnStats] = {}
+        self._row_count = 0
+        self._raw_size = 0
+        self._pos = 0
+        self._write(MAGIC)
+
+    def _write(self, data: bytes) -> None:
+        self._f.write(data)
+        self._pos += len(data)
+
+    def _compress(self, data: bytes) -> bytes:
+        return codecs.compress_stream(
+            data, self.compression, self.block_size, self.zlib_level
+        )
+
+    # -- public API -----------------------------------------------------------
+
+    def write_batch(self, batch: pa.RecordBatch) -> None:
+        batch = _conform_batch(batch, self.schema)
+        while batch.num_rows:
+            # rows this stripe can still take (row- or byte-budgeted)
+            if self.stripe_rows:
+                room = self.stripe_rows - self._buffered_rows
+            else:
+                per_row = max(1, batch.nbytes // max(1, batch.num_rows))
+                room = max(1, (self.stripe_size - self._buffered_bytes) // per_row)
+            piece = batch.slice(0, min(batch.num_rows, room))
+            batch = batch.slice(piece.num_rows)
+            self._buffer.append(piece)
+            self._buffered_rows += piece.num_rows
+            self._buffered_bytes += piece.nbytes
+            if (self.stripe_rows and self._buffered_rows >= self.stripe_rows) or (
+                self._buffered_bytes >= self.stripe_size
+            ):
+                self.flush_stripe()
+
+    def write_table(self, table: pa.Table) -> None:
+        for batch in table.to_batches():
+            self.write_batch(batch)
+
+    def flush_stripe(self) -> None:
+        if not self._buffered_rows:
+            return
+        table = pa.Table.from_batches(self._buffer, schema=self.schema).combine_chunks()
+        self._buffer.clear()
+        self._buffered_rows = 0
+        self._buffered_bytes = 0
+
+        enc = _StripeEncoder(self.types, self.opts)
+        enc.encode_root(table)
+
+        # area ordering: INDEX, then (LENGTH, DICTIONARY_DATA) pairs, then DATA
+        index_streams: list[tuple[int, StreamKind, bytes]] = []
+        dict_streams: list[tuple[int, StreamKind, bytes]] = []
+        data_streams: list[tuple[int, StreamKind, bytes]] = []
+        dict_cols = {
+            c
+            for c, e in enc.encodings.items()
+            if e.kind == int(ColumnEncodingKind.DICTIONARY)
+        }
+        for col in sorted(enc.row_indexes):
+            body = proto.encode_message(enc.row_indexes[col])
+            index_streams.append((col, StreamKind.ROW_INDEX, body))
+        kind_order = {
+            StreamKind.PRESENT: 0,
+            StreamKind.LENGTH: 1,
+            StreamKind.DATA: 2,
+            StreamKind.NANO_DATA: 3,
+        }
+        by_col: dict[int, list] = {}
+        for col, kind, data in enc.streams:
+            by_col.setdefault(col, []).append((kind, data))
+        for col in sorted(by_col):
+            entries = sorted(by_col[col], key=lambda kd: kind_order.get(kd[0], 9))
+            for kind, data in entries:
+                if kind == StreamKind.DICTIONARY_DATA or (
+                    kind == StreamKind.LENGTH and col in dict_cols
+                ):
+                    dict_streams.append((col, kind, data))
+                else:
+                    data_streams.append((col, kind, data))
+        # LENGTH precedes DICTIONARY_DATA within the dictionary area
+        dict_streams.sort(
+            key=lambda s: (s[0], 0 if s[1] == StreamKind.LENGTH else 1)
+        )
+
+        start = self._pos
+        footer = proto.StripeFooter()
+        index_end = start
+        for area in (index_streams, dict_streams, data_streams):
+            for col, kind, data in area:
+                comp = self._compress(data)
+                self._write(comp)
+                footer.streams.append(
+                    proto.Stream(kind=int(kind), column=col, length=len(comp), useVInts=1)
+                )
+            if area is index_streams:
+                index_end = self._pos
+        data_end = self._pos
+        for col in range(len(self.types)):
+            footer.columns.append(
+                enc.encodings.get(
+                    col, proto.ColumnEncoding(kind=int(ColumnEncodingKind.DIRECT))
+                )
+            )
+        footer_bytes = self._compress(proto.encode_message(footer))
+        self._write(footer_bytes)
+
+        self._stripes.append(
+            proto.StripeInformation(
+                offset=start,
+                indexLength=index_end - start,
+                dataLength=data_end - index_end,
+                footerLength=len(footer_bytes),
+                numberOfRows=table.num_rows,
+                rawDataSize=enc.raw_size,
+            )
+        )
+        self._row_count += table.num_rows
+        self._raw_size += enc.raw_size
+        for col, st in enc.stats.items():
+            if col in self._file_stats:
+                self._file_stats[col].merge(st)
+            else:
+                merged = ColumnStats(st.kind)
+                merged.merge(st)
+                self._file_stats[col] = merged
+
+    def close(self) -> None:
+        self.flush_stripe()
+        body_length = self._pos
+        footer = proto.Footer(
+            headerLength=len(MAGIC),
+            contentLength=body_length,
+            stripes=self._stripes,
+            types=self.types,
+            numberOfRows=self._row_count,
+            rowIndexStride=self.opts["row_index_stride"],
+            rawDataSize=self._raw_size,
+        )
+        for col in range(len(self.types)):
+            st = self._file_stats.get(col)
+            footer.statistics.append(
+                st.to_proto() if st else proto.ColumnStatistics(numberOfValues=0)
+            )
+        for name, value in self.metadata.items():
+            footer.metadata.append(proto.UserMetadataItem(name=name, value=value))
+        footer_bytes = self._compress(proto.encode_message(footer))
+        self._write(footer_bytes)
+        ps = proto.PostScript(
+            footerLength=len(footer_bytes), compression=int(self.compression)
+        )
+        if self.compression != CompressionKind.NONE:
+            ps.compressionBlockSize = self.block_size
+        ps_bytes = proto.encode_message(ps)
+        if len(ps_bytes) > 255:
+            raise ValueError("PostScript too large")
+        self._write(ps_bytes)
+        self._write(bytes([len(ps_bytes)]))
+        if self._own_file:
+            self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def _conform_batch(batch: pa.RecordBatch, schema: pa.Schema) -> pa.RecordBatch:
+    if batch.schema.equals(schema):
+        return batch
+    cols = []
+    for i, f in enumerate(schema):
+        col = batch.column(i)
+        if not col.type.equals(f.type):
+            if patypes.is_timestamp(col.type) and patypes.is_timestamp(f.type):
+                col = col.cast(f.type)
+            else:
+                col = col.cast(f.type)
+        cols.append(col)
+    return pa.RecordBatch.from_arrays(cols, schema=schema)
+
+
+def write_arrow_table(path: str, table: pa.Table, **options) -> None:
+    """Convenience: write a whole Arrow table as one DWRF file."""
+    schema = _normalize_schema(table.schema)
+    with DwrfWriter(path, schema, **options) as w:
+        w.write_table(table.cast(schema))
+
+
+def _normalize_schema(schema: pa.Schema) -> pa.Schema:
+    """Map to DWRF-representable arrow types (timestamps -> us, etc.)."""
+
+    def norm(t: pa.DataType) -> pa.DataType:
+        if patypes.is_timestamp(t):
+            # ns kept at full fidelity (DWRF stores seconds+nanos);
+            # s/ms/us normalize to us
+            return pa.timestamp("ns") if t.unit == "ns" else pa.timestamp("us")
+        if patypes.is_large_string(t):
+            return pa.string()
+        if patypes.is_large_binary(t):
+            return pa.binary()
+        if patypes.is_list(t) or patypes.is_large_list(t):
+            return pa.list_(norm(t.value_type))
+        if patypes.is_map(t):
+            return pa.map_(norm(t.key_type), norm(t.item_type))
+        if patypes.is_struct(t):
+            return pa.struct([pa.field(f.name, norm(f.type)) for f in t])
+        return t
+
+    return pa.schema([pa.field(f.name, norm(f.type)) for f in schema])

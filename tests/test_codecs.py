@@ -1,0 +1,144 @@
+"""Codec unit tests, mirroring the reference's encoding-primitive tests
+(TestRunLengthIntegerReader / TestBitFieldReader / TestInStream etc.):
+write values, read back, across value distributions and edge cases."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hive_dwrf_spark.format import codecs
+from hive_dwrf_spark.format.constants import CompressionKind
+
+
+def rt_int(values, signed=True):
+    arr = np.asarray(values, dtype=np.int64)
+    enc = codecs.encode_int_rle(arr, signed=signed)
+    dec, pos = codecs.decode_int_rle(np.frombuffer(enc, dtype=np.uint8), len(arr), signed)
+    assert pos == len(enc)
+    np.testing.assert_array_equal(dec, arr)
+
+
+class TestVarints:
+    def test_roundtrip_edge_values(self):
+        vals = np.array(
+            [0, 1, 127, 128, 300, 2**32, 2**63 - 1, 2**64 - 1], dtype=np.uint64
+        )
+        enc, lengths = codecs.encode_varints(vals)
+        assert lengths[0] == 1 and lengths[2] == 1 and lengths[3] == 2
+        dec, pos = codecs.decode_varints(np.frombuffer(enc, dtype=np.uint8), len(vals))
+        assert pos == len(enc)
+        np.testing.assert_array_equal(dec, vals)
+
+    @given(st.lists(st.integers(0, 2**64 - 1), max_size=300))
+    @settings(max_examples=50, deadline=None)
+    def test_roundtrip_random(self, values):
+        vals = np.array(values, dtype=np.uint64)
+        enc, _ = codecs.encode_varints(vals)
+        dec, _ = codecs.decode_varints(np.frombuffer(enc, dtype=np.uint8), len(vals))
+        np.testing.assert_array_equal(dec, vals)
+
+    def test_zigzag(self):
+        vals = np.array([0, -1, 1, -2, 2, 2**62, -(2**62)], dtype=np.int64)
+        np.testing.assert_array_equal(codecs.zigzag_decode(codecs.zigzag_encode(vals)), vals)
+
+
+class TestIntRle:
+    def test_runs(self):
+        rt_int([7] * 1000)
+        rt_int(list(range(5000)))  # delta=1 run
+        rt_int(list(range(0, 50000, 100)))  # delta=100 run
+
+    def test_literals(self):
+        rng = np.random.default_rng(42)
+        rt_int(rng.integers(-(2**62), 2**62, 5000))
+
+    def test_mixed(self):
+        rng = np.random.default_rng(1)
+        pieces = []
+        for _ in range(20):
+            pieces.append(rng.integers(-1000, 1000, rng.integers(1, 50)))
+            pieces.append(np.full(rng.integers(1, 400), int(rng.integers(-5, 5))))
+            start = int(rng.integers(-100, 100))
+            step = int(rng.integers(-128, 128))
+            pieces.append(start + step * np.arange(rng.integers(1, 300)))
+        rt_int(np.concatenate(pieces))
+
+    def test_unsigned(self):
+        rt_int([0, 5, 5, 5, 5, 1, 2, 3, 4, 2**63 - 1], signed=True)
+        arr = np.array([0, 1, 2, 2, 2, 2, 10**18], dtype=np.int64)
+        rt_int(arr, signed=False)
+
+    def test_delta_boundaries(self):
+        rt_int([0, 127, 254, 381, 508])  # delta=127 run
+        rt_int([1000, 872, 744, 616])  # delta=-128 run
+        rt_int([0, 129, 258])  # delta=129: not a run
+        rt_int([])
+        rt_int([42])
+        rt_int([1, 2])
+
+    @given(
+        st.lists(
+            st.integers(-(2**63), 2**63 - 1) | st.integers(-10, 10), max_size=500
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_roundtrip_random(self, values):
+        rt_int(values)
+
+
+class TestByteRle:
+    def test_basic(self):
+        for vals in (
+            [5] * 500,
+            list(range(256)) * 3,
+            [1, 1, 1, 2, 3, 3, 3, 3, 9],
+            [],
+            [0],
+        ):
+            arr = np.asarray(vals, dtype=np.uint8)
+            enc = codecs.encode_byte_rle(arr)
+            dec, pos = codecs.decode_byte_rle(np.frombuffer(enc, dtype=np.uint8), len(arr))
+            assert pos == len(enc)
+            np.testing.assert_array_equal(dec, arr)
+
+    @given(st.binary(max_size=1000))
+    @settings(max_examples=60, deadline=None)
+    def test_random(self, data):
+        arr = np.frombuffer(data, dtype=np.uint8)
+        enc = codecs.encode_byte_rle(arr)
+        dec, _ = codecs.decode_byte_rle(np.frombuffer(enc, dtype=np.uint8), len(arr))
+        np.testing.assert_array_equal(dec, arr)
+
+
+class TestBits:
+    @given(st.lists(st.booleans(), max_size=2000))
+    @settings(max_examples=40, deadline=None)
+    def test_roundtrip(self, bits):
+        arr = np.asarray(bits, dtype=bool)
+        enc = codecs.encode_bits(arr)
+        dec, _ = codecs.decode_bits(np.frombuffer(enc, dtype=np.uint8), len(arr))
+        np.testing.assert_array_equal(dec, arr)
+
+
+class TestCompression:
+    @pytest.mark.parametrize("kind", [CompressionKind.NONE, CompressionKind.ZLIB])
+    def test_roundtrip(self, kind):
+        rng = np.random.default_rng(7)
+        for payload in (
+            b"",
+            b"abc" * 100_000,  # compressible, multi-block
+            rng.bytes(300_000),  # incompressible -> original blocks
+        ):
+            enc = codecs.compress_stream(payload, kind, 64 * 1024)
+            assert codecs.decompress_stream(enc, kind) == payload
+
+    def test_incompressible_stored_original(self):
+        rng = np.random.default_rng(3)
+        payload = rng.bytes(1000)
+        enc = codecs.compress_stream(payload, CompressionKind.ZLIB, 64 * 1024)
+        header = int.from_bytes(enc[:3], "little")
+        assert header & 1 == 1  # original bit
+        assert header >> 1 == 1000

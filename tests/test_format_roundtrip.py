@@ -1,0 +1,240 @@
+"""End-to-end DWRF write→read round-trips on typed fixtures, mirroring the
+reference's TestOrcFile style: nested schemas, nulls, empty files, projection,
+metadata, seeded random tables, stats checks."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from hive_dwrf_spark.format import DwrfFile, DwrfWriter, write_arrow_table
+from hive_dwrf_spark.format.constants import TypeKind
+
+
+def rt(tmp_path, table: pa.Table, **opts) -> pa.Table:
+    path = str(tmp_path / "t.dwrf")
+    write_arrow_table(path, table, **opts)
+    with DwrfFile(path) as f:
+        got = f.read()
+    return got
+
+
+def assert_tables_equal(a: pa.Table, b: pa.Table):
+    assert a.schema.equals(b.schema), f"{a.schema}\n!=\n{b.schema}"
+    assert a.num_rows == b.num_rows
+    for name in a.column_names:
+        ca, cb = a.column(name), b.column(name)
+        assert ca.equals(cb) or ca.to_pylist() == cb.to_pylist(), f"column {name} differs"
+
+
+class TestPrimitives:
+    def test_all_primitive_types(self, tmp_path):
+        n = 5000
+        rng = np.random.default_rng(42)
+        table = pa.table(
+            {
+                "b": pa.array(rng.integers(0, 2, n).astype(bool)),
+                "i8": pa.array(rng.integers(-128, 128, n).astype(np.int8)),
+                "i16": pa.array(rng.integers(-32768, 32768, n).astype(np.int16)),
+                "i32": pa.array(rng.integers(-(2**31), 2**31, n).astype(np.int32)),
+                "i64": pa.array(rng.integers(-(2**62), 2**62, n)),
+                "f32": pa.array(rng.random(n).astype(np.float32)),
+                "f64": pa.array(rng.random(n) * 1e9),
+                "s": pa.array([f"row-{i % 100}" for i in range(n)]),
+                "bin": pa.array([bytes([i % 256, 255 - i % 256]) for i in range(n)], type=pa.binary()),
+            }
+        )
+        got = rt(tmp_path, table)
+        assert_tables_equal(got, table)
+
+    def test_nulls_everywhere(self, tmp_path):
+        n = 2000
+        rng = np.random.default_rng(1)
+        mask = rng.random(n) < 0.3
+
+        def with_nulls(vals):
+            return pa.array(
+                [None if m else v for v, m in zip(vals, mask)]
+            )
+
+        table = pa.table(
+            {
+                "i": with_nulls(list(range(n))),
+                "s": with_nulls([f"v{i}" for i in range(n)]),
+                "d": with_nulls([float(i) * 0.5 for i in range(n)]),
+            }
+        )
+        got = rt(tmp_path, table)
+        assert_tables_equal(got, table)
+
+    def test_all_null_column(self, tmp_path):
+        table = pa.table({"x": pa.array([None] * 100, type=pa.int64())})
+        got = rt(tmp_path, table)
+        assert got.column("x").null_count == 100
+
+    def test_timestamps_subsecond(self, tmp_path):
+        # exercise the 2015-epoch + packed-nanos path incl. negative-rel seconds
+        us_values = [
+            0,  # 1970: far before the 2015 base epoch -> negative seconds
+            1_420_070_400_000_000,  # exactly the base epoch
+            1_700_000_000_123_456,  # sub-millisecond micros
+            1_700_000_000_120_000,  # trailing zeros -> packed nanos
+            1_700_000_000_000_001,
+            999_999,  # 1970-01-01 00:00:00.999999
+        ]
+        table = pa.table({"ts": pa.array(us_values, type=pa.timestamp("us"))})
+        got = rt(tmp_path, table)
+        assert got.column("ts").to_pylist() == table.column("ts").to_pylist()
+
+
+class TestNested:
+    def test_list_map_struct(self, tmp_path):
+        table = pa.table(
+            {
+                "arr": pa.array([[1.5, 2.5], [], None, [3.25]], type=pa.list_(pa.float64())),
+                "m": pa.array(
+                    [{"a": 1}, {"b": 2, "c": 3}, None, {}],
+                    type=pa.map_(pa.string(), pa.int64()),
+                ),
+                "st": pa.array(
+                    [
+                        {"qty": 1.0, "flag": "A"},
+                        {"qty": None, "flag": "B"},
+                        None,
+                        {"qty": 4.0, "flag": None},
+                    ],
+                    type=pa.struct([("qty", pa.float64()), ("flag", pa.string())]),
+                ),
+            }
+        )
+        got = rt(tmp_path, table)
+        for c in table.column_names:
+            assert got.column(c).to_pylist() == table.column(c).to_pylist(), c
+
+    def test_deep_nesting(self, tmp_path):
+        t = pa.list_(pa.struct([("xs", pa.list_(pa.int64())), ("name", pa.string())]))
+        table = pa.table(
+            {
+                "deep": pa.array(
+                    [
+                        [{"xs": [1, 2], "name": "a"}, {"xs": [], "name": None}],
+                        [],
+                        None,
+                        [{"xs": None, "name": "d"}],
+                    ],
+                    type=t,
+                )
+            }
+        )
+        got = rt(tmp_path, table)
+        assert got.column("deep").to_pylist() == table.column("deep").to_pylist()
+
+
+class TestFileFeatures:
+    def test_empty_table(self, tmp_path):
+        table = pa.table({"x": pa.array([], type=pa.int64())})
+        got = rt(tmp_path, table)
+        assert got.num_rows == 0
+        assert got.schema.field("x").type == pa.int64()
+
+    def test_multiple_stripes(self, tmp_path):
+        n = 25_000
+        table = pa.table({"i": pa.array(np.arange(n)), "s": pa.array([f"x{i%7}" for i in range(n)])})
+        path = str(tmp_path / "m.dwrf")
+        write_arrow_table(path, table, stripe_rows=10_000)
+        with DwrfFile(path) as f:
+            assert len(f.footer.stripes) == 3
+            got = f.read()
+            assert got.column("i").to_pylist() == list(range(n))
+
+    def test_user_metadata(self, tmp_path):
+        table = pa.table({"x": pa.array([1, 2, 3])})
+        path = str(tmp_path / "meta.dwrf")
+        write_arrow_table(path, table, metadata={"writer": b"hive_dwrf_spark"})
+        with DwrfFile(path) as f:
+            assert f.metadata["writer"] == b"hive_dwrf_spark"
+
+    def test_projection(self, tmp_path):
+        table = pa.table({"a": pa.array([1, 2]), "b": pa.array(["x", "y"]), "c": pa.array([0.5, 1.5])})
+        path = str(tmp_path / "p.dwrf")
+        write_arrow_table(path, table)
+        with DwrfFile(path) as f:
+            got = f.read(columns=["c", "a"])
+            assert got.column_names == ["c", "a"]
+            assert got.column("a").to_pylist() == [1, 2]
+
+    def test_file_stats(self, tmp_path):
+        table = pa.table({"i": pa.array([5, 1, 9, None]), "d": pa.array([0.5, -2.0, 3.5, 1.0])})
+        path = str(tmp_path / "s.dwrf")
+        write_arrow_table(path, table)
+        with DwrfFile(path) as f:
+            si = f.file_stats(1)
+            assert (si.minimum, si.maximum, si.sum, si.count) == (1, 9, 15, 3)
+            sd = f.file_stats(2)
+            assert (sd.minimum, sd.maximum) == (-2.0, 3.5)
+
+    def test_filter_pruning(self, tmp_path):
+        n = 30_000
+        table = pa.table({"k": pa.array(np.arange(n)), "v": pa.array(np.arange(n) % 100)})
+        path = str(tmp_path / "f.dwrf")
+        write_arrow_table(path, table, stripe_rows=10_000)
+        with DwrfFile(path) as f:
+            # file-level prune: impossible predicate reads nothing
+            got = f.read(filters=[("k", "gt", 10**9)])
+            assert got.num_rows == 0
+            # stripe-level prune: only stripe 3 can contain k >= 25000
+            got = f.read(filters=[("k", "gte", 25_000)])
+            assert got.num_rows == 10_000  # stripes 1-2 pruned, residual rows stay
+
+    def test_dictionary_encoding_kicks_in(self, tmp_path):
+        from hive_dwrf_spark.format import proto
+        from hive_dwrf_spark.format.constants import ColumnEncodingKind
+
+        n = 10_000
+        table = pa.table({"s": pa.array([f"key{i % 50}" for i in range(n)])})
+        path = str(tmp_path / "d.dwrf")
+        write_arrow_table(path, table)
+        with DwrfFile(path) as f:
+            from hive_dwrf_spark.format.reader import _StripeDecoder
+
+            dec = _StripeDecoder(f, f.footer.stripes[0])
+            assert dec.encodings[1].kind == int(ColumnEncodingKind.DICTIONARY)
+            assert dec.encodings[1].dictionarySize == 50
+            got = f.read()
+            assert got.column("s").to_pylist() == table.column("s").to_pylist()
+
+    def test_bad_magic_rejected(self, tmp_path):
+        p = tmp_path / "bad.dwrf"
+        p.write_bytes(b"PAR1" + b"\x00" * 100)
+        with pytest.raises(ValueError, match="bad magic"):
+            DwrfFile(str(p))
+
+
+class TestSeededRandom:
+    """Seeded randomized round-trip, analog of TestOrcFile random tests."""
+
+    @pytest.mark.parametrize("seed", [42, 7])
+    def test_random_table(self, tmp_path, seed):
+        rng = np.random.default_rng(seed)
+        n = 8000
+        words = ["alpha", "beta", "gamma", "delta", ""]
+
+        def maybe_null(vals, p=0.1):
+            m = rng.random(n) < p
+            return pa.array([None if mm else v for v, mm in zip(vals, m)])
+
+        table = pa.table(
+            {
+                "i": maybe_null(rng.integers(-(10**12), 10**12, n).tolist()),
+                "s": maybe_null([words[i] + str(rng.integers(0, 10)) for i in rng.integers(0, 5, n)]),
+                "f": maybe_null((rng.random(n) * 100).tolist()),
+                "ts": pa.array(
+                    rng.integers(1_400_000_000_000_000, 1_800_000_000_000_000, n),
+                    type=pa.timestamp("us"),
+                ),
+            }
+        )
+        got = rt(tmp_path, table, stripe_rows=3000)
+        for c in table.column_names:
+            assert got.column(c).to_pylist() == table.column(c).to_pylist(), c
