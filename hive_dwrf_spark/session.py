@@ -27,6 +27,8 @@ RUNTIME_CONFS: dict[str, str] = {
     # read as raw int64 nanos and convert explicitly (tables.load_events).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
+    # our Python DataSource ("dwrf") implements pushFilters
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
 }

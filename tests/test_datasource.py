@@ -1,0 +1,102 @@
+"""End-to-end Spark DataSource tests: df.write.format("dwrf") →
+spark.read.format("dwrf") round-trips, projection, filter pruning."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def dwrf_spark(spark):
+    from hive_dwrf_spark.sources import register
+
+    register(spark)
+    return spark
+
+
+def test_write_read_roundtrip(dwrf_spark, tmp_path):
+    from hive_dwrf_spark.tables import load
+
+    spark = dwrf_spark
+    li = load(spark, SF_SMOKE, "lineitem")
+    out = str(tmp_path / "lineitem_dwrf")
+    li.write.format("dwrf").option("path", out).mode("append").save()
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    back = spark.read.format("dwrf").load(out)
+    assert back.count() == li.count()
+    a = sorted(li.collect())
+    b = sorted(back.collect())
+    assert a == b
+
+
+def test_multi_partition_write(dwrf_spark, tmp_path):
+    spark = dwrf_spark
+    df = spark.range(0, 10_000, 1, 4).withColumnRenamed("id", "k")
+    out = str(tmp_path / "range_dwrf")
+    df.write.format("dwrf").option("path", out).mode("append").save()
+    files = [f for f in os.listdir(out) if f.endswith(".dwrf")]
+    assert len(files) == 4  # one file per task
+    back = spark.read.format("dwrf").load(out)
+    assert back.count() == 10_000
+    assert back.selectExpr("sum(k) s").collect()[0].s == 49_995_000
+
+
+def test_projection_option(dwrf_spark, tmp_path):
+    from hive_dwrf_spark.tables import load
+
+    spark = dwrf_spark
+    p = load(spark, SF_SMOKE, "part")
+    out = str(tmp_path / "part_dwrf")
+    p.write.format("dwrf").option("path", out).mode("append").save()
+    pruned = (
+        spark.read.format("dwrf")
+        .option("columns", "p_partkey,p_name")
+        .load(out)
+    )
+    assert pruned.columns == ["p_partkey", "p_name"]
+    assert pruned.count() == p.count()
+
+
+def test_filter_pushdown_prunes(dwrf_spark, tmp_path):
+    spark = dwrf_spark
+    df = spark.range(0, 100_000, 1, 1).withColumnRenamed("id", "k")
+    out = str(tmp_path / "pruned_dwrf")
+    (
+        df.write.format("dwrf")
+        .option("path", out)
+        .option("stripe_rows", "20000")
+        .mode("append")
+        .save()
+    )
+    back = spark.read.format("dwrf").load(out)
+    # predicate selecting only the last stripe; correctness via Spark residual
+    got = back.filter("k >= 95000").count()
+    assert got == 5000
+    got2 = back.filter("k = 12345").count()
+    assert got2 == 1
+    got3 = back.filter("k > 100000000").count()
+    assert got3 == 0
+
+
+def test_nested_roundtrip_via_spark(dwrf_spark, tmp_path):
+    spark = dwrf_spark
+    df = spark.sql(
+        """
+        SELECT id,
+               named_struct('a', id * 2, 'b', concat('s', id)) AS st,
+               array(id, id + 1) AS arr,
+               map('k', id) AS m
+        FROM range(500)
+        """
+    )
+    out = str(tmp_path / "nested_dwrf")
+    df.write.format("dwrf").option("path", out).mode("append").save()
+    back = spark.read.format("dwrf").load(out)
+    assert back.count() == 500
+    row = back.orderBy("id").limit(1).collect()[0]
+    assert row.st.a == 0 and row.st.b == "s0"
+    assert row.arr == [0, 1] and row.m == {"k": 0}
