@@ -1,0 +1,257 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (100 TB):
+- exact dedup is a hash-partitioned groupBy on the dedup key — one shuffle,
+  map-side combine; the deterministic keep-first winner avoids a sort.
+- MinHash+LSH shuffles once on (band, band_hash): candidate generation never
+  compares across buckets, so cost is O(sum of bucket^2) not O(n^2); bucket
+  skew is bounded because identical band hashes imply near-identical docs.
+- pairwise verifiers (Jaccard / cosine) run only on LSH candidates at scale;
+  the exact all-pairs forms here exist as correctness oracles and for small
+  dimension tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+# Fixed MinHash parameters: reproducible across runs/machines.
+_MERSENNE = (1 << 61) - 1
+_N_HASHES = 64
+_LSH_BANDS = 16  # 16 bands x 4 rows
+
+
+def _hash_params(n: int = _N_HASHES) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(20240813)
+    a = rng.randint(1, _MERSENNE, size=n, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=n, dtype=np.int64)
+    return a, b
+
+
+def exact_dedup(
+    df: DataFrame, keys: list[str], order_by: str
+) -> DataFrame:
+    """Keep exactly one row per key combination — the row with the smallest
+    `order_by` value (deterministic winner, unlike dropDuplicates)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(order_by).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def content_fingerprint(df: DataFrame, text_col: str) -> DataFrame:
+    """Document fingerprint for exact content dedup: md5 of the
+    whitespace-normalized lowercase text. Pure JVM expression — no UDF."""
+    normalized = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.withColumn("fingerprint", F.md5(normalized))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int = 5
+) -> DataFrame:
+    """MinHash signatures over character k-shingles via an Arrow-batched
+    pandas UDF (the per-doc loop is numpy-vectorized over shingles)."""
+    a_params, b_params = _hash_params()
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def minhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None or len(t) < shingle_k:
+                out.append([0] * _N_HASHES)
+                continue
+            data = t.encode("utf-8", "ignore")
+            arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+            n = len(arr) - shingle_k + 1
+            # polynomial rolling hash of each shingle
+            weights = (257 ** np.arange(shingle_k, dtype=np.int64)) % _MERSENNE
+            windows = np.lib.stride_tricks.sliding_window_view(arr, shingle_k)
+            h = (windows * weights).sum(axis=1) % _MERSENNE
+            h = np.unique(h)
+            # n_hashes permutations: min((a*h + b) mod p) — vectorized outer
+            sig = (
+                (a_params[:, None] * h[None, :] + b_params[:, None]) % _MERSENNE
+            ).min(axis=1)
+            out.append(sig.tolist())
+        return pd.Series(out)
+
+    return df.select(id_col, minhash(F.col(text_col)).alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, bands: int = _LSH_BANDS
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs (id1 < id2) that share
+    at least one band bucket. One shuffle on (band, band_hash)."""
+    rows_per_band = _N_HASHES // bands
+    band_exprs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.hash(F.slice("minhash", i * rows_per_band + 1, rows_per_band)).alias(
+                "bucket"
+            ),
+        )
+        for i in range(bands)
+    ]
+    banded = sig_df.select(
+        F.col(id_col), F.explode(F.array(*band_exprs)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id1"), F.col(f"r.{id_col}").alias("id2")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.7
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signatures -> banded candidates ->
+    signature-similarity filter (estimated Jaccard >= threshold)."""
+    sigs = minhash_signatures(df, text_col, id_col)
+    pairs = lsh_candidate_pairs(sigs, id_col)
+    s1 = sigs.select(F.col(id_col).alias("id1"), F.col("minhash").alias("sig1"))
+    s2 = sigs.select(F.col(id_col).alias("id2"), F.col("minhash").alias("sig2"))
+    return (
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "est_jaccard",
+            F.aggregate(
+                F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(_N_HASHES),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id1", "id2", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (weighted bit-vote), as a
+    pandas UDF; near-dups share a hash within small Hamming distance."""
+
+    @F.pandas_udf(LongType())
+    def sim(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            tokens = t.lower().split()
+            if not tokens:
+                continue
+            # deterministic 64-bit token hashes (FNV-1a)
+            votes = np.zeros(64, dtype=np.int64)
+            for tok in set(tokens):
+                h = np.int64(np.uint64(14695981039346656037))
+                for ch in tok.encode("utf-8"):
+                    h = np.int64(
+                        (np.uint64(h) ^ np.uint64(ch)) * np.uint64(1099511628211)
+                    )
+                bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                votes += np.where(bits.astype(bool), 1, -1)
+            bits = (votes > 0).astype(np.uint64)
+            out[i] = (bits << np.arange(64, dtype=np.uint64)).sum().astype(np.int64)
+        return pd.Series(out)
+
+    return df.select(id_col, sim(F.col(text_col)).alias("simhash"))
+
+
+def word_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact word-set Jaccard similarity for all pairs above threshold.
+
+    Declarative form (explode distinct words -> self-join on word ->
+    intersection counts): at scale this is the verifier applied to LSH
+    candidates; on its own it is quadratic only within shared-word groups.
+    """
+    words = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    sizes = words.groupBy(id_col).agg(F.count("*").alias("sz"))
+    w1 = words.select(F.col(id_col).alias("id1"), "w")
+    w2 = words.select(F.col(id_col).alias("id2"), "w")
+    inter = (
+        w1.join(w2, ["w"])
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity (double math,
+    left-to-right accumulation so oracles can reproduce it bit-for-bit).
+
+    At 100 TB the all-pairs join is replaced by LSH bucketing
+    (similarity.lsh_buckets) — this exact form is the in-bucket verifier."""
+    v = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    a = v.select(F.col(id_col).alias("id1"), F.col("v").alias("v1"))
+    b = v.select(F.col(id_col).alias("id2"), F.col("v").alias("v2"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot("v1", "v2")
+                / (F.sqrt(dot("v1", "v1")) * F.sqrt(dot("v2", "v2"))),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )

@@ -1,0 +1,102 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: brute-force exact top-k against a broadcast query vector.
+  Distributed scan + TakeOrdered; the query vector travels as a literal so
+  there is no shuffle at all — at 100 TB this is one pass over the data.
+- lsh_buckets / ann_topk: random-hyperplane LSH (sign bits of fixed random
+  projections) so candidate generation touches only matching buckets; the
+  scale path for repeated queries or all-pairs search. Projection matrix is
+  seeded — bucket assignment is reproducible across runs and machines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+_SEED = 20240813
+
+
+def _dot(x, y):
+    """Double-precision left-to-right dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+    )
+
+
+def cosine_topk(
+    df: DataFrame, vec_col: str, id_col: str, query_vec: list[float], k: int
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a constant query vector."""
+    q = [float(x) for x in query_vec]
+    qnorm = float(np.sqrt(np.dot(q, q)))
+    qlit = F.array(*[F.lit(x) for x in q])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sim = _dot(v, qlit) / (F.sqrt(_dot(v, v)) * F.lit(qnorm))
+    return (
+        df.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def lsh_buckets(
+    df: DataFrame, vec_col: str, id_col: str, n_planes: int = 16, dim: int = 64
+) -> DataFrame:
+    """Assign each vector to a random-hyperplane LSH bucket (n_planes sign
+    bits packed into a long). Vectors in the same bucket are ANN candidates."""
+    rng = np.random.RandomState(_SEED)
+    planes = rng.standard_normal((n_planes, dim))
+
+    @F.pandas_udf(LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        out = np.zeros(len(vecs), dtype=np.int64)
+        mat = np.vstack(
+            [
+                np.asarray(v, dtype=np.float64)
+                if v is not None
+                else np.zeros(dim)
+                for v in vecs
+            ]
+        )
+        signs = (mat @ planes.T) > 0  # (batch, n_planes)
+        out = (signs.astype(np.int64) << np.arange(n_planes)).sum(axis=1)
+        return pd.Series(out)
+
+    return df.withColumn("lsh_bucket", bucket(F.col(vec_col)))
+
+
+def ann_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int,
+    n_planes: int = 8,
+    probe_hamming: int = 2,
+) -> DataFrame:
+    """Approximate top-k: multi-probe the query's LSH bucket and all buckets
+    within `probe_hamming` bit flips, then rank exactly within candidates.
+    8 planes / Hamming<=2 probes 37 of 256 buckets — ~15% of the data at
+    uniform spread, vs a full scan for exact top-k."""
+    rng = np.random.RandomState(_SEED)
+    dim = len(query_vec)
+    planes = rng.standard_normal((n_planes, dim))
+    q = np.asarray(query_vec, dtype=np.float64)
+    qsigns = (planes @ q) > 0
+    qbucket = int((qsigns.astype(np.int64) << np.arange(n_planes)).sum())
+    probe = {qbucket}
+    if probe_hamming >= 1:
+        probe |= {qbucket ^ (1 << i) for i in range(n_planes)}
+    if probe_hamming >= 2:
+        probe |= {
+            qbucket ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        }
+    bucketed = lsh_buckets(df, vec_col, id_col, n_planes, dim)
+    candidates = bucketed.filter(F.col("lsh_bucket").isin(list(probe)))
+    return cosine_topk(candidates, vec_col, id_col, list(map(float, q)), k)

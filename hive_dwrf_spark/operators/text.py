@@ -1,0 +1,102 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+Everything except language ID is pure JVM expressions (whole-stage codegen,
+no Python in the hot path). Language ID uses a character-frequency heuristic
+in an Arrow-batched pandas UDF — at 100 TB that's one vectorized pass, no
+shuffle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from", "that", "this",
+]
+
+
+def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Length / token / punctuation / stopword-ratio features, all JVM-side."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    n_words = F.size(F.filter(words, lambda w: w != ""))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    n_chars = F.length(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(n_chars / F.greatest(n_words, F.lit(1)), 4).alias("avg_word_len"),
+        n_punct.alias("n_punct"),
+        F.round(n_stop / F.greatest(n_words, F.lit(1)), 4).alias("stopword_ratio"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Global token frequency: explode + hash-aggregate (map-side combine).
+    At 100 TB this is the canonical one-shuffle wordcount; skewed hot tokens
+    are handled by AQE/partial aggregation."""
+    return (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def bpe_ish_token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Approximate LLM token count: words + punctuation pieces via regex,
+    a cheap stand-in for a BPE tokenizer (JVM regexp, no UDF)."""
+    pieces = F.split(
+        F.regexp_replace(F.col(text_col), r"([.,;:!?()\[\]{}])", r" $1 "), r"\s+"
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(F.filter(pieces, lambda p: p != "")).alias("approx_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Content fingerprints: md5 of normalized text + a 64-bit rolling hash
+    prefix fingerprint (both deterministic, both JVM-side)."""
+    normalized = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        F.md5(normalized).alias("md5"),
+        F.xxhash64(normalized).alias("hash64"),
+    )
+
+
+def detect_language(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Character-n-gram language heuristic (en/es/fr/de/other) as a pandas
+    UDF. Profiles are tiny hand-rolled marker sets — a real deployment would
+    swap in fastText/CLD3 behind the same column contract."""
+    markers = {
+        "en": [" the ", " and ", " of ", " is ", " to "],
+        "es": [" el ", " la ", " de ", " que ", " los "],
+        "fr": [" le ", " la ", " les ", " des ", " est "],
+        "de": [" der ", " die ", " und ", " das ", " ist "],
+    }
+
+    @F.pandas_udf(StringType())
+    def lang(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if not t:
+                out.append("und")
+                continue
+            s = f" {t.lower()} "
+            scores = {
+                code: sum(s.count(m) for m in ms) for code, ms in markers.items()
+            }
+            best = max(scores, key=lambda c: (scores[c], c))
+            out.append(best if scores[best] > 0 else "und")
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), lang(F.col(text_col)).alias("lang_pred"))

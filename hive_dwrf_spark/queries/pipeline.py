@@ -1,0 +1,303 @@
+"""§2.D north-star pipeline queries: dedup, similarity search, text
+analysis, multimodal — each driving the operators/ implementations.
+SQL-expressible ones carry DuckDB oracles; MinHash/SimHash/LSH/langid and
+the stubbed media decode are rows-only checks (engine-specific hashing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, text
+from ..tables import load
+from . import query
+
+# --- deduplication -----------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT user_id, event_type, event_id, round(value, 4) AS value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY event_id) AS rn
+          FROM events) t
+    WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    deduped = dedup.exact_dedup(e, keys=["user_id", "event_type"], order_by="event_id")
+    return deduped.select(
+        "user_id", "event_type", "event_id", F.round("value", 4).alias("value")
+    ).orderBy("user_id", "event_type")
+
+
+@query(
+    "dedup_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 200
+    """,
+)
+def dedup_fingerprint(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (
+        dedup.content_fingerprint(d, "text")
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@query(
+    "dedup_jaccard",
+    oracle="""
+    WITH words AS (
+      SELECT DISTINCT doc_id, w
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents) t
+      WHERE w <> ''
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM words GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+      FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           round(inter / (s1.sz + s2.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = id1
+    JOIN sizes s2 ON s2.doc_id = id2
+    WHERE round(inter / (s1.sz + s2.sz - inter), 6) >= 0.5
+    ORDER BY id1, id2
+    """,
+)
+def dedup_jaccard(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return dedup.word_jaccard_pairs(d, "text", "doc_id", threshold=0.5).orderBy(
+        "id1", "id2"
+    )
+
+
+@query(
+    "dedup_cosine",
+    oracle="""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])))),
+                 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[]))
+                / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(a.embedding AS DOUBLE[])))
+                   * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])))),
+                6) >= 0.8
+    ORDER BY id1, id2
+    """,
+)
+def dedup_cosine(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return dedup.embedding_cosine_pairs(e, "embedding", "vec_id", threshold=0.8).orderBy(
+        "id1", "id2"
+    )
+
+
+@query("dedup_minhash")  # rows-only: MinHash permutation values are ours
+def dedup_minhash(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(d, "text", "doc_id", threshold=0.5).orderBy(
+        "id1", "id2"
+    )
+
+
+@query("dedup_simhash")  # rows-only
+def dedup_simhash(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return dedup.simhash(d, "text", "doc_id").orderBy("doc_id")
+
+
+# --- similarity search --------------------------------------------------------
+
+
+def _query_vector(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    row = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    return [float(x) for x in row.embedding]
+
+
+@query(
+    "sim_topk",
+    oracle="""
+    SELECT vec_id,
+           round(list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[]))) * q.qn),
+                 6) AS cosine
+    FROM embeddings,
+         (SELECT CAST(embedding AS DOUBLE[]) AS qv,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS qn
+          FROM embeddings WHERE vec_id = 0) q
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_topk(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(e, "embedding", "vec_id", _query_vector(spark, sf_dir), 10)
+
+
+@query("sim_ann")  # rows-only: LSH bucket membership is seed-specific
+def sim_ann(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.ann_topk(e, "embedding", "vec_id", _query_vector(spark, sf_dir), 10)
+
+
+# --- text analysis ------------------------------------------------------------
+
+
+@query(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                                w -> w <> '')) AS INTEGER) AS n_words,
+           round(length(text) / greatest(
+               len(list_filter(string_split(lower(text), ' '), w -> w <> '')),
+               1), 4) AS avg_word_len,
+           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INTEGER)
+               AS n_punct,
+           round(len(list_filter(string_split(lower(text), ' '),
+                     w -> list_contains(['the','a','an','and','or','of','to',
+                                         'in','is','it','for','on','with','as',
+                                         'at','by','from','that','this'], w)))
+                 / greatest(len(list_filter(string_split(lower(text), ' '),
+                                            w -> w <> '')), 1), 4)
+               AS stopword_ratio
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 200
+    """,
+)
+def text_quality(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (
+        text.quality_features(d, "text", "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("int").alias("n_chars"),
+            F.col("n_words").cast("int").alias("n_words"),
+            "avg_word_len",
+            F.col("n_punct").cast("int").alias("n_punct"),
+            "stopword_ratio",
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@query(
+    "text_tokens_top",
+    oracle="""
+    SELECT token, count(*) AS cnt
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+          FROM documents) t
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT 20
+    """,
+)
+def text_tokens_top(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (
+        text.token_counts(d, "text")
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS md5
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 200
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (
+        text.fingerprint(d, "text", "doc_id")
+        .select("doc_id", "md5")
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@query("text_langid")  # rows-only: heuristic profile is ours
+def text_langid(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return text.detect_language(d, "text", "doc_id").orderBy("doc_id")
+
+
+# --- multimodal ---------------------------------------------------------------
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    ORDER BY media_id
+    LIMIT 200
+    """,
+)
+def multimodal_meta(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "UTF-8").cast("binary")
+    )
+    mm = multimodal.attach_metadata(d, "payload", "image", "doc_id")
+    return (
+        mm.select(
+            "media_id",
+            F.col("meta.n_bytes").cast("bigint").alias("n_bytes"),
+            F.col("meta.sha256").alias("sha256"),
+        )
+        .orderBy("media_id")
+        .limit(200)
+    )
+
+
+@query("multimodal_decode")  # rows-only: decoder is the deterministic stub
+def multimodal_decode(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "UTF-8").cast("binary")
+    )
+    mm = multimodal.attach_metadata(d, "payload", "image", "doc_id")
+    return multimodal.decode_features(mm).orderBy("media_id")
+
+
+@query("multimodal_frames")  # rows-only
+def multimodal_frames(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "UTF-8").cast("binary")
+    )
+    mm = multimodal.attach_metadata(d, "payload", "video", "doc_id")
+    return multimodal.frame_sample_plan(mm).orderBy("media_id", "frame_index")

@@ -31,7 +31,10 @@ TABLE_NAMES = [
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .shipping import ensure_shipped
+
     apply_runtime_confs(spark)
+    ensure_shipped(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
