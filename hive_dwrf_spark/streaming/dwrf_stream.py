@@ -1,0 +1,157 @@
+"""Structured Streaming over DWRF directories.
+
+The reference is a batch format (SURVEY.md §2.B: no streaming), but its
+Hive deployments tail partition directories; the Spark-native equivalent is
+a file-discovery stream: each micro-batch picks up newly arrived .dwrf
+files. Offsets are the sorted file list index, so restarts resume from the
+checkpoint exactly.
+
+Scale notes: discovery is a directory listing per micro-batch (cheap); rows
+are decoded executor-side via the same stripe reader as the batch source.
+The simple reader re-reads on the driver by design (Spark's
+SimpleDataSourceStreamReader contract) — fine for the moderate per-batch
+volumes a file stream implies; a partition-planning DataSourceStreamReader
+is the upgrade path for firehose rates.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.types import StructType
+
+
+def _dwrf_files(path: str) -> list[str]:
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".dwrf") and not f.startswith(("_", "."))
+    )
+
+
+class _DwrfStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, schema: StructType, options):
+        self.path = options.get("path")
+        self.schema = schema
+
+    def initialOffset(self) -> dict:
+        return {"file_index": 0}
+
+    def _rows_between(self, start_idx: int, end_idx: int):
+        # returns a materialized list: Spark pickles the prefetched batch
+        # between read() and commit(), so the result must be serializable
+        from ..format.reader import DwrfFile
+
+        files = _dwrf_files(self.path)[start_idx:end_idx]
+        names = [f.name for f in self.schema.fields]
+        rows: list[tuple] = []
+        for fp in files:
+            with DwrfFile(fp) as f:
+                table = f.read(columns=names)
+            rows.extend(
+                tuple(row[n] for n in names) for row in table.to_pylist()
+            )
+        # list_iterator: a real iterator (Spark requires one) that still
+        # pickles for the prefetch cache
+        return iter(rows)
+
+    def read(self, start: dict):
+        files = _dwrf_files(self.path)
+        end = {"file_index": len(files)}
+        return self._rows_between(start["file_index"], len(files)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows_between(start["file_index"], end["file_index"])
+
+
+class DwrfStreamDataSource(DataSource):
+    """spark.readStream.format("dwrf_stream").option("path", dir)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "dwrf_stream"
+
+    def schema(self):
+        from ..sources.dwrf_datasource import _arrow_to_spark_type
+        from ..format.reader import DwrfFile
+        from pyspark.sql.types import StructField
+
+        files = _dwrf_files(self.options.get("path", ""))
+        if not files:
+            raise ValueError("dwrf_stream requires a path with at least one .dwrf file")
+        with DwrfFile(files[0]) as f:
+            return StructType(
+                [
+                    StructField(
+                        f.schema.field(i).name,
+                        _arrow_to_spark_type(f.schema.field(i).type),
+                    )
+                    for i in range(len(f.schema))
+                ]
+            )
+
+    def simpleStreamReader(self, schema: StructType):
+        return _DwrfStreamReader(schema, self.options)
+
+
+def stream_dwrf_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Open a DWRF directory as a structured stream."""
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    spark.dataSource.register(DwrfStreamDataSource)
+    return spark.readStream.format("dwrf_stream").option("path", path).load()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts — the canonical late-data-tolerant
+    streaming aggregate (works identically on batch DataFrames)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            key_col,
+            "cnt",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per user with an inactivity gap (state handled by
+    Spark's session_window, spilling + watermark eviction built in)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            user_col,
+            "n_events",
+            "first_ts",
+            "last_ts",
+        )
+    )

@@ -1,0 +1,59 @@
+"""Structured Streaming over DWRF directories: micro-batch file discovery
+plus watermarked windowing/sessionization helpers (batch-mode checked —
+the aggregation expressions are identical either way)."""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from .conftest import SF_SMOKE
+
+
+def test_stream_reads_new_files(spark, tmp_path):
+    from hive_dwrf_spark.format import write_arrow_table
+    from hive_dwrf_spark.streaming import stream_dwrf_dir
+
+    d = str(tmp_path / "stream_in")
+    import os
+
+    os.makedirs(d)
+    write_arrow_table(
+        f"{d}/f1.dwrf", pa.table({"k": pa.array(np.arange(100))})
+    )
+    stream = stream_dwrf_dir(spark, d)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dwrf_stream_test")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = spark.sql("SELECT count(*) c FROM dwrf_stream_test").collect()[0].c
+        assert got1 == 100
+        write_arrow_table(
+            f"{d}/f2.dwrf", pa.table({"k": pa.array(np.arange(100, 150))})
+        )
+        q.processAllAvailable()
+        got2 = spark.sql("SELECT count(*) c FROM dwrf_stream_test").collect()[0].c
+        assert got2 == 150
+    finally:
+        q.stop()
+
+
+def test_windowed_counts_batch_semantics(spark):
+    from hive_dwrf_spark.streaming import sessionize, windowed_event_counts
+    from hive_dwrf_spark.tables import load
+
+    e = load(spark, SF_SMOKE, "events")
+    win = windowed_event_counts(e)
+    total = win.agg({"cnt": "sum"}).collect()[0][0]
+    assert total == e.count()
+    sess = sessionize(e, gap="10 minutes")
+    assert sess.count() > 0
+    row = sess.limit(1).collect()[0]
+    assert row.session_end >= row.session_start
