@@ -116,102 +116,147 @@ def decode_fixed(buf: np.ndarray, count: int, num_bytes: int, pos: int = 0):
 # --- RLE v1 over integers -------------------------------------------------------
 
 
-def _emit_literals(out: bytearray, vals: np.ndarray, signed: bool) -> None:
-    """Emit literal groups (header -len, then varints) for a span of values."""
-    enc = zigzag_encode(vals) if signed else vals.astype(np.uint64)
-    body, lengths = encode_varints(enc)
-    n = len(vals)
-    # insert a header byte before each 128-value group
-    group_starts_vals = np.arange(0, n, MAX_LITERAL_SIZE)
-    group_sizes = np.minimum(n - group_starts_vals, MAX_LITERAL_SIZE)
-    byte_offsets = np.concatenate([[0], np.cumsum(lengths)])
-    arr = np.frombuffer(body, dtype=np.uint8)
-    pieces = []
-    for gs, sz in zip(group_starts_vals, group_sizes):
-        pieces.append(np.uint8(256 - sz).tobytes())  # -sz as signed byte
-        pieces.append(arr[byte_offsets[gs] : byte_offsets[gs + sz]].tobytes())
-    out += b"".join(pieces)
-
-
 def encode_int_rle(values: np.ndarray, signed: bool) -> bytes:
     """RLE v1 encode. Any valid grouping is legal; we pick maximal
-    constant-delta runs ≥3 with delta in [-128,127], literals elsewhere."""
+    constant-delta runs ≥3 with delta in [-128,127], literals elsewhere.
+
+    All varint work happens in ONE vectorized pass over every value that
+    needs encoding (literals + run bases, in output order); the per-group
+    Python loop only assembles headers and payload slices."""
     v = np.ascontiguousarray(values, dtype=np.int64)
     n = len(v)
-    out = bytearray()
     if n == 0:
         return b""
+
+    # groups: (header_bytes, n_encoded_values) in output order, with the
+    # values to be varint-encoded collected in parallel
+    groups: list[tuple[bytes, int]] = []
+    enc_chunks: list[np.ndarray] = []
+
+    def add_literals(span: np.ndarray) -> None:
+        m = len(span)
+        for gs in range(0, m, MAX_LITERAL_SIZE):
+            sz = min(m - gs, MAX_LITERAL_SIZE)
+            groups.append((bytes([256 - sz]), sz))
+        enc_chunks.append(span)
+
     if n < MIN_REPEAT_SIZE:
-        _emit_literals(out, v, signed)
-        return bytes(out)
-    d = v[1:] - v[:-1]
-    # eligible[i]: values i,i+1,i+2 form a run start
-    eligible = (d[:-1] == d[1:]) & (d[:-1] >= MIN_DELTA) & (d[:-1] <= MAX_DELTA)
-    # find maximal eligible spans
-    pad = np.concatenate([[False], eligible, [False]])
-    starts = np.flatnonzero(~pad[:-1] & pad[1:])
-    ends = np.flatnonzero(pad[:-1] & ~pad[1:])  # exclusive in eligible-index space
-    cursor = 0
-    for s, e in zip(starts, ends):
-        run_start, run_len = int(s), int(e - s) + 2  # values covered
-        if run_start < cursor:
-            run_len -= cursor - run_start
-            run_start = cursor
-            if run_len < MIN_REPEAT_SIZE:
-                continue
-        if run_start > cursor:
-            _emit_literals(out, v[cursor:run_start], signed)
-        delta = int(d[s])
-        base = v[run_start]
-        remaining = run_len
-        while remaining >= MIN_REPEAT_SIZE:
-            chunk = min(remaining, MAX_REPEAT_SIZE)
-            out.append(chunk - MIN_REPEAT_SIZE)
-            out.append(delta & 0xFF)
-            enc = zigzag_encode(np.array([base])) if signed else np.array(
-                [base], dtype=np.uint64
-            )
-            body, _ = encode_varints(enc)
-            out += body
-            base += delta * chunk
-            remaining -= chunk
-        cursor = run_start + run_len - remaining
-        if remaining:
-            # tail too short for a run: fold into the next literal span
-            cursor -= 0
-            _emit_literals(out, v[cursor : cursor + remaining], signed)
-            cursor += remaining
-    if cursor < n:
-        _emit_literals(out, v[cursor:], signed)
-    return bytes(out)
+        add_literals(v)
+    else:
+        d = v[1:] - v[:-1]
+        eligible = (d[:-1] == d[1:]) & (d[:-1] >= MIN_DELTA) & (d[:-1] <= MAX_DELTA)
+        pad = np.concatenate([[False], eligible, [False]])
+        starts = np.flatnonzero(~pad[:-1] & pad[1:])
+        ends = np.flatnonzero(pad[:-1] & ~pad[1:])  # exclusive, eligible-index space
+        cursor = 0
+        for s, e in zip(starts, ends):
+            run_start, run_len = int(s), int(e - s) + 2  # values covered
+            if run_start < cursor:
+                run_len -= cursor - run_start
+                run_start = cursor
+                if run_len < MIN_REPEAT_SIZE:
+                    continue
+            if run_start > cursor:
+                add_literals(v[cursor:run_start])
+            delta = int(d[s])
+            base = int(v[run_start])
+            remaining = run_len
+            bases = []
+            while remaining >= MIN_REPEAT_SIZE:
+                chunk = min(remaining, MAX_REPEAT_SIZE)
+                groups.append((bytes([chunk - MIN_REPEAT_SIZE, delta & 0xFF]), 1))
+                bases.append(base)
+                base += delta * chunk
+                remaining -= chunk
+            enc_chunks.append(np.asarray(bases, dtype=np.int64))
+            cursor = run_start + run_len - remaining
+            if remaining:
+                add_literals(v[cursor : cursor + remaining])
+                cursor += remaining
+        if cursor < n:
+            add_literals(v[cursor:])
+
+    ordered = (
+        enc_chunks[0] if len(enc_chunks) == 1 else np.concatenate(enc_chunks)
+    )
+    enc = zigzag_encode(ordered) if signed else ordered.astype(np.uint64)
+    body, lengths = encode_varints(enc)
+    byte_offsets = np.empty(len(lengths) + 1, dtype=np.int64)
+    byte_offsets[0] = 0
+    np.cumsum(lengths, out=byte_offsets[1:])
+    mv = memoryview(body)
+    pieces = []
+    vpos = 0
+    for header, nvals in groups:
+        pieces.append(header)
+        pieces.append(mv[byte_offsets[vpos] : byte_offsets[vpos + nvals]])
+        vpos += nvals
+    return b"".join(pieces)
 
 
 def decode_int_rle(buf: np.ndarray, count: int, signed: bool, pos: int = 0):
-    """Decode `count` RLE v1 integers. Returns (int64 array, next pos)."""
-    pieces = []
+    """Decode `count` RLE v1 integers. Returns (int64 array, next pos).
+
+    Batch strategy: one pass finds every varint terminator, the group walk
+    only does O(log n) searchsorted per group to locate payload boundaries,
+    then ALL varints decode in a single vectorized pass and groups are
+    materialized by slice assignment into the preallocated output."""
+    if count == 0:
+        return np.zeros(0, dtype=np.int64), pos
+    term = np.flatnonzero(buf[pos:] < 0x80) + pos  # terminator byte positions
+    # group walk: (is_repeat, out_start, run_or_cnt, delta, n_varints) in order
+    groups: list[tuple[bool, int, int, int, int]] = []
+    regions: list[tuple[int, int]] = []  # varint payload byte regions, in order
     got = 0
     while got < count:
         h = int(buf[pos])
         pos += 1
-        if h < 0x80:  # repeat group: h+3 values
+        if h < 0x80:  # repeat: h+3 values (delta byte + base varint)
             run = h + MIN_REPEAT_SIZE
             delta = int(np.int8(buf[pos]))
             pos += 1
-            base_u, pos = decode_varints(buf, 1, pos)
-            base = int(zigzag_decode(base_u)[0]) if signed else int(base_u[0])
-            pieces.append(base + delta * np.arange(run, dtype=np.int64))
+            ti = int(np.searchsorted(term, pos, side="left"))
+            end = int(term[ti]) + 1
+            regions.append((pos, end))
+            groups.append((True, got, run, delta, 1))
             got += run
-        else:  # literal group: 256-h values
+            pos = end
+        else:  # literal: 256-h varints
             cnt = 256 - h
-            vals_u, pos = decode_varints(buf, cnt, pos)
-            pieces.append(
-                zigzag_decode(vals_u) if signed else vals_u.view(np.int64)
-            )
+            ti = int(np.searchsorted(term, pos, side="left"))
+            end = int(term[ti + cnt - 1]) + 1
+            regions.append((pos, end))
+            groups.append((False, got, cnt, 0, cnt))
             got += cnt
-    values = np.concatenate(pieces) if pieces else np.zeros(0, dtype=np.int64)
+            pos = end
     if got != count:
         raise ValueError(f"RLE stream yielded {got} values, expected {count}")
-    return values, pos
+
+    # one vectorized varint decode over the concatenated payload regions
+    payload = (
+        buf[regions[0][0] : regions[0][1]]
+        if len(regions) == 1
+        else np.concatenate([buf[a:b] for a, b in regions])
+    )
+    total_varints = sum(g[4] for g in groups)
+    decoded_u, _ = decode_varints(payload, total_varints, 0)
+    decoded = zigzag_decode(decoded_u) if signed else decoded_u.view(np.int64)
+
+    out = np.empty(count, dtype=np.int64)
+    vpos = 0
+    for is_repeat, start, length, delta, nv in groups:
+        if is_repeat:
+            base = decoded[vpos]
+            if delta == 0:
+                out[start : start + length] = base
+            else:
+                out[start : start + length] = base + delta * np.arange(
+                    length, dtype=np.int64
+                )
+        else:
+            out[start : start + length] = decoded[vpos : vpos + nv]
+        vpos += nv
+    return out, pos
 
 
 # --- byte RLE -------------------------------------------------------------------
