@@ -56,19 +56,28 @@ def zigzag_decode(values: np.ndarray) -> np.ndarray:
 
 
 def encode_varints(values: np.ndarray) -> tuple[bytes, np.ndarray]:
-    """uint64 array -> (LEB128 bytes, per-value byte lengths)."""
+    """uint64 array -> (LEB128 bytes, per-value byte lengths).
+
+    The work matrix is only as wide as the largest value requires (1-10
+    7-bit groups), with a zero-copy fast path when everything fits 1 byte."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
         return b"", np.zeros(0, dtype=np.int64)
-    chunks = (v[:, None] >> _SHIFTS10) & np.uint64(0x7F)
+    mx = int(v.max())
+    width = 1 if mx == 0 else (mx.bit_length() + 6) // 7
+    if width == 1:
+        return v.astype(np.uint8).tobytes(), np.ones(n, dtype=np.int64)
+    shifts = (np.arange(width, dtype=np.uint64) * np.uint64(7))[None, :]
+    idx = np.arange(width)[None, :]
+    chunks = (v[:, None] >> shifts) & np.uint64(0x7F)
     nonzero = chunks != 0
     any_nz = nonzero.any(axis=1)
-    lengths = np.where(any_nz, 10 - np.argmax(nonzero[:, ::-1], axis=1), 1).astype(
+    lengths = np.where(any_nz, width - np.argmax(nonzero[:, ::-1], axis=1), 1).astype(
         np.int64
     )
-    keep = _IDX10 < lengths[:, None]
-    cont = _IDX10 < (lengths - 1)[:, None]
+    keep = idx < lengths[:, None]
+    cont = idx < (lengths - 1)[:, None]
     out = chunks.astype(np.uint8)
     out[cont] |= 0x80
     return out[keep].tobytes(), lengths
@@ -120,142 +129,233 @@ def encode_int_rle(values: np.ndarray, signed: bool) -> bytes:
     """RLE v1 encode. Any valid grouping is legal; we pick maximal
     constant-delta runs ≥3 with delta in [-128,127], literals elsewhere.
 
-    All varint work happens in ONE vectorized pass over every value that
-    needs encoding (literals + run bases, in output order); the per-group
-    Python loop only assembles headers and payload slices."""
+    Fully vectorized — there is NO per-group Python loop. Stages, all numpy:
+    run-span detection (diff masks), overlap trim (pairwise max; maximal
+    spans overlap by at most one value), ≤130-value chunk splitting (repeat +
+    prefix sums), literal grouping of the uncovered values (≤128 splits),
+    a single varint pass over every encoded value in output order, then
+    scatter-assembly of header and payload bytes into the output buffer."""
     v = np.ascontiguousarray(values, dtype=np.int64)
     n = len(v)
     if n == 0:
         return b""
 
-    # groups: (header_bytes, n_encoded_values) in output order, with the
-    # values to be varint-encoded collected in parallel
-    groups: list[tuple[bytes, int]] = []
-    enc_chunks: list[np.ndarray] = []
-
-    def add_literals(span: np.ndarray) -> None:
-        m = len(span)
-        for gs in range(0, m, MAX_LITERAL_SIZE):
-            sz = min(m - gs, MAX_LITERAL_SIZE)
-            groups.append((bytes([256 - sz]), sz))
-        enc_chunks.append(span)
-
-    if n < MIN_REPEAT_SIZE:
-        add_literals(v)
-    else:
+    empty_i = np.zeros(0, dtype=np.int64)
+    if n >= MIN_REPEAT_SIZE:
         d = v[1:] - v[:-1]
         eligible = (d[:-1] == d[1:]) & (d[:-1] >= MIN_DELTA) & (d[:-1] <= MAX_DELTA)
-        pad = np.concatenate([[False], eligible, [False]])
-        starts = np.flatnonzero(~pad[:-1] & pad[1:])
-        ends = np.flatnonzero(pad[:-1] & ~pad[1:])  # exclusive, eligible-index space
-        cursor = 0
-        for s, e in zip(starts, ends):
-            run_start, run_len = int(s), int(e - s) + 2  # values covered
-            if run_start < cursor:
-                run_len -= cursor - run_start
-                run_start = cursor
-                if run_len < MIN_REPEAT_SIZE:
-                    continue
-            if run_start > cursor:
-                add_literals(v[cursor:run_start])
-            delta = int(d[s])
-            base = int(v[run_start])
-            remaining = run_len
-            bases = []
-            while remaining >= MIN_REPEAT_SIZE:
-                chunk = min(remaining, MAX_REPEAT_SIZE)
-                groups.append((bytes([chunk - MIN_REPEAT_SIZE, delta & 0xFF]), 1))
-                bases.append(base)
-                base += delta * chunk
-                remaining -= chunk
-            enc_chunks.append(np.asarray(bases, dtype=np.int64))
-            cursor = run_start + run_len - remaining
-            if remaining:
-                add_literals(v[cursor : cursor + remaining])
-                cursor += remaining
-        if cursor < n:
-            add_literals(v[cursor:])
+        pad = np.zeros(len(eligible) + 2, dtype=bool)
+        pad[1:-1] = eligible
+        s = np.flatnonzero(~pad[:-1] & pad[1:])  # span starts, eligible-index space
+        e = np.flatnonzero(pad[:-1] & ~pad[1:])  # span ends (exclusive)
+    else:
+        s = e = empty_i
 
-    ordered = (
-        enc_chunks[0] if len(enc_chunks) == 1 else np.concatenate(enc_chunks)
-    )
-    enc = zigzag_encode(ordered) if signed else ordered.astype(np.uint64)
+    if len(s):
+        S = s.copy()  # first value index covered by the run
+        E = e + 2  # one past the last value index covered
+        deltas = d[s]
+        # adjacent maximal spans can share at most one value; trim pairwise
+        np.maximum(S[1:], E[:-1], out=S[1:])
+        L = E - S
+        keep = L >= MIN_REPEAT_SIZE
+        S, L, deltas = S[keep], L[keep], deltas[keep]
+    else:
+        S = L = deltas = empty_i
+
+    # --- split runs into ≤MAX_REPEAT_SIZE chunks; tails <3 fall to literals
+    n_full = L // MAX_REPEAT_SIZE
+    rem = L - n_full * MAX_REPEAT_SIZE
+    extra = rem >= MIN_REPEAT_SIZE
+    n_chunks = n_full + extra
+    covered_len = L - np.where(extra, 0, rem)
+    total_chunks = int(n_chunks.sum())
+    chunk_sizes = np.full(total_chunks, MAX_REPEAT_SIZE, dtype=np.int64)
+    chunk_csum = np.empty(total_chunks + 1, dtype=np.int64)
+    if total_chunks:
+        span_end_idx = np.cumsum(n_chunks)  # exclusive chunk-index per span
+        chunk_sizes[span_end_idx[extra] - 1] = rem[extra]
+        chunk_csum[0] = 0
+        np.cumsum(chunk_sizes, out=chunk_csum[1:])
+        span_of_chunk = np.repeat(np.arange(len(S)), n_chunks)
+        first_chunk = span_end_idx - n_chunks
+        off_in_span = chunk_csum[:-1] - chunk_csum[first_chunk][span_of_chunk]
+        chunk_pos = S[span_of_chunk] + off_in_span
+        chunk_base = v[S][span_of_chunk] + deltas[span_of_chunk] * off_in_span
+        chunk_delta = deltas[span_of_chunk]
+    else:
+        chunk_pos = chunk_base = chunk_delta = empty_i
+
+    # --- literal values = everything not covered by an emitted run chunk
+    if len(S):
+        bounds = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(bounds, S, 1)
+        np.add.at(bounds, S + covered_len, -1)
+        covered = np.cumsum(bounds[:-1]) > 0
+        lit_idx = np.flatnonzero(~covered)
+    else:
+        lit_idx = np.arange(n, dtype=np.int64)
+
+    if len(lit_idx):
+        brk = np.flatnonzero(lit_idx[1:] != lit_idx[:-1] + 1) + 1
+        lspan_start = np.concatenate([[0], brk])  # offsets into lit_idx
+        lspan_len = np.diff(np.concatenate([lspan_start, [len(lit_idx)]]))
+        n_lgroups = (lspan_len + MAX_LITERAL_SIZE - 1) // MAX_LITERAL_SIZE
+        total_lgroups = int(n_lgroups.sum())
+        lg_sizes = np.full(total_lgroups, MAX_LITERAL_SIZE, dtype=np.int64)
+        lg_end_idx = np.cumsum(n_lgroups)
+        lg_sizes[lg_end_idx - 1] = lspan_len - (n_lgroups - 1) * MAX_LITERAL_SIZE
+        lg_csum = np.empty(total_lgroups + 1, dtype=np.int64)
+        lg_csum[0] = 0
+        np.cumsum(lg_sizes, out=lg_csum[1:])
+        # group start position = value index of its first literal
+        lg_pos = lit_idx[lg_csum[:-1]]
+    else:
+        total_lgroups = 0
+        lg_sizes = lg_pos = empty_i
+
+    # --- merge run chunks + literal groups in value order
+    g_pos = np.concatenate([lg_pos, chunk_pos])
+    order = np.argsort(g_pos, kind="stable")
+    g_hlen = np.concatenate(
+        [np.ones(total_lgroups, dtype=np.int64), np.full(total_chunks, 2, dtype=np.int64)]
+    )[order]
+    g_b0 = np.concatenate(
+        [(256 - lg_sizes), chunk_sizes - MIN_REPEAT_SIZE]
+    )[order].astype(np.uint8)
+    g_b1 = np.concatenate(
+        [np.zeros(total_lgroups, dtype=np.int64), chunk_delta & 0xFF]
+    )[order].astype(np.uint8)
+    g_nvals = np.concatenate(
+        [lg_sizes, np.ones(total_chunks, dtype=np.int64)]
+    )[order]
+
+    # --- all varint-encoded values, in output order
+    all_vals = np.concatenate([v[lit_idx], chunk_base])
+    all_keys = np.concatenate([lit_idx, chunk_pos])
+    enc_vals = all_vals[np.argsort(all_keys, kind="stable")]
+    enc = zigzag_encode(enc_vals) if signed else enc_vals.astype(np.uint64)
     body, lengths = encode_varints(enc)
-    byte_offsets = np.empty(len(lengths) + 1, dtype=np.int64)
-    byte_offsets[0] = 0
-    np.cumsum(lengths, out=byte_offsets[1:])
-    mv = memoryview(body)
-    pieces = []
-    vpos = 0
-    for header, nvals in groups:
-        pieces.append(header)
-        pieces.append(mv[byte_offsets[vpos] : byte_offsets[vpos + nvals]])
-        vpos += nvals
-    return b"".join(pieces)
+
+    g_voff = np.empty(len(g_nvals) + 1, dtype=np.int64)
+    g_voff[0] = 0
+    np.cumsum(g_nvals, out=g_voff[1:])
+    len_csum = np.empty(len(lengths) + 1, dtype=np.int64)
+    len_csum[0] = 0
+    np.cumsum(lengths, out=len_csum[1:])
+    g_boff = len_csum[g_voff[:-1]]  # payload byte start per group
+    g_blen = len_csum[g_voff[1:]] - g_boff  # payload bytes per group
+
+    hdr_before = np.empty(len(g_hlen) + 1, dtype=np.int64)
+    hdr_before[0] = 0
+    np.cumsum(g_hlen, out=hdr_before[1:])
+    g_out = hdr_before[:-1] + g_boff  # output offset of each group header
+
+    out = np.empty(int(hdr_before[-1]) + len(body), dtype=np.uint8)
+    out[g_out] = g_b0
+    two = g_hlen == 2
+    out[g_out[two] + 1] = g_b1[two]
+    body_shift = np.repeat(hdr_before[1:], g_blen)
+    out[np.arange(len(body), dtype=np.int64) + body_shift] = np.frombuffer(
+        body, dtype=np.uint8
+    )
+    return out.tobytes()
 
 
 def decode_int_rle(buf: np.ndarray, count: int, signed: bool, pos: int = 0):
     """Decode `count` RLE v1 integers. Returns (int64 array, next pos).
 
-    Batch strategy: one pass finds every varint terminator, the group walk
-    only does O(log n) searchsorted per group to locate payload boundaries,
-    then ALL varints decode in a single vectorized pass and groups are
-    materialized by slice assignment into the preallocated output."""
+    Batch strategy: one pass finds every varint terminator; the group walk is
+    the only sequential part and does O(1) int work per group (the terminator
+    pointer only moves forward, so locating payload ends is amortized O(1));
+    then ALL varints decode in a single vectorized pass and every group is
+    materialized by vectorized scatter — no per-group numpy calls."""
     if count == 0:
         return np.zeros(0, dtype=np.int64), pos
     term = np.flatnonzero(buf[pos:] < 0x80) + pos  # terminator byte positions
-    # group walk: (is_repeat, out_start, run_or_cnt, delta, n_varints) in order
-    groups: list[tuple[bool, int, int, int, int]] = []
-    regions: list[tuple[int, int]] = []  # varint payload byte regions, in order
+    term_l = term.tolist()
+    n_term = len(term_l)
+    buf_l = buf  # uint8 ndarray; scalar indexing below stays int via int()
+
+    # parallel per-group arrays, filled by the walk (≤ count groups)
+    g_rep: list[bool] = []
+    g_len: list[int] = []
+    g_delta: list[int] = []
+    reg_a: list[int] = []
+    reg_b: list[int] = []
     got = 0
+    ti = 0
     while got < count:
-        h = int(buf[pos])
+        h = int(buf_l[pos])
         pos += 1
         if h < 0x80:  # repeat: h+3 values (delta byte + base varint)
-            run = h + MIN_REPEAT_SIZE
-            delta = int(np.int8(buf[pos]))
+            delta = int(buf_l[pos])
+            if delta >= 128:
+                delta -= 256
             pos += 1
-            ti = int(np.searchsorted(term, pos, side="left"))
-            end = int(term[ti]) + 1
-            regions.append((pos, end))
-            groups.append((True, got, run, delta, 1))
-            got += run
-            pos = end
+            while term_l[ti] < pos:
+                ti += 1
+            end = term_l[ti] + 1
+            ti += 1
+            g_rep.append(True)
+            g_len.append(h + MIN_REPEAT_SIZE)
+            g_delta.append(delta)
+            got += h + MIN_REPEAT_SIZE
         else:  # literal: 256-h varints
             cnt = 256 - h
-            ti = int(np.searchsorted(term, pos, side="left"))
-            end = int(term[ti + cnt - 1]) + 1
-            regions.append((pos, end))
-            groups.append((False, got, cnt, 0, cnt))
+            while term_l[ti] < pos:
+                ti += 1
+            ti += cnt
+            if ti > n_term:
+                raise ValueError("RLE stream truncated")
+            end = term_l[ti - 1] + 1
+            g_rep.append(False)
+            g_len.append(cnt)
+            g_delta.append(0)
             got += cnt
-            pos = end
+        reg_a.append(pos)
+        reg_b.append(end)
+        pos = end
     if got != count:
         raise ValueError(f"RLE stream yielded {got} values, expected {count}")
 
+    rep = np.asarray(g_rep, dtype=bool)
+    lens = np.asarray(g_len, dtype=np.int64)
+    deltas = np.asarray(g_delta, dtype=np.int64)
+    a = np.asarray(reg_a, dtype=np.int64)
+    b = np.asarray(reg_b, dtype=np.int64)
+
     # one vectorized varint decode over the concatenated payload regions
-    payload = (
-        buf[regions[0][0] : regions[0][1]]
-        if len(regions) == 1
-        else np.concatenate([buf[a:b] for a, b in regions])
-    )
-    total_varints = sum(g[4] for g in groups)
-    decoded_u, _ = decode_varints(payload, total_varints, 0)
+    if len(a) == 1:
+        payload = buf[a[0] : b[0]]
+    else:
+        reg_lens = b - a
+        idx = np.repeat(a - np.concatenate([[0], np.cumsum(reg_lens)[:-1]]), reg_lens)
+        payload = buf[np.arange(int(reg_lens.sum()), dtype=np.int64) + idx]
+    n_varints = np.where(rep, 1, lens)
+    decoded_u, _ = decode_varints(payload, int(n_varints.sum()), 0)
     decoded = zigzag_decode(decoded_u) if signed else decoded_u.view(np.int64)
 
+    # vectorized scatter into the output
     out = np.empty(count, dtype=np.int64)
-    vpos = 0
-    for is_repeat, start, length, delta, nv in groups:
-        if is_repeat:
-            base = decoded[vpos]
-            if delta == 0:
-                out[start : start + length] = base
-            else:
-                out[start : start + length] = base + delta * np.arange(
-                    length, dtype=np.int64
-                )
-        else:
-            out[start : start + length] = decoded[vpos : vpos + nv]
-        vpos += nv
+    out_start = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    voff = np.concatenate([[0], np.cumsum(n_varints)[:-1]])
+    lit = ~rep
+    if lit.any():
+        ll = lens[lit]
+        within = np.arange(int(ll.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(ll)[:-1]]), ll
+        )
+        out_idx = np.repeat(out_start[lit], ll) + within
+        val_idx = np.repeat(voff[lit], ll) + within
+        out[out_idx] = decoded[val_idx]
+    if rep.any():
+        rl = lens[rep]
+        within = np.arange(int(rl.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(rl)[:-1]]), rl
+        )
+        out_idx = np.repeat(out_start[rep], rl) + within
+        out[out_idx] = np.repeat(decoded[voff[rep]], rl) + np.repeat(deltas[rep], rl) * within
     return out, pos
 
 

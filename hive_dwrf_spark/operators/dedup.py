@@ -124,8 +124,18 @@ def minhash_dedup_pairs(
     df: DataFrame, text_col: str, id_col: str, threshold: float = 0.7
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures -> banded candidates ->
-    signature-similarity filter (estimated Jaccard >= threshold)."""
-    sigs = minhash_signatures(df, text_col, id_col)
+    signature-similarity filter (estimated Jaccard >= threshold).
+
+    The signature table is persisted: it is consumed three times (banding +
+    both sides of the verification join) and is ~512 B/doc — tiny next to the
+    documents themselves — so materializing it once avoids re-running the
+    minhash UDF per consumer. That holds at 100 TB: 1B docs -> ~0.5 TB of
+    signatures spread across the cluster (MEMORY_AND_DISK spills safely)."""
+    from pyspark import StorageLevel
+
+    sigs = minhash_signatures(df, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pairs = lsh_candidate_pairs(sigs, id_col)
     s1 = sigs.select(F.col(id_col).alias("id1"), F.col("minhash").alias("sig1"))
     s2 = sigs.select(F.col(id_col).alias("id2"), F.col("minhash").alias("sig2"))
