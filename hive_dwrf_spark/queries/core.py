@@ -383,14 +383,20 @@ def q13_intersect(spark, sf_dir):
     SELECT c_custkey FROM (
       SELECT c_custkey FROM customer
       EXCEPT
-      SELECT o_custkey FROM orders) t
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995) t
     ORDER BY c_custkey
     LIMIT 100
     """,
 )
 def q13_except(spark, sf_dir):
+    # The 1995 filter keeps the result non-empty at every SF (every customer
+    # has *some* order in this data), so the oracle hash-check is non-trivial.
     c = load(spark, sf_dir, "customer").select("c_custkey")
-    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return c.subtract(o).orderBy("c_custkey").limit(100)  # EXCEPT (distinct)
 
 
@@ -533,18 +539,20 @@ def q19(spark, sf_dir):
     SELECT c_custkey
     FROM customer c
     WHERE c_acctbal > (SELECT avg(o_totalprice) FROM orders o
-                       WHERE o.o_custkey = c.c_custkey)
+                       WHERE o.o_custkey = c.c_custkey) / 40
     ORDER BY c_custkey
     LIMIT 100
     """,
 )
 def q20(spark, sf_dir):
+    # /40 scales the order-price average into acctbal's range so the
+    # predicate is selective but non-empty at every SF.
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     avg_per_cust = o.groupBy("o_custkey").agg(F.avg("o_totalprice").alias("avg_price"))
     return (
         c.join(avg_per_cust, c.c_custkey == avg_per_cust.o_custkey)
-        .filter(F.col("c_acctbal") > F.col("avg_price"))
+        .filter(F.col("c_acctbal") > F.col("avg_price") / 40)
         .select("c_custkey")
         .orderBy("c_custkey")
         .limit(100)
