@@ -40,4 +40,8 @@ def load_registry():
         from . import pipeline  # noqa: F401
     except ImportError:
         pass
+    try:
+        from . import extended  # noqa: F401
+    except ImportError:
+        pass
     return QUERIES, ORACLE

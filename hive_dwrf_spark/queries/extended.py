@@ -1,0 +1,461 @@
+"""Extended query surface (SURVEY.md §2.B, line-by-line): grouping sets,
+analytic windows, array/map/JSON scalar functions, exact percentiles, date
+arithmetic, regex, conditionals, and the three Python UDF surfaces
+(pandas_udf, UDTF, applyInPandas) — each with a DuckDB oracle.
+
+The reference serves these through its host engine (Hive operators over
+DWRF scans, SURVEY §2.B); here every one is a Catalyst built-in or a
+documented Python UDF surface. No driver-side loops anywhere.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..tables import load
+from . import query
+
+# --- grouping sets -----------------------------------------------------------
+
+
+@query(
+    "q21_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY 1, 2
+    """,
+)
+def q21_cube(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q22_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    ORDER BY 1, 2
+    """,
+)
+def q22_grouping_sets(spark, sf_dir):
+    # GROUPING SETS has no DataFrame-API form; the SQL is identical in both
+    # engines, which is the point — Catalyst expands it to an Expand node.
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY 1, 2
+        """
+    )
+
+
+# --- analytic window functions ----------------------------------------------
+
+
+@query(
+    "q23_window_analytic",
+    oracle="""
+    SELECT o_orderkey,
+           round(lag(o_totalprice) OVER w, 2)          AS prev_price,
+           round(lead(o_totalprice) OVER w, 2)         AS next_price,
+           round(first_value(o_totalprice) OVER w, 2)  AS first_price,
+           ntile(4) OVER w                             AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_orderkey
+    LIMIT 1000
+    """,
+)
+def q23_window_analytic(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+            F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+            F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+# --- array / map / JSON scalar functions -------------------------------------
+
+
+@query(
+    "q24_array",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           len(arr)                                           AS arr_len,
+           arr[1]                                             AS first_elem,
+           list_contains(arr, 3)                              AS has_three,
+           CAST(list_sum(list_transform(arr, x -> x * 2)) AS BIGINT)
+                                                              AS doubled_sum
+    FROM (SELECT l_orderkey, l_linenumber,
+                 [CAST(l_quantity AS BIGINT), l_orderkey % 7,
+                  CAST(l_linenumber AS BIGINT)] AS arr
+          FROM lineitem) t
+    ORDER BY l_orderkey, l_linenumber
+    LIMIT 200
+    """,
+)
+def q24_array(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    arr = F.array(
+        F.col("l_quantity").cast("bigint"),
+        F.col("l_orderkey") % 7,
+        F.col("l_linenumber").cast("bigint"),
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", arr.alias("arr"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.size("arr").alias("arr_len"),
+            F.element_at("arr", 1).alias("first_elem"),
+            F.array_contains("arr", F.lit(3).cast("bigint")).alias("has_three"),
+            F.aggregate(
+                F.transform("arr", lambda x: x * 2),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("doubled_sum"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(200)
+    )
+
+
+@query(
+    "q25_map",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           map_keys(m)     AS ks,
+           m['ln'][1]      AS ln_val,
+           m['ok7'][1]     AS ok7_val
+    FROM (SELECT l_orderkey, l_linenumber,
+                 MAP {'ln': CAST(l_linenumber AS BIGINT),
+                      'ok7': l_orderkey % 7} AS m
+          FROM lineitem) t
+    ORDER BY l_orderkey, l_linenumber
+    LIMIT 200
+    """,
+)
+def q25_map(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    m = F.create_map(
+        F.lit("ln"),
+        F.col("l_linenumber").cast("bigint"),
+        F.lit("ok7"),
+        F.col("l_orderkey") % 7,
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", m.alias("m"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.map_keys("m").alias("ks"),
+            F.element_at("m", "ln").alias("ln_val"),
+            F.element_at("m", "ok7").alias("ok7_val"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(200)
+    )
+
+
+@query(
+    "q26_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    ORDER BY event_id
+    LIMIT 500
+    """,
+)
+def q26_json(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+@query(
+    "q26_from_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    ORDER BY event_id
+    LIMIT 500
+    """,
+)
+def q26_from_json(spark, sf_dir):
+    # Same oracle, different Spark surface: full JSON parse into a struct.
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.from_json("props", "k BIGINT").getField("k").alias("k_val"),
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+# --- exact percentiles --------------------------------------------------------
+
+
+@query(
+    "q27_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 2) AS p75
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q27_percentile(spark, sf_dir):
+    # Spark's percentile() and DuckDB's quantile_cont() use the same linear
+    # interpolation; rounding absorbs summation-order float noise.
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.25)"), 2).alias("p25"),
+            F.round(F.expr("percentile(o_totalprice, 0.50)"), 2).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.75)"), 2).alias("p75"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- regex + conditionals -----------------------------------------------------
+
+
+@query(
+    "q28_regex",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)$', 1)        AS last_word,
+           regexp_replace(p_type, '[aeiou]', '', 'g')    AS devoweled,
+           string_split(p_type, ' ')[1]                  AS first_token
+    FROM part
+    WHERE regexp_matches(p_name, '[gr]een')
+    ORDER BY p_partkey
+    LIMIT 200
+    """,
+)
+def q28_regex(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").rlike("[gr]een"))
+        .select(
+            "p_partkey",
+            F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+            F.regexp_replace("p_type", "[aeiou]", "").alias("devoweled"),
+            F.element_at(F.split("p_type", " "), 1).alias("first_token"),
+        )
+        .orderBy("p_partkey")
+        .limit(200)
+    )
+
+
+@query(
+    "q29_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderstatus, 'O'), 'open')      AS status_label,
+           round(greatest(o_totalprice, 150000.0), 2)        AS floor_price,
+           round(least(o_totalprice, 150000.0), 2)           AS cap_price
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 500
+    """,
+)
+def q29_conditional(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias(
+                "status_label"
+            ),
+            F.round(F.greatest("o_totalprice", F.lit(150000.0)), 2).alias(
+                "floor_price"
+            ),
+            F.round(F.least("o_totalprice", F.lit(150000.0)), 2).alias("cap_price"),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
+# --- date arithmetic ----------------------------------------------------------
+
+
+@query(
+    "q26_datefns",
+    oracle="""
+    SELECT o_orderkey,
+           date_trunc('month', o_orderdate)                          AS order_month,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                                                                     AS days_since_95,
+           CAST(o_orderdate AS DATE) + 30                            AS due_date,
+           isodow(o_orderdate)                                       AS iso_dow
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 500
+    """,
+)
+def q26_datefns(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.trunc(F.col("o_orderdate").cast("date"), "month").alias("order_month"),
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+                "days_since_95"
+            ),
+            F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+            (F.weekday("o_orderdate") + 1).alias("iso_dow"),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
+# --- Python UDF surfaces (pandas_udf / UDTF / applyInPandas) ------------------
+
+
+@query(
+    "q30_pandas_udf",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                AS BIGINT) AS n_tokens
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 500
+    """,
+)
+def q30_pandas_udf(spark, sf_dir):
+    """Arrow-batched scalar pandas UDF (the reference's Hive-UDF surface,
+    SURVEY §2.B; here the vectorized Python path)."""
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def n_tokens(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").str.split(" ").map(
+            lambda ws: sum(1 for w in ws if w)
+        ).astype("int64")
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", n_tokens(F.col("text")).alias("n_tokens"))
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
+@query(
+    "q31_udtf",
+    oracle="""
+    SELECT doc_id,
+           generate_subscripts(fl, 1) - 1 AS idx,
+           unnest(fl)                     AS tok
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS fl
+          FROM documents
+          WHERE doc_id < 20) t
+    ORDER BY doc_id, idx
+    """,
+)
+def q31_udtf(spark, sf_dir):
+    """Python UDTF (table function): one row per token with its position —
+    the lateral-join surface Hive UDTFs provide in reference deployments."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx bigint, tok string")
+    class Tokenize:
+        def eval(self, text: str):
+            if text:
+                i = 0
+                for w in text.split(" "):
+                    if w:
+                        yield i, w
+                        i += 1
+
+    spark.udtf.register("dwrf_tokenize", Tokenize)
+    load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 20
+    ).createOrReplaceTempView("docs_small")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.idx, t.tok
+        FROM docs_small d, LATERAL dwrf_tokenize(d.text) t
+        ORDER BY d.doc_id, t.idx
+        """
+    )
+
+
+@query(
+    "q32_apply_in_pandas",
+    oracle="""
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY value, event_id)
+               AS value_rank
+    FROM events
+    WHERE user_id < 30
+    ORDER BY user_id, event_id
+    """,
+)
+def q32_apply_in_pandas(spark, sf_dir):
+    """Grouped-map applyInPandas (the reference's Hive-UDAF-ish surface):
+    per-user ranking computed in pandas, one Arrow batch per user group.
+    Integer output — exact across engines (float demeaning lands on
+    5-boundary digits where Java and C rounding disagree)."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+
+    def rank_by_value(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.sort_values(["value", "event_id"])[["user_id", "event_id"]].copy()
+        out["value_rank"] = range(1, len(out) + 1)
+        return out
+
+    return (
+        e.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            rank_by_value, schema="user_id bigint, event_id bigint, value_rank bigint"
+        )
+        .orderBy("user_id", "event_id")
+    )
