@@ -311,6 +311,9 @@ def _stats_may_match(st: ColumnStats, op: str, value) -> bool:
             return hi >= value
         if op == "in":
             return any(lo <= v <= hi for v in value)
+        if op == "starts_with":
+            # values with this prefix occupy [prefix, prefix + U+10FFFF)
+            return hi >= value and lo <= value + "\U0010FFFF"
     except TypeError:
         return True
     return True

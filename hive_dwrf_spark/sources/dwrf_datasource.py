@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    EqualNullSafe,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -43,6 +44,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
@@ -147,6 +149,8 @@ def _spark_to_arrow_type(t):
 
 _FILTER_OPS = {
     EqualTo: "eq",
+    EqualNullSafe: "eq",  # null-safe value compare prunes like eq; a null
+    # value raises TypeError in the stats check and is treated as may-match
     GreaterThan: "gt",
     GreaterThanOrEqual: "gte",
     LessThan: "lt",
@@ -154,6 +158,7 @@ _FILTER_OPS = {
     In: "in",
     IsNull: "is_null",
     IsNotNull: "is_not_null",
+    StringStartsWith: "starts_with",
 }
 
 

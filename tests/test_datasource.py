@@ -100,3 +100,37 @@ def test_nested_roundtrip_via_spark(dwrf_spark, tmp_path):
     row = back.orderBy("id").limit(1).collect()[0]
     assert row.st.a == 0 and row.st.b == "s0"
     assert row.arr == [0, 1] and row.m == {"k": 0}
+
+
+def test_starts_with_pushdown(dwrf_spark, tmp_path):
+    spark = dwrf_spark
+    df = spark.sql(
+        "SELECT id AS k, concat(CASE WHEN id < 500 THEN 'aaa' ELSE 'zzz' END, id) AS s "
+        "FROM range(1000)"
+    )
+    out = str(tmp_path / "sw_dwrf")
+    df.coalesce(1).write.format("dwrf").option("path", out).option(
+        "stripe_rows", "500"
+    ).mode("append").save()
+    back = spark.read.format("dwrf").load(out)
+    assert back.filter("s LIKE 'zzz%'").count() == 500
+    assert back.filter("s LIKE 'mmm%'").count() == 0
+    assert back.filter("startswith(s, 'aaa')").count() == 500
+
+
+def test_starts_with_stats_match():
+    from hive_dwrf_spark.format.reader import _stats_may_match
+    from hive_dwrf_spark.format.stats import ColumnStats
+
+    from hive_dwrf_spark.format.constants import TypeKind
+
+    st = ColumnStats(TypeKind.STRING)
+    st.count, st.minimum, st.maximum = 10, "apple", "mango"
+    assert _stats_may_match(st, "starts_with", "app")
+    assert _stats_may_match(st, "starts_with", "ma")
+    assert not _stats_may_match(st, "starts_with", "zeb")
+    assert _stats_may_match(st, "starts_with", "c")
+    # numeric stats with a string prefix: TypeError -> may match
+    st2 = ColumnStats(TypeKind.INT)
+    st2.count, st2.minimum, st2.maximum = 10, 1, 5
+    assert _stats_may_match(st2, "starts_with", "a")
