@@ -184,6 +184,69 @@ def _convert_filter(f) -> tuple | None:
 class _StripePartition(InputPartition):
     path: str
     stripe_index: int
+    part_values: tuple = ()  # (name, raw_string_value) pairs, hive-style
+
+
+def _partition_values_from_path(root: str, path: str) -> tuple:
+    """Parse hive-style key=value directory segments under root."""
+    rel = os.path.relpath(os.path.dirname(path), root)
+    out = []
+    for seg in rel.split(os.sep):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out.append((k, v))
+    return tuple(out)
+
+
+def _infer_partition_type(values: list[str]):
+    try:
+        for v in values:
+            int(v)
+        return LongType()
+    except ValueError:
+        pass
+    try:
+        for v in values:
+            float(v)
+        return DoubleType()
+    except ValueError:
+        return StringType()
+
+
+def _cast_partition_value(raw: str, spark_type):
+    if isinstance(spark_type, LongType):
+        return int(raw)
+    if isinstance(spark_type, (DoubleType, FloatType)):
+        return float(raw)
+    if isinstance(spark_type, IntegerType):
+        return int(raw)
+    return raw
+
+
+def _value_matches(val, op: str, value) -> bool:
+    """Exact predicate evaluation for partition-column pruning (O4)."""
+    try:
+        if op == "eq":
+            return val == value
+        if op == "lt":
+            return val < value
+        if op == "lte":
+            return val <= value
+        if op == "gt":
+            return val > value
+        if op == "gte":
+            return val >= value
+        if op == "in":
+            return val in value
+        if op == "is_null":
+            return val is None
+        if op == "is_not_null":
+            return val is not None
+        if op == "starts_with":
+            return isinstance(val, str) and val.startswith(value)
+    except TypeError:
+        return True
+    return True
 
 
 @dataclass
@@ -201,6 +264,13 @@ class DwrfReader(DataSourceReader):
         columns_opt = options.get("columns")
         self.columns = columns_opt.split(",") if columns_opt else None
         self._filters: list[tuple] = []
+        # partition columns are those in the (possibly pruned) schema that
+        # come from hive-style key=value directories, not from file data
+        self._part_fields = {
+            f.name: f.dataType
+            for f in schema.fields
+            if f.metadata and f.metadata.get("dwrf.partition")
+        }
 
     def pushFilters(self, filters):
         for f in filters:
@@ -211,18 +281,41 @@ class DwrfReader(DataSourceReader):
             # our pruning is IO-level only, never semantic
             yield f
 
+    def _partition_pruned(self, part_values: tuple) -> bool:
+        """True if pushed filters disprove this hive-partition (O4)."""
+        vals = {
+            k: _cast_partition_value(v, self._part_fields[k])
+            for k, v in part_values
+            if k in self._part_fields
+        }
+        for name, op, value in self._filters:
+            if name in vals and not _value_matches(vals[name], op, value):
+                return True
+        return False
+
     def partitions(self):
         from ..format.reader import DwrfFile
 
         parts = []
         for path in _list_dwrf_files(self.path):
+            part_values = (
+                _partition_values_from_path(self.path, path)
+                if self._part_fields
+                else ()
+            )
+            if part_values and self._partition_pruned(part_values):
+                continue  # directory pruned without opening the file
             with DwrfFile(path) as f:
                 if self._filters and not f._filter_may_match_stats(
                     self._filters, lambda tid: f.file_stats(tid)
                 ):
                     continue  # whole file pruned by footer stats
                 for i in range(len(f.footer.stripes)):
-                    parts.append(_StripePartition(path=path, stripe_index=i))
+                    parts.append(
+                        _StripePartition(
+                            path=path, stripe_index=i, part_values=part_values
+                        )
+                    )
         if not parts:
             # Spark requires >=1 partition; emit an empty sentinel
             parts.append(_StripePartition(path="", stripe_index=-1))
@@ -235,10 +328,13 @@ class DwrfReader(DataSourceReader):
 
         if partition.stripe_index < 0:
             return
+        file_columns = self.columns
+        if file_columns is not None:
+            file_columns = [c for c in file_columns if c not in self._part_fields]
         with DwrfFile(partition.path) as f:
             table = f.read_stripe(
                 partition.stripe_index,
-                columns=self.columns,
+                columns=file_columns,
                 filters=self._filters or None,
             )
         if table is None:
@@ -254,6 +350,15 @@ class DwrfReader(DataSourceReader):
                 fields.append(fld)
         if changed:
             table = table.cast(pa.schema(fields), safe=False)
+        if self._part_fields:
+            raw = dict(partition.part_values)
+            n = table.num_rows
+            for name, dtype in self._part_fields.items():
+                if self.columns is not None and name not in self.columns:
+                    continue
+                val = _cast_partition_value(raw[name], dtype)
+                arr = pa.array([val] * n, type=_spark_to_arrow_type(dtype))
+                table = table.append_column(name, arr)
         yield from table.to_batches()
 
 
@@ -266,14 +371,7 @@ class DwrfWriter(DataSourceArrowWriter):
         self.overwrite = overwrite
         self.schema = schema
 
-    def write(self, iterator):
-        import pyarrow as pa
-
-        from ..format.writer import DwrfWriter as FileWriter, _normalize_schema
-
-        os.makedirs(self.path, exist_ok=True)
-        filename = f"part-{uuid.uuid4().hex[:16]}.dwrf"
-        out_path = os.path.join(self.path, filename)
+    def _writer_opts(self) -> dict:
         opts = {}
         if "compression" in self.options:
             opts["compression"] = self.options["compression"]
@@ -281,6 +379,23 @@ class DwrfWriter(DataSourceArrowWriter):
             opts["stripe_rows"] = int(self.options["stripe_rows"])
         if "row_index_stride" in self.options:
             opts["row_index_stride"] = int(self.options["row_index_stride"])
+        return opts
+
+    def write(self, iterator):
+        import pyarrow as pa
+
+        from ..format.writer import DwrfWriter as FileWriter, _normalize_schema
+
+        part_by = [
+            c for c in self.options.get("partition_by", "").split(",") if c
+        ]
+        if part_by:
+            return self._write_partitioned(iterator, part_by)
+
+        os.makedirs(self.path, exist_ok=True)
+        filename = f"part-{uuid.uuid4().hex[:16]}.dwrf"
+        out_path = os.path.join(self.path, filename)
+        opts = self._writer_opts()
         rows = 0
         writer = None
         for batch in iterator:
@@ -302,21 +417,87 @@ class DwrfWriter(DataSourceArrowWriter):
         writer.close()
         return _WriteResult(path=out_path, rows=rows)
 
+    def _write_partitioned(self, iterator, part_by: list[str]):
+        """Hive-style partitioned write: {path}/k1=v1/k2=v2/part-*.dwrf.
+
+        Each task keeps one open writer per partition combination it sees —
+        the same layout Spark's builtin sinks produce with partitionBy(), so
+        the reader (and any hive-aware engine) gets directory pruning. At
+        100 TB callers should repartition by the partition columns first so
+        each task writes few combinations."""
+        import pyarrow as pa
+
+        from ..format.writer import DwrfWriter as FileWriter, _normalize_schema
+
+        opts = self._writer_opts()
+        task_id = uuid.uuid4().hex[:16]
+        writers: dict[tuple, FileWriter] = {}
+        paths: dict[tuple, str] = {}
+        rows = 0
+        for batch in iterator:
+            table = pa.Table.from_batches([batch])
+            missing = [c for c in part_by if c not in table.column_names]
+            if missing:
+                raise ValueError(f"partition_by columns not in data: {missing}")
+            # group rows by partition-value combination
+            combos = table.select(part_by).to_pylist()
+            keys = [tuple(str(r[c]) for c in part_by) for r in combos]
+            uniq: dict[tuple, list[int]] = {}
+            for i, k in enumerate(keys):
+                uniq.setdefault(k, []).append(i)
+            data_table = table.drop_columns(part_by)
+            for key, idxs in uniq.items():
+                sub = data_table.take(pa.array(idxs, type=pa.int64()))
+                w = writers.get(key)
+                if w is None:
+                    d = os.path.join(
+                        self.path, *[f"{c}={v}" for c, v in zip(part_by, key)]
+                    )
+                    os.makedirs(d, exist_ok=True)
+                    out_path = os.path.join(d, f"part-{task_id}.dwrf")
+                    w = FileWriter(
+                        out_path, _normalize_schema(sub.schema), **opts
+                    )
+                    writers[key] = w
+                    paths[key] = out_path
+                w.write_table(sub)
+                rows += sub.num_rows
+        for w in writers.values():
+            w.close()
+        return _WriteResult(
+            path="\x00".join(paths.values()) or self.path, rows=rows
+        )
+
     def commit(self, messages):
+        keep = set()
+        for m in messages:
+            if m is not None:
+                for p in m.path.split("\x00"):
+                    if p.endswith(".dwrf"):
+                        keep.add(os.path.abspath(p))
         if self.overwrite:
-            keep = {os.path.basename(m.path) for m in messages if m is not None}
-            for fn in os.listdir(self.path):
-                if fn.endswith(".dwrf") and fn not in keep:
-                    os.remove(os.path.join(self.path, fn))
+            for root, _dirs, files in os.walk(self.path):
+                for fn in files:
+                    fp = os.path.abspath(os.path.join(root, fn))
+                    if fn.endswith(".dwrf") and fp not in keep:
+                        os.remove(fp)
+        os.makedirs(self.path, exist_ok=True)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             for m in messages:
                 if m is not None:
-                    f.write(f"{os.path.basename(m.path)}\t{m.rows}\n")
+                    for p in m.path.split("\x00"):
+                        if p.endswith(".dwrf"):
+                            f.write(
+                                f"{os.path.relpath(p, self.path)}\t{m.rows}\n"
+                            )
 
     def abort(self, messages):
         for m in messages:
-            if m is not None and os.path.exists(m.path):
-                os.remove(m.path)
+            if m is None:
+                continue
+            for p in m.path.split("\x00"):
+                if p.endswith(".dwrf") and os.path.exists(p):
+                    os.remove(p)
 
 
 class DwrfDataSource(DataSource):
@@ -332,8 +513,8 @@ class DwrfDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("dwrf source requires a path")
-        first = _list_dwrf_files(path)[0]
-        with DwrfFile(first) as f:
+        files = _list_dwrf_files(path)
+        with DwrfFile(files[0]) as f:
             fields = [
                 StructField(
                     f.schema.field(i).name,
@@ -341,6 +522,20 @@ class DwrfDataSource(DataSource):
                 )
                 for i in range(len(f.schema))
             ]
+        # hive-style partition columns from directory layout, appended after
+        # data columns (Spark's convention for partitioned sources)
+        part_cols: dict[str, list[str]] = {}
+        for fp in files:
+            for k, v in _partition_values_from_path(path, fp):
+                part_cols.setdefault(k, []).append(v)
+        for name, values in part_cols.items():
+            fields.append(
+                StructField(
+                    name,
+                    _infer_partition_type(values),
+                    metadata={"dwrf.partition": True},
+                )
+            )
         columns_opt = self.options.get("columns")
         if columns_opt:
             by_name = {fl.name: fl for fl in fields}

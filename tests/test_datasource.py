@@ -134,3 +134,61 @@ def test_starts_with_stats_match():
     st2 = ColumnStats(TypeKind.INT)
     st2.count, st2.minimum, st2.maximum = 10, 1, 5
     assert _stats_may_match(st2, "starts_with", "a")
+
+
+def test_partitioned_write_read(dwrf_spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    spark = dwrf_spark
+    df = spark.sql(
+        "SELECT id AS k, id % 3 AS bucket, "
+        "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS parity "
+        "FROM range(3000)"
+    )
+    out = str(tmp_path / "part_dwrf")
+    (
+        df.repartition("bucket")
+        .write.format("dwrf")
+        .option("path", out)
+        .option("partition_by", "bucket,parity")
+        .mode("append")
+        .save()
+    )
+    # hive-style layout on disk
+    assert os.path.isdir(os.path.join(out, "bucket=0", "parity=even"))
+    back = spark.read.format("dwrf").load(out)
+    assert set(back.columns) == {"k", "bucket", "parity"}
+    assert back.count() == 3000
+    assert dict(back.dtypes)["bucket"] == "bigint"
+    assert dict(back.dtypes)["parity"] == "string"
+    # values reconstructed from directories match the original data
+    got = back.filter("bucket = 1 AND parity = 'odd'").agg(
+        F.sum("k").alias("s"), F.count("*").alias("c")
+    ).collect()[0]
+    exp = df.filter("bucket = 1 AND parity = 'odd'").agg(
+        F.sum("k").alias("s"), F.count("*").alias("c")
+    ).collect()[0]
+    assert (got.s, got.c) == (exp.s, exp.c)
+
+
+def test_partition_pruning(dwrf_spark, tmp_path):
+    from hive_dwrf_spark.sources.dwrf_datasource import DwrfDataSource
+
+    spark = dwrf_spark
+    df = spark.sql("SELECT id AS k, id % 4 AS b FROM range(4000)")
+    out = str(tmp_path / "prune_dwrf")
+    df.coalesce(1).write.format("dwrf").option("path", out).option(
+        "partition_by", "b"
+    ).mode("append").save()
+    # pruning: only one of four directories should survive planning
+    src = DwrfDataSource({"path": out})
+    schema = src.schema()
+    reader = src.reader(schema)
+    from pyspark.sql.datasource import EqualTo
+
+    list(reader.pushFilters([EqualTo(("b",), 2)]))
+    parts = reader.partitions()
+    assert all("b=2" in p.path for p in parts)
+    # and the query still answers correctly through Spark
+    back = spark.read.format("dwrf").load(out)
+    assert back.filter("b = 2").count() == 1000
