@@ -402,8 +402,11 @@ class DwrfFile:
         stripe = self.footer.stripes[stripe_index]
         dec = _StripeDecoder(self, stripe)
         n = stripe.numberOfRows
+        stride_alive: list[bool] | None = None
         if filters:
-            # stride-level pruning: skip the stripe when no stride may match
+            # stride-level pruning (A5 analog): mark strides whose min/max
+            # stats disprove a conjunct; skip the stripe if none survive,
+            # else decode and slice to the surviving stride row ranges.
             def stride_sets(tid):
                 ri = dec.row_index(tid)
                 if ri is None or not ri.entry:
@@ -430,6 +433,8 @@ class DwrfFile:
                             stride_alive[i] = False
                 if not any(stride_alive):
                     return None
+                if all(stride_alive):
+                    stride_alive = None
         root = self.types[0]
         names = list(root.fieldNames)
         if columns is None:
@@ -441,7 +446,24 @@ class DwrfFile:
         schema = pa.schema(
             [self.schema.field(name) for name, _ in selected]
         )
-        return pa.Table.from_arrays(arrays, schema=schema)
+        table = pa.Table.from_arrays(arrays, schema=schema)
+        if stride_alive is not None:
+            stride = self.footer.rowIndexStride or 0
+            if stride > 0:
+                pieces = []
+                start = None
+                for i, alive in enumerate(stride_alive):
+                    if alive and start is None:
+                        start = i
+                    elif not alive and start is not None:
+                        pieces.append(
+                            table.slice(start * stride, (i - start) * stride)
+                        )
+                        start = None
+                if start is not None:
+                    pieces.append(table.slice(start * stride))
+                table = pa.concat_tables(pieces)
+        return table
 
     def read(
         self,
@@ -461,6 +483,34 @@ class DwrfFile:
             t = self.read_stripe(i, columns=columns, filters=filters)
             if t is not None:
                 tables.append(t)
+        if not tables:
+            schema = self.schema if columns is None else pa.schema(
+                [self.schema.field(c) for c in columns]
+            )
+            return schema.empty_table()
+        return pa.concat_tables(tables)
+
+    def read_rows(
+        self, row_offset: int, count: int, columns: list[str] | None = None
+    ) -> pa.Table:
+        """Random access (RecordReader.seekToRow analog,
+        RecordReaderImpl.java:494-543): return rows [row_offset,
+        row_offset+count). Cost is O(stripes touched) — the stripe directory
+        locates the containing stripes without scanning, and only those
+        stripes' streams are read and decoded."""
+        end = row_offset + count
+        tables = []
+        first_row = 0
+        for i, s in enumerate(self.footer.stripes):
+            n = s.numberOfRows
+            if first_row + n > row_offset and first_row < end:
+                t = self.read_stripe(i, columns=columns)
+                lo = max(0, row_offset - first_row)
+                hi = min(n, end - first_row)
+                tables.append(t.slice(lo, hi - lo))
+            first_row += n
+            if first_row >= end:
+                break
         if not tables:
             schema = self.schema if columns is None else pa.schema(
                 [self.schema.field(c) for c in columns]

@@ -238,3 +238,61 @@ class TestSeededRandom:
         got = rt(tmp_path, table, stripe_rows=3000)
         for c in table.column_names:
             assert got.column(c).to_pylist() == table.column(c).to_pylist(), c
+
+
+class TestRandomAccess:
+    """seekToRow analog (RecordReaderImpl.java:494-543): ranged reads at
+    every boundary shape, mirroring the reference's seek test patterns."""
+
+    def _write(self, tmp_path, n=25_000):
+        import numpy as np
+        import pyarrow as pa
+
+        from hive_dwrf_spark.format import write_arrow_table
+
+        rng = np.random.RandomState(42)
+        table = pa.table(
+            {
+                "k": np.arange(n, dtype=np.int64),
+                "v": rng.randint(0, 1000, size=n),
+                "s": pa.array([f"row{i}" for i in range(n)]),
+            }
+        )
+        path = str(tmp_path / "seek.dwrf")
+        write_arrow_table(
+            path, table, stripe_rows=7000, row_index_stride=1000
+        )
+        return path, table
+
+    def test_ranged_reads(self, tmp_path):
+        from hive_dwrf_spark.format import DwrfFile
+
+        path, table = self._write(tmp_path)
+        with DwrfFile(path) as f:
+            for off, cnt in [
+                (0, 10), (6995, 10), (7000, 7000), (13999, 2),
+                (24990, 10), (24990, 100), (0, 25000), (12345, 1),
+            ]:
+                got = f.read_rows(off, cnt)
+                exp = table.slice(off, min(cnt, 25000 - off))
+                assert got.num_rows == exp.num_rows, (off, cnt)
+                assert got.column("k").to_pylist() == exp.column("k").to_pylist()
+            # past-the-end reads return empty
+            assert f.read_rows(25000, 10).num_rows == 0
+            # projection composes with seek
+            got = f.read_rows(7001, 3, columns=["s"])
+            assert got.column_names == ["s"]
+            assert got.column("s").to_pylist() == ["row7001", "row7002", "row7003"]
+
+    def test_stride_pruning_slices_rows(self, tmp_path):
+        from hive_dwrf_spark.format import DwrfFile
+
+        path, table = self._write(tmp_path)
+        with DwrfFile(path) as f:
+            # k >= 24000: only the last stripe's last strides survive; the
+            # returned row count must shrink below the full stripe size
+            t = f.read(filters=[("k", "gte", 24000)])
+            assert t.num_rows < 7000
+            ks = t.column("k").to_pylist()
+            assert all(k >= 23000 for k in ks)  # stride-aligned superset
+            assert set(range(24000, 25000)) <= set(ks)  # no real row lost
