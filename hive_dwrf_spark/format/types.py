@@ -66,12 +66,35 @@ def arrow_to_typekind(t: pa.DataType) -> TypeKind:
     raise TypeError(f"unsupported arrow type for DWRF: {t}")
 
 
-def schema_to_type_tree(schema: pa.Schema) -> list[proto.Type]:
-    """Arrow schema -> pre-order flat Type list (root STRUCT at id 0)."""
+def schema_to_type_tree(
+    schema: pa.Schema, union_columns: set[str] | None = None
+) -> list[proto.Type]:
+    """Arrow schema -> pre-order flat Type list (root STRUCT at id 0).
+
+    Top-level struct columns named in `union_columns` — which must have the
+    tagged-struct shape (tag: int8, field0, field1, ...) — are emitted as
+    true DWRF UNION nodes (orc_proto.proto:90-92): the branches become the
+    union's subtypes and the tag field becomes the byte-RLE tag stream."""
     types: list[proto.Type] = []
 
-    def add(t: pa.DataType) -> int:
+    def add(t: pa.DataType, as_union: bool = False) -> int:
         my_id = len(types)
+        if as_union:
+            if not (
+                pa.types.is_struct(t)
+                and t.num_fields >= 2
+                and t.field(0).name == "tag"
+                and pa.types.is_int8(t.field(0).type)
+            ):
+                raise TypeError(
+                    "union column must be struct<tag: int8, field0, ...>; "
+                    f"got {t}"
+                )
+            msg = proto.Type(kind=int(TypeKind.UNION))
+            types.append(msg)
+            for f in list(t)[1:]:
+                msg.subtypes.append(add(f.type))
+            return my_id
         kind = arrow_to_typekind(t)
         msg = proto.Type(kind=int(kind))
         types.append(msg)
@@ -90,7 +113,9 @@ def schema_to_type_tree(schema: pa.Schema) -> list[proto.Type]:
     types.append(root)
     for f in schema:
         root.fieldNames.append(f.name)
-        root.subtypes.append(add(f.type))
+        root.subtypes.append(
+            add(f.type, as_union=bool(union_columns and f.name in union_columns))
+        )
     return types
 
 

@@ -427,13 +427,16 @@ class DwrfWriter:
         string_dict_threshold: float = DEFAULT_STRING_DICT_THRESHOLD,
         int_dict_threshold: float = DEFAULT_INT_DICT_THRESHOLD,
         metadata: dict[str, bytes] | None = None,
+        union_columns: set[str] | str | None = None,
     ):
         if isinstance(compression, str):
             compression = CompressionKind[compression.upper()]
+        if isinstance(union_columns, str):
+            union_columns = {c for c in union_columns.split(",") if c}
         self._own_file = isinstance(sink, str)
         self._f = open(sink, "wb") if self._own_file else sink
         self.schema = schema
-        self.types = schema_to_type_tree(schema)
+        self.types = schema_to_type_tree(schema, union_columns)
         self.compression = compression
         self.opts = {
             "row_index_stride": row_index_stride,

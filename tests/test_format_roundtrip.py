@@ -296,3 +296,60 @@ class TestRandomAccess:
             ks = t.column("k").to_pylist()
             assert all(k >= 23000 for k in ks)  # stride-aligned superset
             assert set(range(24000, 25000)) <= set(ks)  # no real row lost
+
+
+class TestUnionType:
+    """DWRF UNION (orc_proto.proto:90-92; WriterImpl.java:1996-2008) has no
+    Spark/Arrow analog; it round-trips through the tagged-struct surrogate
+    struct<tag: int8, field0, field1> declared via the union_columns
+    writer option."""
+
+    def test_union_roundtrip(self, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+
+        from hive_dwrf_spark.format import DwrfFile
+        from hive_dwrf_spark.format.writer import DwrfWriter
+        from hive_dwrf_spark.format.constants import TypeKind
+
+        n = 5000
+        rng = np.random.RandomState(3)
+        tags = rng.randint(0, 2, size=n).astype(np.int8)
+        longs = pa.array(
+            [int(i) if t == 0 else None for i, t in enumerate(tags)],
+            type=pa.int64(),
+        )
+        strs = pa.array(
+            [f"s{i}" if t == 1 else None for i, t in enumerate(tags)],
+            type=pa.string(),
+        )
+        u = pa.StructArray.from_arrays(
+            [pa.array(tags, type=pa.int8()), longs, strs],
+            names=["tag", "field0", "field1"],
+        )
+        table = pa.table({"k": pa.array(range(n), type=pa.int64()), "u": u})
+        path = str(tmp_path / "union.dwrf")
+        w = DwrfWriter(path, table.schema, union_columns={"u"}, stripe_rows=2000)
+        w.write_table(table)
+        w.close()
+
+        with DwrfFile(path) as f:
+            # the footer really contains a UNION node, not a struct
+            kinds = {TypeKind(t.kind) for t in f.types}
+            assert TypeKind.UNION in kinds
+            back = f.read()
+        assert back.num_rows == n
+        got = back.column("u").combine_chunks()
+        assert got.field("tag").to_pylist() == list(tags)
+        assert got.field("field0").to_pylist() == longs.to_pylist()
+        assert got.field("field1").to_pylist() == strs.to_pylist()
+
+    def test_union_requires_tagged_struct(self, tmp_path):
+        import pyarrow as pa
+        import pytest as _pytest
+
+        from hive_dwrf_spark.format.writer import DwrfWriter
+
+        schema = pa.schema([pa.field("u", pa.struct([("a", pa.int64())]))])
+        with _pytest.raises(TypeError, match="union column"):
+            DwrfWriter(str(tmp_path / "x.dwrf"), schema, union_columns={"u"})
