@@ -56,14 +56,34 @@ def _validity_buffer(present: np.ndarray | None):
 
 
 class _StripeDecoder:
-    def __init__(self, reader: "DwrfFile", stripe: proto.StripeInformation):
+    """Decodes one stripe's streams.
+
+    IO policy (RecordReaderImpl.java:281-399 / OrcConf.java:63-64 analog):
+    with no projection, one eager read covers the whole stripe. With a
+    projection, only the stripe footer is read up front; the included
+    columns' stream byte ranges are then fetched in coalesced reads
+    (adjacent/near ranges merged), falling back to one eager read when the
+    projection covers most of the stripe bytes anyway. On object storage
+    this is the difference between O(columns touched) and O(table width)
+    bytes per task."""
+
+    #: merge ranges separated by less than this many bytes into one IO
+    _COALESCE_GAP = 64 * 1024
+    #: if included streams cover more than this fraction, read eagerly
+    _EAGER_FRACTION = 0.75
+
+    def __init__(
+        self,
+        reader: "DwrfFile",
+        stripe: proto.StripeInformation,
+        include_ids: set[int] | None = None,
+        index_ids: set[int] | None = None,
+    ):
         self.r = reader
         self.stripe = stripe
-        raw = reader._read_at(
-            stripe.offset,
-            stripe.indexLength + stripe.dataLength + stripe.footerLength,
-        )
-        footer_raw = raw[stripe.indexLength + stripe.dataLength :]
+        self._index_ids = index_ids or set()
+        body_len = stripe.indexLength + stripe.dataLength
+        footer_raw = reader._read_at(stripe.offset + body_len, stripe.footerLength)
         self.footer = proto.decode_message(
             proto.StripeFooter,
             memoryview(codecs.decompress_stream(bytes(footer_raw), reader.compression)),
@@ -75,18 +95,56 @@ class _StripeDecoder:
         for s in self.footer.streams:
             self._ranges[(s.column, s.kind)] = (off, s.length)
             off += s.length
-        self._raw = raw
+        self._chunks: list[tuple[int, np.ndarray]] = []  # (start, bytes) sorted
         self._cache: dict[tuple[int, int], np.ndarray] = {}
+        wanted = self._wanted_ranges(include_ids, body_len)
+        for start, end in wanted:
+            data = reader._read_at(stripe.offset + start, end - start)
+            self._chunks.append((start, np.frombuffer(data, dtype=np.uint8)))
+
+    def _wanted_ranges(
+        self, include_ids: set[int] | None, body_len: int
+    ) -> list[tuple[int, int]]:
+        if body_len == 0:
+            return []
+        if include_ids is None:
+            return [(0, body_len)]
+        spans = sorted(
+            (off, off + ln)
+            for (col, kind), (off, ln) in self._ranges.items()
+            if col in include_ids
+            or (kind == int(StreamKind.ROW_INDEX) and col in self._index_ids)
+        )
+        if not spans:
+            return []
+        merged = [list(spans[0])]
+        for a, b in spans[1:]:
+            if a - merged[-1][1] <= self._COALESCE_GAP:
+                merged[-1][1] = max(merged[-1][1], b)
+            else:
+                merged.append([a, b])
+        covered = sum(b - a for a, b in merged)
+        if covered >= self._EAGER_FRACTION * body_len:
+            return [(0, body_len)]
+        return [(a, b) for a, b in merged]
 
     def has_stream(self, column: int, kind: StreamKind) -> bool:
         return (column, int(kind)) in self._ranges
+
+    def _raw_slice(self, off: int, ln: int) -> np.ndarray:
+        for start, arr in self._chunks:
+            if start <= off and off + ln <= start + len(arr):
+                return arr[off - start : off - start + ln]
+        # stream outside the prefetched ranges (e.g. dump tooling): direct IO
+        data = self.r._read_at(self.stripe.offset + off, ln)
+        return np.frombuffer(data, dtype=np.uint8)
 
     def stream(self, column: int, kind: StreamKind) -> np.ndarray:
         key = (column, int(kind))
         if key not in self._cache:
             off, ln = self._ranges[key]
             data = codecs.decompress_stream(
-                bytes(self._raw[off : off + ln]), self.r.compression
+                bytes(self._raw_slice(off, ln)), self.r.compression
             )
             self._cache[key] = np.frombuffer(data, dtype=np.uint8)
         return self._cache[key]
@@ -400,7 +458,23 @@ class DwrfFile:
     ) -> pa.Table | None:
         """Decode one stripe to an Arrow table (None if pruned by filters)."""
         stripe = self.footer.stripes[stripe_index]
-        dec = _StripeDecoder(self, stripe)
+        include_ids: set[int] | None = None
+        index_ids: set[int] | None = None
+        if columns is not None:
+            from .types import subtree_ids
+
+            root_ = self.types[0]
+            by_name_ = dict(zip(root_.fieldNames, root_.subtypes))
+            include_ids = {0}
+            for c in columns:
+                include_ids.update(subtree_ids(self.types, by_name_[c]))
+            if filters:
+                index_ids = {
+                    tid
+                    for name, _op, _v in filters
+                    if (tid := self._top_level_id(name)) is not None
+                }
+        dec = _StripeDecoder(self, stripe, include_ids, index_ids)
         n = stripe.numberOfRows
         stride_alive: list[bool] | None = None
         if filters:

@@ -353,3 +353,55 @@ class TestUnionType:
         schema = pa.schema([pa.field("u", pa.struct([("a", pa.int64())]))])
         with _pytest.raises(TypeError, match="union column"):
             DwrfWriter(str(tmp_path / "x.dwrf"), schema, union_columns={"u"})
+
+
+class TestLazyIO:
+    """Eager-vs-lazy stripe IO (RecordReaderImpl.java:281-399 analog): a
+    projected read must fetch only the included columns' stream bytes."""
+
+    def test_projected_read_does_less_io(self, tmp_path, monkeypatch):
+        import numpy as np
+        import pyarrow as pa
+
+        from hive_dwrf_spark.format import DwrfFile, write_arrow_table
+
+        n = 50_000
+        rng = np.random.RandomState(5)
+        table = pa.table(
+            {
+                "a": np.arange(n, dtype=np.int64),
+                # wide random payload dominates the stripe bytes
+                "blob": pa.array(
+                    ["".join(chr(97 + x) for x in rng.randint(0, 26, 60)) for _ in range(n)]
+                ),
+                "b": rng.randint(0, 10, size=n),
+            }
+        )
+        path = str(tmp_path / "wide.dwrf")
+        write_arrow_table(path, table, row_index_stride=10_000)
+
+        def read_bytes(f, columns=None, filters=None):
+            counts = {"n": 0}
+            orig = DwrfFile._read_at
+
+            def counting(self, off, ln):
+                counts["n"] += ln
+                return orig(self, off, ln)
+
+            monkeypatch.setattr(DwrfFile, "_read_at", counting)
+            try:
+                with DwrfFile(f) as r:
+                    t = r.read(columns=columns, filters=filters)
+            finally:
+                monkeypatch.setattr(DwrfFile, "_read_at", orig)
+            return t, counts["n"]
+
+        full, full_bytes = read_bytes(path)
+        proj, proj_bytes = read_bytes(path, columns=["a"])
+        assert proj.column_names == ["a"]
+        assert proj.column("a").to_pylist() == full.column("a").to_pylist()
+        # the blob column dominates; projecting 'a' must skip most bytes
+        assert proj_bytes < full_bytes / 3, (proj_bytes, full_bytes)
+        # filters on a non-projected column still work (index-only ranges)
+        filt, _ = read_bytes(path, columns=["a"], filters=[("b", "lte", 100)])
+        assert filt.column("a").to_pylist() == full.column("a").to_pylist()
