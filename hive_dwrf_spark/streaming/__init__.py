@@ -1,3 +1,13 @@
-from .dwrf_stream import stream_dwrf_dir, windowed_event_counts, sessionize
+from .dwrf_stream import (
+    sessionize,
+    stateful_running_counts,
+    stream_dwrf_dir,
+    windowed_event_counts,
+)
 
-__all__ = ["stream_dwrf_dir", "windowed_event_counts", "sessionize"]
+__all__ = [
+    "stream_dwrf_dir",
+    "windowed_event_counts",
+    "sessionize",
+    "stateful_running_counts",
+]

@@ -155,3 +155,33 @@ def sessionize(
             "last_ts",
         )
     )
+
+
+def stateful_running_counts(
+    events: DataFrame, key_col: str = "event_type"
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    per-key running event counter whose state survives across micro-batches
+    (the arbitrary-state surface Spark offers where built-in windowed aggs
+    don't fit; state lives in the state store, one entry per key, so memory
+    scales with distinct keys — not with the stream).
+
+    Emits one (key, running_total) row per key per micro-batch that saw the
+    key ("update" semantics)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({key_col: [key[0]], "running_total": [total]})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} string, running_total bigint",
+        stateStructType="total bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -57,3 +57,38 @@ def test_windowed_counts_batch_semantics(spark):
     assert sess.count() > 0
     row = sess.limit(1).collect()[0]
     assert row.session_end >= row.session_start
+
+
+def test_stateful_running_counts(spark, tmp_path):
+    """State must persist across micro-batches: totals keep growing as new
+    files arrive rather than resetting per batch."""
+    import os
+
+    from hive_dwrf_spark.format import write_arrow_table
+    from hive_dwrf_spark.streaming import stateful_running_counts, stream_dwrf_dir
+
+    d = str(tmp_path / "state_in")
+    os.makedirs(d)
+    t1 = pa.table({"event_type": pa.array(["a"] * 30 + ["b"] * 20)})
+    write_arrow_table(f"{d}/f1.dwrf", t1)
+    stream = stream_dwrf_dir(spark, d)
+    counted = stateful_running_counts(stream, "event_type")
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("state_counts")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_arrow_table(
+            f"{d}/f2.dwrf", pa.table({"event_type": pa.array(["a"] * 5)})
+        )
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT event_type, max(running_total) t FROM state_counts GROUP BY 1"
+        ).collect()
+        got = {r.event_type: r.t for r in rows}
+        assert got == {"a": 35, "b": 20}
+    finally:
+        q.stop()
