@@ -275,7 +275,7 @@ def decode_int_rle(buf: np.ndarray, count: int, signed: bool, pos: int = 0):
     term = np.flatnonzero(buf[pos:] < 0x80) + pos  # terminator byte positions
     term_l = term.tolist()
     n_term = len(term_l)
-    buf_l = buf  # uint8 ndarray; scalar indexing below stays int via int()
+    buf_l = buf.tobytes()  # bytes: scalar indexing is a plain int (fast path)
 
     # parallel per-group arrays, filled by the walk (≤ count groups)
     g_rep: list[bool] = []
