@@ -171,8 +171,9 @@ class _StripeDecoder:
             n_values = n_rows
 
         if n_values == 0:
-            overrides = {tid: pa.timestamp("ns") for tid in self.r.ns_timestamp_ids}
-            dense = pa.array([], type=_arrow_type_of(self.r.types, type_id, overrides))
+            dense = pa.array(
+                [], type=_arrow_type_of(self.r.types, type_id, self.r.type_overrides)
+            )
             if present is None:
                 return dense
             return _scatter(dense, present)
@@ -194,9 +195,10 @@ class _StripeDecoder:
             TypeKind.UNION: self._decode_union,
         }[kind]
         dense = handler(type_id, n_values)
-        if present is None:
-            return dense
-        return _scatter(dense, present)
+        out = dense if present is None else _scatter(dense, present)
+        if type_id in self.r.date_ids:
+            out = out.cast(pa.date32())  # stored as INT days-since-epoch
+        return out
 
     def _decode_boolean(self, type_id, n):
         bits, _ = codecs.decode_bits(self.stream(type_id, StreamKind.DATA), n)
@@ -412,8 +414,16 @@ class DwrfFile:
             self.ns_timestamp_ids = {
                 int(x) for x in self.metadata["dwrf.timestamp.ns.ids"].split(b",")
             }
-        overrides = {tid: pa.timestamp("ns") for tid in self.ns_timestamp_ids}
-        self.schema = type_tree_to_schema(self.types, overrides)
+        self.date_ids: set[int] = set()
+        if "dwrf.date.ids" in self.metadata:
+            self.date_ids = {
+                int(x) for x in self.metadata["dwrf.date.ids"].split(b",")
+            }
+        self.type_overrides: dict[int, pa.DataType] = {
+            tid: pa.timestamp("ns") for tid in self.ns_timestamp_ids
+        }
+        self.type_overrides.update({tid: pa.date32() for tid in self.date_ids})
+        self.schema = type_tree_to_schema(self.types, self.type_overrides)
 
     def _read_at(self, offset: int, length: int) -> bytes:
         self._f.seek(offset)

@@ -55,6 +55,14 @@ def _ns_timestamp_ids(types: list[proto.Type], schema: pa.Schema) -> list[int]:
         if patypes.is_timestamp(at) and at.unit == "ns"
     ]
 
+
+def _date_ids(schema: pa.Schema) -> list[int]:
+    return [
+        tid
+        for tid, at in collect_arrow_types(schema).items()
+        if patypes.is_date32(at)
+    ]
+
 _INT_KINDS = (TypeKind.SHORT, TypeKind.INT, TypeKind.LONG)
 
 
@@ -452,6 +460,14 @@ class DwrfWriter:
         if ns_ids:
             self.metadata["dwrf.timestamp.ns.ids"] = ",".join(
                 str(i) for i in ns_ids
+            ).encode()
+        date_ids = _date_ids(schema)
+        if date_ids:
+            # DWRF has no DATE kind (predates Apache ORC's addition); dates
+            # store as INT days-since-epoch and this annotation lets our
+            # reader restore the logical type (types.py module docs)
+            self.metadata["dwrf.date.ids"] = ",".join(
+                str(i) for i in date_ids
             ).encode()
         self._buffer: list[pa.RecordBatch] = []
         self._buffered_rows = 0

@@ -52,6 +52,7 @@ from pyspark.sql.types import (
     BinaryType,
     BooleanType,
     ByteType,
+    DateType,
     DoubleType,
     FloatType,
     IntegerType,
@@ -100,6 +101,8 @@ def _arrow_to_spark_type(t):
         return StringType()
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
         return BinaryType()
+    if pa.types.is_date32(t):
+        return DateType()
     if pa.types.is_timestamp(t):
         return TimestampNTZType()
     if pa.types.is_list(t):
@@ -128,6 +131,7 @@ def _spark_to_arrow_type(t):
         DoubleType: pa.float64(),
         StringType: pa.string(),
         BinaryType: pa.binary(),
+        DateType: pa.date32(),
         TimestampType: pa.timestamp("us"),
         TimestampNTZType: pa.timestamp("us"),
     }

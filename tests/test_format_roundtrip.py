@@ -405,3 +405,48 @@ class TestLazyIO:
         # filters on a non-projected column still work (index-only ranges)
         filt, _ = read_bytes(path, columns=["a"], filters=[("b", "lte", 100)])
         assert filt.column("a").to_pylist() == full.column("a").to_pylist()
+
+
+class TestDateType:
+    """DWRF has no DATE kind (predates the Apache ORC addition); Spark
+    DateType stores as INT days-since-epoch plus a footer annotation that
+    restores the logical type on read."""
+
+    def test_date_roundtrip_format(self, tmp_path):
+        import datetime
+
+        import pyarrow as pa
+
+        from hive_dwrf_spark.format import DwrfFile, write_arrow_table
+
+        t = pa.table(
+            {
+                "d": pa.array(
+                    [datetime.date(2020, 1, 1), None, datetime.date(1969, 12, 31)],
+                    type=pa.date32(),
+                ),
+                "k": pa.array([1, 2, 3]),
+            }
+        )
+        path = str(tmp_path / "dates.dwrf")
+        write_arrow_table(path, t)
+        with DwrfFile(path) as f:
+            back = f.read()
+        assert back.schema.field("d").type == pa.date32()
+        assert back.column("d").to_pylist() == t.column("d").to_pylist()
+
+    def test_date_roundtrip_spark(self, spark, tmp_path):
+        from hive_dwrf_spark.sources import register
+
+        register(spark)
+        df = spark.sql(
+            "SELECT id AS k, date_add(DATE '2020-01-01', CAST(id AS INT)) AS d "
+            "FROM range(100)"
+        )
+        out = str(tmp_path / "dates_dwrf")
+        df.write.format("dwrf").option("path", out).mode("append").save()
+        back = spark.read.format("dwrf").load(out)
+        assert dict(back.dtypes)["d"] == "date"
+        a = sorted((r.k, r.d) for r in df.collect())
+        b = sorted((r.k, r.d) for r in back.collect())
+        assert a == b
