@@ -100,3 +100,51 @@ def ann_topk(
     bucketed = lsh_buckets(df, vec_col, id_col, n_planes, dim)
     candidates = bucketed.filter(F.col("lsh_bucket").isin(list(probe)))
     return cosine_topk(candidates, vec_col, id_col, list(map(float, q)), k)
+
+
+def ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_lists: int = 16,
+    max_iter: int = 10,
+) -> tuple[DataFrame, list]:
+    """IVF coarse quantizer: distributed KMeans (Spark MLlib) partitions the
+    corpus into n_lists inverted lists; each vector is tagged with its
+    nearest centroid. At 100 TB the fit runs on the cluster (optionally on a
+    sample) and the assignment is one scan; the centroid table (n_lists x
+    dim floats) is driver-resident and tiny."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        F.col(id_col),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    model = KMeans(k=n_lists, seed=_SEED, maxIter=max_iter).fit(feats)
+    assigned = model.transform(feats).select(
+        F.col(id_col), F.col("prediction").alias("ivf_list")
+    )
+    return df.join(assigned, id_col), [c.tolist() for c in model.clusterCenters()]
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int,
+    n_lists: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF: probe only the nprobe inverted lists whose
+    centroids are closest to the query, then rank exactly within them —
+    nprobe/n_lists of the corpus scanned instead of all of it."""
+    indexed, centers = ivf_index(df, vec_col, id_col, n_lists)
+    q = np.asarray(query_vec, dtype=np.float64)
+    dists = np.linalg.norm(np.asarray(centers) - q, axis=1)
+    probe = [int(i) for i in np.argsort(dists)[:nprobe]]
+    candidates = indexed.filter(F.col("ivf_list").isin(probe))
+    return cosine_topk(candidates, vec_col, id_col, [float(x) for x in q], k)

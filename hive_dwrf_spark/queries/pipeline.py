@@ -303,3 +303,9 @@ def multimodal_frames(spark, sf_dir):
     )
     mm = multimodal.attach_metadata(d, "payload", "video", "doc_id")
     return multimodal.frame_sample_plan(mm).orderBy("media_id", "frame_index")
+
+
+@query("sim_ivf")  # rows-only: IVF assignment is model-specific
+def sim_ivf(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(e, "embedding", "vec_id", _query_vector(spark, sf_dir), 10)

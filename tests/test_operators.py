@@ -131,3 +131,23 @@ def test_langid_markers(spark):
     )
     got = {r.doc_id: r.lang_pred for r in detect_language(df, "text", "doc_id").collect()}
     assert got[1] == "en" and got[2] == "es" and got[3] == "de" and got[4] == "und"
+
+
+def test_ivf_topk_matches_exact_mostly(spark):
+    from hive_dwrf_spark.operators import similarity
+    from hive_dwrf_spark.tables import load
+
+    from .conftest import SF_SMOKE
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    row = e.filter("vec_id = 0").select("embedding").collect()[0]
+    q = [float(x) for x in row.embedding]
+    exact = similarity.cosine_topk(e, "embedding", "vec_id", q, 10).collect()
+    approx = similarity.ivf_topk(e, "embedding", "vec_id", q, 10).collect()
+    assert len(approx) == 10
+    # the query vector itself (cosine 1.0) must be found, and recall@10
+    # against exact should be substantial for nprobe=4/16 lists
+    ids_exact = {r.vec_id for r in exact}
+    ids_approx = {r.vec_id for r in approx}
+    assert 0 in ids_approx
+    assert len(ids_exact & ids_approx) >= 5
