@@ -273,57 +273,52 @@ def decode_int_rle(buf: np.ndarray, count: int, signed: bool, pos: int = 0):
     if count == 0:
         return np.zeros(0, dtype=np.int64), pos
     term = np.flatnonzero(buf[pos:] < 0x80) + pos  # terminator byte positions
-    term_l = term.tolist()
-    n_term = len(term_l)
-    buf_l = buf.tobytes()  # bytes: scalar indexing is a plain int (fast path)
+    n_term = len(term)
 
-    # parallel per-group arrays, filled by the walk (≤ count groups)
-    g_rep: list[bool] = []
-    g_len: list[int] = []
-    g_delta: list[int] = []
-    reg_a: list[int] = []
-    reg_b: list[int] = []
+    # Every group starts either at `pos` or one byte past a terminator (each
+    # group's payload ends at a terminator). Precompute, for EVERY candidate
+    # start C[i], the group shape it would imply — all vectorized — so the
+    # only sequential work left is hopping next_idx[i] through the true
+    # starts, a few dozen ns per group.
+    C = np.empty(n_term + 1, dtype=np.int64)
+    C[0] = pos
+    C[1:] = term + 1
+    n_bytes = len(buf)
+    h = buf[np.minimum(C, n_bytes - 1)].astype(np.int64)
+    is_rep_all = h < 0x80
+    cnt_all = np.where(is_rep_all, h + MIN_REPEAT_SIZE, 256 - h)
+    vstart = C + np.where(is_rep_all, 2, 1)  # first varint byte of the group
+    nv_all = np.where(is_rep_all, 1, cnt_all)
+    vti = np.searchsorted(term, vstart)
+    next_idx = vti + nv_all  # C-index of the following group
+    delta_all = buf[np.minimum(C + 1, n_bytes - 1)].astype(np.int64)
+    delta_all = np.where(delta_all >= 128, delta_all - 256, delta_all)
+
+    cnt_l = cnt_all.tolist()
+    next_l = next_idx.tolist()
+    starts: list[int] = []
     got = 0
-    ti = 0
+    i = 0
+    limit = n_term + 1
     while got < count:
-        h = int(buf_l[pos])
-        pos += 1
-        if h < 0x80:  # repeat: h+3 values (delta byte + base varint)
-            delta = int(buf_l[pos])
-            if delta >= 128:
-                delta -= 256
-            pos += 1
-            while term_l[ti] < pos:
-                ti += 1
-            end = term_l[ti] + 1
-            ti += 1
-            g_rep.append(True)
-            g_len.append(h + MIN_REPEAT_SIZE)
-            g_delta.append(delta)
-            got += h + MIN_REPEAT_SIZE
-        else:  # literal: 256-h varints
-            cnt = 256 - h
-            while term_l[ti] < pos:
-                ti += 1
-            ti += cnt
-            if ti > n_term:
-                raise ValueError("RLE stream truncated")
-            end = term_l[ti - 1] + 1
-            g_rep.append(False)
-            g_len.append(cnt)
-            g_delta.append(0)
-            got += cnt
-        reg_a.append(pos)
-        reg_b.append(end)
-        pos = end
+        if i >= limit:
+            raise ValueError("RLE stream truncated")
+        starts.append(i)
+        got += cnt_l[i]
+        i = next_l[i]
     if got != count:
         raise ValueError(f"RLE stream yielded {got} values, expected {count}")
 
-    rep = np.asarray(g_rep, dtype=bool)
-    lens = np.asarray(g_len, dtype=np.int64)
-    deltas = np.asarray(g_delta, dtype=np.int64)
-    a = np.asarray(reg_a, dtype=np.int64)
-    b = np.asarray(reg_b, dtype=np.int64)
+    idx = np.asarray(starts, dtype=np.int64)
+    rep = is_rep_all[idx]
+    lens = cnt_all[idx]
+    deltas = delta_all[idx]
+    a = vstart[idx]
+    end_t = vti[idx] + nv_all[idx] - 1  # index of each group's last terminator
+    if len(end_t) and int(end_t.max()) >= n_term:
+        raise ValueError("RLE stream truncated")
+    b = term[end_t] + 1
+    pos = int(b[-1]) if len(b) else pos
 
     # one vectorized varint decode over the concatenated payload regions
     if len(a) == 1:
