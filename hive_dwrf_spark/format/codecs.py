@@ -94,6 +94,8 @@ def decode_varints(buf: np.ndarray, count: int, pos: int = 0) -> tuple[np.ndarra
     window = buf[pos:]
     term = np.flatnonzero(window < 0x80)
     end = int(term[count - 1]) + 1
+    if end == count:  # every varint is a single byte
+        return window[:count].astype(np.uint64), pos + count
     b = window[:end].astype(np.uint64)
     starts = np.empty(count, dtype=np.int64)
     starts[0] = 0
@@ -331,26 +333,15 @@ def decode_int_rle(buf: np.ndarray, count: int, signed: bool, pos: int = 0):
     decoded_u, _ = decode_varints(payload, int(n_varints.sum()), 0)
     decoded = zigzag_decode(decoded_u) if signed else decoded_u.view(np.int64)
 
-    # vectorized scatter into the output
-    out = np.empty(count, dtype=np.int64)
-    out_start = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    voff = np.concatenate([[0], np.cumsum(n_varints)[:-1]])
-    lit = ~rep
-    if lit.any():
-        ll = lens[lit]
-        within = np.arange(int(ll.sum()), dtype=np.int64) - np.repeat(
-            np.concatenate([[0], np.cumsum(ll)[:-1]]), ll
-        )
-        out_idx = np.repeat(out_start[lit], ll) + within
-        val_idx = np.repeat(voff[lit], ll) + within
-        out[out_idx] = decoded[val_idx]
-    if rep.any():
-        rl = lens[rep]
-        within = np.arange(int(rl.sum()), dtype=np.int64) - np.repeat(
-            np.concatenate([[0], np.cumsum(rl)[:-1]]), rl
-        )
-        out_idx = np.repeat(out_start[rep], rl) + within
-        out[out_idx] = np.repeat(decoded[voff[rep]], rl) + np.repeat(deltas[rep], rl) * within
+    # Materialize in ONE expansion pass: every varint is a "run" — length
+    # lens[g]/delta deltas[g] for a repeat group's base, length 1/delta 0
+    # for each literal value. Output order == varint order, so a single
+    # repeat+ramp reconstructs everything with no scatter.
+    per_v_len = np.repeat(np.where(rep, lens, 1), n_varints)
+    per_v_delta = np.repeat(np.where(rep, deltas, 0), n_varints)
+    start_excl = np.concatenate([[0], np.cumsum(per_v_len)[:-1]])
+    within = np.arange(count, dtype=np.int64) - np.repeat(start_excl, per_v_len)
+    out = np.repeat(decoded, per_v_len) + np.repeat(per_v_delta, per_v_len) * within
     return out, pos
 
 
