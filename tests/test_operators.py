@@ -151,3 +151,43 @@ def test_ivf_topk_matches_exact_mostly(spark):
     ids_approx = {r.vec_id for r in approx}
     assert 0 in ids_approx
     assert len(ids_exact & ids_approx) >= 5
+
+
+def test_salted_aggregate_matches_plain(spark):
+    from hive_dwrf_spark.operators.skew import salted_aggregate
+    from hive_dwrf_spark.tables import load
+
+    from .conftest import SF_SMOKE
+
+    e = load(spark, SF_SMOKE, "events")
+    plain = {
+        (r.user_id,): (r.cnt, r.total)
+        for r in e.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    }
+    salted = {
+        (r.user_id,): (r.cnt, r.total)
+        for r in salted_aggregate(
+            e,
+            ["user_id"],
+            [F.count("*").alias("c"), F.sum("value").alias("s")],
+            [F.sum("c").alias("cnt"), F.round(F.sum("s"), 2).alias("total")],
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_broadcast_left_matches_plain(spark):
+    from hive_dwrf_spark.operators.skew import salted_broadcast_left
+    from hive_dwrf_spark.tables import load
+
+    from .conftest import SF_SMOKE
+
+    o = load(spark, SF_SMOKE, "orders")
+    c = load(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    plain = o.join(c, "o_custkey").groupBy("c_nationkey").count()
+    salted = salted_broadcast_left(o, c, "o_custkey").groupBy("c_nationkey").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
