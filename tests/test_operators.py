@@ -191,3 +191,26 @@ def test_salted_broadcast_left_matches_plain(spark):
     plain = o.join(c, "o_custkey").groupBy("c_nationkey").count()
     salted = salted_broadcast_left(o, c, "o_custkey").groupBy("c_nationkey").count()
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bucketed_join_matches_plain(spark, tmp_path):
+    from hive_dwrf_spark.operators.bucketing import bucketed_join, write_bucketed
+    from hive_dwrf_spark.sources import register
+    from hive_dwrf_spark.tables import load
+
+    from .conftest import SF_SMOKE
+
+    register(spark)
+    o = load(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_acctbal"
+    )
+    lp, rp = str(tmp_path / "o_b"), str(tmp_path / "c_b")
+    write_bucketed(o, lp, "o_custkey", 4)
+    write_bucketed(c, rp, "o_custkey", 4)
+    got = bucketed_join(spark, lp, rp, "o_custkey", 4)
+    plain = o.join(c, "o_custkey")
+    assert got.count() == plain.count()
+    a = got.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0].s
+    b = plain.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0].s
+    assert a == b
