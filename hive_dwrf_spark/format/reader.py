@@ -82,6 +82,9 @@ class _StripeDecoder:
         self.r = reader
         self.stripe = stripe
         self._index_ids = index_ids or set()
+        # nested-field projection: when set, struct decode emits only the
+        # children whose type ids are included (A4's recursive pushdown)
+        self.decode_ids = include_ids
         body_len = stripe.indexLength + stripe.dataLength
         footer_raw = reader._read_at(stripe.offset + body_len, stripe.footerLength)
         self.footer = proto.decode_message(
@@ -331,8 +334,13 @@ class _StripeDecoder:
 
     def _decode_struct(self, type_id, n):
         t = self.r.types[type_id]
-        children = [self.decode_column(s, n) for s in t.subtypes]
-        return pa.StructArray.from_arrays(children, names=list(t.fieldNames))
+        pairs = [
+            (nm, s)
+            for nm, s in zip(t.fieldNames, t.subtypes)
+            if self.decode_ids is None or s in self.decode_ids
+        ]
+        children = [self.decode_column(s, n) for _, s in pairs]
+        return pa.StructArray.from_arrays(children, names=[nm for nm, _ in pairs])
 
     def _decode_union(self, type_id, n):
         t = self.r.types[type_id]
@@ -445,6 +453,80 @@ class DwrfFile:
                 return s
         return None
 
+    # -- projection parsing (supports nested paths like "s.qty") ---------------
+
+    def _parse_projection(self, columns: list[str]):
+        """-> (ordered [(top_name, top_tid)], decode/include id set).
+
+        A dotted path keeps only the named struct subtree: "s.qty" includes
+        the struct node s (for its PRESENT stream) plus the qty subtree —
+        the reference's recursive boolean[] include
+        (OrcInputFormat.java:121-163)."""
+        from .types import subtree_ids
+
+        root = self.types[0]
+        by_name = dict(zip(root.fieldNames, root.subtypes))
+        tops: list[tuple[str, int]] = []
+        full: set[str] = set()
+        partial: dict[str, list[str]] = {}
+        for c in columns:
+            top, _, rest = c.partition(".")
+            if top not in by_name:
+                raise KeyError(f"no such column: {top}")
+            if all(t != top for t, _ in tops):
+                tops.append((top, by_name[top]))
+            if rest:
+                partial.setdefault(top, []).append(rest)
+            else:
+                full.add(top)
+        ids = {0}
+        for top, tid in tops:
+            if top in full or top not in partial:
+                ids.update(subtree_ids(self.types, tid))
+            else:
+                ids.update(self._path_ids(tid, partial[top]))
+        return tops, ids
+
+    def _path_ids(self, tid: int, rests: list[str]) -> set[int]:
+        from .types import subtree_ids
+
+        ids = {tid}
+        t = self.types[tid]
+        by = dict(zip(t.fieldNames, t.subtypes))
+        for rest in rests:
+            seg, _, tail = rest.partition(".")
+            if seg not in by:
+                raise KeyError(f"no such nested field: {seg}")
+            child = by[seg]
+            if tail:
+                ids.update(self._path_ids(child, [tail]))
+            else:
+                ids.update(subtree_ids(self.types, child))
+        return ids
+
+    def projected_schema(self, columns: list[str]) -> pa.Schema:
+        """Arrow schema of a (possibly nested) projection result."""
+        tops, ids = self._parse_projection(columns)
+
+        def prune(field: pa.Field, tid: int) -> pa.Field:
+            t = self.types[tid]
+            if TypeKind(t.kind) == TypeKind.STRUCT and pa.types.is_struct(
+                field.type
+            ):
+                kept = [
+                    prune(field.type.field(i), s)
+                    for i, (nm, s) in enumerate(
+                        zip(t.fieldNames, t.subtypes)
+                    )
+                    if s in ids
+                ]
+                return pa.field(field.name, pa.struct(kept))
+            return field
+
+        return pa.schema(
+            [prune(self.schema.field(nm), tid) for nm, tid in tops]
+        )
+
     def _filter_may_match_stats(self, filters, stats_for) -> bool:
         """filters: list of (column_name, op, value) conjuncts."""
         for name, op, value in filters:
@@ -470,14 +552,9 @@ class DwrfFile:
         stripe = self.footer.stripes[stripe_index]
         include_ids: set[int] | None = None
         index_ids: set[int] | None = None
+        selected: list[tuple[str, int]] | None = None
         if columns is not None:
-            from .types import subtree_ids
-
-            root_ = self.types[0]
-            by_name_ = dict(zip(root_.fieldNames, root_.subtypes))
-            include_ids = {0}
-            for c in columns:
-                include_ids.update(subtree_ids(self.types, by_name_[c]))
+            selected, include_ids = self._parse_projection(columns)
             if filters:
                 index_ids = {
                     tid
@@ -519,17 +596,13 @@ class DwrfFile:
                     return None
                 if all(stride_alive):
                     stride_alive = None
-        root = self.types[0]
-        names = list(root.fieldNames)
-        if columns is None:
-            selected = list(zip(names, root.subtypes))
+        if selected is None:
+            root = self.types[0]
+            selected = list(zip(root.fieldNames, root.subtypes))
+            schema = pa.schema([self.schema.field(nm) for nm, _ in selected])
         else:
-            by_name = dict(zip(names, root.subtypes))
-            selected = [(c, by_name[c]) for c in columns]
+            schema = self.projected_schema(columns)
         arrays = [dec.decode_column(tid, n) for _, tid in selected]
-        schema = pa.schema(
-            [self.schema.field(name) for name, _ in selected]
-        )
         table = pa.Table.from_arrays(arrays, schema=schema)
         if stride_alive is not None:
             stride = self.footer.rowIndexStride or 0
@@ -558,8 +631,8 @@ class DwrfFile:
         if filters and not self._filter_may_match_stats(
             filters, lambda tid: self.file_stats(tid)
         ):
-            schema = self.schema if columns is None else pa.schema(
-                [self.schema.field(c) for c in columns]
+            schema = (
+                self.schema if columns is None else self.projected_schema(columns)
             )
             return schema.empty_table()
         tables = []
@@ -568,8 +641,8 @@ class DwrfFile:
             if t is not None:
                 tables.append(t)
         if not tables:
-            schema = self.schema if columns is None else pa.schema(
-                [self.schema.field(c) for c in columns]
+            schema = (
+                self.schema if columns is None else self.projected_schema(columns)
             )
             return schema.empty_table()
         return pa.concat_tables(tables)
@@ -596,8 +669,8 @@ class DwrfFile:
             if first_row >= end:
                 break
         if not tables:
-            schema = self.schema if columns is None else pa.schema(
-                [self.schema.field(c) for c in columns]
+            schema = (
+                self.schema if columns is None else self.projected_schema(columns)
             )
             return schema.empty_table()
         return pa.concat_tables(tables)

@@ -450,3 +450,70 @@ class TestDateType:
         a = sorted((r.k, r.d) for r in df.collect())
         b = sorted((r.k, r.d) for r in back.collect())
         assert a == b
+
+
+class TestNestedProjection:
+    """A4's recursive projection: a dotted path like "s.qty" decodes (and
+    reads) only that subtree of the struct, not its siblings."""
+
+    def _write(self, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+
+        from hive_dwrf_spark.format import write_arrow_table
+
+        n = 2000
+        rng = np.random.RandomState(9)
+        blobs = [
+            "".join(chr(33 + c) for c in rng.randint(0, 90, 120)) for _ in range(n)
+        ]
+        s = pa.StructArray.from_arrays(
+            [
+                pa.array(range(n), type=pa.int64()),
+                pa.array(blobs),
+                pa.array([float(i) / 7 for i in range(n)]),
+            ],
+            names=["qty", "blob", "rate"],
+        )
+        table = pa.table({"k": pa.array(range(n), type=pa.int64()), "s": s})
+        path = str(tmp_path / "nested_proj.dwrf")
+        write_arrow_table(path, table)
+        return path, table
+
+    def test_nested_field_projection(self, tmp_path):
+        import pyarrow as pa
+
+        from hive_dwrf_spark.format import DwrfFile
+
+        path, table = self._write(tmp_path)
+        with DwrfFile(path) as f:
+            got = f.read(columns=["k", "s.qty"])
+        assert got.column_names == ["k", "s"]
+        st = got.schema.field("s").type
+        assert st.num_fields == 1 and st.field(0).name == "qty"
+        assert got.column("s").combine_chunks().field("qty").to_pylist() == list(
+            range(2000)
+        )
+        # two sub-fields of the same struct
+        with DwrfFile(path) as f:
+            got2 = f.read(columns=["s.qty", "s.rate"])
+        st2 = got2.schema.field("s").type
+        assert [st2.field(i).name for i in range(st2.num_fields)] == ["qty", "rate"]
+
+    def test_nested_projection_reads_fewer_bytes(self, tmp_path, monkeypatch):
+        from hive_dwrf_spark.format import DwrfFile
+
+        path, _ = self._write(tmp_path)
+        counts = {"full": 0, "proj": 0}
+        orig = DwrfFile._read_at
+        for mode, cols in [("full", None), ("proj", ["s.qty"])]:
+            def counting(self, off, ln, _m=mode):
+                counts[_m] += ln
+                return orig(self, off, ln)
+
+            monkeypatch.setattr(DwrfFile, "_read_at", counting)
+            with DwrfFile(path) as f:
+                f.read(columns=cols)
+            monkeypatch.setattr(DwrfFile, "_read_at", orig)
+        # the blob sibling dominates the bytes; skipping it must show
+        assert counts["proj"] < counts["full"] / 2, counts

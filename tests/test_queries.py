@@ -46,3 +46,13 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns == ["n_name", "rev"]
+
+
+def test_q08_approx_within_5pct(spark):
+    """SURVEY §2.C Q08: approx_count_distinct must land within 5% of the
+    exact distinct count (HLL estimates are engine-specific, so this is the
+    accuracy check rather than a hash oracle)."""
+    queries, _ = _cases()
+    exact = queries["q08"](spark, SF_SMOKE).collect()[0][0]
+    approx = queries["q08_approx"](spark, SF_SMOKE).collect()[0][0]
+    assert abs(approx - exact) / exact <= 0.05, (approx, exact)
