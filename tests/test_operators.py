@@ -214,3 +214,40 @@ def test_bucketed_join_matches_plain(spark, tmp_path):
     a = got.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0].s
     b = plain.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0].s
     assert a == b
+
+
+def test_write_clustered_enables_pruning(spark, tmp_path):
+    """Clustered layout must make stride stats selective: a range predicate
+    over a clustered column ships far fewer rows out of the reader than the
+    same predicate over a random layout."""
+    from hive_dwrf_spark.format.reader import DwrfFile
+    from hive_dwrf_spark.operators.layout import write_clustered
+    from hive_dwrf_spark.sources import register
+
+    import os
+
+    register(spark)
+    df = spark.sql(
+        "SELECT CAST(rand(7) * 1000000 AS BIGINT) AS k, id AS v FROM range(100000)"
+    )
+    rnd, clu = str(tmp_path / "rnd"), str(tmp_path / "clu")
+    df.coalesce(1).write.format("dwrf").option("path", rnd).option(
+        "row_index_stride", "1000"
+    ).mode("append").save()
+    write_clustered(
+        df, clu, ["k"], n_files=1, row_index_stride="1000"
+    )
+
+    def rows_shipped(root):
+        f = [fn for fn in os.listdir(root) if fn.endswith(".dwrf")][0]
+        with DwrfFile(os.path.join(root, f)) as r:
+            t = r.read(filters=[("k", "gte", 990000)])
+        return t.num_rows
+
+    shipped_rnd = rows_shipped(rnd)
+    shipped_clu = rows_shipped(clu)
+    assert shipped_clu < shipped_rnd / 10, (shipped_clu, shipped_rnd)
+    # and the query answer through Spark is identical either way
+    a = spark.read.format("dwrf").load(rnd).filter("k >= 990000").count()
+    b = spark.read.format("dwrf").load(clu).filter("k >= 990000").count()
+    assert a == b
