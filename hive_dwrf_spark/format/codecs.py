@@ -31,11 +31,99 @@ from .constants import (
 )
 
 try:
-    import snappy  # optional
+    import snappy  # optional C binding
 
     _HAVE_SNAPPY = True
 except ImportError:
     _HAVE_SNAPPY = False
+
+
+# --- pure-Python snappy fallback -------------------------------------------------
+# Used when python-snappy is absent. decompress handles any spec-compliant
+# stream (literals + all three copy forms); compress emits literal-only
+# elements — valid snappy that any C implementation reads, with no
+# compression (the block-framing layer stores such blocks as "original"
+# anyway, so the write path loses nothing but interop is preserved).
+
+
+def _snappy_compress_py(data: bytes) -> bytes:
+    out = bytearray()
+    n = len(data)
+    # preamble: uncompressed length varint
+    v = n
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+    pos = 0
+    while pos < n:
+        chunk = min(n - pos, 65536)
+        ln = chunk - 1
+        if ln < 60:
+            out.append(ln << 2)
+        elif ln < (1 << 8):
+            out.append(60 << 2)
+            out.append(ln)
+        else:
+            out.append(61 << 2)
+            out += ln.to_bytes(2, "little")
+        out += data[pos : pos + chunk]
+        pos += chunk
+    return bytes(out)
+
+
+def _snappy_decompress_py(data: bytes) -> bytes:
+    pos = 0
+    total = 0
+    shift = 0
+    while True:  # length varint
+        b = data[pos]
+        pos += 1
+        total |= (b & 0x7F) << shift
+        shift += 7
+        if b < 0x80:
+            break
+    out = bytearray()
+    n = len(data)
+    while pos < n:
+        tag = data[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                nbytes = ln - 59
+                ln = int.from_bytes(data[pos : pos + nbytes], "little")
+                pos += nbytes
+            ln += 1
+            out += data[pos : pos + ln]
+            pos += ln
+            continue
+        if kind == 1:  # copy with 1-byte offset
+            ln = ((tag >> 2) & 0x7) + 4
+            off = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif kind == 2:  # 2-byte offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[pos : pos + 2], "little")
+            pos += 2
+        else:  # 4-byte offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+        if off == 0 or off > len(out):
+            raise ValueError("corrupt snappy stream: bad copy offset")
+        start = len(out) - off
+        if off >= ln:
+            out += out[start : start + ln]
+        else:  # overlapping copy: byte-at-a-time semantics
+            for i in range(ln):
+                out.append(out[start + i])
+    if len(out) != total:
+        raise ValueError(
+            f"corrupt snappy stream: expected {total} bytes, got {len(out)}"
+        )
+    return bytes(out)
 
 U64 = np.uint64
 _SHIFTS10 = (np.arange(10, dtype=np.uint64) * np.uint64(7))[None, :]
@@ -432,9 +520,9 @@ def _compress_block(block: bytes, kind: CompressionKind, level: int) -> bytes:
         c = zlib.compressobj(level, zlib.DEFLATED, -15)  # raw deflate
         return c.compress(block) + c.flush()
     if kind == CompressionKind.SNAPPY:
-        if not _HAVE_SNAPPY:
-            raise RuntimeError("snappy not available in this environment")
-        return snappy.compress(block)
+        if _HAVE_SNAPPY:
+            return snappy.compress(block)
+        return _snappy_compress_py(block)
     raise ValueError(f"unsupported compression {kind}")
 
 
@@ -442,9 +530,9 @@ def _decompress_block(block: bytes, kind: CompressionKind) -> bytes:
     if kind == CompressionKind.ZLIB:
         return zlib.decompress(block, -15)
     if kind == CompressionKind.SNAPPY:
-        if not _HAVE_SNAPPY:
-            raise RuntimeError("snappy not available in this environment")
-        return snappy.decompress(block)
+        if _HAVE_SNAPPY:
+            return snappy.decompress(block)
+        return _snappy_decompress_py(block)
     raise ValueError(f"unsupported compression {kind}")
 
 

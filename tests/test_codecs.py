@@ -142,3 +142,52 @@ class TestCompression:
         header = int.from_bytes(enc[:3], "little")
         assert header & 1 == 1  # original bit
         assert header >> 1 == 1000
+
+
+class TestSnappyFallback:
+    """Pure-Python snappy (used when python-snappy is absent): decompress
+    handles all element kinds; compress emits valid literal-only streams."""
+
+    def test_literal_roundtrip(self):
+        from hive_dwrf_spark.format.codecs import (
+            _snappy_compress_py,
+            _snappy_decompress_py,
+        )
+
+        for data in [b"", b"x", b"hello world" * 10, bytes(range(256)) * 300]:
+            assert _snappy_decompress_py(_snappy_compress_py(data)) == data
+
+    def test_copy_elements(self):
+        from hive_dwrf_spark.format.codecs import _snappy_decompress_py
+
+        # hand-crafted: len=12, literal "abcd", copy1 offset=4 len=8
+        # copy1 tag: kind 1, len-4=4 in bits 2-4, offset high bits 5-7 = 0
+        stream = bytes([12, (3 << 2), *b"abcd", (1 | (4 << 2)), 4])
+        assert _snappy_decompress_py(stream) == b"abcdabcdabcd"
+        # copy2: literal "ab", then offset=2 len=6 (overlapping)
+        stream2 = bytes([8, (1 << 2), *b"ab", (2 | (5 << 2)), 2, 0])
+        assert _snappy_decompress_py(stream2) == b"abababab"
+
+    def test_corrupt_raises(self):
+        import pytest as _pytest
+
+        from hive_dwrf_spark.format.codecs import _snappy_decompress_py
+
+        with _pytest.raises(ValueError):
+            _snappy_decompress_py(bytes([4, (1 | (4 << 2)), 9]))  # offset > out
+
+    def test_snappy_file_roundtrip(self, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+
+        from hive_dwrf_spark.format import DwrfFile, write_arrow_table
+
+        table = pa.table(
+            {"k": np.arange(5000, dtype=np.int64), "s": [f"v{i}" for i in range(5000)]}
+        )
+        path = str(tmp_path / "sn.dwrf")
+        write_arrow_table(path, table, compression="snappy")
+        with DwrfFile(path) as f:
+            got = f.read()
+        assert got.column("k").to_pylist() == list(range(5000))
+        assert got.column("s").to_pylist()[-1] == "v4999"
