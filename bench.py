@@ -92,6 +92,55 @@ def main() -> None:
         extras["dwrf_bytes"] = os.path.getsize(out)
         extras["parquet_bytes"] = os.path.getsize(src)
         extras["dwrf_bytes_per_row"] = round(os.path.getsize(out) / table.num_rows, 2)
+
+        # format parity vs the reference golden dump (BASELINE.md §3):
+        # same shape/distribution as TestFileDump's table — 21k rows of
+        # struct<i:int,l:bigint,s:string> over an 85-word vocabulary;
+        # reference data-area is ≈5.8 B/row (SNAPPY). We measure the data
+        # area the same way (sum of stripe dataLength / rows).
+        import numpy as np
+        import pyarrow as pa
+
+        from hive_dwrf_spark.format.reader import DwrfFile
+
+        rng = np.random.RandomState(1)
+        ng = 21_000
+        words = [f"w{i:02d}" for i in range(80)] + [
+            "darkness,", "put", "it", "on", "me",
+        ]
+        gtable = pa.table(
+            {
+                "i": rng.randint(-(2**31), 2**31, ng, dtype=np.int64).astype(
+                    np.int32
+                ),
+                "l": rng.randint(-(2**63), 2**63 - 1, ng, dtype=np.int64),
+                "s": pa.array(
+                    np.array(words, dtype=object)[rng.randint(0, 85, ng)],
+                    type=pa.string(),
+                ),
+            }
+        )
+        gout = "/tmp/bench_golden.dwrf"
+        write_arrow_table(
+            gout,
+            gtable,
+            compression_block_size=10_000,
+            row_index_stride=10_000,
+            stripe_rows=5_000,
+        )
+        with DwrfFile(gout) as gf:
+            data_bytes = sum(s.dataLength for s in gf.footer.stripes)
+        extras["golden_data_bytes_per_row"] = round(data_bytes / ng, 2)
+        # the reference's ≈5.8 B/row used Java-Random values we cannot
+        # bit-reproduce; the like-for-like efficiency signal is parquet
+        # (zstd C++ writer) on the IDENTICAL table:
+        import pyarrow.parquet as pqw
+
+        pqw.write_table(gtable, "/tmp/bench_golden.parquet")
+        extras["golden_parquet_bytes_per_row"] = round(
+            os.path.getsize("/tmp/bench_golden.parquet") / ng, 2
+        )
+        extras["golden_reference_bytes_per_row"] = 5.8
     except Exception as ex:  # format sanity must not sink the bench
         extras["format_error"] = str(ex)[:200]
 
