@@ -459,3 +459,57 @@ def q32_apply_in_pandas(spark, sf_dir):
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# --- subquery shapes beyond q06/q20 -------------------------------------------
+
+
+@query(
+    "q33_exists",
+    oracle="""
+    SELECT c_custkey
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    ORDER BY c_custkey
+    LIMIT 200
+    """,
+)
+def q33_exists(spark, sf_dir):
+    """Correlated EXISTS — Catalyst decorrelates to a left-semi join."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        ORDER BY c_custkey
+        LIMIT 200
+        """
+    )
+
+
+@query(
+    "q34_not_in",
+    oracle="""
+    SELECT count(*) AS cnt
+    FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                            WHERE c_acctbal > 9000)
+    """,
+)
+def q34_not_in(spark, sf_dir):
+    """NOT IN over a nullable subquery column — Spark plans a null-aware
+    anti join (distinct from q06_anti's plain left-anti)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT count(*) AS cnt
+        FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                WHERE c_acctbal > 9000)
+        """
+    )
