@@ -309,3 +309,38 @@ def multimodal_frames(spark, sf_dir):
 def sim_ivf(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(e, "embedding", "vec_id", _query_vector(spark, sf_dir), 10)
+
+
+@query(
+    "asof_join",
+    oracle="""
+    SELECT l.event_id, round(r.value, 4) AS asof_value
+    FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+          FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN
+         (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY l.event_id
+    LIMIT 500
+    """,
+)
+def asof_join_q(spark, sf_dir):
+    """Point-in-time join: each click gets the latest purchase value
+    at-or-before it per user (operators/asof.py; DuckDB's native ASOF JOIN
+    is the oracle)."""
+    from ..operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(clicks, purchases, on="ts", by="user_id", value_cols=["value"])
+    return (
+        joined.select("event_id", F.round("asof_value", 4).alias("asof_value"))
+        .orderBy("event_id")
+        .limit(500)
+    )

@@ -251,3 +251,23 @@ def test_write_clustered_enables_pruning(spark, tmp_path):
     a = spark.read.format("dwrf").load(rnd).filter("k >= 990000").count()
     b = spark.read.format("dwrf").load(clu).filter("k >= 990000").count()
     assert a == b
+
+
+def test_asof_join_semantics(spark):
+    from hive_dwrf_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "L1"), (1, 10, "L2"), (1, 2, "L0"), (2, 7, "L3")],
+        ["uid", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, 3, 100.0), (1, 5, 200.0), (1, 9, 300.0), (2, 8, 400.0)],
+        ["uid", "ts", "px"],
+    )
+    got = {
+        r.tag: r.asof_px
+        for r in asof_join(left, right, on="ts", by="uid", value_cols=["px"]).collect()
+    }
+    # L0@2: no right <= 2 -> NULL; L1@5: exact tie -> 200; L2@10 -> 300
+    # L3@7 (uid 2): right is at 8 (> 7) -> NULL
+    assert got == {"L0": None, "L1": 200.0, "L2": 300.0, "L3": None}
