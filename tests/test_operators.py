@@ -271,3 +271,22 @@ def test_asof_join_semantics(spark):
     # L0@2: no right <= 2 -> NULL; L1@5: exact tie -> 200; L2@10 -> 300
     # L3@7 (uid 2): right is at 8 (> 7) -> NULL
     assert got == {"L0": None, "L1": 200.0, "L2": 300.0, "L3": None}
+
+
+def test_point_in_interval_join_matches_naive(spark):
+    from hive_dwrf_spark.operators.rangejoin import point_in_interval_join
+
+    points = spark.sql("SELECT id AS pid, CAST(id % 97 AS DOUBLE) AS x FROM range(500)")
+    intervals = spark.sql(
+        "SELECT id AS iid, CAST(id % 89 AS DOUBLE) AS lo, "
+        "CAST(id % 89 + 5 AS DOUBLE) AS hi FROM range(300)"
+    )
+    naive = points.join(
+        intervals, F.col("x").between(F.col("lo"), F.col("hi"))
+    ).select("pid", "iid")
+    bucketed = point_in_interval_join(
+        points, intervals, "x", "lo", "hi", bucket_width=5.0
+    ).select("pid", "iid")
+    a = sorted(map(tuple, naive.collect()))
+    b = sorted(map(tuple, bucketed.collect()))
+    assert a == b and len(a) > 0
