@@ -45,10 +45,15 @@ HEADLINE = [
     "q16",
     "q19",
     "q20",
+    "q21_cube",
+    "q27_percentile",
+    "q31_udtf",
+    "q33_exists",
     "q18",  # DWRF format round-trip (write+read through our DataSource)
     "dedup_exact",
     "dedup_minhash",
     "sim_topk",
+    "asof_join",
     "text_tokens_top",
     "text_quality",
     "multimodal_decode",
