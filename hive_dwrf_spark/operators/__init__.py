@@ -1,6 +1,20 @@
-"""LLM-data-pipeline operators (SURVEY.md §2.D): deduplication, similarity
-search, text analysis, multimodal columns — each a DataFrame -> DataFrame
-function designed for 100 TB scale (no driver-side collection, shuffles only
-on bucketed/banded keys, Python only in Arrow-batched pandas UDFs)."""
+"""Pipeline + join operators beyond Spark's built-ins.
 
-from . import dedup, multimodal, similarity, text  # noqa: F401
+LLM-data-pipeline set (SURVEY.md §2.D): deduplication, similarity search,
+text analysis, multimodal columns. Join/layout set (SURVEY.md §2.B): as-of
+join, point-in-interval range join, bucketed co-located joins, skew
+salting, clustered writes. Each is a DataFrame -> DataFrame function
+designed for 100 TB scale (no driver-side collection, shuffles only on
+bucketed/banded keys, Python only in Arrow-batched pandas UDFs)."""
+
+from . import (  # noqa: F401
+    asof,
+    bucketing,
+    dedup,
+    layout,
+    multimodal,
+    rangejoin,
+    similarity,
+    skew,
+    text,
+)
