@@ -380,8 +380,12 @@ def _stats_may_match(st: ColumnStats, op: str, value) -> bool:
         if op == "in":
             return any(lo <= v <= hi for v in value)
         if op == "starts_with":
-            # values with this prefix occupy [prefix, prefix + U+10FFFF)
-            return hi >= value and lo <= value + "\U0010FFFF"
+            # matching values sort in [prefix, ∞) capped below by any value
+            # whose len(prefix)-char head exceeds prefix — so may-match iff
+            # the max reaches the prefix and the min's head doesn't pass it.
+            # (An upper sentinel like prefix+U+10FFFF is wrong: min itself
+            # may carry the prefix yet sort above any finite sentinel.)
+            return hi >= value and lo[: len(value)] <= value
     except TypeError:
         return True
     return True

@@ -167,17 +167,28 @@ def type_tree_to_schema(
     )
 
 
-def collect_arrow_types(schema: pa.Schema) -> dict[int, pa.DataType]:
+def collect_arrow_types(
+    schema: pa.Schema, union_columns: set[str] | None = None
+) -> dict[int, pa.DataType]:
     """type id -> source arrow type, walking the same pre-order as
-    schema_to_type_tree."""
+    schema_to_type_tree.
+
+    `union_columns` MUST match what was passed to schema_to_type_tree: a
+    union column's tagged struct is numbered as ONE node (the UNION) whose
+    tag field is the tag stream, not a child type node — so the tag field
+    is skipped here exactly as schema_to_type_tree skips it."""
     out: dict[int, pa.DataType] = {}
     counter = [0]
 
-    def walk(t: pa.DataType) -> None:
+    def walk(t: pa.DataType, as_union: bool = False) -> None:
         my_id = counter[0]
         counter[0] += 1
         out[my_id] = t
-        if pa.types.is_list(t) or pa.types.is_large_list(t):
+        if as_union:
+            # branches only; the tag field is the UNION node's own stream
+            for f in list(t)[1:]:
+                walk(f.type)
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
             walk(t.value_type)
         elif pa.types.is_map(t):
             walk(t.key_type)
@@ -188,7 +199,7 @@ def collect_arrow_types(schema: pa.Schema) -> dict[int, pa.DataType]:
 
     counter[0] = 1  # root struct is id 0
     for f in schema:
-        walk(f.type)
+        walk(f.type, as_union=bool(union_columns and f.name in union_columns))
     return out
 
 

@@ -48,18 +48,20 @@ from .types import collect_arrow_types, schema_to_type_tree
 from pyarrow import types as patypes
 
 
-def _ns_timestamp_ids(types: list[proto.Type], schema: pa.Schema) -> list[int]:
+def _ns_timestamp_ids(
+    schema: pa.Schema, union_columns: set[str] | None
+) -> list[int]:
     return [
         tid
-        for tid, at in collect_arrow_types(schema).items()
+        for tid, at in collect_arrow_types(schema, union_columns).items()
         if patypes.is_timestamp(at) and at.unit == "ns"
     ]
 
 
-def _date_ids(schema: pa.Schema) -> list[int]:
+def _date_ids(schema: pa.Schema, union_columns: set[str] | None) -> list[int]:
     return [
         tid
-        for tid, at in collect_arrow_types(schema).items()
+        for tid, at in collect_arrow_types(schema, union_columns).items()
         if patypes.is_date32(at)
     ]
 
@@ -456,12 +458,12 @@ class DwrfWriter:
         self.stripe_size = stripe_size
         self.stripe_rows = stripe_rows
         self.metadata = dict(metadata or {})
-        ns_ids = _ns_timestamp_ids(self.types, schema)
+        ns_ids = _ns_timestamp_ids(schema, union_columns)
         if ns_ids:
             self.metadata["dwrf.timestamp.ns.ids"] = ",".join(
                 str(i) for i in ns_ids
             ).encode()
-        date_ids = _date_ids(schema)
+        date_ids = _date_ids(schema, union_columns)
         if date_ids:
             # DWRF has no DATE kind (predates Apache ORC's addition); dates
             # store as INT days-since-epoch and this annotation lets our

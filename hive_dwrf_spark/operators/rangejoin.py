@@ -27,13 +27,26 @@ def point_in_interval_join(
     bucket_width: float,
     how: str = "inner",
 ) -> DataFrame:
-    """Join each point row to every interval row with lo <= point <= hi."""
+    """Join each point row to every interval row with lo <= point <= hi.
+
+    how: 'inner' or 'left' (left-outer over the points side). Other outer
+    shapes are rejected: the interval side is bucket-exploded, so a
+    null-extended interval row would surface once per covered bucket.
+    The BETWEEN residual lives in the join CONDITION, not a post-filter —
+    a post-filter would drop left-join null-extended rows, silently
+    degenerating 'left' to inner semantics.
+    """
+    how = how.lower()
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"point_in_interval_join supports how='inner'|'left', got {how!r}"
+        )
     bw = float(bucket_width)
     p = points.withColumn(
-        "__bucket", F.floor(F.col(point_col) / bw).cast("long")
+        "__pbucket", F.floor(F.col(point_col) / bw).cast("long")
     )
     i = intervals.withColumn(
-        "__bucket",
+        "__ibucket",
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / bw).cast("long"),
@@ -41,7 +54,7 @@ def point_in_interval_join(
             )
         ),
     )
-    joined = p.join(i, "__bucket", how).filter(
-        F.col(point_col).between(F.col(lo_col), F.col(hi_col))
+    cond = (p["__pbucket"] == i["__ibucket"]) & F.col(point_col).between(
+        F.col(lo_col), F.col(hi_col)
     )
-    return joined.drop("__bucket")
+    return p.join(i, cond, how).drop("__pbucket", "__ibucket")

@@ -363,6 +363,12 @@ class DwrfReader(DataSourceReader):
                 val = _cast_partition_value(raw[name], dtype)
                 arr = pa.array([val] * n, type=_spark_to_arrow_type(dtype))
                 table = table.append_column(name, arr)
+            # Spark binds batches to the declared schema POSITIONALLY; a
+            # columns option may interleave partition and data columns, so
+            # match its order, not data-then-partition append order
+            want = [f.name for f in self.schema.fields]
+            if table.column_names != want:
+                table = table.select(want)
         yield from table.to_batches()
 
 

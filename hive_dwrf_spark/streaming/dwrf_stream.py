@@ -3,8 +3,11 @@
 The reference is a batch format (SURVEY.md §2.B: no streaming), but its
 Hive deployments tail partition directories; the Spark-native equivalent is
 a file-discovery stream: each micro-batch picks up newly arrived .dwrf
-files. Offsets are the sorted file list index, so restarts resume from the
-checkpoint exactly.
+files. The offset is the SET of processed file names (not a positional
+index into the sorted listing): writers emit part-<uuid> names, so a new
+file may sort anywhere in the listing, and an index offset would both skip
+it and re-emit already-read files. Each batch = listing minus processed
+names; restarts resume from the checkpointed name set exactly.
 
 Scale notes: discovery is a directory listing per micro-batch (cheap); rows
 are decoded executor-side via the same stripe reader as the batch source.
@@ -40,17 +43,24 @@ class _DwrfStreamReader(SimpleDataSourceStreamReader):
         self.schema = schema
 
     def initialOffset(self) -> dict:
-        return {"file_index": 0}
+        return {"processed": []}
 
-    def _rows_between(self, start_idx: int, end_idx: int):
+    def _processed(self, offset: dict) -> set[str]:
+        # legacy index offsets ({"file_index": N}) from pre-fix checkpoints
+        # map to "first N names of the current sorted listing" — best-effort
+        if "file_index" in offset:
+            listing = [os.path.basename(p) for p in _dwrf_files(self.path)]
+            return set(listing[: offset["file_index"]])
+        return set(offset.get("processed", []))
+
+    def _rows_for(self, paths: list[str]):
         # returns a materialized list: Spark pickles the prefetched batch
         # between read() and commit(), so the result must be serializable
         from ..format.reader import DwrfFile
 
-        files = _dwrf_files(self.path)[start_idx:end_idx]
         names = [f.name for f in self.schema.fields]
         rows: list[tuple] = []
-        for fp in files:
+        for fp in paths:
             with DwrfFile(fp) as f:
                 table = f.read(columns=names)
             rows.extend(
@@ -61,12 +71,19 @@ class _DwrfStreamReader(SimpleDataSourceStreamReader):
         return iter(rows)
 
     def read(self, start: dict):
-        files = _dwrf_files(self.path)
-        end = {"file_index": len(files)}
-        return self._rows_between(start["file_index"], len(files)), end
+        done = self._processed(start)
+        fresh = [
+            p for p in _dwrf_files(self.path) if os.path.basename(p) not in done
+        ]
+        end = {"processed": sorted(done | {os.path.basename(p) for p in fresh})}
+        return self._rows_for(fresh), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return self._rows_between(start["file_index"], end["file_index"])
+        done = self._processed(start)
+        batch = self._processed(end) - done
+        return self._rows_for(
+            sorted(os.path.join(self.path, name) for name in batch)
+        )
 
 
 class DwrfStreamDataSource(DataSource):

@@ -130,6 +130,17 @@ def test_starts_with_stats_match():
     assert _stats_may_match(st, "starts_with", "ma")
     assert not _stats_may_match(st, "starts_with", "zeb")
     assert _stats_may_match(st, "starts_with", "c")
+    # regression: min carrying the prefix but sorting above prefix+U+10FFFF
+    # (a stride whose every value matches) must NOT be pruned
+    st3 = ColumnStats(TypeKind.STRING)
+    st3.count = 10
+    st3.minimum = "app\U0010FFFFzzz"
+    st3.maximum = "app\U0010FFFFzzz"
+    assert _stats_may_match(st3, "starts_with", "app")
+    # and a min strictly above the prefix range still prunes
+    st4 = ColumnStats(TypeKind.STRING)
+    st4.count, st4.minimum, st4.maximum = 10, "apq", "apr"
+    assert not _stats_may_match(st4, "starts_with", "app")
     # numeric stats with a string prefix: TypeError -> may match
     st2 = ColumnStats(TypeKind.INT)
     st2.count, st2.minimum, st2.maximum = 10, 1, 5
@@ -169,6 +180,17 @@ def test_partitioned_write_read(dwrf_spark, tmp_path):
         F.sum("k").alias("s"), F.count("*").alias("c")
     ).collect()[0]
     assert (got.s, got.c) == (exp.s, exp.c)
+    # regression: a columns option interleaving partition and data columns
+    # must bind values to the declared schema order, not append partition
+    # columns last (Spark binds arrow batches positionally)
+    mixed = (
+        spark.read.format("dwrf")
+        .option("columns", "parity,k,bucket")
+        .load(out)
+    )
+    assert mixed.columns == ["parity", "k", "bucket"]
+    r = mixed.filter("k = 7").collect()[0]
+    assert (r.parity, r.k, r.bucket) == ("odd", 7, 1)
 
 
 def test_partition_pruning(dwrf_spark, tmp_path):

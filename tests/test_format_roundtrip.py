@@ -344,6 +344,55 @@ class TestUnionType:
         assert got.field("field0").to_pylist() == longs.to_pylist()
         assert got.field("field1").to_pylist() == strs.to_pylist()
 
+    def test_union_followed_by_date_and_ts_keeps_logical_types(self, tmp_path):
+        """Regression: logical-type annotation ids (dwrf.date.ids /
+        dwrf.timestamp.ns.ids) must use the same pre-order numbering as the
+        footer type tree, which does NOT number a union surrogate's tag
+        field. With the old numbering every id at/after a union column was
+        off by +1: here the date column read back as int32 and the shifted
+        id landed on the unrelated int column, mis-casting it to date32."""
+        import datetime
+
+        import numpy as np
+        import pyarrow as pa
+
+        from hive_dwrf_spark.format import DwrfFile
+        from hive_dwrf_spark.format.writer import DwrfWriter
+
+        n = 100
+        tags = np.zeros(n, dtype=np.int8)
+        u = pa.StructArray.from_arrays(
+            [
+                pa.array(tags, type=pa.int8()),
+                pa.array(range(n), type=pa.int64()),
+                pa.array([f"s{i}" for i in range(n)], type=pa.string()),
+            ],
+            names=["tag", "field0", "field1"],
+        )
+        dates = pa.array(
+            [datetime.date(2020, 1, 1) + datetime.timedelta(days=i) for i in range(n)],
+            type=pa.date32(),
+        )
+        ints = pa.array(range(n), type=pa.int32())
+        ts = pa.array(
+            np.datetime64("2021-06-01", "ns") + np.arange(n).astype("timedelta64[ns]"),
+            type=pa.timestamp("ns"),
+        )
+        table = pa.table({"u": u, "d": dates, "i": ints, "t": ts})
+        path = str(tmp_path / "union_date.dwrf")
+        w = DwrfWriter(path, table.schema, union_columns={"u"})
+        w.write_table(table)
+        w.close()
+
+        with DwrfFile(path) as f:
+            back = f.read()
+        assert back.schema.field("d").type == pa.date32()
+        assert back.schema.field("i").type == pa.int32()
+        assert back.schema.field("t").type == pa.timestamp("ns")
+        assert back.column("d").to_pylist() == dates.to_pylist()
+        assert back.column("i").to_pylist() == ints.to_pylist()
+        assert back.column("t").to_pylist() == ts.to_pylist()
+
     def test_union_requires_tagged_struct(self, tmp_path):
         import pyarrow as pa
         import pytest as _pytest

@@ -290,3 +290,32 @@ def test_point_in_interval_join_matches_naive(spark):
     a = sorted(map(tuple, naive.collect()))
     b = sorted(map(tuple, bucketed.collect()))
     assert a == b and len(a) > 0
+
+
+def test_point_in_interval_join_left_outer(spark):
+    """Regression: how='left' must null-extend unmatched points, not
+    silently degenerate to inner (the residual BETWEEN used to run as a
+    post-join filter that dropped the null-extended rows)."""
+    import pytest as _pytest
+
+    from hive_dwrf_spark.operators.rangejoin import point_in_interval_join
+
+    points = spark.createDataFrame(
+        [(0, 1.0), (1, 50.0), (2, 999.0)], "pid long, x double"
+    )
+    intervals = spark.createDataFrame(
+        [(10, 0.0, 10.0), (11, 40.0, 60.0)], "iid long, lo double, hi double"
+    )
+    left = point_in_interval_join(
+        points, intervals, "x", "lo", "hi", bucket_width=10.0, how="left"
+    ).select("pid", "iid")
+    got = {(r.pid, r.iid) for r in left.collect()}
+    assert got == {(0, 10), (1, 11), (2, None)}
+    naive_left = points.join(
+        intervals, F.col("x").between(F.col("lo"), F.col("hi")), "left"
+    ).select("pid", "iid")
+    assert got == {(r.pid, r.iid) for r in naive_left.collect()}
+    with _pytest.raises(ValueError, match="inner.*left"):
+        point_in_interval_join(
+            points, intervals, "x", "lo", "hi", bucket_width=10.0, how="full"
+        )

@@ -35,12 +35,23 @@ def test_stream_reads_new_files(spark, tmp_path):
         q.processAllAvailable()
         got1 = spark.sql("SELECT count(*) c FROM dwrf_stream_test").collect()[0].c
         assert got1 == 100
+        # regression: batch writers emit part-<uuid> names, so a new file
+        # can sort BEFORE already-processed ones; name-set offsets must
+        # still pick it up exactly once (index offsets skipped it and
+        # re-emitted f1)
         write_arrow_table(
-            f"{d}/f2.dwrf", pa.table({"k": pa.array(np.arange(100, 150))})
+            f"{d}/a2.dwrf", pa.table({"k": pa.array(np.arange(100, 150))})
         )
         q.processAllAvailable()
         got2 = spark.sql("SELECT count(*) c FROM dwrf_stream_test").collect()[0].c
         assert got2 == 150
+        assert (
+            spark.sql(
+                "SELECT count(*) c FROM (SELECT k FROM dwrf_stream_test "
+                "GROUP BY k HAVING count(*) > 1)"
+            ).collect()[0].c
+            == 0
+        )
     finally:
         q.stop()
 
