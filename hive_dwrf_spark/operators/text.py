@@ -73,16 +73,20 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+#: language-ID marker profiles, shared with the DuckDB oracle replay
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of ", " is ", " to "],
+    "es": [" el ", " la ", " de ", " que ", " los "],
+    "fr": [" le ", " la ", " les ", " des ", " est "],
+    "de": [" der ", " die ", " und ", " das ", " ist "],
+}
+
+
 def detect_language(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Character-n-gram language heuristic (en/es/fr/de/other) as a pandas
     UDF. Profiles are tiny hand-rolled marker sets — a real deployment would
     swap in fastText/CLD3 behind the same column contract."""
-    markers = {
-        "en": [" the ", " and ", " of ", " is ", " to "],
-        "es": [" el ", " la ", " de ", " que ", " los "],
-        "fr": [" le ", " la ", " les ", " des ", " est "],
-        "de": [" der ", " die ", " und ", " das ", " ist "],
-    }
+    markers = LANG_MARKERS
 
     @F.pandas_udf(StringType())
     def lang(texts: pd.Series) -> pd.Series:

@@ -251,8 +251,49 @@ def text_fingerprint(spark, sf_dir):
     )
 
 
-@query("text_langid")  # rows-only: heuristic profile is ours
+def _marker_count(marker: str) -> str:
+    """DuckDB SQL: non-overlapping occurrence count of marker in column s
+    (same semantics as Python str.count)."""
+    m = marker.replace("'", "''")
+    return f"((length(s) - length(replace(s, '{m}', ''))) / {len(marker)})"
+
+
+def _langid_oracle() -> str:
+    from ..operators.text import LANG_MARKERS
+
+    scores = ",\n           ".join(
+        f"({' + '.join(_marker_count(m) for m in ms)}) AS {code}"
+        for code, ms in LANG_MARKERS.items()
+    )
+    # ties break to the lexicographically greatest code, mirroring
+    # max(scores, key=lambda c: (scores[c], c))
+    by_desc_code = sorted(LANG_MARKERS, reverse=True)
+    pick = " ".join(f"WHEN {c} = m THEN '{c}'" for c in by_desc_code[:-1])
+    return f"""
+    WITH t AS (
+      SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents
+      WHERE text IS NOT NULL AND text != ''
+    ),
+    sc AS (
+      SELECT doc_id,
+           {scores}
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN m = 0 THEN 'und' {pick} ELSE '{by_desc_code[-1]}' END
+             AS lang_pred
+    FROM (SELECT *, greatest({", ".join(LANG_MARKERS)}) AS m FROM sc)
+    UNION ALL
+    SELECT doc_id, 'und' AS lang_pred FROM documents
+    WHERE text IS NULL OR text = ''
+    ORDER BY doc_id
+    """
+
+
+@query("text_langid", oracle=_langid_oracle())
 def text_langid(spark, sf_dir):
+    """The n-gram heuristic is deterministic marker counting, so DuckDB
+    replays it exactly (occurrence counts via replace-length arithmetic)."""
     d = load(spark, sf_dir, "documents")
     return text.detect_language(d, "text", "doc_id").orderBy("doc_id")
 
@@ -287,16 +328,69 @@ def multimodal_meta(spark, sf_dir):
     )
 
 
-@query("multimodal_decode")  # rows-only: decoder is the deterministic stub
+def _sha_byte(i: int) -> str:
+    """DuckDB SQL for byte i (0-based) of sha256 hex digest column h."""
+    c1 = f"substr(h, {2 * i + 1}, 1)"
+    c2 = f"substr(h, {2 * i + 2}, 1)"
+    return (
+        f"((strpos('0123456789abcdef', {c1}) - 1) * 16"
+        f" + strpos('0123456789abcdef', {c2}) - 1)"
+    )
+
+
+_MM_DECODE_ORACLE = f"""
+    WITH p AS (
+      SELECT doc_id AS media_id,
+             sha256(text) AS h,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    )
+    SELECT media_id,
+           16 + {_sha_byte(0)} % 64 AS width,
+           16 + {_sha_byte(1)} % 64 AS height,
+           n_bytes,
+           {_sha_byte(0)} + {_sha_byte(1)} + {_sha_byte(2)} + {_sha_byte(3)}
+             AS f0_x255
+    FROM p
+    ORDER BY media_id
+"""
+
+
+@query("multimodal_decode", oracle=_MM_DECODE_ORACLE)
 def multimodal_decode(spark, sf_dir):
+    """The stub decoder is sha256-deterministic, so DuckDB can replay it in
+    SQL: width/height are digest bytes, and feature 0 is
+    (b0+b1+b2+b3)/255 as float32 — scaled back to the exact integer byte
+    sum here so the comparison is float-free. Scalar projection only: the
+    driver's canonical sort cannot order the raw list-typed features."""
     d = load(spark, sf_dir, "documents").withColumn(
         "payload", F.encode("text", "UTF-8").cast("binary")
     )
     mm = multimodal.attach_metadata(d, "payload", "image", "doc_id")
-    return multimodal.decode_features(mm).orderBy("media_id")
+    feats = multimodal.decode_features(mm)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.round(F.element_at("features", 1) * 255).cast("bigint").alias("f0_x255"),
+    ).orderBy("media_id")
 
 
-@query("multimodal_frames")  # rows-only
+@query(
+    "multimodal_frames",
+    # replays frame_sample_plan(every_n=30, max_frames=8): frame indices
+    # 0,30,... up to min(210, floor(payload_bytes/1000))
+    oracle="""
+    SELECT doc_id AS media_id,
+           unnest(generate_series(
+             0,
+             least(210, greatest(octet_length(encode(text)) // 1000, 0)),
+             30)) AS frame_index
+    FROM documents
+    ORDER BY media_id, frame_index
+    """,
+)
 def multimodal_frames(spark, sf_dir):
     d = load(spark, sf_dir, "documents").withColumn(
         "payload", F.encode("text", "UTF-8").cast("binary")
