@@ -68,7 +68,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries, _ = load_registry()
 
-    # warm the JVM + python workers once with a cheap query
+    # warm the JVM + the Python-UDF worker pool once (BASELINE.md §3 warm
+    # protocol): a trivial pandas UDF over one partition per core forks
+    # every worker before any timed query runs
+    from pyspark.sql import functions as F
+
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which pandas_udf's signature inference rejects
+    _noop = F.pandas_udf(lambda s: s, "long")
+    par = spark.sparkContext.defaultParallelism
+    spark.range(0, par * 100, 1, par).select(_noop("id")).count()
     queries["q03"](spark, SF_DIR).collect()
 
     per_query: dict[str, float] = {}

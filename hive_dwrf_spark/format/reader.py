@@ -112,11 +112,21 @@ class _StripeDecoder:
             return []
         if include_ids is None:
             return [(0, body_len)]
+        # stride-dictionary columns need their ROW_INDEX even without a
+        # filter: the per-stride dictionary sizes live in its positions
+        stride_dict_cols = {
+            col
+            for (col, kind) in self._ranges
+            if kind == int(StreamKind.IN_DICTIONARY) and col in include_ids
+        }
         spans = sorted(
             (off, off + ln)
             for (col, kind), (off, ln) in self._ranges.items()
             if col in include_ids
-            or (kind == int(StreamKind.ROW_INDEX) and col in self._index_ids)
+            or (
+                kind == int(StreamKind.ROW_INDEX)
+                and (col in self._index_ids or col in stride_dict_cols)
+            )
         )
         if not spans:
             return []
@@ -172,6 +182,10 @@ class _StripeDecoder:
         else:
             present = None
             n_values = n_rows
+        # stride-dictionary decode needs the dense->row mapping of the
+        # column being decoded (top-level only; consumed before recursion)
+        self._present_mask = present
+        self._present_rows = n_rows
 
         if n_values == 0:
             dense = pa.array(
@@ -252,23 +266,65 @@ class _StripeDecoder:
     def _string_like(self, type_id, n, pa_type):
         enc = self.encodings[type_id]
         if enc.kind == int(ColumnEncodingKind.DICTIONARY):
+            n_dict = enc.dictionarySize
             key_lengths, _ = codecs.decode_int_rle(
-                self.stream(type_id, StreamKind.LENGTH), enc.dictionarySize, signed=False
+                self.stream(type_id, StreamKind.LENGTH), n_dict, signed=False
             )
-            key_data = self.stream(type_id, StreamKind.DICTIONARY_DATA)
+            key_data = self.stream(type_id, StreamKind.DICTIONARY_DATA).tobytes()
             ids, _ = codecs.decode_int_rle(
                 self.stream(type_id, StreamKind.DATA), n, signed=False
             )
+            if self.has_stream(type_id, StreamKind.IN_DICTIONARY):
+                # A14 stride dictionaries: IN_DICTIONARY bit selects stripe
+                # vs per-stride side dictionary; ids index whichever was
+                # picked. Rebuild one combined dictionary (stripe keys then
+                # all stride keys in stride order) and rebase stride ids.
+                in_dict, _ = codecs.decode_bits(
+                    self.stream(type_id, StreamKind.IN_DICTIONARY), n
+                )
+                ri = self.row_index(type_id)
+                sizes = np.array(
+                    [e.positions[0] if e.positions else 0 for e in ri.entry],
+                    dtype=np.int64,
+                )
+                total = int(sizes.sum())
+                sd_lengths, _ = codecs.decode_int_rle(
+                    self.stream(type_id, StreamKind.STRIDE_DICTIONARY_LENGTH),
+                    total,
+                    signed=False,
+                )
+                sd_data = (
+                    self.stream(type_id, StreamKind.STRIDE_DICTIONARY).tobytes()
+                    if self.has_stream(type_id, StreamKind.STRIDE_DICTIONARY)
+                    else b""
+                )
+                stride = self.r.footer.rowIndexStride
+                present = self._present_mask
+                rows_of_dense = (
+                    np.flatnonzero(present)
+                    if present is not None
+                    else np.arange(n, dtype=np.int64)
+                )
+                stride_offsets = np.concatenate(
+                    [np.zeros(1, dtype=np.int64), np.cumsum(sizes)[:-1]]
+                )
+                stride_of_dense = rows_of_dense // stride
+                ids = np.where(
+                    in_dict, ids, n_dict + stride_offsets[stride_of_dense] + ids
+                )
+                key_lengths = np.concatenate([key_lengths, sd_lengths])
+                key_data = key_data + sd_data
+                n_dict += total
             key_offsets = np.concatenate(
                 [np.zeros(1, dtype=np.int64), np.cumsum(key_lengths)]
             )
             dict_arr = pa.Array.from_buffers(
                 pa.large_utf8(),
-                enc.dictionarySize,
+                n_dict,
                 [
                     None,
                     pa.py_buffer(key_offsets.tobytes()),
-                    pa.py_buffer(key_data.tobytes()),
+                    pa.py_buffer(key_data),
                 ],
             )
             return dict_arr.take(pa.array(ids, type=pa.int64())).cast(pa_type)

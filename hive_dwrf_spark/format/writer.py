@@ -291,15 +291,69 @@ class _StripeEncoder:
             encoded = pc.dictionary_encode(dense)
             dict_arr = encoded.dictionary
             use_dict = len(dict_arr) / n <= self.opts["string_dict_threshold"]
+        stride = self.opts["row_index_stride"]
+        stride_dict_sizes: np.ndarray | None = None
         if use_dict:
             # DWRF dictionaries are sorted by UTF-8 bytes (StringDictionaryEncoder
             # sort path); remap ids through the sort permutation.
             ids = encoded.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             keys = np.asarray(dict_arr.cast(pa.binary()).to_pylist(), dtype=object)
-            order = np.argsort(keys)
-            rank = np.empty_like(order)
-            rank[order] = np.arange(len(order))
-            sorted_keys = keys[order]
+            counts = np.bincount(ids, minlength=len(keys))
+            singles = counts == 1
+            use_stride = (
+                self.opts["stride_dictionaries"]
+                and stride
+                and present is not None
+                and bool(singles.any())
+            )
+            if use_stride:
+                # A14 stride dictionaries (WriterImpl.java:1418-1472): keys
+                # occurring once move out of the (stripe) dictionary into the
+                # side dictionary of the stride holding their occurrence; an
+                # IN_DICTIONARY bit per value selects the source and DATA ids
+                # index whichever dictionary the bit picked.
+                multi_idx = np.flatnonzero(~singles)
+                multi_keys = keys[multi_idx]
+                m_order = np.argsort(multi_keys)
+                sorted_keys = multi_keys[m_order]
+                stripe_rank = np.full(len(keys), -1, dtype=np.int64)
+                stripe_rank[multi_idx[m_order]] = np.arange(len(multi_idx))
+                in_dict = ~singles[ids]
+                rows_of_dense = np.flatnonzero(present)
+                n_strides = (len(present) + stride - 1) // stride
+                sp = np.flatnonzero(~in_dict)  # dense pos of each singleton
+                s_strides = rows_of_dense[sp] // stride
+                s_keys = keys[ids[sp]]
+                so = np.lexsort((s_keys, s_strides))  # (stride, key) order
+                sp_sorted, ss_sorted, sk_sorted = sp[so], s_strides[so], s_keys[so]
+                stride_dict_sizes = np.bincount(ss_sorted, minlength=n_strides)
+                group_start = np.concatenate(
+                    [np.zeros(1, dtype=np.int64), np.cumsum(stride_dict_sizes)[:-1]]
+                )
+                data_ids = np.empty(n, dtype=np.int64)
+                data_ids[in_dict] = stripe_rank[ids[in_dict]]
+                data_ids[sp_sorted] = np.arange(len(sp)) - group_start[ss_sorted]
+                sd_lengths = np.fromiter(
+                    (len(k) for k in sk_sorted), dtype=np.int64, count=len(sk_sorted)
+                )
+                self._add(type_id, StreamKind.IN_DICTIONARY, codecs.encode_bits(in_dict))
+                self._add(type_id, StreamKind.STRIDE_DICTIONARY, b"".join(sk_sorted))
+                self._add(
+                    type_id,
+                    StreamKind.STRIDE_DICTIONARY_LENGTH,
+                    codecs.encode_int_rle(sd_lengths, signed=False),
+                )
+                all_sorted = np.sort(keys)
+                lo_s = all_sorted[0].decode("utf-8", "replace") if len(keys) else None
+                hi_s = all_sorted[-1].decode("utf-8", "replace") if len(keys) else None
+            else:
+                order = np.argsort(keys)
+                rank = np.empty_like(order)
+                rank[order] = np.arange(len(order))
+                sorted_keys = keys[order]
+                data_ids = rank[ids]
+                lo_s = sorted_keys[0].decode("utf-8", "replace") if len(sorted_keys) else None
+                hi_s = sorted_keys[-1].decode("utf-8", "replace") if len(sorted_keys) else None
             key_bytes = b"".join(sorted_keys)
             key_lengths = np.fromiter(
                 (len(k) for k in sorted_keys), dtype=np.int64, count=len(sorted_keys)
@@ -312,10 +366,8 @@ class _StripeEncoder:
                 type_id, StreamKind.LENGTH, codecs.encode_int_rle(key_lengths, signed=False)
             )
             self._add(
-                type_id, StreamKind.DATA, codecs.encode_int_rle(rank[ids], signed=False)
+                type_id, StreamKind.DATA, codecs.encode_int_rle(data_ids, signed=False)
             )
-            lo_s = sorted_keys[0].decode("utf-8", "replace") if len(sorted_keys) else None
-            hi_s = sorted_keys[-1].decode("utf-8", "replace") if len(sorted_keys) else None
         else:
             self._add(type_id, StreamKind.DATA, data.tobytes())
             self._add(
@@ -337,6 +389,14 @@ class _StripeEncoder:
                 TypeKind.STRING,
                 lambda st, lo, hi: st.update_strings(None, None, hi - lo),
             )
+        if stride_dict_sizes is not None and type_id in self.row_indexes:
+            # the reader reconstructs each stride's side dictionary from its
+            # size recorded in the ROW_INDEX positions (the reference stores
+            # it the same way: RowIndexEntry positions carry the stride
+            # dictionary stream offsets/size, LazyStringDictionaryTreeReader
+            # loadIndeces)
+            for e, sz in zip(self.row_indexes[type_id].entry, stride_dict_sizes):
+                e.positions = [int(sz)]
 
     def _encode_binary(self, type_id, dense, present):
         lengths, data = _binary_parts(dense)
@@ -436,6 +496,7 @@ class DwrfWriter:
         row_index_stride: int = DEFAULT_ROW_INDEX_STRIDE,
         string_dict_threshold: float = DEFAULT_STRING_DICT_THRESHOLD,
         int_dict_threshold: float = DEFAULT_INT_DICT_THRESHOLD,
+        stride_dictionaries: bool = False,
         metadata: dict[str, bytes] | None = None,
         union_columns: set[str] | str | None = None,
     ):
@@ -452,6 +513,7 @@ class DwrfWriter:
             "row_index_stride": row_index_stride,
             "string_dict_threshold": string_dict_threshold,
             "int_dict_threshold": int_dict_threshold,
+            "stride_dictionaries": bool(stride_dictionaries),
         }
         self.block_size = compression_block_size
         self.zlib_level = zlib_level

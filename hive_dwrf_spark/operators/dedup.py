@@ -82,6 +82,9 @@ def minhash_signatures(
             out.append(sig.tolist())
         return pd.Series(out)
 
+    # no spread() here: the shingle loop is numpy-vectorized and cheap per
+    # doc, so repartitioning the raw text costs more than it saves (unlike
+    # simhash's per-token Python loop below)
     return df.select(id_col, minhash(F.col(text_col)).alias("minhash"))
 
 
@@ -103,18 +106,28 @@ def lsh_candidate_pairs(
     banded = sig_df.select(
         F.col(id_col), F.explode(F.array(*band_exprs)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # group-then-explode beats a banded self-join: one shuffle on
+    # (band, bucket), pairs materialize JVM-side inside each bucket group,
+    # and no join-key dup-row blowup that the self-join's distinct had to
+    # clean up afterward. Fat buckets are LSH's known caveat either way
+    # (a bucket of k docs emits k*(k-1)/2 pairs); the sorted list keeps
+    # id1 < id2 without a filter.
+    grp = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS id1, y AS id2))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col(f"l.{id_col}").alias("id1"), F.col(f"r.{id_col}").alias("id2")
-        )
+        .select("p.id1", "p.id2")
         .distinct()
     )
     return pairs
@@ -136,9 +149,23 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(df, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # materialize now (it is reused 3x anyway) and use the exact row count
+    # to size the verify joins: under Spark's own broadcast threshold the
+    # signature table ships to every task (skips two shuffle writes);
+    # above it — ~20M docs at 512 B/sig — this degrades to plain shuffle
+    # joins, which is the only plan that works at 1B docs.
+    n_docs = sigs.count()
+    sig_bytes = n_docs * (8 * _N_HASHES + 40)
+    try:
+        raw = df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        threshold_bytes = int(str(raw).lower().rstrip("b"))  # e.g. "10485760b"
+    except Exception:
+        threshold_bytes = 10 * 1024 * 1024
     pairs = lsh_candidate_pairs(sigs, id_col)
     s1 = sigs.select(F.col(id_col).alias("id1"), F.col("minhash").alias("sig1"))
     s2 = sigs.select(F.col(id_col).alias("id2"), F.col("minhash").alias("sig2"))
+    if 0 < sig_bytes <= threshold_bytes:
+        s1, s2 = F.broadcast(s1), F.broadcast(s2)
     return (
         pairs.join(s1, "id1")
         .join(s2, "id2")
@@ -183,7 +210,9 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             out[i] = (bits << np.arange(64, dtype=np.uint64)).sum().astype(np.int64)
         return pd.Series(out)
 
-    return df.select(id_col, sim(F.col(text_col)).alias("simhash"))
+    from .util import spread
+
+    return spread(df).select(id_col, sim(F.col(text_col)).alias("simhash"))
 
 
 def word_jaccard_pairs(

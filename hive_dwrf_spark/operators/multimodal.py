@@ -101,6 +101,9 @@ def decode_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 rows, columns=["media_id", "width", "height", "n_bytes", "features"]
             )
 
+    # no spread() here: unlike the text UDFs, widening this stage means
+    # shuffling the binary payloads themselves, which costs more than the
+    # per-row decode saves; real media inputs arrive many-partitioned
     return df.select("media_id", payload_col).mapInPandas(run, FEATURE_SCHEMA)
 
 

@@ -103,4 +103,6 @@ def detect_language(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             out.append(best if scores[best] > 0 else "und")
         return pd.Series(out)
 
-    return df.select(F.col(id_col), lang(F.col(text_col)).alias("lang_pred"))
+    from .util import spread
+
+    return spread(df).select(F.col(id_col), lang(F.col(text_col)).alias("lang_pred"))

@@ -14,7 +14,12 @@ from . import query
 
 
 def _roundtrip(spark, df, tag: str, sf_dir: str):
-    """Write df as DWRF, read it back. Deterministic per (tag, sf)."""
+    """Write df as DWRF, read it back. Deterministic per (tag, sf).
+
+    The write is one file per input partition — write parallelism follows
+    input partitioning, which at real scale is already wide. (Forcing a
+    repartition here was measured slower at bench scale: the shuffle of the
+    full rows costs more than the parallel encode saves.)"""
     from ..sources import register
 
     register(spark)

@@ -389,6 +389,10 @@ class DwrfWriter(DataSourceArrowWriter):
             opts["stripe_rows"] = int(self.options["stripe_rows"])
         if "row_index_stride" in self.options:
             opts["row_index_stride"] = int(self.options["row_index_stride"])
+        if "stride_dictionaries" in self.options:
+            opts["stride_dictionaries"] = str(
+                self.options["stride_dictionaries"]
+            ).lower() in ("true", "1", "yes")
         return opts
 
     def write(self, iterator):

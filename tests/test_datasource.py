@@ -214,3 +214,30 @@ def test_partition_pruning(dwrf_spark, tmp_path):
     # and the query still answers correctly through Spark
     back = spark.read.format("dwrf").load(out)
     assert back.filter("b = 2").count() == 1000
+
+
+def test_stride_dictionaries_option_roundtrip(dwrf_spark, tmp_path):
+    """A14 through the Spark datasource: unique-heavy strings round-trip
+    with stride dictionaries enabled and the stripe dictionary shrinks."""
+    spark = dwrf_spark
+    df = spark.sql(
+        "SELECT id AS k, "
+        "CASE WHEN id % 5 = 0 THEN concat('unique_', id) "
+        "     ELSE concat('common_', id % 10) END AS s "
+        "FROM range(20000)"
+    )
+    out = str(tmp_path / "sd_dwrf")
+    (
+        df.coalesce(1)
+        .write.format("dwrf")
+        .option("path", out)
+        .option("stride_dictionaries", "true")
+        .option("row_index_stride", "1000")
+        .mode("append")
+        .save()
+    )
+    back = spark.read.format("dwrf").load(out)
+    assert back.count() == 20000
+    got = back.filter("k % 5 = 0").selectExpr("sum(CAST(substr(s, 8) AS BIGINT))").collect()[0][0]
+    exp = df.filter("k % 5 = 0").selectExpr("sum(k)").collect()[0][0]
+    assert got == exp

@@ -566,3 +566,108 @@ class TestNestedProjection:
             monkeypatch.setattr(DwrfFile, "_read_at", orig)
         # the blob sibling dominates the bytes; skipping it must show
         assert counts["proj"] < counts["full"] / 2, counts
+
+
+class TestStrideDictionaries:
+    """A14 stride dictionaries (WriterImpl.java:1418-1472;
+    LazyStringDictionaryTreeReader.java:155-217): keys occurring once move
+    into per-stride side dictionaries, IN_DICTIONARY selects the source."""
+
+    def _make_table(self, n=5000, n_unique=800, seed=7):
+        import numpy as np
+        import pyarrow as pa
+
+        rng = np.random.RandomState(seed)
+        common = [f"common_{i}" for i in range(20)]
+        vals = [common[rng.randint(20)] for _ in range(n)]
+        # sprinkle unique singletons across the rows
+        for pos in rng.choice(n, size=n_unique, replace=False):
+            vals[pos] = f"unique_{pos:07d}"
+        # a few nulls to exercise the dense->row mapping
+        for pos in rng.choice(n, size=50, replace=False):
+            vals[pos] = None
+        return pa.table({"s": pa.array(vals, type=pa.string()),
+                         "k": pa.array(range(n), type=pa.int64())}), vals
+
+    def test_roundtrip_with_stride_dictionaries(self, tmp_path):
+        from hive_dwrf_spark.format import DwrfFile
+        from hive_dwrf_spark.format.writer import DwrfWriter
+
+        table, vals = self._make_table()
+        path = str(tmp_path / "stride_dict.dwrf")
+        w = DwrfWriter(
+            path, table.schema, stride_dictionaries=True, row_index_stride=1000
+        )
+        w.write_table(table)
+        w.close()
+
+        with DwrfFile(path) as f:
+            back = f.read()
+        assert back.column("s").to_pylist() == vals
+
+    def test_stride_dict_streams_and_smaller_stripe_dict(self, tmp_path):
+        from hive_dwrf_spark.format import DwrfFile
+        from hive_dwrf_spark.format.constants import ColumnEncodingKind, StreamKind
+        from hive_dwrf_spark.format.reader import _StripeDecoder
+        from hive_dwrf_spark.format.writer import DwrfWriter
+
+        table, vals = self._make_table()
+        n_singletons = sum(1 for v in vals if v is not None and v.startswith("unique"))
+        for flag in (True, False):
+            path = str(tmp_path / f"sd_{flag}.dwrf")
+            w = DwrfWriter(
+                path, table.schema, stride_dictionaries=flag, row_index_stride=1000
+            )
+            w.write_table(table)
+            w.close()
+            with DwrfFile(path) as f:
+                dec = _StripeDecoder(f, f.footer.stripes[0])
+                enc = dec.encodings[1]
+                assert enc.kind == int(ColumnEncodingKind.DICTIONARY)
+                if flag:
+                    assert dec.has_stream(1, StreamKind.IN_DICTIONARY)
+                    assert dec.has_stream(1, StreamKind.STRIDE_DICTIONARY)
+                    assert dec.has_stream(1, StreamKind.STRIDE_DICTIONARY_LENGTH)
+                    # stripe dictionary holds only the repeated keys
+                    assert enc.dictionarySize == 20
+                    ri = dec.row_index(1)
+                    sizes = [e.positions[0] if e.positions else 0 for e in ri.entry]
+                    assert sum(sizes) == n_singletons
+                else:
+                    assert not dec.has_stream(1, StreamKind.IN_DICTIONARY)
+                    assert enc.dictionarySize == 20 + n_singletons
+                assert f.read().column("s").to_pylist() == vals
+
+    def test_no_singletons_suppresses_stride_streams(self, tmp_path):
+        import pyarrow as pa
+
+        from hive_dwrf_spark.format import DwrfFile
+        from hive_dwrf_spark.format.constants import StreamKind
+        from hive_dwrf_spark.format.reader import _StripeDecoder
+        from hive_dwrf_spark.format.writer import DwrfWriter
+
+        vals = [f"v{i % 10}" for i in range(2000)]
+        table = pa.table({"s": pa.array(vals)})
+        path = str(tmp_path / "nosingle.dwrf")
+        w = DwrfWriter(path, table.schema, stride_dictionaries=True, row_index_stride=500)
+        w.write_table(table)
+        w.close()
+        with DwrfFile(path) as f:
+            dec = _StripeDecoder(f, f.footer.stripes[0])
+            assert not dec.has_stream(1, StreamKind.IN_DICTIONARY)
+            assert f.read().column("s").to_pylist() == vals
+
+    def test_projected_filtered_read_with_stride_dicts(self, tmp_path):
+        from hive_dwrf_spark.format import DwrfFile
+        from hive_dwrf_spark.format.writer import DwrfWriter
+
+        table, vals = self._make_table()
+        path = str(tmp_path / "sd_proj.dwrf")
+        w = DwrfWriter(path, table.schema, stride_dictionaries=True, row_index_stride=1000)
+        w.write_table(table)
+        w.close()
+        with DwrfFile(path) as f:
+            got = f.read(columns=["s"], filters=[("s", "starts_with", "unique_00000")])
+        expect = [v for v in vals if v is not None and v.startswith("unique_00000")]
+        got_vals = [v for v in got.column("s").to_pylist() if v is not None and v.startswith("unique_00000")]
+        assert sorted(got_vals) == sorted(expect) and len(expect) > 0
