@@ -80,6 +80,13 @@ DEFAULT_ROW_INDEX_STRIDE = 10_000
 MIN_ROW_INDEX_STRIDE = 1_000
 DEFAULT_STRING_DICT_THRESHOLD = 0.8
 DEFAULT_INT_DICT_THRESHOLD = 0.7
+# entropy heuristic for string dictionaries (OrcConf.java:46-51): when few
+# values repeat, keep the dictionary only if sampled keys exceed this many
+# distinct characters (low-entropy keys compress fine DIRECT + zlib)
+DEFAULT_ENTROPY_THRESHOLD = 20
+DEFAULT_ENTROPY_MIN_SAMPLES = 100
+DEFAULT_ENTROPY_SAMPLE_FRACTION = 0.001
+DEFAULT_ENTROPY_KEY_SIZE_THRESHOLD = 0.9
 
 # Seconds between 1970-01-01 and 2015-01-01 UTC. The reference computes this
 # in JVM-local time; we pin UTC so files are machine-independent.

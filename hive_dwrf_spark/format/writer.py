@@ -10,16 +10,18 @@ buffered Arrow table in one vectorized pass per column (no per-row
 TreeWriter fan-out). Encoding policy per column per stripe:
 
 - adaptive dictionary for STRING/INT-family when distinct/total <= threshold
-  (OrcConf defaults 0.8 / 0.7; the reference's entropy sampling heuristic
-  WriterImpl.java:1297-1363 is not replicated — thresholds are options)
+  (OrcConf defaults 0.8 / 0.7), gated for strings by the reference's entropy
+  sampling heuristic (WriterImpl.java:1297-1363): when few values repeat,
+  dictionary encoding is kept only for high-entropy keys
 - PRESENT stream suppressed when the stripe has no nulls (WriterImpl.java:537-548)
 - TIMESTAMP as seconds-from-2015-epoch (signed RLE) + trailing-zero-packed
   nanos (unsigned RLE), WriterImpl.java:1736-1798; we use floor-division
   semantics so sub-second values round-trip exactly for any sign
 - ROW_INDEX per column every `row_index_stride` rows with stride-level
-  statistics (positions are not recorded: our reader prunes at stride/stripe
-  granularity and never mid-stream seeks, sidestepping the reference's
-  seek machinery LazyTreeReader.java:300-365)
+  statistics (stream positions are not recorded — our reader prunes at
+  stride/stripe granularity and never mid-stream seeks, sidestepping the
+  reference's seek machinery LazyTreeReader.java:300-365; the one exception
+  is stride dictionaries, whose per-stride sizes ride in the positions)
 """
 
 from __future__ import annotations
@@ -31,6 +33,10 @@ import pyarrow.compute as pc
 from . import codecs, proto
 from .constants import (
     DEFAULT_COMPRESSION_BLOCK_SIZE,
+    DEFAULT_ENTROPY_KEY_SIZE_THRESHOLD,
+    DEFAULT_ENTROPY_MIN_SAMPLES,
+    DEFAULT_ENTROPY_SAMPLE_FRACTION,
+    DEFAULT_ENTROPY_THRESHOLD,
     DEFAULT_INT_DICT_THRESHOLD,
     DEFAULT_ROW_INDEX_STRIDE,
     DEFAULT_STRING_DICT_THRESHOLD,
@@ -283,6 +289,32 @@ class _StripeEncoder:
             lambda s, lo, hi: s.update_doubles(vals[lo:hi].astype(np.float64)),
         )
 
+    def _entropy_keeps_dictionary(self, dict_arr: pa.Array) -> bool:
+        """Entropy sampling heuristic (WriterImpl.java:1297-1363 /
+        OrcConf.java:46-51): True iff sampled dictionary keys exceed
+        entropy_threshold distinct characters. Sampling is deterministic
+        (evenly spaced over the sorted-unique keys) instead of the
+        reference's java.util.Random shuffle — same intent, reproducible."""
+        nd = len(dict_arr)
+        thr = self.opts["entropy_threshold"]
+        if thr <= 0:
+            return True
+        n_samples = max(
+            DEFAULT_ENTROPY_MIN_SAMPLES,
+            int(DEFAULT_ENTROPY_SAMPLE_FRACTION * nd),
+        )
+        if nd > DEFAULT_ENTROPY_MIN_SAMPLES:
+            idx = np.unique(np.linspace(0, nd - 1, n_samples).astype(np.int64))
+            keys = dict_arr.take(pa.array(idx)).to_pylist()
+        else:
+            keys = dict_arr.to_pylist()
+        chars: set[str] = set()
+        for k in keys:
+            chars.update(k)
+            if len(chars) > thr:
+                return True
+        return False
+
     def _encode_string(self, type_id, dense, present):
         n = len(dense)
         lengths, data = _binary_parts(dense)
@@ -291,6 +323,13 @@ class _StripeEncoder:
             encoded = pc.dictionary_encode(dense)
             dict_arr = encoded.dictionary
             use_dict = len(dict_arr) / n <= self.opts["string_dict_threshold"]
+            if use_dict:
+                # A13 entropy gate (WriterImpl.java:1400-1411): when few
+                # values repeat, keep the dictionary only for high-entropy
+                # keys — low-entropy keys compress as well DIRECT + zlib
+                repeated_fraction = (n - len(dict_arr)) / n
+                if repeated_fraction <= DEFAULT_ENTROPY_KEY_SIZE_THRESHOLD:
+                    use_dict = self._entropy_keeps_dictionary(dict_arr)
         stride = self.opts["row_index_stride"]
         stride_dict_sizes: np.ndarray | None = None
         if use_dict:
@@ -497,6 +536,8 @@ class DwrfWriter:
         string_dict_threshold: float = DEFAULT_STRING_DICT_THRESHOLD,
         int_dict_threshold: float = DEFAULT_INT_DICT_THRESHOLD,
         stride_dictionaries: bool = False,
+        entropy_threshold: int = DEFAULT_ENTROPY_THRESHOLD,
+        low_memory: bool = False,
         metadata: dict[str, bytes] | None = None,
         union_columns: set[str] | str | None = None,
     ):
@@ -514,7 +555,15 @@ class DwrfWriter:
             "string_dict_threshold": string_dict_threshold,
             "int_dict_threshold": int_dict_threshold,
             "stride_dictionaries": bool(stride_dictionaries),
+            "entropy_threshold": int(entropy_threshold),
+            "low_memory": bool(low_memory),
         }
+        if low_memory:
+            # A15 low-memory mode (WriterImpl.java:203-213): abandon
+            # dictionary encodings and lean on heavier block compression
+            self.opts["string_dict_threshold"] = 0.0
+            self.opts["int_dict_threshold"] = 0.0
+            zlib_level = max(6, zlib_level)
         self.block_size = compression_block_size
         self.zlib_level = zlib_level
         self.stripe_size = stripe_size

@@ -596,7 +596,8 @@ class TestStrideDictionaries:
         table, vals = self._make_table()
         path = str(tmp_path / "stride_dict.dwrf")
         w = DwrfWriter(
-            path, table.schema, stride_dictionaries=True, row_index_stride=1000
+            path, table.schema, stride_dictionaries=True, row_index_stride=1000,
+            entropy_threshold=0,
         )
         w.write_table(table)
         w.close()
@@ -616,7 +617,8 @@ class TestStrideDictionaries:
         for flag in (True, False):
             path = str(tmp_path / f"sd_{flag}.dwrf")
             w = DwrfWriter(
-                path, table.schema, stride_dictionaries=flag, row_index_stride=1000
+                path, table.schema, stride_dictionaries=flag,
+                row_index_stride=1000, entropy_threshold=0,
             )
             w.write_table(table)
             w.close()
@@ -649,7 +651,8 @@ class TestStrideDictionaries:
         vals = [f"v{i % 10}" for i in range(2000)]
         table = pa.table({"s": pa.array(vals)})
         path = str(tmp_path / "nosingle.dwrf")
-        w = DwrfWriter(path, table.schema, stride_dictionaries=True, row_index_stride=500)
+        w = DwrfWriter(path, table.schema, stride_dictionaries=True,
+                       row_index_stride=500, entropy_threshold=0)
         w.write_table(table)
         w.close()
         with DwrfFile(path) as f:
@@ -663,7 +666,8 @@ class TestStrideDictionaries:
 
         table, vals = self._make_table()
         path = str(tmp_path / "sd_proj.dwrf")
-        w = DwrfWriter(path, table.schema, stride_dictionaries=True, row_index_stride=1000)
+        w = DwrfWriter(path, table.schema, stride_dictionaries=True,
+                       row_index_stride=1000, entropy_threshold=0)
         w.write_table(table)
         w.close()
         with DwrfFile(path) as f:
@@ -671,3 +675,68 @@ class TestStrideDictionaries:
         expect = [v for v in vals if v is not None and v.startswith("unique_00000")]
         got_vals = [v for v in got.column("s").to_pylist() if v is not None and v.startswith("unique_00000")]
         assert sorted(got_vals) == sorted(expect) and len(expect) > 0
+
+
+class TestEntropyHeuristic:
+    """A13 entropy gate (WriterImpl.java:1297-1363, OrcConf.java:46-51):
+    with few repeated values, dictionary encoding is kept only when sampled
+    keys exceed the distinct-character threshold."""
+
+    def _encoding_kind(self, tmp_path, vals, **opts):
+        from hive_dwrf_spark.format import DwrfFile
+        from hive_dwrf_spark.format.reader import _StripeDecoder
+        from hive_dwrf_spark.format.writer import DwrfWriter
+
+        table = pa.table({"s": pa.array(vals, type=pa.string())})
+        path = str(tmp_path / f"e{abs(hash(vals[0]))}.dwrf")
+        w = DwrfWriter(path, table.schema, **opts)
+        w.write_table(table)
+        w.close()
+        with DwrfFile(path) as f:
+            dec = _StripeDecoder(f, f.footer.stripes[0])
+            kind = dec.encodings[1].kind
+            assert f.read().column("s").to_pylist() == vals
+        return kind
+
+    def test_low_entropy_keys_fall_back_to_direct(self, tmp_path):
+        from hive_dwrf_spark.format.constants import ColumnEncodingKind
+
+        # 60% distinct (passes 0.8 threshold) but keys use only 3 chars:
+        # entropy gate sends it DIRECT
+        vals = []
+        i = 0
+        for _ in range(3000):
+            vals.append(format(i % 1800, "b").replace("1", "a").replace("0", "b"))
+            i += 1
+        kind = self._encoding_kind(tmp_path, vals)
+        assert kind == int(ColumnEncodingKind.DIRECT)
+
+    def test_high_entropy_keys_keep_dictionary(self, tmp_path):
+        from hive_dwrf_spark.format.constants import ColumnEncodingKind
+
+        # same repeat structure, but keys span the alphabet + digits
+        import string
+
+        alphabet = string.ascii_letters + string.digits
+        vals = []
+        for i in range(3000):
+            k = i % 1800
+            vals.append("".join(alphabet[(k * 7 + j * 13) % len(alphabet)] for j in range(8)))
+        kind = self._encoding_kind(tmp_path, vals)
+        assert kind == int(ColumnEncodingKind.DICTIONARY)
+
+    def test_high_repetition_skips_entropy_gate(self, tmp_path):
+        from hive_dwrf_spark.format.constants import ColumnEncodingKind
+
+        # 10 low-entropy keys heavily repeated: repeatedFraction > 0.9 so
+        # the entropy gate does not apply and dictionary wins
+        vals = [f"aa{i % 10}" for i in range(3000)]
+        kind = self._encoding_kind(tmp_path, vals)
+        assert kind == int(ColumnEncodingKind.DICTIONARY)
+
+    def test_low_memory_mode_abandons_dictionaries(self, tmp_path):
+        from hive_dwrf_spark.format.constants import ColumnEncodingKind
+
+        vals = [f"aa{i % 10}" for i in range(3000)]
+        kind = self._encoding_kind(tmp_path, vals, low_memory=True)
+        assert kind == int(ColumnEncodingKind.DIRECT)
