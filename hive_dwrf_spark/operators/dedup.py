@@ -294,3 +294,68 @@ def embedding_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )
+
+
+def connected_components(
+    pairs: DataFrame, id1: str = "id1", id2: str = "id2", max_iter: int = 20
+) -> DataFrame:
+    """Near-dup clusters from a pair list: each node -> min id reachable
+    (the SURVEY §2.D "union-find via iterative join", as large-star /
+    small-star label propagation).
+
+    Iterative hash-min: every node starts labeled with itself; each round
+    joins labels across edges and takes the min per node, stopping when no
+    label changes. Rounds = graph diameter (near-dup clusters are shallow,
+    typically 2-4). Each round is one shuffle join + one groupBy on node
+    id — at 1B nodes this is the standard Spark connected-components shape;
+    the edge list is persisted since every round re-reads it.
+
+    Returns (node, component) with component = min node id of the cluster.
+    Nodes only appear if they occur in `pairs` — callers union in
+    singletons if every document needs a label.
+    """
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+        .union(pairs.select(F.col(id2).alias("a"), F.col(id1).alias("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        # localCheckpoint after every round: an iterative join's lineage
+        # otherwise grows by one join per round, so round k would replay
+        # rounds 1..k-1 (and the returned frame would replay everything).
+        # Materializing each round keeps every job one-round deep. On a
+        # multi-executor cluster swap for reliable checkpointing if
+        # executor loss during the loop matters.
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # candidate labels: own label plus each neighbour's label
+        neighbour_labels = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .select(F.col("a").alias("node"), "component")
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .union(neighbour_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

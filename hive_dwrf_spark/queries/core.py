@@ -133,9 +133,14 @@ def q04(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
+    # lineitem (the fact table) is the streaming side throughout: with
+    # customer/orders on the build side the planner only broadcasts their
+    # pruned key columns (~MBs) instead of hashing all of lineitem. At
+    # cluster scale orders/customer outgrow the broadcast threshold and
+    # these degrade to shuffle joins on the same keys — same declared plan.
     joined = (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
         .join(
             F.broadcast(s),
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),

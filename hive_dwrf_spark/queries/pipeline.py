@@ -115,6 +115,51 @@ def dedup_cosine(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_components",
+    # the same Jaccard >= 0.5 edge list as dedup_jaccard, then connected
+    # components: DuckDB computes the transitive closure with a recursive
+    # CTE and takes min reachable id; Spark runs iterative hash-min label
+    # propagation (operators/dedup.py::connected_components)
+    oracle="""
+    WITH RECURSIVE words AS (
+      SELECT DISTINCT doc_id, w
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents) t
+      WHERE w <> ''
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM words GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+      FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT id1, id2
+      FROM inter
+      JOIN sizes s1 ON s1.doc_id = id1
+      JOIN sizes s2 ON s2.doc_id = id2
+      WHERE round(inter / (s1.sz + s2.sz - inter), 6) >= 0.5
+    ), sym AS (
+      SELECT id1 AS a, id2 AS b FROM edges
+      UNION
+      SELECT id2, id1 FROM edges
+    ), reach(node, r) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node
+    )
+    SELECT node, min(r) AS component
+    FROM reach
+    GROUP BY node
+    ORDER BY node
+    """,
+)
+def dedup_components(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.word_jaccard_pairs(d, "text", "doc_id", threshold=0.5)
+    return dedup.connected_components(pairs).orderBy("node")
+
+
 @query("dedup_minhash")  # rows-only: MinHash permutation values are ours
 def dedup_minhash(spark, sf_dir):
     d = load(spark, sf_dir, "documents")

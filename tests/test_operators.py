@@ -319,3 +319,22 @@ def test_point_in_interval_join_left_outer(spark):
         point_in_interval_join(
             points, intervals, "x", "lo", "hi", bucket_width=10.0, how="full"
         )
+
+
+def test_connected_components_known_graph(spark):
+    from hive_dwrf_spark.operators.dedup import connected_components
+
+    # two chains and one isolated edge: {1-2-3-4}, {10-11}, {20-21-22}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        "id1 long, id2 long",
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
