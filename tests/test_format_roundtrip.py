@@ -740,3 +740,38 @@ class TestEntropyHeuristic:
         vals = [f"aa{i % 10}" for i in range(3000)]
         kind = self._encoding_kind(tmp_path, vals, low_memory=True)
         assert kind == int(ColumnEncodingKind.DIRECT)
+
+
+class TestSeekPatterns:
+    """Every-Nth-row read patterns (TestOrcFile.java:1533-1694 analog):
+    ranged reads at stride N for N in {1,2,3,7,100,1000,10000} must see
+    exactly the right rows, across stripe and stride boundaries, with and
+    without nulls."""
+
+    def test_every_nth_row(self, tmp_path):
+        n = 21_000
+        rng = np.random.RandomState(42)
+        vals = rng.randint(0, 10**6, size=n)
+        nulls = rng.random(n) < 0.1
+        table = pa.table(
+            {
+                "k": pa.array(np.arange(n, dtype=np.int64)),
+                "v": pa.array(
+                    [None if m else int(x) for x, m in zip(vals, nulls)],
+                    type=pa.int64(),
+                ),
+            }
+        )
+        path = str(tmp_path / "nth.dwrf")
+        write_arrow_table(path, table, stripe_rows=6000, row_index_stride=1000)
+        with DwrfFile(path) as f:
+            for step in (1, 2, 3, 7, 100, 1000, 10000):
+                for start in (0, 1, 5999, 6000, 20998):
+                    got = f.read_rows(start, min(step, n - start))
+                    ks = got.column("k").to_pylist()
+                    assert ks == list(range(start, start + min(step, n - start)))
+                    expect_v = [
+                        None if nulls[i] else int(vals[i])
+                        for i in range(start, start + min(step, n - start))
+                    ]
+                    assert got.column("v").to_pylist() == expect_v
