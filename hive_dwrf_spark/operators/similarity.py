@@ -43,6 +43,27 @@ def cosine_topk(
     )
 
 
+def cosine_range(
+    df: DataFrame, vec_col: str, id_col: str, query_vec: list[float], threshold: float
+) -> DataFrame:
+    """Exact range search: every vector with cosine(query) >= threshold.
+
+    Same single-scan shape as cosine_topk but without the top-k sort —
+    a pure filter, so at scale it is one pass over the embedding column
+    with no shuffle at all (predicate stays in whole-stage codegen except
+    the array dot product)."""
+    q = [float(x) for x in query_vec]
+    qnorm = float(np.sqrt(np.dot(q, q)))
+    qlit = F.array(*[F.lit(x) for x in q])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sim = _dot(v, qlit) / (F.sqrt(_dot(v, v)) * F.lit(qnorm))
+    return (
+        df.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy(F.col(id_col))
+    )
+
+
 def lsh_buckets(
     df: DataFrame, vec_col: str, id_col: str, n_planes: int = 16, dim: int = 64
 ) -> DataFrame:

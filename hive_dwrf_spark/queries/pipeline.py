@@ -205,6 +205,36 @@ def sim_topk(spark, sf_dir):
     return similarity.cosine_topk(e, "embedding", "vec_id", _query_vector(spark, sf_dir), 10)
 
 
+@query(
+    "sim_range",
+    oracle="""
+    SELECT vec_id,
+           round(list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[]))) * q.qn),
+                 6) AS cosine
+    FROM embeddings,
+         (SELECT CAST(embedding AS DOUBLE[]) AS qv,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS qn
+          FROM embeddings WHERE vec_id = 0) q
+    WHERE round(list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+                / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) * q.qn),
+                6) >= 0.3
+    ORDER BY vec_id
+    """,
+)
+def sim_range(spark, sf_dir):
+    """Range search: all vectors with cosine >= 0.3 of the query (0.3 keeps
+    the result non-empty at every SF; the data's max non-self cosine is
+    ~0.5-0.6)."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_range(
+        e, "embedding", "vec_id", _query_vector(spark, sf_dir), 0.3
+    )
+
+
 @query("sim_ann")  # rows-only: LSH bucket membership is seed-specific
 def sim_ann(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")

@@ -2,6 +2,7 @@ from .dwrf_stream import (
     sessionize,
     stateful_running_counts,
     stream_dwrf_dir,
+    streaming_dedup,
     windowed_event_counts,
 )
 
@@ -10,4 +11,5 @@ __all__ = [
     "windowed_event_counts",
     "sessionize",
     "stateful_running_counts",
+    "streaming_dedup",
 ]

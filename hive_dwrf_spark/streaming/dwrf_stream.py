@@ -202,3 +202,25 @@ def stateful_running_counts(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each key combo,
+    with state bounded by the watermark (dropDuplicatesWithinWatermark —
+    a duplicate arriving within the lateness window is dropped; state for
+    keys older than the watermark is evicted, so state size tracks the
+    window's key cardinality, not the stream's).
+
+    The training-pipeline shape: dedup document/event ids at ingest before
+    they reach storage. Works identically on batch frames (plain
+    dropDuplicates semantics there)."""
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)

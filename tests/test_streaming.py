@@ -103,3 +103,64 @@ def test_stateful_running_counts(spark, tmp_path):
         assert got == {"a": 35, "b": 20}
     finally:
         q.stop()
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps first occurrences across
+    micro-batches within the lateness window."""
+    import os
+
+    import pyarrow as pa
+
+    from hive_dwrf_spark.format import write_arrow_table
+    from hive_dwrf_spark.streaming import stream_dwrf_dir, streaming_dedup
+
+    d = str(tmp_path / "dedup_in")
+    os.makedirs(d)
+    ts = pa.array(
+        [1_700_000_000_000_000 + i * 1_000_000 for i in (0, 1, 2, 2, 3)],
+        type=pa.timestamp("us"),
+    )
+    write_arrow_table(
+        f"{d}/b1.dwrf",
+        pa.table({"doc_id": pa.array([1, 2, 3, 3, 4]), "ts": ts}),
+    )
+    stream = stream_dwrf_dir(spark, d).selectExpr(
+        "doc_id", "CAST(ts AS TIMESTAMP) AS ts"  # watermark needs TIMESTAMP, not NTZ
+    )
+    out = streaming_dedup(stream, ["doc_id"], ts_col="ts", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # duplicate arriving in a LATER micro-batch is also dropped
+        write_arrow_table(
+            f"{d}/b2.dwrf",
+            pa.table(
+                {
+                    "doc_id": pa.array([4, 5]),
+                    "ts": pa.array(
+                        [1_700_000_000_000_000 + i * 1_000_000 for i in (4, 5)],
+                        type=pa.timestamp("us"),
+                    ),
+                }
+            ),
+        )
+        q.processAllAvailable()
+        got = sorted(
+            r.doc_id
+            for r in spark.sql("SELECT doc_id FROM dedup_stream_test").collect()
+        )
+        assert got == [1, 2, 3, 4, 5]
+    finally:
+        q.stop()
+    # batch frames get plain dropDuplicates semantics
+    bdf = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:00:01")],
+        "doc_id long, ts string",
+    ).selectExpr("doc_id", "CAST(ts AS TIMESTAMP) AS ts")
+    assert streaming_dedup(bdf, ["doc_id"]).count() == 1
