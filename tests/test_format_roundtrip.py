@@ -775,3 +775,25 @@ class TestSeekPatterns:
                         for i in range(start, start + min(step, n - start))
                     ]
                     assert got.column("v").to_pylist() == expect_v
+
+
+def test_read_rows_with_stride_dictionaries(tmp_path):
+    """Random access must survive stride dictionaries: sliced reads decode
+    the full stripe's dictionary state, so values land correctly at any
+    offset."""
+    n = 8000
+    rng = np.random.RandomState(3)
+    vals = [f"shared_{i % 15}" for i in range(n)]
+    for pos in rng.choice(n, size=500, replace=False):
+        vals[pos] = f"only_{pos:06d}"
+    table = pa.table({"s": pa.array(vals), "k": pa.array(np.arange(n))})
+    path = str(tmp_path / "sd_seek.dwrf")
+    write_arrow_table(
+        path, table, stride_dictionaries=True, row_index_stride=1000,
+        entropy_threshold=0, stripe_rows=3000,
+    )
+    with DwrfFile(path) as f:
+        for off, cnt in [(0, 10), (999, 2), (2999, 2), (3000, 10), (7990, 10)]:
+            got = f.read_rows(off, cnt)
+            assert got.column("s").to_pylist() == vals[off : off + cnt]
+            assert got.column("k").to_pylist() == list(range(off, off + cnt))
