@@ -109,11 +109,26 @@ def _pack_nanos(nanos: np.ndarray) -> np.ndarray:
 
 
 class _StripeEncoder:
-    """Encodes one stripe's worth of rows; accumulates streams + stats."""
+    """Encodes one stripe's worth of rows; accumulates streams + stats.
 
-    def __init__(self, types: list[proto.Type], opts: dict):
+    `carried`/`decide` implement the reference's encoding re-evaluation
+    interval (OrcConf.java:53, WriterImpl.determineEncodingStripe): the
+    dictionary-vs-direct decision is recomputed only on every Nth stripe;
+    in between, the previous stripe's decision is carried over — the
+    distinct-count/entropy scan is the expensive part of encoding choice
+    at scale, and column character rarely shifts stripe to stripe."""
+
+    def __init__(
+        self,
+        types: list[proto.Type],
+        opts: dict,
+        carried: dict[int, bool] | None = None,
+        decide: bool = True,
+    ):
         self.types = types
         self.opts = opts
+        self.carried = carried if carried is not None else {}
+        self.decide = decide
         self.streams: list[tuple[int, StreamKind, bytes]] = []
         self.encodings: dict[int, proto.ColumnEncoding] = {}
         self.stats: dict[int, ColumnStats] = {}
@@ -246,9 +261,14 @@ class _StripeEncoder:
         vals = dense.to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(vals)
         use_dict = False
-        if n and self.opts["int_dict_threshold"] < 1.0 and n >= 32:
+        if not self.decide and type_id in self.carried:
+            use_dict = self.carried[type_id] and n > 0
+            if use_dict:
+                uniques, ids = np.unique(vals, return_inverse=True)
+        elif n and self.opts["int_dict_threshold"] < 1.0 and n >= 32:
             uniques, ids = np.unique(vals, return_inverse=True)
             use_dict = len(uniques) / n <= self.opts["int_dict_threshold"]
+        self.carried[type_id] = bool(use_dict)
         if use_dict:
             self.encodings[type_id] = proto.ColumnEncoding(
                 kind=int(ColumnEncodingKind.DICTIONARY), dictionarySize=len(uniques)
@@ -319,7 +339,12 @@ class _StripeEncoder:
         n = len(dense)
         lengths, data = _binary_parts(dense)
         use_dict = False
-        if n >= 32 and self.opts["string_dict_threshold"] < 1.0:
+        if not self.decide and type_id in self.carried:
+            use_dict = self.carried[type_id] and n > 0
+            if use_dict:
+                encoded = pc.dictionary_encode(dense)
+                dict_arr = encoded.dictionary
+        elif n >= 32 and self.opts["string_dict_threshold"] < 1.0:
             encoded = pc.dictionary_encode(dense)
             dict_arr = encoded.dictionary
             use_dict = len(dict_arr) / n <= self.opts["string_dict_threshold"]
@@ -330,6 +355,7 @@ class _StripeEncoder:
                 repeated_fraction = (n - len(dict_arr)) / n
                 if repeated_fraction <= DEFAULT_ENTROPY_KEY_SIZE_THRESHOLD:
                     use_dict = self._entropy_keeps_dictionary(dict_arr)
+        self.carried[type_id] = bool(use_dict)
         stride = self.opts["row_index_stride"]
         stride_dict_sizes: np.ndarray | None = None
         if use_dict:
@@ -538,6 +564,7 @@ class DwrfWriter:
         stride_dictionaries: bool = False,
         entropy_threshold: int = DEFAULT_ENTROPY_THRESHOLD,
         low_memory: bool = False,
+        encoding_interval: int = 30,
         metadata: dict[str, bytes] | None = None,
         union_columns: set[str] | str | None = None,
     ):
@@ -557,6 +584,9 @@ class DwrfWriter:
             "stride_dictionaries": bool(stride_dictionaries),
             "entropy_threshold": int(entropy_threshold),
             "low_memory": bool(low_memory),
+            # re-evaluate dictionary-vs-direct every N stripes
+            # (OrcConf.java:53); decisions carry over in between
+            "encoding_interval": max(1, int(encoding_interval)),
         }
         if low_memory:
             # A15 low-memory mode (WriterImpl.java:203-213): abandon
@@ -583,6 +613,8 @@ class DwrfWriter:
                 str(i) for i in date_ids
             ).encode()
         self._buffer: list[pa.RecordBatch] = []
+        self._carried: dict[int, bool] = {}
+        self._stripe_seq = 0
         self._buffered_rows = 0
         self._buffered_bytes = 0
         self._stripes: list[proto.StripeInformation] = []
@@ -634,7 +666,11 @@ class DwrfWriter:
         self._buffered_rows = 0
         self._buffered_bytes = 0
 
-        enc = _StripeEncoder(self.types, self.opts)
+        decide = self._stripe_seq % self.opts["encoding_interval"] == 0
+        enc = _StripeEncoder(
+            self.types, self.opts, carried=self._carried, decide=decide
+        )
+        self._stripe_seq += 1
         enc.encode_root(table)
 
         # area ordering: INDEX, then (LENGTH, DICTIONARY_DATA) pairs, then DATA

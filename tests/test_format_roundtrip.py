@@ -797,3 +797,35 @@ def test_read_rows_with_stride_dictionaries(tmp_path):
             got = f.read_rows(off, cnt)
             assert got.column("s").to_pylist() == vals[off : off + cnt]
             assert got.column("k").to_pylist() == list(range(off, off + cnt))
+
+
+def test_encoding_interval_carries_decision(tmp_path):
+    """A13 re-evaluation interval (OrcConf.java:53): with interval 30,
+    stripe 2's data would choose DIRECT on its own (all-unique strings),
+    but the carried stripe-1 decision keeps it DICTIONARY; with interval 1
+    each stripe decides independently."""
+    from hive_dwrf_spark.format.constants import ColumnEncodingKind
+    from hive_dwrf_spark.format.reader import _StripeDecoder
+
+    repeats = pa.table({"s": pa.array([f"k{i % 5}" for i in range(4000)])})
+    uniques = pa.table({"s": pa.array([f"u{i:08d}x{i}" for i in range(4000)])})
+
+    for interval, expect_stripe2 in [(30, ColumnEncodingKind.DICTIONARY),
+                                     (1, ColumnEncodingKind.DIRECT)]:
+        path = str(tmp_path / f"iv{interval}.dwrf")
+        w = DwrfWriter(
+            path, repeats.schema, stripe_rows=4000, encoding_interval=interval
+        )
+        w.write_table(repeats)   # stripe 1: clearly dictionary
+        w.write_table(uniques)   # stripe 2: clearly direct on its own
+        w.close()
+        with DwrfFile(path) as f:
+            assert len(f.footer.stripes) == 2
+            k1 = _StripeDecoder(f, f.footer.stripes[0]).encodings[1].kind
+            k2 = _StripeDecoder(f, f.footer.stripes[1]).encodings[1].kind
+            assert k1 == int(ColumnEncodingKind.DICTIONARY)
+            assert k2 == int(expect_stripe2), interval
+            got = f.read()
+        assert got.column("s").to_pylist() == (
+            repeats.column("s").to_pylist() + uniques.column("s").to_pylist()
+        )
