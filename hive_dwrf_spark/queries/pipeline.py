@@ -307,6 +307,26 @@ def text_tokens_top(spark, sf_dir):
 
 
 @query(
+    "text_bpe_tokens",
+    # replays bpe_ish_token_count: punctuation split out as its own
+    # tokens, then whitespace split, count non-empty pieces
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(
+             string_split_regex(
+               regexp_replace(text, '([.,;:!?()\[\]{}])', ' \1 ', 'g'),
+               '\s+'),
+             p -> p <> '')) AS INTEGER) AS approx_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_bpe_tokens(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return text.bpe_ish_token_count(d, "text", "doc_id").orderBy("doc_id")
+
+
+@query(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
