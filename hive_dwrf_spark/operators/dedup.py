@@ -20,16 +20,21 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-# Fixed MinHash parameters: reproducible across runs/machines.
-_MERSENNE = (1 << 61) - 1
+# Fixed MinHash parameters: classic 31-bit minhash over the Mersenne prime
+# 2^31-1. Everything — shingle hash, permutations a*h+b — stays strictly
+# below 2^62, so numpy int64 arithmetic is EXACT (no wraparound) and the
+# DuckDB oracle replays identical signatures with plain BIGINT arithmetic.
+# a,h < p ≈ 2^31 gives ~2^31 modular wraps per permutation: full mixing
+# (a tiny `a` would make the map near order-preserving and break minhash).
+_MERSENNE31 = (1 << 31) - 1
 _N_HASHES = 64
 _LSH_BANDS = 16  # 16 bands x 4 rows
 
 
 def _hash_params(n: int = _N_HASHES) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(20240813)
-    a = rng.randint(1, _MERSENNE, size=n, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=n, dtype=np.int64)
+    a = rng.randint(1, _MERSENNE31, size=n, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE31, size=n, dtype=np.int64)
     return a, b
 
 
@@ -70,14 +75,16 @@ def minhash_signatures(
             data = t.encode("utf-8", "ignore")
             arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
             n = len(arr) - shingle_k + 1
-            # polynomial rolling hash of each shingle
-            weights = (257 ** np.arange(shingle_k, dtype=np.int64)) % _MERSENNE
+            # polynomial hash of each shingle: sum(byte_j * 257^j) < 2^43
+            # (exact in int64), folded into [0, 2^31-1) so the permutation
+            # step below cannot overflow either
+            weights = 257 ** np.arange(shingle_k, dtype=np.int64)
             windows = np.lib.stride_tricks.sliding_window_view(arr, shingle_k)
-            h = (windows * weights).sum(axis=1) % _MERSENNE
+            h = (windows * weights).sum(axis=1) % _MERSENNE31
             h = np.unique(h)
             # n_hashes permutations: min((a*h + b) mod p) — vectorized outer
             sig = (
-                (a_params[:, None] * h[None, :] + b_params[:, None]) % _MERSENNE
+                (a_params[:, None] * h[None, :] + b_params[:, None]) % _MERSENNE31
             ).min(axis=1)
             out.append(sig.tolist())
         return pd.Series(out)
@@ -92,14 +99,18 @@ def lsh_candidate_pairs(
     sig_df: DataFrame, id_col: str, bands: int = _LSH_BANDS
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs (id1 < id2) that share
-    at least one band bucket. One shuffle on (band, band_hash)."""
+    at least one band bucket. One shuffle on (band, band_slice).
+
+    The bucket key is the raw band slice (4 longs, 32 B), not a hash of it:
+    collisions are then exactly slice-equality, which keeps the operator
+    deterministic and SQL-replayable. At 100 TB the wider shuffle key costs
+    ~28 B/row/band over a 4-B hash — noise next to the payloadless shuffle —
+    and buys zero false-positive buckets."""
     rows_per_band = _N_HASHES // bands
     band_exprs = [
         F.struct(
             F.lit(i).alias("band"),
-            F.hash(F.slice("minhash", i * rows_per_band + 1, rows_per_band)).alias(
-                "bucket"
-            ),
+            F.slice("minhash", i * rows_per_band + 1, rows_per_band).alias("bucket"),
         )
         for i in range(bands)
     ]
@@ -185,30 +196,37 @@ def minhash_dedup_pairs(
 
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens (weighted bit-vote), as a
-    pandas UDF; near-dups share a hash within small Hamming distance."""
+    pandas UDF; near-dups share a hash within small Hamming distance.
+
+    The token hash is the last 8 md5 bytes little-endian — i.e. exactly
+    DuckDB's ``md5_number_lower`` — so the whole simhash is replayable in
+    the SQL oracle (and md5 in C beats the per-char FNV loop it replaced)."""
+    import hashlib
+
+    shifts = np.arange(64, dtype=np.uint64)
 
     @F.pandas_udf(LongType())
     def sim(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            if not t:
-                continue
-            tokens = t.lower().split()
+        out = []
+        for t in texts:
+            tokens = t.lower().split() if t else []
             if not tokens:
+                out.append(0)
                 continue
-            # deterministic 64-bit token hashes (FNV-1a)
-            votes = np.zeros(64, dtype=np.int64)
-            for tok in set(tokens):
-                h = np.int64(np.uint64(14695981039346656037))
-                for ch in tok.encode("utf-8"):
-                    h = np.int64(
-                        (np.uint64(h) ^ np.uint64(ch)) * np.uint64(1099511628211)
+            hs = np.array(
+                [
+                    int.from_bytes(
+                        hashlib.md5(tok.encode("utf-8")).digest()[8:], "little"
                     )
-                bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                votes += np.where(bits.astype(bool), 1, -1)
-            bits = (votes > 0).astype(np.uint64)
-            out[i] = (bits << np.arange(64, dtype=np.uint64)).sum().astype(np.int64)
-        return pd.Series(out)
+                    for tok in set(tokens)
+                ],
+                dtype=np.uint64,
+            )
+            bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)  # (ntok, 64)
+            votes = np.where(bits.astype(bool), 1, -1).sum(axis=0)
+            packed = int(((votes > 0).astype(np.uint64) << shifts).sum())
+            out.append(packed - (1 << 64) if packed >= (1 << 63) else packed)
+        return pd.Series(out, dtype="int64")
 
     from .util import spread
 

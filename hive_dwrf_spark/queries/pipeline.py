@@ -1,7 +1,8 @@
 """§2.D north-star pipeline queries: dedup, similarity search, text
 analysis, multimodal — each driving the operators/ implementations.
-SQL-expressible ones carry DuckDB oracles; MinHash/SimHash/LSH/langid and
-the stubbed media decode are rows-only checks (engine-specific hashing)."""
+Nearly all carry DuckDB oracles — including MinHash/SimHash, whose fixed
+hash constants are replayed exactly in SQL; only the genuinely approximate
+ops (HLL counts, ANN/IVF recall) are rows-only checks."""
 
 from __future__ import annotations
 
@@ -160,7 +161,66 @@ def dedup_components(spark, sf_dir):
     return dedup.connected_components(pairs).orderBy("node")
 
 
-@query("dedup_minhash")  # rows-only: MinHash permutation values are ours
+def _minhash_params_values() -> str:
+    """The engine's fixed (a, b) permutation constants as a SQL VALUES list,
+    so the oracle replays the exact signature arithmetic (31-bit minhash:
+    every product < 2^62, BIGINT- and numpy-int64-exact)."""
+    a, b = dedup._hash_params()
+    return ",\n    ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(len(a))
+    )
+
+
+@query(
+    "dedup_minhash",
+    # full replay of the engine's MinHash+LSH pipeline: char-5-shingle
+    # polynomial hashes mod 2^31-1 -> 64 permutations min -> band on the raw
+    # 4-long signature slices -> estimated-Jaccard filter. Deterministic
+    # because the permutation constants are fixed and all arithmetic is
+    # exact in 64-bit.
+    oracle=f"""
+    WITH params(i, a, b) AS (
+      VALUES {_minhash_params_values()}
+    ), pos AS (
+      SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS pos
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) >= 5
+    ), shingles AS (
+      SELECT DISTINCT doc_id,
+             (ascii(substr(text, pos, 1))
+              + ascii(substr(text, pos + 1, 1)) * 257
+              + ascii(substr(text, pos + 2, 1)) * 66049
+              + ascii(substr(text, pos + 3, 1)) * 16974593
+              + ascii(substr(text, pos + 4, 1)) * 4362470401) % 2147483647 AS h
+      FROM pos
+    ), sigs AS (
+      SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+      FROM shingles CROSS JOIN params
+      GROUP BY doc_id, i
+      UNION ALL
+      SELECT doc_id, i, 0 AS mh
+      FROM documents CROSS JOIN (SELECT i FROM params) pi
+      WHERE text IS NULL OR length(text) < 5
+    ), bands AS (
+      SELECT doc_id, i // 4 AS band, list(mh ORDER BY i) AS slice
+      FROM sigs GROUP BY doc_id, i // 4
+    ), cand AS (
+      SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
+      FROM bands b1 JOIN bands b2
+        ON b1.band = b2.band AND b1.slice = b2.slice AND b1.doc_id < b2.doc_id
+    ), est AS (
+      SELECT c.id1, c.id2,
+             SUM(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+      FROM cand c
+      JOIN sigs s1 ON s1.doc_id = c.id1
+      JOIN sigs s2 ON s2.doc_id = c.id2 AND s2.i = s1.i
+      GROUP BY c.id1, c.id2
+    )
+    SELECT id1, id2, est_jaccard FROM est
+    WHERE est_jaccard >= 0.5
+    ORDER BY id1, id2
+    """,
+)
 def dedup_minhash(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return dedup.minhash_dedup_pairs(d, "text", "doc_id", threshold=0.5).orderBy(
@@ -168,7 +228,38 @@ def dedup_minhash(spark, sf_dir):
     )
 
 
-@query("dedup_simhash")  # rows-only
+@query(
+    "dedup_simhash",
+    # replay of the engine's simhash: the token hash is the last 8 md5
+    # bytes little-endian == DuckDB's md5_number_lower; weighted bit-vote
+    # over distinct whitespace tokens; the sign bit is folded in as
+    # -2^63 to stay inside BIGINT.
+    oracle=r"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+            FROM documents) t
+      WHERE tok <> ''
+    ), votes AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (md5_number_lower(tok) >> b) & 1 = 1
+                      THEN 1 ELSE -1 END) AS vote
+      FROM toks, generate_series(0, 63) AS g(b)
+      GROUP BY doc_id, b
+    ), packed AS (
+      SELECT doc_id,
+             SUM(CASE WHEN vote > 0 AND b < 63
+                      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+             + SUM(CASE WHEN vote > 0 AND b = 63
+                        THEN -9223372036854775807 - 1 ELSE 0 END) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(p.simhash, 0) AS simhash
+    FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id
+    ORDER BY d.doc_id
+    """,
+)
 def dedup_simhash(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return dedup.simhash(d, "text", "doc_id").orderBy("doc_id")
