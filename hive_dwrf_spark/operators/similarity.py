@@ -74,7 +74,6 @@ def lsh_buckets(
 
     @F.pandas_udf(LongType())
     def bucket(vecs: pd.Series) -> pd.Series:
-        out = np.zeros(len(vecs), dtype=np.int64)
         mat = np.vstack(
             [
                 np.asarray(v, dtype=np.float64)
@@ -83,7 +82,15 @@ def lsh_buckets(
                 for v in vecs
             ]
         )
-        signs = (mat @ planes.T) > 0  # (batch, n_planes)
+        # left-to-right accumulation over dimensions (not BLAS matmul, whose
+        # pairwise/blocked summation is order-unstable): a+b+c in SQL also
+        # evaluates ((a+b)+c), so bucket assignment is bit-reproducible by
+        # the DuckDB oracle. 64 vectorized adds — same cost class as matmul
+        # for these shapes.
+        acc = np.zeros((len(mat), n_planes))
+        for d in range(dim):
+            acc += mat[:, d, None] * planes.T[d]
+        signs = acc > 0  # (batch, n_planes)
         out = (signs.astype(np.int64) << np.arange(n_planes)).sum(axis=1)
         return pd.Series(out)
 

@@ -326,7 +326,45 @@ def sim_range(spark, sf_dir):
     )
 
 
-@query("sim_ann")  # rows-only: LSH bucket membership is seed-specific
+def _ann_bucket_sql(n_planes: int = 8, dim: int = 64) -> str:
+    """The engine's fixed random-hyperplane projections as one SQL
+    expression over a DOUBLE[] column ``v``: sum of sign-bit weights.
+    Term order matches the UDF's left-to-right accumulation, so the
+    double-precision sign decisions are bit-identical."""
+    import numpy as np
+
+    planes = np.random.RandomState(20240813).standard_normal((n_planes, dim))
+    parts = []
+    for p in range(n_planes):
+        proj = " + ".join(f"v[{d + 1}] * ({planes[p, d]!r})" for d in range(dim))
+        parts.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END)")
+    return "\n       + ".join(parts)
+
+
+@query(
+    "sim_ann",
+    # full replay of the engine's multi-probe LSH ANN: seeded hyperplane
+    # sign-bit buckets (constants inlined below), probe = query bucket plus
+    # all buckets within Hamming distance 2, exact cosine rank within the
+    # probed candidates.
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_ann_bucket_sql()} AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT bucket AS qb, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+      FROM bucketed WHERE vec_id = 0
+    )
+    SELECT c.vec_id,
+           round(list_dot_product(c.v, q.qv)
+                 / (sqrt(list_dot_product(c.v, c.v)) * q.qn), 6) AS cosine
+    FROM bucketed c, q
+    WHERE bit_count(xor(c.bucket, q.qb)) <= 2
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
 def sim_ann(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     return similarity.ann_topk(e, "embedding", "vec_id", _query_vector(spark, sf_dir), 10)
