@@ -17,6 +17,7 @@ import numpy as np
 import pyarrow as pa
 
 from . import codecs, proto
+from .profiler import profiler
 from .constants import (
     MAGIC,
     TIMESTAMP_BASE_SECONDS,
@@ -156,9 +157,10 @@ class _StripeDecoder:
         key = (column, int(kind))
         if key not in self._cache:
             off, ln = self._ranges[key]
-            data = codecs.decompress_stream(
-                bytes(self._raw_slice(off, ln)), self.r.compression
-            )
+            with profiler.phase("decompression"):
+                data = codecs.decompress_stream(
+                    bytes(self._raw_slice(off, ln)), self.r.compression
+                )
             self._cache[key] = np.frombuffer(data, dtype=np.uint8)
         return self._cache[key]
 
@@ -172,6 +174,10 @@ class _StripeDecoder:
     # -- column decode ---------------------------------------------------------
 
     def decode_column(self, type_id: int, n_rows: int) -> pa.Array:
+        with profiler.phase("decoding"):
+            return self._decode_column_impl(type_id, n_rows)
+
+    def _decode_column_impl(self, type_id: int, n_rows: int) -> pa.Array:
         t = self.r.types[type_id]
         kind = TypeKind(t.kind)
         if self.has_stream(type_id, StreamKind.PRESENT):
@@ -447,6 +453,19 @@ def _stats_may_match(st: ColumnStats, op: str, value) -> bool:
     return True
 
 
+def _resolve_field(name: str, names: list[str]) -> str | None:
+    """Resolve a requested field name to its canonical spelling: exact match
+    first, then case-insensitive (the reference resolves Hive's lowercased
+    column names against arbitrary-case file schemas this way)."""
+    if name in names:
+        return name
+    lowered = name.lower()
+    for n in names:
+        if n.lower() == lowered:
+            return n
+    return None
+
+
 class DwrfFile:
     """Random-access DWRF file reader."""
 
@@ -508,10 +527,10 @@ class DwrfFile:
 
     def _top_level_id(self, name: str) -> int | None:
         root = self.types[0]
-        for n, s in zip(root.fieldNames, root.subtypes):
-            if n == name:
-                return s
-        return None
+        resolved = _resolve_field(name, root.fieldNames)
+        if resolved is None:
+            return None
+        return dict(zip(root.fieldNames, root.subtypes))[resolved]
 
     # -- projection parsing (supports nested paths like "s.qty") ---------------
 
@@ -531,8 +550,12 @@ class DwrfFile:
         partial: dict[str, list[str]] = {}
         for c in columns:
             top, _, rest = c.partition(".")
-            if top not in by_name:
-                raise KeyError(f"no such column: {top}")
+            # field lookup is case-insensitive, as in the reference's
+            # ObjectInspector (TestObjectInspector.java:553-587); results
+            # keep the file's canonical field names
+            top = _resolve_field(top, root.fieldNames)
+            if top is None:
+                raise KeyError(f"no such column: {c.partition('.')[0]}")
             if all(t != top for t, _ in tops):
                 tops.append((top, by_name[top]))
             if rest:
@@ -555,8 +578,9 @@ class DwrfFile:
         by = dict(zip(t.fieldNames, t.subtypes))
         for rest in rests:
             seg, _, tail = rest.partition(".")
-            if seg not in by:
-                raise KeyError(f"no such nested field: {seg}")
+            seg = _resolve_field(seg, t.fieldNames)
+            if seg is None:
+                raise KeyError(f"no such nested field: {rest.partition('.')[0]}")
             child = by[seg]
             if tail:
                 ids.update(self._path_ids(child, [tail]))
@@ -609,6 +633,15 @@ class DwrfFile:
         filters: list[tuple] | None = None,
     ) -> pa.Table | None:
         """Decode one stripe to an Arrow table (None if pruned by filters)."""
+        with profiler.phase("read"):
+            return self._read_stripe_impl(stripe_index, columns, filters)
+
+    def _read_stripe_impl(
+        self,
+        stripe_index: int,
+        columns: list[str] | None = None,
+        filters: list[tuple] | None = None,
+    ) -> pa.Table | None:
         stripe = self.footer.stripes[stripe_index]
         include_ids: set[int] | None = None
         index_ids: set[int] | None = None
@@ -663,7 +696,8 @@ class DwrfFile:
         else:
             schema = self.projected_schema(columns)
         arrays = [dec.decode_column(tid, n) for _, tid in selected]
-        table = pa.Table.from_arrays(arrays, schema=schema)
+        with profiler.phase("deserialization"):
+            table = pa.Table.from_arrays(arrays, schema=schema)
         if stride_alive is not None:
             stride = self.footer.rowIndexStride or 0
             if stride > 0:

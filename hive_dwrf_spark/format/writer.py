@@ -31,6 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import codecs, proto
+from .profiler import profiler
 from .constants import (
     DEFAULT_COMPRESSION_BLOCK_SIZE,
     DEFAULT_ENTROPY_KEY_SIZE_THRESHOLD,
@@ -629,14 +630,16 @@ class DwrfWriter:
         self._pos += len(data)
 
     def _compress(self, data: bytes) -> bytes:
-        return codecs.compress_stream(
-            data, self.compression, self.block_size, self.zlib_level
-        )
+        with profiler.phase("compression"):
+            return codecs.compress_stream(
+                data, self.compression, self.block_size, self.zlib_level
+            )
 
     # -- public API -----------------------------------------------------------
 
     def write_batch(self, batch: pa.RecordBatch) -> None:
-        batch = _conform_batch(batch, self.schema)
+        with profiler.phase("write"), profiler.phase("serialization"):
+            batch = _conform_batch(batch, self.schema)
         while batch.num_rows:
             # rows this stripe can still take (row- or byte-budgeted)
             if self.stripe_rows:
@@ -661,6 +664,10 @@ class DwrfWriter:
     def flush_stripe(self) -> None:
         if not self._buffered_rows:
             return
+        with profiler.phase("write"):
+            self._flush_stripe_impl()
+
+    def _flush_stripe_impl(self) -> None:
         table = pa.Table.from_batches(self._buffer, schema=self.schema).combine_chunks()
         self._buffer.clear()
         self._buffered_rows = 0
@@ -671,7 +678,8 @@ class DwrfWriter:
             self.types, self.opts, carried=self._carried, decide=decide
         )
         self._stripe_seq += 1
-        enc.encode_root(table)
+        with profiler.phase("encoding"):
+            enc.encode_root(table)
 
         # area ordering: INDEX, then (LENGTH, DICTIONARY_DATA) pairs, then DATA
         index_streams: list[tuple[int, StreamKind, bytes]] = []
@@ -751,6 +759,10 @@ class DwrfWriter:
                 self._file_stats[col] = merged
 
     def close(self) -> None:
+        with profiler.phase("write"):
+            self._close_impl()
+
+    def _close_impl(self) -> None:
         self.flush_stripe()
         body_length = self._pos
         footer = proto.Footer(

@@ -552,8 +552,14 @@ class DwrfDataSource(DataSource):
             )
         columns_opt = self.options.get("columns")
         if columns_opt:
+            # case-insensitive like the reader (ObjectInspector semantics);
+            # the declared schema keeps the file's canonical names
             by_name = {fl.name: fl for fl in fields}
-            fields = [by_name[c] for c in columns_opt.split(",")]
+            by_lower = {fl.name.lower(): fl for fl in fields}
+            fields = [
+                by_name.get(c) or by_lower[c.lower()]
+                for c in columns_opt.split(",")
+            ]
         return StructType(fields)
 
     def reader(self, schema: StructType) -> DwrfReader:

@@ -829,3 +829,38 @@ def test_encoding_interval_carries_decision(tmp_path):
         assert got.column("s").to_pylist() == (
             repeats.column("s").to_pylist() + uniques.column("s").to_pylist()
         )
+
+
+class TestCaseInsensitiveLookup:
+    """Field name lookup is case-insensitive, as in the reference's
+    ObjectInspector (TestObjectInspector.java:553-587)."""
+
+    def test_projection_and_filters_ignore_case(self, tmp_path):
+        table = pa.table(
+            {
+                "OrderKey": pa.array([1, 2, 3], pa.int64()),
+                "S": pa.array(
+                    [{"Qty": 1, "Price": 2.0}] * 3,
+                    pa.struct([("Qty", pa.int32()), ("Price", pa.float64())]),
+                ),
+            }
+        )
+        path = str(tmp_path / "t.dwrf")
+        write_arrow_table(path, table)
+        with DwrfFile(path) as f:
+            got = f.read(columns=["orderkey"])
+            # canonical (file) spelling is preserved in the result
+            assert got.column_names == ["OrderKey"]
+            assert got.column("OrderKey").to_pylist() == [1, 2, 3]
+            nested = f.read(columns=["s.qty"])
+            assert nested.column("S").to_pylist() == [{"Qty": 1}] * 3
+            filtered = f.read(columns=["ORDERKEY"], filters=[("orderkey", "gt", 5)])
+            assert filtered.num_rows == 0
+
+    def test_unknown_name_still_rejected(self, tmp_path):
+        table = pa.table({"a": pa.array([1], pa.int64())})
+        path = str(tmp_path / "t.dwrf")
+        write_arrow_table(path, table)
+        with DwrfFile(path) as f:
+            with pytest.raises(KeyError):
+                f.read(columns=["nope"])
