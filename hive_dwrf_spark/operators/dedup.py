@@ -89,9 +89,11 @@ def minhash_signatures(
             out.append(sig.tolist())
         return pd.Series(out)
 
-    # no spread() here: the shingle loop is numpy-vectorized and cheap per
-    # doc, so repartitioning the raw text costs more than it saves (unlike
-    # simhash's per-token Python loop below)
+    # no spread() here: measured twice (interleaved A/B, warm workers) —
+    # signature materialization alone is 2x faster when widened, but the
+    # full pipeline (persist + banding + verify over the widened cache) is
+    # ~10% slower, so the narrow input wins end-to-end. At real scale the
+    # input is already wide and the question disappears.
     return df.select(id_col, minhash(F.col(text_col)).alias("minhash"))
 
 

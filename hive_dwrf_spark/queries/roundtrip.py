@@ -25,7 +25,13 @@ def _roundtrip(spark, df, tag: str, sf_dir: str):
     register(spark)
     base = os.path.basename(os.path.normpath(sf_dir))
     out = f"/tmp/hive_dwrf_spark_rt_{tag}_{base}"
-    df.write.format("dwrf").option("path", out).mode("overwrite").save()
+    # row-budget stripes: read parallelism is one task per (file, stripe),
+    # so a narrow input (one small parquet split) still fans out on read.
+    # At real scale each task writes ~100 MB+ and the byte budget dominates;
+    # this only bites when files are small enough to fit one stripe.
+    df.write.format("dwrf").option("path", out).option(
+        "stripe_rows", "12500"
+    ).mode("overwrite").save()
     return spark.read.format("dwrf").load(out)
 
 
