@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualNullSafe,
     EqualTo,
     GreaterThan,
@@ -514,6 +515,41 @@ class DwrfWriter(DataSourceArrowWriter):
                     os.remove(p)
 
 
+class DwrfStreamWriter(DwrfWriter, DataSourceStreamArrowWriter):
+    """Streaming DWRF sink: df.writeStream.format("dwrf").
+
+    Each microbatch task writes one part-<uuid>.dwrf via the batch write
+    path (inherited); only commit/abort differ — a streaming sink appends,
+    so commit must never garbage-collect the directory the way the batch
+    overwrite commit does. Committed batches are recorded in a _batches log
+    (one line per file with its batch id and row count) for observability;
+    the DWRF *stream reader*'s name-set offsets make a dwrf-dir -> transform
+    -> dwrf-dir pipeline pick each part file up exactly once. Spark's own
+    checkpointing dedups re-run batches at the source side; a re-written
+    batch after a crash lands as new uuid files (at-least-once, like
+    Spark's file sink without its _spark_metadata protocol)."""
+
+    def commit(self, messages, batchId: int) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, "_batches"), "a") as f:
+            for m in messages:
+                if m is not None:
+                    for p in m.path.split("\x00"):
+                        if p.endswith(".dwrf"):
+                            f.write(
+                                f"{batchId}\t{os.path.relpath(p, self.path)}"
+                                f"\t{m.rows}\n"
+                            )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for p in m.path.split("\x00"):
+                if p.endswith(".dwrf") and os.path.exists(p):
+                    os.remove(p)
+
+
 class DwrfDataSource(DataSource):
     """spark.read.format("dwrf") / df.write.format("dwrf")."""
 
@@ -567,6 +603,11 @@ class DwrfDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> DwrfWriter:
         return DwrfWriter(schema, self.options, overwrite)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> DwrfStreamWriter:
+        return DwrfStreamWriter(schema, self.options, overwrite)
 
 
 def register(spark) -> None:

@@ -164,3 +164,52 @@ def test_streaming_dedup(spark, tmp_path):
         "doc_id long, ts string",
     ).selectExpr("doc_id", "CAST(ts AS TIMESTAMP) AS ts")
     assert streaming_dedup(bdf, ["doc_id"]).count() == 1
+
+
+def test_stream_write_dwrf_sink(spark, tmp_path):
+    """dwrf dir -> transform -> dwrf dir: the streaming sink writes each
+    microbatch as part files the batch reader (and the stream reader's
+    name-set offsets) consume exactly once."""
+    import os
+
+    from hive_dwrf_spark.format import write_arrow_table
+    from hive_dwrf_spark.sources import register
+    from hive_dwrf_spark.streaming import stream_dwrf_dir
+
+    register(spark)
+    src = str(tmp_path / "sink_src")
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+    os.makedirs(src)
+    write_arrow_table(
+        f"{src}/f1.dwrf", pa.table({"k": pa.array(np.arange(100))})
+    )
+    from pyspark.sql import functions as F
+
+    stream = stream_dwrf_dir(spark, src).withColumn("k2", F.col("k") * 2)
+    q = (
+        stream.writeStream.format("dwrf")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        back = spark.read.format("dwrf").load(out)
+        assert back.count() == 100
+        assert back.agg(F.sum("k2")).collect()[0][0] == 2 * sum(range(100))
+        write_arrow_table(
+            f"{src}/a2.dwrf", pa.table({"k": pa.array(np.arange(100, 150))})
+        )
+        q.processAllAvailable()
+        back = spark.read.format("dwrf").load(out)
+        assert back.count() == 150
+        assert back.select("k").distinct().count() == 150
+        # commit log records every part file with its batch id
+        log = open(f"{out}/_batches").read().strip().splitlines()
+        logged = {line.split("\t")[1] for line in log}
+        on_disk = {p for p in os.listdir(out) if p.endswith(".dwrf")}
+        assert logged == on_disk
+    finally:
+        q.stop()
