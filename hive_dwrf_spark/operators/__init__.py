@@ -1,7 +1,7 @@
 """Pipeline + join operators beyond Spark's built-ins.
 
 LLM-data-pipeline set (SURVEY.md §2.D): deduplication, similarity search,
-text analysis, multimodal columns. Join/layout set (SURVEY.md §2.B): as-of
+text analysis, multimodal columns, deterministic sampling. Join/layout set (SURVEY.md §2.B): as-of
 join, point-in-interval range join, bucketed co-located joins, skew
 salting, clustered writes. Each is a DataFrame -> DataFrame function
 designed for 100 TB scale (no driver-side collection, shuffles only on
@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     layout,
     multimodal,
     rangejoin,
+    sampling,
     similarity,
     skew,
     text,

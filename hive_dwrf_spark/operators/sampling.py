@@ -1,0 +1,62 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Both forms are hash-based rather than RNG-based, which buys three things at
+100 TB: (1) reproducibility across runs/machines/partitionings — the sample
+is a pure function of the data, so a re-run after a failure or a backfill
+picks the same rows; (2) no coordination — `deterministic_sample` is a
+stateless filter that runs inside the scan with zero shuffles; (3) oracle
+checkability — the md5 decision is replayable in ANSI SQL.
+
+- deterministic_sample: keep a row iff the leading 8 md5 bytes of its key,
+  read as a fraction of 2^64, fall below `fraction`. One scan, no shuffle,
+  no driver state; sampling composes with pushed-down filters.
+- stratified_take: exactly k rows per stratum, chosen by smallest keyed
+  hash — a single window shuffle on the stratum key. Bounded output per
+  group regardless of skew (the window's per-partition heap is O(k) with
+  rank pushdown).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash64(*cols) -> "F.Column":
+    """Uniform [0, 2^64) value: the first 8 md5 digest bytes of the
+    '|'-joined key columns, read little-endian — exactly DuckDB's
+    ``md5_number_upper``, so oracles replay the sampling decision. Built by
+    reversing the hex byte pairs, then conv(hex, 16, 10), which is unsigned
+    64-bit; the decimal(20,0) cast holds the full range."""
+    h = F.md5(F.concat_ws("|", *cols))
+    le_hex = F.concat(*[F.substring(h, 2 * i + 1, 2) for i in reversed(range(8))])
+    return F.conv(le_hex, 16, 10).cast("decimal(20,0)")
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, key_cols: list[str]
+) -> DataFrame:
+    """Keep ~`fraction` of rows, decided per-row by keyed md5 — a pure
+    filter (no shuffle, no RNG state), stable under re-runs and
+    repartitioning. `key_cols` should identify rows (e.g. the primary key);
+    rows with equal keys sample identically, which is exactly what a
+    backfill wants."""
+    threshold = int(fraction * float(1 << 64))
+    return df.filter(
+        _hash64(*key_cols) < F.lit(str(threshold)).cast("decimal(20,0)")
+    )
+
+
+def stratified_take(
+    df: DataFrame, strata_cols: list[str], k: int, key_cols: list[str]
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum — the k smallest keyed
+    hashes, so the pick is uniform-ish, deterministic, and independent of
+    input order. One shuffle on the strata columns; per-group state is the
+    window's top-k heap, so skewed strata cost output size, not memory."""
+    w = Window.partitionBy(*strata_cols).orderBy(_hash64(*key_cols).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

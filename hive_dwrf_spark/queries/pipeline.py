@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import dedup, multimodal, sampling, similarity, text
 from ..tables import load
 from . import query
 
@@ -263,6 +263,56 @@ def dedup_minhash(spark, sf_dir):
 def dedup_simhash(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return dedup.simhash(d, "text", "doc_id").orderBy("doc_id")
+
+
+# --- deterministic sampling ---------------------------------------------------
+
+
+_SAMPLE_THRESHOLD = int(0.2 * float(1 << 64))  # the operator's own arithmetic
+
+
+@query(
+    "sample_fraction",
+    # the sampling decision is a pure function of the row key: keep iff the
+    # first 8 md5 bytes little-endian (== DuckDB md5_number_upper) fall
+    # under fraction * 2^64 — replayed here exactly
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) < {_SAMPLE_THRESHOLD}
+    ORDER BY doc_id
+    """,
+)
+def sample_fraction(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (
+        sampling.deterministic_sample(d, 0.2, ["doc_id"])
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT event_type, event_id
+    FROM (SELECT event_type, event_id,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5_number_upper(CAST(event_id AS VARCHAR))
+                 ) AS rn
+          FROM events) t
+    WHERE rn <= 50
+    ORDER BY event_type, event_id
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        sampling.stratified_take(e, ["event_type"], 50, ["event_id"])
+        .select("event_type", "event_id")
+        .orderBy("event_type", "event_id")
+    )
 
 
 # --- similarity search --------------------------------------------------------

@@ -338,3 +338,42 @@ def test_connected_components_known_graph(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_deterministic_sample_stable_under_partitioning(spark):
+    from pyspark.sql import functions as F
+
+    from hive_dwrf_spark.operators.sampling import deterministic_sample
+
+    df = spark.range(10000).withColumnRenamed("id", "k")
+    s1 = {r.k for r in deterministic_sample(df, 0.3, ["k"]).collect()}
+    s2 = {
+        r.k
+        for r in deterministic_sample(df.repartition(13), 0.3, ["k"]).collect()
+    }
+    # same rows regardless of partitioning / evaluation order
+    assert s1 == s2
+    # fraction within a loose tolerance (hash-uniformity, not RNG)
+    assert 0.25 < len(s1) / 10000 < 0.35
+    # no shuffle in the plan: the sample is a pure filter
+    plan = deterministic_sample(df, 0.3, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_stratified_take_exact_k(spark):
+    from pyspark.sql import functions as F
+
+    from hive_dwrf_spark.operators.sampling import stratified_take
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("k")
+    )
+    got = stratified_take(df, ["g"], 7, ["k"])
+    counts = {r.g: r.c for r in got.groupBy("g").agg(F.count("*").alias("c")).collect()}
+    assert counts == {"0": 7, "1": 7, "2": 7}
+    # deterministic: same pick on re-run with different partitioning
+    again = stratified_take(df.repartition(11), ["g"], 7, ["k"])
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in again.collect()}
+    # small stratum: returns all of it, not an error
+    tiny = df.filter(F.col("k") < 5)
+    assert stratified_take(tiny, ["g"], 7, ["k"]).count() == 5
