@@ -108,31 +108,50 @@ def main() -> None:
         extras["parquet_bytes"] = os.path.getsize(src)
         extras["dwrf_bytes_per_row"] = round(os.path.getsize(out) / table.num_rows, 2)
 
-        # format parity vs the reference golden dump (BASELINE.md §3):
-        # same shape/distribution as TestFileDump's table — 21k rows of
-        # struct<i:int,l:bigint,s:string> over an 85-word vocabulary;
-        # reference data-area is ≈5.8 B/row (SNAPPY). We measure the data
+        # format parity vs the reference golden dump (BASELINE.md §3): the
+        # EXACT TestFileDump.java:122-143 table, bit-for-bit — 21k rows of
+        # struct<i:int,l:bigint,s:string> where every row is
+        # (n, n + 2^31-1, words[n]) for n = Random(1).nextInt(85), via a
+        # java.util.Random LCG clone. Reference data-area on this data is
+        # ≈5.8 B/row (SNAPPY, all-DIRECT encodings); we measure the data
         # area the same way (sum of stripe dataLength / rows).
-        import numpy as np
         import pyarrow as pa
 
         from hive_dwrf_spark.format.reader import DwrfFile
 
-        rng = np.random.RandomState(1)
+        class _JavaRandom:
+            """java.util.Random: 48-bit LCG, publicly specified."""
+
+            def __init__(self, seed: int):
+                self.seed = (seed ^ 0x5DEECE66D) & ((1 << 48) - 1)
+
+            def next_int(self, bound: int) -> int:
+                while True:
+                    self.seed = (self.seed * 0x5DEECE66D + 0xB) & ((1 << 48) - 1)
+                    bits = self.seed >> 17
+                    val = bits % bound
+                    if bits - val + (bound - 1) < (1 << 31):
+                        return val
+
+        words = (
+            "It was the best of times, it was the worst of times, "
+            "it was the age of wisdom, it was the age of foolishness, "
+            "it was the epoch of belief, it was the epoch of incredulity, "
+            "it was the season of Light, it was the season of Darkness, "
+            "it was the spring of hope, it was the winter of despair, "
+            "we had everything before us, we had nothing before us, "
+            "we were all going direct to Heaven, "
+            "we were all going direct the other way"
+        ).split(" ")
+        assert len(words) == 85
         ng = 21_000
-        words = [f"w{i:02d}" for i in range(80)] + [
-            "darkness,", "put", "it", "on", "me",
-        ]
+        r1 = _JavaRandom(1)
+        nums = [r1.next_int(85) for _ in range(ng)]
         gtable = pa.table(
             {
-                "i": rng.randint(-(2**31), 2**31, ng, dtype=np.int64).astype(
-                    np.int32
-                ),
-                "l": rng.randint(-(2**63), 2**63 - 1, ng, dtype=np.int64),
-                "s": pa.array(
-                    np.array(words, dtype=object)[rng.randint(0, 85, ng)],
-                    type=pa.string(),
-                ),
+                "i": pa.array(nums, type=pa.int32()),
+                "l": pa.array([n + 2147483647 for n in nums], type=pa.int64()),
+                "s": pa.array([words[n] for n in nums], type=pa.string()),
             }
         )
         gout = "/tmp/bench_golden.dwrf"
@@ -141,14 +160,13 @@ def main() -> None:
             gtable,
             compression_block_size=10_000,
             row_index_stride=10_000,
-            stripe_rows=5_000,
+            stripe_size=100_000,
         )
         with DwrfFile(gout) as gf:
             data_bytes = sum(s.dataLength for s in gf.footer.stripes)
         extras["golden_data_bytes_per_row"] = round(data_bytes / ng, 2)
-        # the reference's ≈5.8 B/row used Java-Random values we cannot
-        # bit-reproduce; the like-for-like efficiency signal is parquet
-        # (zstd C++ writer) on the IDENTICAL table:
+        # cross-engine signal on the identical table (no C snappy in this
+        # environment, so our file is zlib — parquet gets its default too):
         import pyarrow.parquet as pqw
 
         pqw.write_table(gtable, "/tmp/bench_golden.parquet")
