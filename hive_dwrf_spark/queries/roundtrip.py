@@ -76,6 +76,66 @@ def q17(spark, sf_dir):
 
 
 @query(
+    "streaming_roundtrip",
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS sum_value,
+           count(DISTINCT user_id) AS users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_roundtrip(spark, sf_dir):
+    """End-to-end Structured Streaming through the DWRF format: events ->
+    DWRF dir -> stream source (name-set offsets) -> streaming DWRF sink
+    (one part file per microbatch task, availableNow trigger) -> batch
+    read -> aggregate. Value-transparency of the whole streaming path is
+    what the oracle checks; the aggregation itself is the same plan batch
+    or stream."""
+    import shutil
+
+    from ..sources import register
+    from ..streaming import stream_dwrf_dir
+
+    register(spark)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    src = f"/tmp/hive_dwrf_spark_strm_src_{base}"
+    out = f"/tmp/hive_dwrf_spark_strm_out_{base}"
+    ckpt = f"/tmp/hive_dwrf_spark_strm_ckpt_{base}"
+    for p in (src, out, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    e = load(spark, sf_dir, "events")
+    e.write.format("dwrf").option("path", src).option(
+        "stripe_rows", "12500"
+    ).mode("overwrite").save()
+    q = (
+        stream_dwrf_dir(spark, src)
+        .writeStream.format("dwrf")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.format("dwrf").load(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            # per-value round then exact decimal sum: order-independent, so
+            # Spark's partial-aggregation order can't drift from the oracle
+            F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)")).alias(
+                "sum_value"
+            ),
+            F.count_distinct(F.col("user_id")).alias("users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "q18",
     oracle="""
     SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,

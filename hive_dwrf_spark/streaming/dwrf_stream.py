@@ -56,7 +56,8 @@ class _DwrfStreamReader(SimpleDataSourceStreamReader):
     def _rows_for(self, paths: list[str]):
         # returns a materialized list: Spark pickles the prefetched batch
         # between read() and commit(), so the result must be serializable
-        from ..format.reader import DwrfFile
+        DwrfStreamDataSource._bootstrap()
+        from hive_dwrf_spark.format.reader import DwrfFile
 
         names = [f.name for f in self.schema.fields]
         rows: list[tuple] = []
@@ -87,15 +88,44 @@ class _DwrfStreamReader(SimpleDataSourceStreamReader):
 
 
 class DwrfStreamDataSource(DataSource):
-    """spark.readStream.format("dwrf_stream").option("path", dir)."""
+    """spark.readStream.format("dwrf_stream").option("path", dir).
+
+    Spark's streaming-source planner runs this class in a separate
+    driver-side Python process that does NOT receive the session's pyFiles
+    (unlike executor workers and the batch planner), so the class is
+    registered pickled BY VALUE (stream_dwrf_dir below) and lazily imports
+    the format core through _bootstrap(), which falls back to the import
+    roots recorded at registration time (package dir + shipped zip — both
+    driver-local paths, and this reader is a driver-side component)."""
+
+    #: candidate sys.path roots for importing hive_dwrf_spark in the
+    #: planner subprocess; set at registration, pickled with the class
+    _import_roots: list[str] = []
+
+    @classmethod
+    def _bootstrap(cls) -> None:
+        import importlib
+        import sys
+
+        try:
+            importlib.import_module("hive_dwrf_spark")
+            return
+        except ModuleNotFoundError:
+            pass
+        for root in cls._import_roots:
+            if root and os.path.exists(root) and root not in sys.path:
+                sys.path.insert(0, root)
+        importlib.invalidate_caches()
+        importlib.import_module("hive_dwrf_spark")
 
     @classmethod
     def name(cls) -> str:
         return "dwrf_stream"
 
     def schema(self):
-        from ..sources.dwrf_datasource import _arrow_to_spark_type
-        from ..format.reader import DwrfFile
+        self._bootstrap()
+        from hive_dwrf_spark.format.reader import DwrfFile
+        from hive_dwrf_spark.sources.dwrf_datasource import _arrow_to_spark_type
         from pyspark.sql.types import StructField
 
         files = _dwrf_files(self.options.get("path", ""))
@@ -118,9 +148,20 @@ class DwrfStreamDataSource(DataSource):
 
 def stream_dwrf_dir(spark: SparkSession, path: str) -> DataFrame:
     """Open a DWRF directory as a structured stream."""
-    from ..shipping import ensure_shipped
+    import sys
+
+    from pyspark import cloudpickle
+
+    from ..shipping import _package_zip, ensure_shipped
 
     ensure_shipped(spark)
+    pkg_parent = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    DwrfStreamDataSource._import_roots = [pkg_parent, _package_zip()]
+    # by-value pickling: the streaming planner subprocess can't import this
+    # module by name (no pyFiles there) — ship the code inside the pickle
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(DwrfStreamDataSource)
     return spark.readStream.format("dwrf_stream").option("path", path).load()
 
