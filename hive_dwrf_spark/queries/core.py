@@ -250,10 +250,29 @@ def q08(spark, sf_dir):
     return li.agg(F.countDistinct("l_partkey").alias("cnt_distinct"))
 
 
-@query("q08_approx")  # no oracle on purpose: approx answer
+@query(
+    "q08_approx",
+    # the HLL estimate itself is engine-specific, but its ACCURACY CONTRACT
+    # is checkable: the query emits the exact count plus whether the
+    # estimate landed within the documented ±5% rsd envelope, and the
+    # oracle pins both — if approx_count_distinct ever drifts, this gate
+    # fails rather than silently passing a rows-only check
+    oracle="""
+    SELECT count(DISTINCT l_partkey) AS cnt_exact, true AS within_5pct
+    FROM lineitem
+    """,
+)
 def q08_approx(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
-    return li.agg(F.approx_count_distinct("l_partkey").alias("cnt_approx"))
+    return li.agg(
+        F.countDistinct("l_partkey").alias("cnt_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey") - F.countDistinct("l_partkey")
+            )
+            <= 0.05 * F.countDistinct("l_partkey")
+        ).alias("within_5pct"),
+    )
 
 
 # Q09 — ROLLUP grouping sets.

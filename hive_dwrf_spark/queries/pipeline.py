@@ -673,10 +673,26 @@ def multimodal_frames(spark, sf_dir):
     return multimodal.frame_sample_plan(mm).orderBy("media_id", "frame_index")
 
 
-@query("sim_ivf")  # rows-only: IVF assignment is model-specific
+@query(
+    "sim_ivf",
+    # the KMeans coarse quantizer is model-specific (seeded but float-sum
+    # order can wiggle centroids), so the checkable property is the RECALL
+    # CONTRACT: IVF top-10 with nprobe=4/16 must recover at least half of
+    # the exact top-10. The query emits k and the recall verdict; the
+    # oracle pins them.
+    oracle="""
+    SELECT 10 AS k, true AS recall_ok
+    """,
+)
 def sim_ivf(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(e, "embedding", "vec_id", _query_vector(spark, sf_dir), 10)
+    qv = _query_vector(spark, sf_dir)
+    ivf = similarity.ivf_topk(e, "embedding", "vec_id", qv, 10).select("vec_id")
+    exact = similarity.cosine_topk(e, "embedding", "vec_id", qv, 10).select("vec_id")
+    hits = ivf.join(exact, "vec_id").count()
+    return e.sparkSession.createDataFrame(
+        [(10, hits >= 5)], "k INT, recall_ok BOOLEAN"
+    )
 
 
 @query(
