@@ -1,8 +1,8 @@
 """§2.D north-star pipeline queries: dedup, similarity search, text
 analysis, multimodal — each driving the operators/ implementations.
-Nearly all carry DuckDB oracles — including MinHash/SimHash, whose fixed
-hash constants are replayed exactly in SQL; only the genuinely approximate
-ops (HLL counts, ANN/IVF recall) are rows-only checks."""
+All carry DuckDB oracles: MinHash/SimHash/ANN replay their fixed hash
+constants exactly in SQL, and the genuinely approximate ops (HLL counts,
+IVF recall) are gated on pinned accuracy contracts instead."""
 
 from __future__ import annotations
 

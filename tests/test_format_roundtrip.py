@@ -864,3 +864,57 @@ class TestCaseInsensitiveLookup:
         with DwrfFile(path) as f:
             with pytest.raises(KeyError):
                 f.read(columns=["nope"])
+
+
+class TestCorruptFiles:
+    """Reader behavior on damaged inputs, mirroring the reference's corrupt
+    InStream tests (TestInStream.java) and NotAnORCFileException paths:
+    every failure mode raises a clean Python exception, never garbage data
+    or a hang."""
+
+    def _golden(self, tmp_path):
+        rng = np.random.default_rng(3)
+        table = pa.table(
+            {
+                "i": pa.array(rng.integers(0, 50, 5000).astype(np.int32)),
+                "s": pa.array([f"v{x}" for x in rng.integers(0, 30, 5000)]),
+            }
+        )
+        path = str(tmp_path / "c.dwrf")
+        write_arrow_table(path, table)
+        return path
+
+    def test_truncated_tail_rejected(self, tmp_path):
+        path = self._golden(tmp_path)
+        data = open(path, "rb").read()
+        for cut in (1, 10, len(data) // 2):
+            trunc = str(tmp_path / f"t{cut}.dwrf")
+            open(trunc, "wb").write(data[:-cut])
+            with pytest.raises(Exception) as ei:
+                with DwrfFile(trunc) as f:
+                    f.read()
+            assert not isinstance(ei.value, (SystemExit, KeyboardInterrupt))
+
+    def test_corrupt_footer_rejected(self, tmp_path):
+        # DWRF blocks carry no checksums (neither here nor in the
+        # reference), so *data* bit-flips are not deterministically
+        # detectable — but corrupt METADATA (footer/postscript region)
+        # must always raise a clean error, never parse as garbage
+        path = self._golden(tmp_path)
+        data = bytearray(open(path, "rb").read())
+        ps_len = data[-1]
+        for off in range(len(data) - 1 - ps_len - 40, len(data) - 1):
+            data[off] ^= 0xA5
+        bad = str(tmp_path / "bad.dwrf")
+        open(bad, "wb").write(bytes(data))
+        with pytest.raises(Exception) as ei:
+            with DwrfFile(bad) as f:
+                f.read()
+        assert not isinstance(ei.value, (SystemExit, KeyboardInterrupt))
+
+    def test_empty_file_rejected(self, tmp_path):
+        empty = str(tmp_path / "e.dwrf")
+        open(empty, "wb").close()
+        with pytest.raises(Exception):
+            with DwrfFile(empty) as f:
+                f.read()
