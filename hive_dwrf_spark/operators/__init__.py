@@ -10,6 +10,7 @@ bucketed/banded keys, Python only in Arrow-batched pandas UDFs)."""
 from . import (  # noqa: F401
     asof,
     bucketing,
+    curation,
     dedup,
     layout,
     multimodal,

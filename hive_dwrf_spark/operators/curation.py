@@ -1,0 +1,59 @@
+"""Composed training-data curation pass: quality gate -> exact near-dup
+removal -> deterministic downsample, as ONE declarative DataFrame flow.
+
+This is the shape a 100 TB pre-training pipeline actually runs, and the
+composition matters as much as the pieces: everything before the dedup
+window is a pure per-row projection/filter (stays in the scan's
+whole-stage codegen — no shuffle, no UDF), so the only shuffle in the
+whole pass is the dedup hash-partition on the fingerprint, and the final
+sample is again a shuffle-free filter. Cost at scale: one pass over the
+corpus plus one fingerprint-keyed exchange of (id, fingerprint) pairs.
+
+Every step is hash-deterministic (md5 content fingerprints, keyed-md5
+sampling), so re-running the pass over a grown corpus keeps previous
+decisions for unchanged rows — the property that makes incremental
+backfills sane — and the whole pipeline is replayable in ANSI SQL for the
+correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import _hash64
+
+
+def curate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 20,
+    sample_fraction: float = 0.5,
+) -> DataFrame:
+    """Quality-gate, dedup, and downsample a document corpus.
+
+    1. quality gate: at least `min_words` whitespace words (JVM expression);
+    2. exact content dedup: md5 of whitespace-normalized lowercase text,
+       deterministic keep-smallest-id winner per fingerprint;
+    3. deterministic sample of `sample_fraction` keyed on the id.
+
+    Returns (id, fingerprint, n_words) for the surviving rows.
+    """
+    words = F.split(F.lower(F.col(text_col)), " ")
+    n_words = F.size(F.filter(words, lambda w: w != ""))
+    fingerprint = F.md5(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    threshold = int(sample_fraction * float(1 << 64))
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    return (
+        df.select(
+            F.col(id_col),
+            fingerprint.alias("fingerprint"),
+            n_words.alias("n_words"),
+        )
+        .filter(F.col("n_words") >= min_words)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .filter(_hash64(F.col(id_col)) < F.lit(str(threshold)).cast("decimal(20,0)"))
+    )

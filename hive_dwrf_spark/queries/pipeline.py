@@ -315,6 +315,44 @@ def sample_stratified(spark, sf_dir):
     )
 
 
+_CURATE_THRESHOLD = int(0.5 * float(1 << 64))
+
+
+@query(
+    "pipeline_curate",
+    # the full curation pass replayed: word-count quality gate ->
+    # fingerprint dedup with keep-smallest-id winner -> keyed-md5 sample.
+    # Every stage is hash-deterministic, so the oracle is exact.
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+             len(list_filter(string_split(lower(text), ' '),
+                             w -> w <> '')) AS n_words
+      FROM documents
+    ), kept AS (
+      SELECT doc_id, fingerprint, n_words,
+             row_number() OVER (PARTITION BY fingerprint
+                                ORDER BY doc_id) AS rn
+      FROM feat
+      WHERE n_words >= 20
+    )
+    SELECT doc_id, fingerprint, CAST(n_words AS INTEGER) AS n_words
+    FROM kept
+    WHERE rn = 1
+      AND md5_number_upper(CAST(doc_id AS VARCHAR)) < {_CURATE_THRESHOLD}
+    ORDER BY doc_id
+    """,
+)
+def pipeline_curate(spark, sf_dir):
+    from ..operators import curation
+
+    d = load(spark, sf_dir, "documents")
+    return curation.curate(
+        d, "text", "doc_id", min_words=20, sample_fraction=0.5
+    ).orderBy("doc_id")
+
+
 # --- similarity search --------------------------------------------------------
 
 
