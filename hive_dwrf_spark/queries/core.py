@@ -73,14 +73,18 @@ def q01(spark, sf_dir):
     oracle="""
     SELECT l_orderkey, l_quantity
     FROM lineitem
-    ORDER BY l_orderkey, l_linenumber
+    ORDER BY l_orderkey, l_linenumber, l_quantity
     LIMIT 100
     """,
 )
 def q02(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     return (
-        li.orderBy("l_orderkey", "l_linenumber")
+        # (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+        # (duplicate pairs with different payloads exist, one right at this
+        # query's old LIMIT cut) — extend the sort to a total order so the
+        # row at the cut is deterministic across engines and runs
+        li.orderBy("l_orderkey", "l_linenumber", "l_quantity")
         .select("l_orderkey", "l_quantity")
         .limit(100)
     )
@@ -506,19 +510,22 @@ def q15(spark, sf_dir):
            round(l_extendedprice * l_tax, 2) AS tax_amt,
            CASE WHEN l_discount > 0.05 THEN 'hi' ELSE 'lo' END AS disc_class
     FROM lineitem
-    ORDER BY l_orderkey, l_linenumber
+    ORDER BY l_orderkey, l_linenumber, tax_amt, disc_class
     LIMIT 100
     """,
 )
 def q16(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     return (
-        li.orderBy("l_orderkey", "l_linenumber")
-        .select(
+        li.select(
             "l_orderkey",
+            "l_linenumber",
             F.round(F.col("l_extendedprice") * F.col("l_tax"), 2).alias("tax_amt"),
             F.when(F.col("l_discount") > 0.05, "hi").otherwise("lo").alias("disc_class"),
         )
+        # duplicate (l_orderkey, l_linenumber) pairs exist — total order
+        .orderBy("l_orderkey", "l_linenumber", "tax_amt", "disc_class")
+        .select("l_orderkey", "tax_amt", "disc_class")
         .limit(100)
     )
 

@@ -117,7 +117,7 @@ def q23_window_analytic(spark, sf_dir):
                  [CAST(l_quantity AS BIGINT), l_orderkey % 7,
                   CAST(l_linenumber AS BIGINT)] AS arr
           FROM lineitem) t
-    ORDER BY l_orderkey, l_linenumber
+    ORDER BY l_orderkey, l_linenumber, first_elem
     LIMIT 200
     """,
 )
@@ -142,7 +142,11 @@ def q24_array(spark, sf_dir):
                 lambda acc, x: acc + x,
             ).alias("doubled_sum"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
+        # duplicate (l_orderkey, l_linenumber) pairs exist in the synthetic
+        # data; first_elem (= l_quantity) totalizes the order — if it ties
+        # too, every output column of the twins is equal, so the cut row is
+        # value-deterministic either way
+        .orderBy("l_orderkey", "l_linenumber", "first_elem")
         .limit(200)
     )
 

@@ -42,7 +42,7 @@ def _roundtrip(spark, df, tag: str, sf_dir: str):
            l_quantity AS qty, l_returnflag AS flag,
            l_extendedprice AS arr0, l_tax AS m_tax
     FROM lineitem
-    ORDER BY k, ln
+    ORDER BY k, ln, qty, arr0, m_tax, flag
     LIMIT 100
     """,
 )
@@ -70,7 +70,10 @@ def q17(spark, sf_dir):
             F.element_at("arr", 1).alias("arr0"),
             F.element_at("m", "tax").alias("m_tax"),
         )
-        .orderBy("k", "ln")
+        # total order: the synthetic lineitem has duplicate (k, ln) pairs
+        # (one lands exactly on the LIMIT boundary at sf0.01), so a partial
+        # sort key made the row at the cut nondeterministic across engines
+        .orderBy("k", "ln", "qty", "arr0", "m_tax", "flag")
         .limit(100)
     )
 

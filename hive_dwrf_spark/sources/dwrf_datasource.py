@@ -268,6 +268,11 @@ class DwrfReader(DataSourceReader):
         self.schema = schema
         columns_opt = options.get("columns")
         self.columns = columns_opt.split(",") if columns_opt else None
+        self._merge = str(options.get("mergeSchema", "false")).lower() in (
+            "true",
+            "1",
+            "yes",
+        )
         self._filters: list[tuple] = []
         # partition columns are those in the (possibly pruned) schema that
         # come from hive-style key=value directories, not from file data
@@ -336,7 +341,29 @@ class DwrfReader(DataSourceReader):
         file_columns = self.columns
         if file_columns is not None:
             file_columns = [c for c in file_columns if c not in self._part_fields]
+        missing: list = []
         with DwrfFile(partition.path) as f:
+            if self._merge:
+                # schema evolution: this file may predate newer columns —
+                # read what it has, null-fill the rest after decode
+                present = {fl.name.lower() for fl in f.schema}
+                want = file_columns
+                if want is None:
+                    want = [
+                        fl.name
+                        for fl in self.schema.fields
+                        if fl.name not in self._part_fields
+                    ]
+                file_columns = [
+                    c for c in want if c.partition(".")[0].lower() in present
+                ]
+                missing = [
+                    fl
+                    for fl in self.schema.fields
+                    if fl.name not in self._part_fields
+                    and fl.name.lower() not in present
+                    and fl.name in want
+                ]
             table = f.read_stripe(
                 partition.stripe_index,
                 columns=file_columns,
@@ -344,6 +371,11 @@ class DwrfReader(DataSourceReader):
             )
         if table is None:
             return
+        for fld in missing:
+            table = table.append_column(
+                fld.name,
+                pa.nulls(table.num_rows, type=_spark_to_arrow_type(fld.dataType)),
+            )
         # Spark cannot consume ns timestamps; truncate to us at the edge
         fields = []
         changed = False
@@ -564,14 +596,33 @@ class DwrfDataSource(DataSource):
         if not path:
             raise ValueError("dwrf source requires a path")
         files = _list_dwrf_files(path)
-        with DwrfFile(files[0]) as f:
-            fields = [
-                StructField(
-                    f.schema.field(i).name,
-                    _arrow_to_spark_type(f.schema.field(i).type),
-                )
-                for i in range(len(f.schema))
-            ]
+        merge = str(self.options.get("mergeSchema", "false")).lower() in (
+            "true",
+            "1",
+            "yes",
+        )
+        fields: list[StructField] = []
+        seen: dict[str, StructField] = {}
+        # without mergeSchema the first footer defines the schema (cheap —
+        # O(1) footers); with it, union fields by name across every footer
+        # in first-seen order, requiring type agreement. Planning stays
+        # O(footers), the same bound as partitions().
+        for fp in files if merge else files[:1]:
+            with DwrfFile(fp) as f:
+                for i in range(len(f.schema)):
+                    fld = StructField(
+                        f.schema.field(i).name,
+                        _arrow_to_spark_type(f.schema.field(i).type),
+                    )
+                    prev = seen.get(fld.name.lower())
+                    if prev is None:
+                        seen[fld.name.lower()] = fld
+                        fields.append(fld)
+                    elif prev.dataType != fld.dataType:
+                        raise ValueError(
+                            f"mergeSchema type conflict for {fld.name!r}: "
+                            f"{prev.dataType} vs {fld.dataType} in {fp}"
+                        )
         # hive-style partition columns from directory layout, appended after
         # data columns (Spark's convention for partitioned sources)
         part_cols: dict[str, list[str]] = {}

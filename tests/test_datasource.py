@@ -241,3 +241,71 @@ def test_stride_dictionaries_option_roundtrip(dwrf_spark, tmp_path):
     got = back.filter("k % 5 = 0").selectExpr("sum(CAST(substr(s, 8) AS BIGINT))").collect()[0][0]
     exp = df.filter("k % 5 = 0").selectExpr("sum(k)").collect()[0][0]
     assert got == exp
+
+
+class TestMergeSchema:
+    """Schema evolution across files (mergeSchema option): union-by-name,
+    null-fill for columns a file predates, type conflicts rejected."""
+
+    def test_union_and_null_fill(self, spark, tmp_path):
+        import pyarrow as pa
+
+        from hive_dwrf_spark.format import write_arrow_table
+        from hive_dwrf_spark.sources import register
+
+        register(spark)
+        d = str(tmp_path / "evolved")
+        import os
+
+        os.makedirs(d)
+        write_arrow_table(
+            f"{d}/old.dwrf",
+            pa.table({"a": pa.array([1, 2], pa.int64())}),
+        )
+        write_arrow_table(
+            f"{d}/new.dwrf",
+            pa.table(
+                {
+                    "a": pa.array([3], pa.int64()),
+                    "b": pa.array(["x"], pa.string()),
+                }
+            ),
+        )
+        df = (
+            spark.read.format("dwrf")
+            .option("mergeSchema", "true")
+            .load(d)
+        )
+        assert set(df.columns) == {"a", "b"}
+        rows = {(r.a, r.b) for r in df.collect()}
+        assert rows == {(1, None), (2, None), (3, "x")}
+        # filter on the evolved column: files lacking it can't prune it away
+        assert df.filter(df.b == "x").count() == 1
+        # projection of only the evolved column still reads the old file
+        assert df.select("b").count() == 3
+        # without the option, first footer wins (alphabetical listing: new)
+        plain = spark.read.format("dwrf").load(d)
+        assert set(plain.columns) == {"a", "b"}
+
+    def test_type_conflict_rejected(self, spark, tmp_path):
+        import pyarrow as pa
+
+        from hive_dwrf_spark.format import write_arrow_table
+        from hive_dwrf_spark.sources import register
+
+        register(spark)
+        d = str(tmp_path / "conflict")
+        import os
+
+        os.makedirs(d)
+        write_arrow_table(f"{d}/f1.dwrf", pa.table({"a": pa.array([1], pa.int64())}))
+        write_arrow_table(f"{d}/f2.dwrf", pa.table({"a": pa.array(["s"], pa.string())}))
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="type conflict|PYTHON_DATA_SOURCE"):
+            (
+                spark.read.format("dwrf")
+                .option("mergeSchema", "true")
+                .load(d)
+                .collect()
+            )
