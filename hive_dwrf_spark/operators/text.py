@@ -106,3 +106,57 @@ def detect_language(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     from .util import spread
 
     return spread(df).select(F.col(id_col), lang(F.col(text_col)).alias("lang_pred"))
+
+
+def word_ngrams(df: DataFrame, text_col: str, id_col: str, n: int = 8) -> DataFrame:
+    """Explode each document into its word n-grams (space-joined), all
+    JVM-side: split -> sequence of start offsets -> slice+join -> explode.
+    One narrow projection, no UDF; at 100 TB this stays inside the scan's
+    codegen and the downstream shuffle carries only (id, gram)."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
+    # guard short docs explicitly: sequence(1, 0) infers step -1 in Spark
+    # (it returns [1, 0], not empty), so an unguarded expression would emit
+    # truncated "n-grams" for documents shorter than n words
+    starts = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(starts, lambda i: F.array_join(F.slice(words, i, n), " "))
+    return df.select(F.col(id_col), F.explode(grams).alias("gram"))
+
+
+def ngram_contamination(
+    df: DataFrame,
+    bench_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Train/test decontamination: flag documents sharing any word n-gram
+    with a benchmark corpus.
+
+    The benchmark side is distinct n-grams only (tiny next to the corpus —
+    eval sets are MBs, corpora are TBs), so it broadcasts and the whole
+    check is one scan over the corpus with a broadcast semi-join: no
+    shuffle of corpus data at all. Returns (id, n_contaminated_ngrams,
+    contaminated) for every input document.
+    """
+    doc_grams = word_ngrams(df, text_col, id_col, n)
+    bench_grams = word_ngrams(
+        bench_df, text_col, "__bench_id" if id_col == "__bench_id" else id_col
+    ).select("gram").distinct()
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_contaminated_ngrams"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_contaminated_ngrams", F.lit(0)).alias(
+                "n_contaminated_ngrams"
+            ),
+            F.col("n_contaminated_ngrams").isNotNull().alias("contaminated"),
+        )
+    )

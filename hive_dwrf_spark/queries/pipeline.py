@@ -315,6 +315,49 @@ def sample_stratified(spark, sf_dir):
     )
 
 
+@query(
+    "text_decontaminate",
+    # train/test decontamination: documents sharing any word 8-gram with
+    # the "benchmark" slice (doc_id < 10) are flagged. All JVM-side in the
+    # engine (split -> slice -> explode -> broadcast semi-join); the oracle
+    # replays the same n-gram generation with list_slice
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, ws,
+             unnest(generate_series(1, len(ws) - 7)) AS i
+      FROM words
+    ), grams AS (
+      SELECT doc_id, array_to_string(list_slice(ws, i, i + 7), ' ') AS gram
+      FROM pos
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id < 10
+    ), hits AS (
+      SELECT g.doc_id, count(DISTINCT g.gram) AS n_contaminated_ngrams
+      FROM grams g JOIN bench b ON g.gram = b.gram
+      WHERE g.doc_id >= 10
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(h.n_contaminated_ngrams, 0) AS n_contaminated_ngrams,
+           h.n_contaminated_ngrams IS NOT NULL AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id >= 10
+    ORDER BY d.doc_id
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 10)
+    corpus = d.filter(F.col("doc_id") >= 10)
+    return text.ngram_contamination(corpus, bench, "text", "doc_id").orderBy(
+        "doc_id"
+    )
+
+
 _CURATE_THRESHOLD = int(0.5 * float(1 << 64))
 
 

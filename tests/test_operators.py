@@ -377,3 +377,31 @@ def test_stratified_take_exact_k(spark):
     # small stratum: returns all of it, not an error
     tiny = df.filter(F.col("k") < 5)
     assert stratified_take(tiny, ["g"], 7, ["k"]).count() == 5
+
+
+def test_ngram_contamination(spark):
+    from pyspark.sql import functions as F
+
+    from hive_dwrf_spark.operators.text import ngram_contamination, word_ngrams
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix the quick brown fox jumps over the lazy dog suffix"),
+            (2, "completely different words in this one entirely now ok"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_contaminated_ngrams, r.contaminated)
+        for r in ngram_contamination(corpus, bench, "text", "doc_id").collect()
+    }
+    assert got[1][1] is True and got[1][0] >= 1
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+    # short docs emit NO truncated grams (sequence(1,0) pitfall)
+    assert word_ngrams(corpus.filter("doc_id = 3"), "text", "doc_id").count() == 0

@@ -213,3 +213,49 @@ def test_stream_write_dwrf_sink(spark, tmp_path):
         assert logged == on_disk
     finally:
         q.stop()
+
+
+def test_stream_source_works_from_foreign_cwd(tmp_path):
+    """Regression: Spark's streaming-source planner subprocess receives no
+    session pyFiles, so running the stream from a cwd outside the repo used
+    to fail to unpickle the DataSource (ModuleNotFoundError). The class is
+    now registered by value with an import-root bootstrap."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = textwrap.dedent(
+        f"""
+        import sys, os
+        sys.path.insert(0, {repo!r})
+        import pyarrow as pa, numpy as np
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        spark.sparkContext.setLogLevel("ERROR")
+        from hive_dwrf_spark.format import write_arrow_table
+        from hive_dwrf_spark.streaming import stream_dwrf_dir
+        src = os.path.join({str(tmp_path)!r}, "src")
+        os.makedirs(src)
+        write_arrow_table(os.path.join(src, "f1.dwrf"),
+                          pa.table({{"k": pa.array(np.arange(25))}}))
+        s = stream_dwrf_dir(spark, src)
+        q = (s.writeStream.format("memory").queryName("fcwd")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(90)
+        n = spark.sql("select count(*) c from fcwd").collect()[0].c
+        assert n == 25, n
+        print("OK", n)
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd="/tmp",  # NOT the repo
+        capture_output=True,
+        text=True,
+        timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "OK 25" in proc.stdout
