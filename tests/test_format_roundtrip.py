@@ -918,3 +918,23 @@ class TestCorruptFiles:
         with pytest.raises(Exception):
             with DwrfFile(empty) as f:
                 f.read()
+
+
+def test_no_index_mode(tmp_path):
+    """rowIndexStride=0 writes no ROW_INDEX streams and remains fully
+    readable including random access (OrcFile.java:117 legal no-index mode;
+    reference test TestOrcFile.java:954)."""
+    n = 25_000
+    table = pa.table(
+        {"i": pa.array(np.arange(n)), "s": pa.array([f"x{i % 9}" for i in range(n)])}
+    )
+    path = str(tmp_path / "noidx.dwrf")
+    write_arrow_table(path, table, row_index_stride=0, stripe_rows=10_000)
+    with DwrfFile(path) as f:
+        assert f.footer.rowIndexStride in (0, None)
+        got = f.read()
+        assert got.column("i").to_pylist() == list(range(n))
+        rr = f.read_rows(12_345, 4)
+        assert rr.column("i").to_pylist() == [12345, 12346, 12347, 12348]
+        # stride pruning silently degrades to no pruning (stats absent)
+        assert f.read(filters=[("i", "gt", 24_000)]).num_rows >= 999
