@@ -89,12 +89,16 @@ def minhash_signatures(
             out.append(sig.tolist())
         return pd.Series(out)
 
-    # no spread() here: measured twice (interleaved A/B, warm workers) —
-    # signature materialization alone is 2x faster when widened, but the
-    # full pipeline (persist + banding + verify over the widened cache) is
-    # ~10% slower, so the narrow input wins end-to-end. At real scale the
-    # input is already wide and the question disappears.
-    return df.select(id_col, minhash(F.col(text_col)).alias("minhash"))
+    # capped spread: the vectorized kernel saturates ~8 cores, and wider
+    # partitionings make every downstream consumer of the persisted
+    # signatures (banding, both verify-join sides) pay per-task overhead —
+    # measured end-to-end fastest at width 8, slower at full width. At real
+    # scale the input is already wide and this is a no-op.
+    from .util import spread
+
+    return spread(df, cap=8).select(
+        id_col, minhash(F.col(text_col)).alias("minhash")
+    )
 
 
 def lsh_candidate_pairs(

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def spread(df: DataFrame) -> DataFrame:
+def spread(df: DataFrame, cap: int | None = None) -> DataFrame:
     """Widen a narrow scan so a Python-UDF stage uses every core.
 
     A small parquet file arrives as ONE input partition; any pandas UDF
@@ -15,9 +15,17 @@ def spread(df: DataFrame) -> DataFrame:
     the narrow input, trivially cheap next to the UDF it parallelizes. At
     real scale the input already has >= parallelism partitions and this is
     a metadata-only no-op (no shuffle added).
+
+    ``cap`` bounds the widening for stages whose DOWNSTREAM consumers pay
+    per-task overhead on the widened partitioning: a vectorized UDF
+    saturates a few cores, and every extra partition costs fixed task
+    overhead in each later stage that reads it (measured: minhash end-to-
+    end is fastest widened to ~8, slower at full 32).
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    if cap is not None:
+        target = min(cap, target)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
