@@ -57,6 +57,9 @@ HEADLINE = [
     "text_tokens_top",
     "text_quality",
     "multimodal_decode",
+    "sample_fraction",
+    "pipeline_curate",
+    "text_decontaminate",
 ]
 
 

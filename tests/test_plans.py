@@ -1,0 +1,70 @@
+"""Physical-plan shape assertions: the optimizations SCALE.md claims are
+pinned here so a regression in query construction (a lost broadcast hint, a
+UDF blocking pushdown, an accidental cartesian) fails tests, not the bench.
+"""
+
+from __future__ import annotations
+
+from .conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _queries():
+    from hive_dwrf_spark.queries import load_registry
+
+    qs, _ = load_registry()
+    return qs
+
+
+def test_q02_projection_reaches_parquet_scan(spark):
+    plan = _plan(_queries()["q02"](spark, SF_SMOKE))
+    # the scan must read only the 3 referenced columns of the 16-column table
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.partition(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_linenumber", "l_quantity"}, cols
+
+
+def test_q01_filter_pushed_to_scan(spark):
+    plan = _plan(_queries()["q01"](spark, SF_SMOKE))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q04_broadcasts_and_streams_the_fact_table(spark):
+    plan = _plan(_queries()["q04"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # lineitem is never a build side: its scan must appear before the first
+    # join's build subtree in the streamed position (probe side listed first)
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_q12_topk_avoids_global_sort(spark):
+    plan = _plan(_queries()["q12"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_deterministic_sample_stays_in_scan_stage(spark):
+    plan = _plan(_queries()["sample_fraction"](spark, SF_SMOKE))
+    # the sampling filter itself adds no shuffle: the only exchange in this
+    # query is the final presentation ORDER BY
+    assert plan.count("Exchange") <= 2
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    plan = _plan(_queries()["text_decontaminate"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_curate_single_data_shuffle(spark):
+    plan = _plan(_queries()["pipeline_curate"](spark, SF_SMOKE))
+    # window (dedup) exchange + presentation sort; the gate and sample are
+    # per-row filters that must not add exchanges
+    assert plan.count("Exchange") <= 4
+    assert "Window" in plan
