@@ -938,3 +938,31 @@ def test_no_index_mode(tmp_path):
         assert rr.column("i").to_pylist() == [12345, 12346, 12347, 12348]
         # stride pruning silently degrades to no pruning (stats absent)
         assert f.read(filters=[("i", "gt", 24_000)]).num_rows >= 999
+
+
+def test_cross_block_seeks(tmp_path):
+    """Engineered tiny compression blocks (TestOrcFile.java:266-344 analog):
+    every stream spans many compressed blocks, so random access exercises
+    the (block offset, in-block offset) seek arithmetic at every boundary."""
+    n = 20_000
+    rng = np.random.default_rng(11)
+    table = pa.table(
+        {
+            "i": pa.array(rng.integers(0, 1_000_000, n)),
+            "s": pa.array([f"value-{int(x)}" for x in rng.integers(0, 5000, n)]),
+        }
+    )
+    path = str(tmp_path / "blocks.dwrf")
+    write_arrow_table(
+        path, table, compression_block_size=256, stripe_rows=8_000
+    )
+    want_i = table.column("i").to_pylist()
+    want_s = table.column("s").to_pylist()
+    with DwrfFile(path) as f:
+        got = f.read()
+        assert got.column("i").to_pylist() == want_i
+        assert got.column("s").to_pylist() == want_s
+        for off in (0, 1, 255, 256, 257, 7_999, 8_000, 8_001, 13_579, n - 3):
+            rr = f.read_rows(off, 3)
+            assert rr.column("i").to_pylist() == want_i[off : off + 3], off
+            assert rr.column("s").to_pylist() == want_s[off : off + 3], off
