@@ -139,8 +139,15 @@ def ngram_contamination(
     check is one scan over the corpus with a broadcast semi-join: no
     shuffle of corpus data at all. Returns (id, n_contaminated_ngrams,
     contaminated) for every input document.
+
+    The corpus side is spread() first: gram expansion is higher-order
+    array expressions (interpreted, not codegen), so a narrow scan would
+    run it effectively single-threaded (measured 5x slower at bench
+    scale). At real scale the input is already wide and spread is a no-op.
     """
-    doc_grams = word_ngrams(df, text_col, id_col, n)
+    from .util import spread
+
+    doc_grams = word_ngrams(spread(df), text_col, id_col, n)
     bench_grams = word_ngrams(
         bench_df, text_col, "__bench_id" if id_col == "__bench_id" else id_col
     ).select("gram").distinct()
