@@ -107,6 +107,28 @@ def decode_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.select("media_id", payload_col).mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_plan(df: DataFrame, max_side: int = 32) -> DataFrame:
+    """Image resize *plan*: computes aspect-preserving target dimensions for
+    a thumbnail pass (the pixel resample itself is decoder territory and
+    stays stubbed, like decode). Pure integer column arithmetic — exact and
+    engine-replayable: out_w = w * max_side DIV max(w, h), floored at 1.
+
+    Runs on the decode_features() output (media_id, width, height, ...)."""
+    return df.select(
+        "media_id",
+        "width",
+        "height",
+        F.greatest(
+            F.expr(f"(width * {max_side}) DIV greatest(width, height)"),
+            F.lit(1),
+        ).cast("int").alias("out_w"),
+        F.greatest(
+            F.expr(f"(height * {max_side}) DIV greatest(width, height)"),
+            F.lit(1),
+        ).cast("int").alias("out_h"),
+    )
+
+
 def frame_sample_plan(
     df: DataFrame, every_n: int = 30, max_frames: int = 8
 ) -> DataFrame:

@@ -527,3 +527,146 @@ def q34_not_in(spark, sf_dir):
                                 WHERE c_acctbal > 9000)
         """
     )
+
+
+@query(
+    "q35_sessionize",
+    # gap-based sessionization replayed with lag + running-sum session ids;
+    # Spark's session_window merges events whose gap to the previous event
+    # is strictly under 30 minutes — exactly `ts >= prev + 30min` starting
+    # a new session in the replay
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), flags AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flags
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def q35_sessionize(spark, sf_dir):
+    """Gap-based sessionization via Spark's native session_window operator
+    (dynamic-gap session windows; the same construct works unchanged under
+    Structured Streaming with a watermark). One shuffle on user_id."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "q36_pivot",
+    # pivot on the two l_linestatus values; quantities are integral doubles
+    # so the bigint cast is exact in both engines
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS "F",
+           CAST(sum(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS "O"
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q36_pivot(spark, sf_dir):
+    """Pivot (wide aggregation): explicit value list so the plan is a single
+    pass — no extra distinct-values job, stable column order at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("bigint")))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q37_maxby",
+    # max_by/min_by with a (ts, event_id) struct ordering == row_number over
+    # the same DESC/ASC sort in the replay (total order, so ties cannot
+    # make the winner nondeterministic)
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ), earliest AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP) ASC,
+                                         event_id ASC) AS rn
+      FROM events
+    )
+    SELECT l.user_id, l.event_id AS last_event_id, l.ts AS last_ts,
+           e.event_id AS first_event_id
+    FROM latest l JOIN earliest e
+      ON l.user_id = e.user_id AND l.rn = 1 AND e.rn = 1
+    ORDER BY l.user_id
+    """,
+)
+def q37_maxby(spark, sf_dir):
+    """Latest/earliest record per key via max_by/min_by with struct ordering
+    (the SCD-style 'current row per entity' pattern): one hash aggregate, no
+    window sort — at scale this beats row_number-filtering by avoiding the
+    per-partition sort entirely."""
+    e = load(spark, sf_dir, "events")
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.max_by("event_id", order).alias("last_event_id"),
+            F.max("ts").alias("last_ts"),
+            F.min_by("event_id", order).alias("first_event_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q38_string_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+             AS statuses,
+           count(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q38_string_agg(spark, sf_dir):
+    """Ordered string aggregation (listagg shape): collect_set -> sort ->
+    join keeps the result order-insensitive to partitioning, so the same
+    plan is deterministic on any cluster layout."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderstatus")), ","
+            ).alias("statuses"),
+            F.count_distinct(F.col("o_orderstatus")).alias("n_statuses"),
+        )
+        .orderBy("o_orderpriority")
+    )

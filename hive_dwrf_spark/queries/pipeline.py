@@ -809,3 +809,138 @@ def asof_join_q(spark, sf_dir):
         .orderBy("event_id")
         .limit(500)
     )
+
+
+@query(
+    "range_join",
+    oracle="""
+    SELECT c.c_custkey, s.s_suppkey
+    FROM customer c JOIN supplier s
+      ON c.c_acctbal BETWEEN s.s_acctbal - 10.0 AND s.s_acctbal + 10.0
+    ORDER BY c_custkey, s_suppkey
+    """,
+)
+def range_join_q(spark, sf_dir):
+    """Point-in-interval join via bucketed equi-join
+    (operators/rangejoin.py): Spark would otherwise plan the bare BETWEEN
+    as a broadcast nested-loop; bucketing turns it into one shuffled
+    equi-join plus a residual, which is the only shape that scales when
+    neither side broadcasts."""
+    from ..operators.rangejoin import point_in_interval_join
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") - 10.0).alias("lo"),
+        (F.col("s_acctbal") + 10.0).alias("hi"),
+    )
+    joined = point_in_interval_join(
+        c, s, "c_acctbal", "lo", "hi", bucket_width=20.0
+    )
+    return joined.select("c_custkey", "s_suppkey").orderBy(
+        "c_custkey", "s_suppkey"
+    )
+
+
+@query(
+    "skew_agg",
+    # the salted two-phase aggregate must be value-identical to the plain
+    # GROUP BY (integer measures, so partial/final composition is exact)
+    oracle="""
+    SELECT l_returnflag, count(*) AS cnt,
+           sum(CAST(l_quantity AS BIGINT)) AS total_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def skew_agg_q(spark, sf_dir):
+    """Salted two-phase aggregation (operators/skew.py) over lineitem's
+    3-value l_returnflag — a genuinely skewed key set where single-reducer
+    hot keys would stall a plain groupBy at scale. The oracle is the plain
+    GROUP BY: salting must never change results."""
+    from ..operators.skew import salted_aggregate
+
+    li = load(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        [
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("s"),
+        ],
+        [F.sum("c").alias("cnt"), F.sum("s").alias("total_qty")],
+    )
+    return out.orderBy("l_returnflag")
+
+
+@query(
+    "text_df",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      w -> w <> '')) AS tok
+            FROM documents) t
+    )
+    SELECT tok, count(*) AS df
+    FROM toks
+    GROUP BY tok
+    ORDER BY df DESC, tok
+    LIMIT 50
+    """,
+)
+def text_df_q(spark, sf_dir):
+    """Document frequency (the exact half of TF-IDF): per-doc distinct
+    tokens via array_distinct BEFORE the explode — the shuffle then carries
+    each (doc, token) once, not once per occurrence."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+            )
+        ).alias("tok"),
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), "tok")
+        .limit(50)
+    )
+
+
+_MM_RESIZE_ORACLE = f"""
+    WITH p AS (
+      SELECT doc_id AS media_id, sha256(text) AS h
+      FROM documents
+    ), dims AS (
+      SELECT media_id,
+             16 + {_sha_byte(0)} % 64 AS width,
+             16 + {_sha_byte(1)} % 64 AS height
+      FROM p
+    )
+    SELECT media_id, width, height,
+           CAST(greatest((width * 32) // greatest(width, height), 1)
+                AS INTEGER) AS out_w,
+           CAST(greatest((height * 32) // greatest(width, height), 1)
+                AS INTEGER) AS out_h
+    FROM dims
+    ORDER BY media_id
+"""
+
+
+@query("multimodal_resize", oracle=_MM_RESIZE_ORACLE)
+def multimodal_resize(spark, sf_dir):
+    """Aspect-preserving thumbnail dimensions over the decoded metadata
+    (operators/multimodal.py::resize_plan). Integer arithmetic only, so the
+    oracle replays it exactly from the same sha-derived dims as
+    multimodal_decode."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "UTF-8").cast("binary")
+    )
+    mm = multimodal.attach_metadata(d, "payload", "image", "doc_id")
+    feats = multimodal.decode_features(mm)
+    return multimodal.resize_plan(feats).orderBy("media_id")
