@@ -388,8 +388,9 @@ def decode_int_rle(buf: np.ndarray, count: int, signed: bool, pos: int = 0):
     delta_all = buf[np.minimum(C + 1, n_bytes - 1)].astype(np.int64)
     delta_all = np.where(delta_all >= 128, delta_all - 256, delta_all)
 
-    cnt_l = cnt_all.tolist()
-    next_l = next_idx.tolist()
+    # group walk touches only ~count/128 entries; index the numpy arrays
+    # directly (a full .tolist() of the per-candidate arrays costs more
+    # than the walk itself on literal-heavy streams)
     starts: list[int] = []
     got = 0
     i = 0
@@ -398,8 +399,8 @@ def decode_int_rle(buf: np.ndarray, count: int, signed: bool, pos: int = 0):
         if i >= limit:
             raise ValueError("RLE stream truncated")
         starts.append(i)
-        got += cnt_l[i]
-        i = next_l[i]
+        got += int(cnt_all[i])
+        i = int(next_idx[i])
     if got != count:
         raise ValueError(f"RLE stream yielded {got} values, expected {count}")
 
@@ -414,16 +415,29 @@ def decode_int_rle(buf: np.ndarray, count: int, signed: bool, pos: int = 0):
     b = term[end_t] + 1
     pos = int(b[-1]) if len(b) else pos
 
-    # one vectorized varint decode over the concatenated payload regions
+    # one vectorized varint decode over the concatenated payload regions:
+    # the selected groups are consecutive in the buffer, so the payload is
+    # the whole span minus each group's 1-2 header bytes (mask fill — an
+    # index-vector gather materialized int64 indexes per payload byte)
     if len(a) == 1:
         payload = buf[a[0] : b[0]]
     else:
-        reg_lens = b - a
-        idx = np.repeat(a - np.concatenate([[0], np.cumsum(reg_lens)[:-1]]), reg_lens)
-        payload = buf[np.arange(int(reg_lens.sum()), dtype=np.int64) + idx]
+        group_starts = C[idx]
+        base = int(group_starts[0])
+        span = buf[base : int(b[-1])]
+        hdr_mask = np.zeros(len(span), dtype=bool)
+        hdr_mask[group_starts - base] = True
+        rep_starts = group_starts[rep]
+        if len(rep_starts):
+            hdr_mask[rep_starts + 1 - base] = True
+        payload = span[~hdr_mask]
     n_varints = np.where(rep, 1, lens)
     decoded_u, _ = decode_varints(payload, int(n_varints.sum()), 0)
     decoded = zigzag_decode(decoded_u) if signed else decoded_u.view(np.int64)
+
+    if not rep.any():
+        # literal-only stream (random data): varint order IS output order
+        return decoded, pos
 
     # Materialize in ONE expansion pass: every varint is a "run" — length
     # lens[g]/delta deltas[g] for a repeat group's base, length 1/delta 0
