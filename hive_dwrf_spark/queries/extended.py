@@ -670,3 +670,32 @@ def q38_string_agg(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q39_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+           count(*) AS cnt,
+           CAST(min(floor(o_totalprice)) AS BIGINT) AS min_price_floor,
+           CAST(max(floor(o_totalprice)) AS BIGINT) AS max_price_floor
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q39_histogram(spark, sf_dir):
+    """Fixed-width histogram binning — the single-pass groupBy shape used
+    for data profiling; integer floors keep the oracle float-free."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.floor("o_totalprice")).cast("bigint").alias("min_price_floor"),
+            F.max(F.floor("o_totalprice")).cast("bigint").alias("max_price_floor"),
+        )
+        .orderBy("bin")
+    )

@@ -944,3 +944,51 @@ def multimodal_resize(spark, sf_dir):
     mm = multimodal.attach_metadata(d, "payload", "image", "doc_id")
     feats = multimodal.decode_features(mm)
     return multimodal.resize_plan(feats).orderBy("media_id")
+
+
+@query(
+    "bucket_join",
+    # co-located bucketed join result == plain equi-join result; the oracle
+    # is the plain join (bucketing must be invisible to semantics)
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_nationkey,
+           round(o.o_totalprice, 2) AS o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_orderkey
+    LIMIT 500
+    """,
+)
+def bucket_join_q(spark, sf_dir):
+    """Shuffle-free co-located join over bucketed DWRF tables
+    (operators/bucketing.py): both sides are written bucketed on the join
+    key once, then the join decomposes into per-bucket joins of co-located
+    slices — the pay-shuffle-once-reuse-many pattern that matters when the
+    same fact table joins on the same key every day at 100 TB."""
+    import os
+
+    from ..operators import bucketing
+    from ..sources import register
+
+    register(spark)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    lp = f"/tmp/hive_dwrf_spark_bkt_orders_{base}"
+    rp = f"/tmp/hive_dwrf_spark_bkt_customer_{base}"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_custkey"), "c_nationkey"
+    )
+    bucketing.write_bucketed(o, lp, "o_custkey", 8, mode="overwrite")
+    bucketing.write_bucketed(c, rp, "o_custkey", 8, mode="overwrite")
+    joined = bucketing.bucketed_join(spark, lp, rp, "o_custkey", 8)
+    return (
+        joined.select(
+            "o_orderkey",
+            "c_custkey",
+            "c_nationkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )

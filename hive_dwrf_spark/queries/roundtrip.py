@@ -164,3 +164,60 @@ def q18(spark, sf_dir):
         )
         .orderBy("hour")
     )
+
+
+@query(
+    "streaming_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS cnt,
+           count(DISTINCT e.user_id) AS users
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def streaming_static_join(spark, sf_dir):
+    """Stream-static join: a DWRF-backed event stream enriched against a
+    static dimension inside the micro-batch plan (Spark broadcasts the
+    static side per batch), then aggregated after the streaming sink. The
+    oracle is the equivalent batch join — streaming must not change
+    semantics."""
+    import shutil
+
+    from ..sources import register
+    from ..streaming import stream_dwrf_dir
+
+    register(spark)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    src = f"/tmp/hive_dwrf_spark_ssj_src_{base}"
+    out = f"/tmp/hive_dwrf_spark_ssj_out_{base}"
+    ckpt = f"/tmp/hive_dwrf_spark_ssj_ckpt_{base}"
+    for p in (src, out, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    e = load(spark, sf_dir, "events").select("event_id", "user_id")
+    e.write.format("dwrf").option("path", src).option(
+        "stripe_rows", "12500"
+    ).mode("overwrite").save()
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream_dwrf_dir(spark, src).select("event_id", "user_id").join(
+        F.broadcast(dim), "user_id"
+    )
+    q = (
+        enriched.writeStream.format("dwrf")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.format("dwrf").load(out)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count_distinct("user_id").alias("users"),
+        )
+        .orderBy("c_mktsegment")
+    )
