@@ -68,3 +68,40 @@ def test_curate_single_data_shuffle(spark):
     # per-row filters that must not add exchanges
     assert plan.count("Exchange") <= 4
     assert "Window" in plan
+
+
+def test_range_join_is_not_nested_loop(spark):
+    plan = _plan(_queries()["range_join"](spark, SF_SMOKE))
+    # the bucketed formulation must plan as an equi-join (hash or sort-merge
+    # with AQE), never a nested-loop/cartesian over points x intervals
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skew_agg_two_phase(spark):
+    plan = _plan(_queries()["skew_agg"](spark, SF_SMOKE))
+    # phase 1 on (key, salt), phase 2 on key: four HashAggregates
+    # (partial+final per phase), all codegen, no window/sort
+    assert plan.count("HashAggregate") >= 4
+    assert "Window" not in plan
+
+
+def test_q37_maxby_is_hash_aggregate_not_window(spark):
+    plan = _plan(_queries()["q37_maxby"](spark, SF_SMOKE))
+    assert "max_by" in plan or "HashAggregate" in plan
+    assert "Window" not in plan
+
+
+def test_q35_sessionize_single_user_shuffle(spark):
+    plan = _plan(_queries()["q35_sessionize"](spark, SF_SMOKE))
+    # session_window aggregation: exchanges = user_id shuffle + final
+    # presentation sort only
+    assert "SessionWindowStateStore" not in plan  # batch path, no state store
+    assert plan.count("Exchange") <= 3
+
+
+def test_text_df_distinct_before_explode(spark):
+    plan = _plan(_queries()["text_df"](spark, SF_SMOKE))
+    # array_distinct must run scan-side (inside the generate stage), so the
+    # aggregate needs no distinct-aggregation expand
+    assert "Expand" not in plan
