@@ -699,3 +699,119 @@ def q39_histogram(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "q40_approx_percentile",
+    # percentile_approx's estimate is engine-specific; the checkable part is
+    # its accuracy contract vs the exact percentile (accuracy 10000 =>
+    # rank error <= n/10000, comfortably within 1% of the value range on
+    # this distribution). The exact percentiles anchor the row.
+    oracle="""
+    SELECT CAST(quantile_cont(o_totalprice, 0.50) AS BIGINT) AS p50_floor,
+           CAST(quantile_cont(o_totalprice, 0.95) AS BIGINT) AS p95_floor,
+           true AS p50_ok, true AS p95_ok
+    FROM orders
+    """,
+)
+def q40_approx_percentile(spark, sf_dir):
+    """approx percentile (GK sketch) gated on an accuracy envelope against
+    the exact interpolated percentile — mergeable sketches are the only
+    percentile that scales to 100 TB, so the contract is what's pinned."""
+    o = load(spark, sf_dir, "orders")
+    exact = F.expr("percentile(o_totalprice, array(0.50, 0.95))")
+    approx = F.expr("percentile_approx(o_totalprice, array(0.50, 0.95), 10000)")
+    return o.agg(
+        F.floor(exact[0]).cast("bigint").alias("p50_floor"),
+        F.floor(exact[1]).cast("bigint").alias("p95_floor"),
+        (F.abs(approx[0] - exact[0]) <= 0.01 * exact[0]).alias("p50_ok"),
+        (F.abs(approx[1] - exact[1]) <= 0.01 * exact[1]).alias("p95_ok"),
+    )
+
+
+@query(
+    "q41_nullsafe_join",
+    # null-safe equality (<=>): NULL keys match each other instead of
+    # dropping out — DuckDB's IS NOT DISTINCT FROM is the same operator
+    oracle="""
+    WITH l AS (
+      SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderkey % 5 END AS k, o_orderkey
+      FROM orders
+    ), r AS (
+      SELECT CASE WHEN n_nationkey >= 5 THEN NULL
+                  ELSE n_nationkey END AS k, n_nationkey
+      FROM nation
+    )
+    SELECT count(*) AS cnt, count(l.k) AS non_null_keys
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def q41_nullsafe_join(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    l = o.select(
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderkey") % 5)
+        .alias("k"),
+        "o_orderkey",
+    )
+    r = n.select(
+        F.when(F.col("n_nationkey") >= 5, None)
+        .otherwise(F.col("n_nationkey").cast("bigint"))
+        .alias("k"),
+        "n_nationkey",
+    )
+    j = l.join(r, l["k"].eqNullSafe(r["k"]))
+    return j.agg(
+        F.count(F.lit(1)).alias("cnt"), F.count(l["k"]).alias("non_null_keys")
+    )
+
+
+@query(
+    "q42_except_all",
+    # multiset semantics: duplicates survive subtraction by multiplicity
+    oracle="""
+    SELECT o_custkey FROM (
+      SELECT o_custkey FROM orders
+      EXCEPT ALL
+      SELECT c_custkey FROM customer
+    ) t
+    ORDER BY o_custkey
+    LIMIT 200
+    """,
+)
+def q42_except_all(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return o.exceptAll(c).orderBy("o_custkey").limit(200)
+
+
+@query(
+    "q43_explode_outer",
+    # explode_outer keeps rows whose array is empty/NULL (LATERAL VIEW
+    # OUTER); DuckDB replays with a LEFT JOIN LATERAL unnest
+    oracle="""
+    SELECT o.o_orderkey, u.elem
+    FROM (SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 3 = 0 THEN []
+                      ELSE [o_orderkey % 5, o_orderkey % 7] END AS arr
+          FROM orders) o
+    LEFT JOIN LATERAL (SELECT unnest(o.arr) AS elem) u ON true
+    ORDER BY o_orderkey, elem NULLS FIRST
+    LIMIT 300
+    """,
+)
+def q43_explode_outer(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    arr = F.when(
+        F.col("o_orderkey") % 3 == 0, F.array().cast("array<bigint>")
+    ).otherwise(F.array(F.col("o_orderkey") % 5, F.col("o_orderkey") % 7))
+    return (
+        o.select("o_orderkey", arr.alias("arr"))
+        .select("o_orderkey", F.explode_outer("arr").alias("elem"))
+        .orderBy("o_orderkey", F.col("elem").asc_nulls_first())
+        .limit(300)
+    )
