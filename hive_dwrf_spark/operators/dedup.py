@@ -169,23 +169,16 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(df, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # materialize now (it is reused 3x anyway) and use the exact row count
-    # to size the verify joins: under Spark's own broadcast threshold the
-    # signature table ships to every task (skips two shuffle writes);
-    # above it — ~20M docs at 512 B/sig — this degrades to plain shuffle
-    # joins, which is the only plan that works at 1B docs.
-    n_docs = sigs.count()
-    sig_bytes = n_docs * (8 * _N_HASHES + 40)
-    try:
-        raw = df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        threshold_bytes = int(str(raw).lower().rstrip("b"))  # e.g. "10485760b"
-    except Exception:
-        threshold_bytes = 10 * 1024 * 1024
+    # The verify-join strategy is left to AQE: it sees the signatures' real
+    # runtime size and converts the shuffle joins to broadcast when small
+    # (~under 20M docs at 520 B/sig), or keeps plain shuffle joins — the
+    # only plan that works at 1B docs. Deciding driver-side needed an
+    # eager count() job here; AQE decides from the same information for
+    # free. The persist still collapses the three consumers (banding +
+    # both verify sides) onto one signature computation.
     pairs = lsh_candidate_pairs(sigs, id_col)
     s1 = sigs.select(F.col(id_col).alias("id1"), F.col("minhash").alias("sig1"))
     s2 = sigs.select(F.col(id_col).alias("id2"), F.col("minhash").alias("sig2"))
-    if 0 < sig_bytes <= threshold_bytes:
-        s1, s2 = F.broadcast(s1), F.broadcast(s2)
     return (
         pairs.join(s1, "id1")
         .join(s2, "id2")
