@@ -221,3 +221,76 @@ def streaming_static_join(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "streaming_stream_join",
+    oracle="""
+    SELECT count(*) AS n_pairs,
+           count(DISTINCT c.event_id) AS n_clicks,
+           count(DISTINCT c.user_id) AS n_users
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) - INTERVAL 10 MINUTE
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+    """,
+)
+def streaming_stream_join(spark, sf_dir):
+    """Watermarked stream-stream join (clicks x purchases within a 10-min
+    lookback per user) through the DWRF streaming source and sink; the
+    oracle is the equivalent batch time-range join. Join state is bounded
+    by watermark + lookback, not stream length."""
+    import shutil
+
+    from ..sources import register
+    from ..streaming import stream_dwrf_dir, stream_stream_join
+
+    register(spark)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    src = f"/tmp/hive_dwrf_spark_ssj2_src_{base}"
+    out = f"/tmp/hive_dwrf_spark_ssj2_out_{base}"
+    ckpt = f"/tmp/hive_dwrf_spark_ssj2_ckpt_{base}"
+    for p in (src, out, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    e.write.format("dwrf").option("path", src).option(
+        "stripe_rows", "12500"
+    ).mode("overwrite").save()
+    # watermarks require TIMESTAMP (not NTZ); the session runs UTC so the
+    # cast is value-preserving and the naive-ts oracle still matches
+    stream = stream_dwrf_dir(spark, src).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    purchases = (
+        stream_dwrf_dir(spark, src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts", "user_id")
+    )
+    joined = stream_stream_join(
+        clicks, purchases, key="user_id", ts_col="ts", lookback="10 minutes"
+    ).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"),
+    )
+    q = (
+        joined.writeStream.format("dwrf")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    back = spark.read.format("dwrf").load(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("click_id").alias("n_clicks"),
+        F.count_distinct("user_id").alias("n_users"),
+    )

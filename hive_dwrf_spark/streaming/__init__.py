@@ -2,6 +2,7 @@ from .dwrf_stream import (
     sessionize,
     stateful_running_counts,
     stream_dwrf_dir,
+    stream_stream_join,
     streaming_dedup,
     windowed_event_counts,
 )
@@ -12,4 +13,5 @@ __all__ = [
     "sessionize",
     "stateful_running_counts",
     "streaming_dedup",
+    "stream_stream_join",
 ]

@@ -265,3 +265,29 @@ def streaming_dedup(
             keys
         )
     return events.dropDuplicates(keys)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    lookback: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each left row matches right
+    rows with the same key whose timestamp falls in
+    [left.ts - lookback, left.ts].
+
+    The time-range condition is what makes this feasible unbounded: Spark
+    keeps join state only for rows inside watermark + lookback, so state
+    size tracks the window's row rate, not stream length. The same plan
+    runs in batch (the watermark is a no-op there)."""
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{ts_col}") >= F.expr(f"l.{ts_col} - INTERVAL {lookback}"))
+        & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}"))
+    )
+    return l.join(r, cond, "inner")
