@@ -111,6 +111,19 @@ def main() -> None:
         extras["parquet_bytes"] = os.path.getsize(src)
         extras["dwrf_bytes_per_row"] = round(os.path.getsize(out) / table.num_rows, 2)
 
+        # read throughput, same table, single-thread: our decoder vs pyarrow
+        from hive_dwrf_spark.format.reader import DwrfFile
+
+        with DwrfFile(out) as f:  # warm page cache
+            f.read()
+        t0 = time.perf_counter()
+        with DwrfFile(out) as f:
+            f.read()
+        extras["dwrf_read_sec"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        pq.read_table(src)
+        extras["parquet_read_sec"] = round(time.perf_counter() - t0, 4)
+
         # format parity vs the reference golden dump (BASELINE.md §3): the
         # EXACT TestFileDump.java:122-143 table, bit-for-bit — 21k rows of
         # struct<i:int,l:bigint,s:string> where every row is

@@ -383,24 +383,32 @@ def decode_int_rle(buf: np.ndarray, count: int, signed: bool, pos: int = 0):
     cnt_all = np.where(is_rep_all, h + MIN_REPEAT_SIZE, 256 - h)
     vstart = C + np.where(is_rep_all, 2, 1)  # first varint byte of the group
     nv_all = np.where(is_rep_all, 1, cnt_all)
-    vti = np.searchsorted(term, vstart)
+    delta_raw = buf[np.minimum(C + 1, n_bytes - 1)].astype(np.int64)
+    # closed-form terminator index of each candidate's first varint byte:
+    # exactly i terminators precede candidate i; a literal header byte is
+    # >= 0x80 (never a terminator) while a repeat header byte is < 0x80
+    # (always one) and its delta byte may be one too. Replaces a
+    # searchsorted over every candidate.
+    i_range = np.arange(n_term + 1, dtype=np.int64)
+    vti = np.where(is_rep_all, i_range + 1 + (delta_raw < 0x80), i_range)
     next_idx = vti + nv_all  # C-index of the following group
-    delta_all = buf[np.minimum(C + 1, n_bytes - 1)].astype(np.int64)
-    delta_all = np.where(delta_all >= 128, delta_all - 256, delta_all)
+    delta_all = np.where(delta_raw >= 128, delta_raw - 256, delta_raw)
 
-    # group walk touches only ~count/128 entries; index the numpy arrays
-    # directly (a full .tolist() of the per-candidate arrays costs more
-    # than the walk itself on literal-heavy streams)
+    # group walk touches only the true group starts; pack (count, next) into
+    # one int64 per candidate so each hop costs a single numpy scalar read
+    packed = (next_idx << np.int64(9)) | cnt_all  # cnt <= 130 < 2^9
     starts: list[int] = []
+    append = starts.append
     got = 0
     i = 0
     limit = n_term + 1
     while got < count:
         if i >= limit:
             raise ValueError("RLE stream truncated")
-        starts.append(i)
-        got += int(cnt_all[i])
-        i = int(next_idx[i])
+        append(i)
+        v = packed.item(i)
+        got += v & 0x1FF
+        i = v >> 9
     if got != count:
         raise ValueError(f"RLE stream yielded {got} values, expected {count}")
 
