@@ -176,3 +176,51 @@ def ivf_topk(
     probe = [int(i) for i in np.argsort(dists)[:nprobe]]
     candidates = indexed.filter(F.col("ivf_list").isin(probe))
     return cosine_topk(candidates, vec_col, id_col, [float(x) for x in q], k)
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact k-NN join: for every query row, the k nearest corpus rows by
+    cosine (self-pairs excluded).
+
+    Scale shape: the query side broadcasts (it is the small side — a probe
+    set, a batch of new documents), the corpus is scanned once, and the
+    only shuffle is the per-query top-k window over |Q| x |corpus| scored
+    pairs. For |Q| too big to broadcast, block the queries and union the
+    blocks; for corpus-x-corpus all-pairs, run inside LSH buckets
+    (lsh_buckets) instead of exact.
+
+    Scoring uses the same left-to-right fold as cosine_topk, so results are
+    bit-reproducible by a SQL oracle; ties break on neighbor id."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    qn = F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    q = q.select("query_id", "qv", qn.alias("qnorm"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    sim = _dot(F.col("cv"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("cv"), F.col("cv"))) * F.col("qnorm")
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", F.round(sim, 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

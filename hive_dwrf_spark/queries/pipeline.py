@@ -992,3 +992,39 @@ def bucket_join_q(spark, sf_dir):
         .orderBy("o_orderkey")
         .limit(500)
     )
+
+
+@query(
+    "sim_knn_join",
+    # exact k-NN join for a probe set (every 20th vector): identical
+    # left-to-right double arithmetic on both sides, rank ties broken on
+    # neighbor id after 6-dp rounding (the sim_topk convention)
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(c.ev, q.ev) / (c.nrm * q.nrm), 6)
+               AS cosine
+      FROM v q JOIN v c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id % 20 = 0
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, cosine
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def sim_knn_join(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % 20 == 0)
+    return similarity.knn_join(e, probes, "embedding", "vec_id", 3).orderBy(
+        "query_id", "rank"
+    )
