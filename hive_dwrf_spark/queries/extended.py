@@ -705,12 +705,12 @@ def q39_histogram(spark, sf_dir):
     "q40_approx_percentile",
     # percentile_approx's estimate is engine-specific; the checkable part is
     # its accuracy contract vs the exact percentile (accuracy 10000 =>
-    # rank error <= n/10000, comfortably within 1% of the value range on
-    # this distribution). The exact percentiles anchor the row.
+    # rank error <= n/10000, comfortably within 1% of the value on this
+    # distribution). The exact value itself is NOT emitted: Spark's
+    # percentile() and DuckDB's quantile_cont interpolate with different
+    # floating orders, so a 1-ulp difference can flip any integer anchor.
     oracle="""
-    SELECT CAST(quantile_cont(o_totalprice, 0.50) AS BIGINT) AS p50_floor,
-           CAST(quantile_cont(o_totalprice, 0.95) AS BIGINT) AS p95_floor,
-           true AS p50_ok, true AS p95_ok
+    SELECT count(*) AS n_rows, true AS p50_ok, true AS p95_ok
     FROM orders
     """,
 )
@@ -722,8 +722,7 @@ def q40_approx_percentile(spark, sf_dir):
     exact = F.expr("percentile(o_totalprice, array(0.50, 0.95))")
     approx = F.expr("percentile_approx(o_totalprice, array(0.50, 0.95), 10000)")
     return o.agg(
-        F.floor(exact[0]).cast("bigint").alias("p50_floor"),
-        F.floor(exact[1]).cast("bigint").alias("p95_floor"),
+        F.count(F.lit(1)).alias("n_rows"),
         (F.abs(approx[0] - exact[0]) <= 0.01 * exact[0]).alias("p50_ok"),
         (F.abs(approx[1] - exact[1]) <= 0.01 * exact[1]).alias("p95_ok"),
     )
