@@ -143,11 +143,20 @@ def zigzag_decode(values: np.ndarray) -> np.ndarray:
     return ((v >> np.uint64(1)).view(np.int64)) ^ -((v & np.uint64(1)).view(np.int64))
 
 
+_VARINT_THRESHOLDS = np.uint64(1) << (
+    np.arange(1, 10, dtype=np.uint64) * np.uint64(7)
+)
+
+
 def encode_varints(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """uint64 array -> (LEB128 bytes, per-value byte lengths).
 
-    The work matrix is only as wide as the largest value requires (1-10
-    7-bit groups), with a zero-copy fast path when everything fits 1 byte."""
+    Lengths come from one searchsorted against the 2^7k thresholds. Two
+    assembly strategies, chosen by density: when most values need close to
+    the maximum width, a (n x width) chunk matrix has the best locality;
+    when lengths are skewed small (the common case after zigzag), building
+    exactly total_bytes output slots via repeat avoids touching the unused
+    high-byte cells at all. Zero-copy fast path when everything fits 1 B."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
@@ -156,19 +165,29 @@ def encode_varints(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     width = 1 if mx == 0 else (mx.bit_length() + 6) // 7
     if width == 1:
         return v.astype(np.uint8).tobytes(), np.ones(n, dtype=np.int64)
-    shifts = (np.arange(width, dtype=np.uint64) * np.uint64(7))[None, :]
-    idx = np.arange(width)[None, :]
-    chunks = (v[:, None] >> shifts) & np.uint64(0x7F)
-    nonzero = chunks != 0
-    any_nz = nonzero.any(axis=1)
-    lengths = np.where(any_nz, width - np.argmax(nonzero[:, ::-1], axis=1), 1).astype(
-        np.int64
-    )
-    keep = idx < lengths[:, None]
-    cont = idx < (lengths - 1)[:, None]
-    out = chunks.astype(np.uint8)
-    out[cont] |= 0x80
-    return out[keep].tobytes(), lengths
+    lengths = (
+        np.searchsorted(_VARINT_THRESHOLDS, v, side="right") + 1
+    ).astype(np.int64)
+    total = int(lengths.sum())
+    if total >= 0.6 * n * width:  # dense: matrix locality wins
+        shifts = (np.arange(width, dtype=np.uint64) * np.uint64(7))[None, :]
+        idx = np.arange(width)[None, :]
+        chunks = (v[:, None] >> shifts) & np.uint64(0x7F)
+        keep = idx < lengths[:, None]
+        cont = idx < (lengths - 1)[:, None]
+        out = chunks.astype(np.uint8)
+        out[cont] |= 0x80
+        return out[keep].tobytes(), lengths
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    np.cumsum(lengths[:-1], out=starts[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+    v_rep = np.repeat(v, lengths)
+    out = (
+        (v_rep >> (within.astype(np.uint64) * np.uint64(7))) & np.uint64(0x7F)
+    ).astype(np.uint8)
+    out[within < np.repeat(lengths - 1, lengths)] |= 0x80
+    return out.tobytes(), lengths
 
 
 def decode_varints(buf: np.ndarray, count: int, pos: int = 0) -> tuple[np.ndarray, int]:
