@@ -47,6 +47,35 @@ def deterministic_sample(
     )
 
 
+def split_assign(
+    df: DataFrame,
+    key_cols: list[str],
+    splits: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's keyed md5
+    fraction picks a bucket from the cumulative split boundaries. A pure
+    per-row expression — no shuffle, no RNG state — so the assignment is
+    stable under re-runs, repartitioning, and incremental backfills, and a
+    row never migrates between splits when more data arrives. The salt
+    decouples this hash from any sampling hash on the same key (salted and
+    unsalted md5 values are independent)."""
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    h = _hash64(F.lit(salt), *key_cols)
+    expr = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        bound = F.lit(str(int(acc * float(1 << 64)))).cast("decimal(20,0)")
+        expr = F.when(h < bound, name) if expr is None else expr.when(h < bound, name)
+    split_col = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", split_col)
+
+
 def stratified_take(
     df: DataFrame, strata_cols: list[str], k: int, key_cols: list[str]
 ) -> DataFrame:

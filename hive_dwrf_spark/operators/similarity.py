@@ -64,6 +64,34 @@ def cosine_range(
     )
 
 
+def embedding_centroids(
+    df: DataFrame, vec_col: str, label_col: str, scale: int = 1 << 20
+) -> DataFrame:
+    """Per-label centroid of an embedding column, computed in fixed-point so
+    the reduction is exact and order-independent: each component is
+    quantized to round(x * scale) as int64, summed exactly, and divided back
+    at the end. Floating-point summation order varies with partitioning, so
+    a float sum is not reproducible across runs/cluster sizes — the integer
+    sum is, bit-for-bit (at scale=2^20 the quantization error per component
+    is <= 2^-21, far below any embedding's noise floor).
+
+    Shape at scale: posexplode -> one hash aggregate keyed by (label, dim),
+    partial-aggregated map-side, so the shuffle carries num_labels x dim
+    rows, independent of corpus size. Returns long-form (label, dim,
+    centroid) rows — the join-/store-friendly layout."""
+    q = F.round(F.col("x").cast("double") * scale).cast("bigint")
+    return (
+        df.select(F.col(label_col), F.posexplode(F.col(vec_col)).alias("dim", "x"))
+        .select(label_col, "dim", q.alias("qx"))
+        .groupBy(label_col, "dim")
+        .agg(
+            F.round(F.sum("qx") / (F.count("*") * F.lit(float(scale))), 6).alias(
+                "centroid"
+            )
+        )
+    )
+
+
 def lsh_buckets(
     df: DataFrame, vec_col: str, id_col: str, n_planes: int = 16, dim: int = 64
 ) -> DataFrame:

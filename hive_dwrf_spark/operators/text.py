@@ -124,6 +124,52 @@ def word_ngrams(df: DataFrame, text_col: str, id_col: str, n: int = 8) -> DataFr
     return df.select(F.col(id_col), F.explode(grams).alias("gram"))
 
 
+def repetition_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the fraction of
+    repeated words, the fraction of repeated word bigrams, and the share of
+    the document covered by its single most frequent bigram.
+
+    Shape at scale: the word-level stats are O(n) array expressions inside
+    the scan; only the bigram frequency needs a shuffle, and it is one
+    explode + two-level hash aggregate keyed by (id, gram) then id — both
+    partial-aggregated map-side, so the shuffle carries per-doc distinct
+    grams, not raw tokens. No UDF anywhere.
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
+    base = df.select(
+        F.col(id_col),
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+    )
+    bigram_stats = (
+        word_ngrams(df, text_col, id_col, n=2)
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count("*").alias("n_distinct_bigrams"),
+            F.max("c").alias("top_cnt"),
+        )
+    )
+    j = base.join(bigram_stats, id_col, "left")
+    nw = F.greatest(F.col("n_words"), F.lit(1))
+    return j.select(
+        F.col(id_col),
+        "n_words",
+        F.round(1 - F.col("n_distinct_words") / nw, 6).alias("dup_word_frac"),
+        F.round(
+            F.coalesce(
+                1 - F.col("n_distinct_bigrams") / F.col("n_bigrams"), F.lit(0.0)
+            ),
+            6,
+        ).alias("dup_bigram_frac"),
+        F.round(
+            F.coalesce(F.col("top_cnt") * 2 / nw, F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
 def ngram_contamination(
     df: DataFrame,
     bench_df: DataFrame,

@@ -315,6 +315,102 @@ def sample_stratified(spark, sf_dir):
     )
 
 
+#: split boundaries for sample_split — computed once in Python so the SQL
+#: oracle embeds the EXACT cumulative-float thresholds split_assign uses
+_SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_B1 = int(0.8 * float(1 << 64))
+_SPLIT_B2 = int((0.8 + 0.1) * float(1 << 64))
+
+
+@query(
+    "sample_split",
+    # split_assign hashes 'split|<doc_id>' with the same md5 fraction as
+    # deterministic_sample; the bucket is a pure function of the key, so the
+    # oracle replays the CASE over cumulative thresholds verbatim
+    oracle=f"""
+    SELECT CASE WHEN h < {_SPLIT_B1} THEN 'train'
+                WHEN h < {_SPLIT_B2} THEN 'val'
+                ELSE 'test' END AS split,
+           source, count(*) AS n
+    FROM (SELECT md5_number_upper('split|' || CAST(doc_id AS VARCHAR)) AS h,
+                 source
+          FROM documents) t
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def sample_split(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    assigned = sampling.split_assign(d, ["doc_id"], dict(_SPLIT_FRACS))
+    return (
+        assigned.groupBy("split", "source")
+        .agg(F.count("*").alias("n"))
+        .orderBy("split", "source")
+    )
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      FROM documents
+    ), s AS (
+      SELECT doc_id, len(ws) AS n_words,
+             len(list_distinct(ws)) AS n_distinct_words
+      FROM w
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i + 1])) AS gram
+      FROM w WHERE len(ws) >= 2
+    ), bc AS (
+      SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2
+    ), bs AS (
+      SELECT doc_id, sum(c) AS n_bigrams, count(*) AS n_distinct_bigrams,
+             max(c) AS top_cnt
+      FROM bc GROUP BY 1
+    )
+    SELECT s.doc_id, s.n_words,
+           round(1 - n_distinct_words / greatest(n_words, 1), 6)
+             AS dup_word_frac,
+           round(coalesce(1 - n_distinct_bigrams / n_bigrams, 0.0), 6)
+             AS dup_bigram_frac,
+           round(coalesce(top_cnt * 2 / greatest(n_words, 1), 0.0), 6)
+             AS top_bigram_frac
+    FROM s LEFT JOIN bs ON s.doc_id = bs.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return text.repetition_features(d, "text", "doc_id").orderBy("doc_id")
+
+
+@query(
+    "embedding_centroids",
+    # fixed-point accumulation (round(x * 2^20) summed as BIGINT) makes the
+    # distributed mean exact and order-independent, so DuckDB reproduces it
+    # bit-for-bit; scaling by a power of two is lossless on float inputs
+    oracle="""
+    SELECT label, i - 1 AS dim,
+           round(CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))
+                      AS DOUBLE) / (count(*) * 1048576.0), 6) AS centroid
+    FROM (SELECT label, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings) t
+    GROUP BY label, i
+    ORDER BY label, dim
+    """,
+)
+def embedding_centroids_q(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.embedding_centroids(e, "embedding", "label").orderBy(
+        "label", "dim"
+    )
+
+
 @query(
     "text_decontaminate",
     # train/test decontamination: documents sharing any word 8-gram with

@@ -405,3 +405,72 @@ def test_ngram_contamination(spark):
     assert got[3] == (0, False)
     # short docs emit NO truncated grams (sequence(1,0) pitfall)
     assert word_ngrams(corpus.filter("doc_id = 3"), "text", "doc_id").count() == 0
+
+
+def test_repetition_features(spark):
+    from hive_dwrf_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # 6 words, 2 distinct; bigrams all "a b"/"b a"
+            (2, "x y z w"),            # no repetition at all
+            (3, "solo"),               # 1 word: no bigrams
+            (4, "t t t t"),            # one word repeated
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in repetition_features(df, "text", "doc_id").collect()}
+    assert got[1]["n_words"] == 6
+    assert abs(got[1]["dup_word_frac"] - (1 - 2 / 6)) < 1e-6
+    # bigrams: [a b, b a, a b, b a, a b] -> 5 total, 2 distinct, top "a b" x3
+    assert abs(got[1]["dup_bigram_frac"] - (1 - 2 / 5)) < 1e-6
+    assert abs(got[1]["top_bigram_frac"] - (3 * 2 / 6)) < 1e-6
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["dup_bigram_frac"] == 0.0
+    assert got[3]["dup_bigram_frac"] == 0.0 and got[3]["top_bigram_frac"] == 0.0
+    assert got[4]["dup_word_frac"] == 0.75 and got[4]["top_bigram_frac"] == 1.5
+
+
+def test_split_assign_deterministic_and_complete(spark):
+    from pyspark.sql import functions as F
+
+    from hive_dwrf_spark.operators.sampling import split_assign
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = split_assign(df, ["k"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.7 < counts["train"] / 2000 < 0.9
+    # stable under repartitioning: identical assignment row-for-row
+    b = split_assign(df.repartition(13), ["k"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert a.orderBy("k").collect() == b.orderBy("k").collect()
+    # salt decouples: a different salt produces a different (but valid) assignment
+    c = split_assign(df, ["k"], {"train": 0.8, "val": 0.1, "test": 0.1}, salt="other")
+    assert a.orderBy("k").collect() != c.orderBy("k").collect()
+    import pytest
+
+    with pytest.raises(ValueError):
+        split_assign(df, ["k"], {"train": 0.5, "val": 0.1})
+
+
+def test_embedding_centroids_exact(spark):
+    from hive_dwrf_spark.operators.similarity import embedding_centroids
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0]),
+            (0, [3.0, 4.0]),
+            (1, [-1.0, 0.5]),
+        ],
+        "label int, embedding array<float>",
+    )
+    got = {(r.label, r.dim): r.centroid for r in embedding_centroids(df, "embedding", "label").collect()}
+    assert got[(0, 0)] == 2.0 and got[(0, 1)] == 3.0
+    assert got[(1, 0)] == -1.0 and got[(1, 1)] == 0.5
+    # order-independence: reversed input partitioning gives identical values
+    got2 = {
+        (r.label, r.dim): r.centroid
+        for r in embedding_centroids(df.repartition(7), "embedding", "label").collect()
+    }
+    assert got == got2
