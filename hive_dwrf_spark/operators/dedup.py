@@ -105,7 +105,10 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, id_col: str, bands: int = _LSH_BANDS
+    sig_df: DataFrame,
+    id_col: str,
+    bands: int = _LSH_BANDS,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs (id1 < id2) that share
     at least one band bucket. One shuffle on (band, band_slice).
@@ -114,7 +117,19 @@ def lsh_candidate_pairs(
     collisions are then exactly slice-equality, which keeps the operator
     deterministic and SQL-replayable. At 100 TB the wider shuffle key costs
     ~28 B/row/band over a 4-B hash — noise next to the payloadless shuffle —
-    and buys zero false-positive buckets."""
+    and buys zero false-positive buckets.
+
+    Two scale guards:
+    - Degenerate all-zero signatures (NULL / shorter-than-shingle docs) are
+      excluded before banding. They all share every band bucket, so at 1B
+      docs with 1% empty docs one bucket would hold 10M ids and emit
+      ~5e13 pairs; content-wise they cannot be near-dups of anything, so
+      dropping them changes no meaningful answer.
+    - Buckets larger than `max_bucket` ids are skipped entirely (a bucket
+      of k ids emits k*(k-1)/2 pairs; 10^4 ids -> 5e7 pairs is the most a
+      single collect_list group is allowed to cost). A bucket that hot is
+      boilerplate/templated content; the docs in it still pair through
+      their other, more selective bands."""
     rows_per_band = _N_HASHES // bands
     band_exprs = [
         F.struct(
@@ -123,9 +138,11 @@ def lsh_candidate_pairs(
         )
         for i in range(bands)
     ]
-    banded = sig_df.select(
-        F.col(id_col), F.explode(F.array(*band_exprs)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = (
+        sig_df.filter(F.exists("minhash", lambda x: x != 0))
+        .select(F.col(id_col), F.explode(F.array(*band_exprs)).alias("bb"))
+        .select(id_col, "bb.band", "bb.bucket")
+    )
     # group-then-explode beats a banded self-join: one shuffle on
     # (band, bucket), pairs materialize JVM-side inside each bucket group,
     # and no join-key dup-row blowup that the self-join's distinct had to
@@ -135,7 +152,7 @@ def lsh_candidate_pairs(
     grp = (
         banded.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter((F.size("ids") > 1) & (F.size("ids") <= F.lit(max_bucket)))
     )
     pairs = (
         grp.select(

@@ -194,13 +194,13 @@ def _minhash_params_values() -> str:
               + ascii(substr(text, pos + 4, 1)) * 4362470401) % 2147483647 AS h
       FROM pos
     ), sigs AS (
+      -- degenerate docs (NULL / shorter than the shingle) carry no content
+      -- signal; the engine excludes their all-zero signatures from banding
+      -- (operators/dedup.py::lsh_candidate_pairs scale guard), so they
+      -- simply have no signature rows here either
       SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
       FROM shingles CROSS JOIN params
       GROUP BY doc_id, i
-      UNION ALL
-      SELECT doc_id, i, 0 AS mh
-      FROM documents CROSS JOIN (SELECT i FROM params) pi
-      WHERE text IS NULL OR length(text) < 5
     ), bands AS (
       SELECT doc_id, i // 4 AS band, list(mh ORDER BY i) AS slice
       FROM sigs GROUP BY doc_id, i // 4
@@ -249,13 +249,14 @@ def dedup_minhash(spark, sf_dir):
       GROUP BY doc_id, b
     ), packed AS (
       SELECT doc_id,
-             SUM(CASE WHEN vote > 0 AND b < 63
-                      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
-             + SUM(CASE WHEN vote > 0 AND b = 63
-                        THEN -9223372036854775807 - 1 ELSE 0 END) AS simhash
+             CAST(SUM(CASE WHEN vote > 0 AND b < 63
+                           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                  + SUM(CASE WHEN vote > 0 AND b = 63
+                             THEN -9223372036854775807 - 1 ELSE 0 END)
+                  AS BIGINT) AS simhash
       FROM votes GROUP BY doc_id
     )
-    SELECT d.doc_id, coalesce(p.simhash, 0) AS simhash
+    SELECT d.doc_id, CAST(coalesce(p.simhash, 0) AS BIGINT) AS simhash
     FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id
     ORDER BY d.doc_id
     """,

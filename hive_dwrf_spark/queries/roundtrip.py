@@ -13,6 +13,27 @@ from ..tables import load
 from . import query
 
 
+def _await_done(q, timeout: float = 300.0) -> None:
+    """Block until a trigger(availableNow) query actually terminates.
+
+    `q.awaitTermination(t)` returns False on timeout without raising; the
+    sink is then incomplete and any batch read of it is garbage. Poll
+    `isActive` under a generous deadline and fail loudly on timeout so a
+    red row means "engine bug", never "loaded machine"."""
+    import time
+
+    deadline = time.monotonic() + timeout
+    while q.isActive:
+        if time.monotonic() > deadline:
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {q.id} still active after {timeout}s"
+            )
+        q.awaitTermination(5)
+    # surface any exception recorded by the terminated query
+    q.awaitTermination()
+
+
 def _roundtrip(spark, df, tag: str, sf_dir: str):
     """Write df as DWRF, read it back. Deterministic per (tag, sf).
 
@@ -121,7 +142,7 @@ def streaming_roundtrip(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_done(q)
     back = spark.read.format("dwrf").load(out)
     return (
         back.groupBy("event_type")
@@ -211,7 +232,7 @@ def streaming_static_join(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_done(q)
     back = spark.read.format("dwrf").load(out)
     return (
         back.groupBy("c_mktsegment")
@@ -287,7 +308,7 @@ def streaming_stream_join(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    _await_done(q, 360.0)
     back = spark.read.format("dwrf").load(out)
     return back.agg(
         F.count(F.lit(1)).alias("n_pairs"),

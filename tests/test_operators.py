@@ -40,6 +40,52 @@ def test_minhash_finds_near_duplicates(spark):
     assert [(p.id1, p.id2) for p in pairs] == [(1, 2)]
 
 
+def test_minhash_degenerate_docs_emit_no_pairs(spark):
+    """1000 empty/short/NULL docs all share the all-zero signature; without
+    the banding guard they form one bucket per band and emit ~500k pairs
+    per band (the 100 TB scale-killer). With the guard: zero candidates,
+    and real near-dups in the same frame still pair up."""
+    from hive_dwrf_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_dedup_pairs,
+        minhash_signatures,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the cat watches from the warm windowsill every day"
+    )
+    rows = [(i, "" if i % 3 == 0 else ("ab" if i % 3 == 1 else None))
+            for i in range(1000)]
+    rows += [(10_001, base), (10_002, base + " extra")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = minhash_signatures(df, "text", "doc_id")
+    cand = lsh_candidate_pairs(sigs, "doc_id")
+    got = sorted((p.id1, p.id2) for p in cand.collect())
+    assert got == [(10_001, 10_002)]
+    pairs = minhash_dedup_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    assert [(p.id1, p.id2) for p in pairs] == [(10_001, 10_002)]
+
+
+def test_minhash_bucket_cap_skips_hot_buckets(spark):
+    """A bucket larger than max_bucket is dropped instead of emitting
+    k*(k-1)/2 pairs — 50 byte-identical docs with cap 10 yield nothing,
+    with the default cap they yield all 1225 pairs."""
+    from hive_dwrf_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    text = (
+        "identical boilerplate navigation header footer copyright terms "
+        "of service privacy policy contact us about careers"
+    )
+    df = spark.createDataFrame([(i, text) for i in range(50)], ["doc_id", "text"])
+    sigs = minhash_signatures(df, "text", "doc_id")
+    assert lsh_candidate_pairs(sigs, "doc_id", max_bucket=10).count() == 0
+    assert lsh_candidate_pairs(sigs, "doc_id").count() == 50 * 49 // 2
+
+
 def test_word_jaccard_exact(spark):
     from hive_dwrf_spark.operators.dedup import word_jaccard_pairs
 
