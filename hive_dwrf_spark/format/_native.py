@@ -1,0 +1,119 @@
+"""Optional native helper for the one irreducibly sequential loop in the
+format core: the RLE v1 group walk (hop group-to-group through the
+candidate table built by ``codecs.decode_int_rle``).
+
+Everything else in the codec layer is numpy-vectorized, but the walk is a
+data-dependent pointer chase — O(1) python work per *group*, which at
+~0.4 us/group becomes the decode floor on runny columns (sorted keys at
+~4 values/group). The reference eats the same chase in compiled code
+(RunLengthIntegerReader.java:100-163); this compiles the identical 15-line
+loop with the system C compiler at first use.
+
+Strictly optional: no compiler, no write access, any failure at all ->
+``rle_walk`` is None and callers keep the pure-Python loop. The .so is
+cached under the user cache dir keyed by source hash, so each machine
+compiles once ever; executor workers just dlopen. Compilation is
+atomic-rename racing-safe for many simultaneous Spark python workers.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+_SRC = r"""
+#include <stdint.h>
+
+/* Walk the RLE v1 group chain over the packed candidate table.
+   packed[i] = (next_candidate_index << 9) | value_count  (count <= 130).
+   Returns number of groups written to starts_out, -1 if the chain runs
+   off the table before yielding `count` values, -2 if it overshoots. */
+int64_t rle_walk(const int64_t *packed, int64_t limit, int64_t count,
+                 int64_t *starts_out) {
+    int64_t got = 0, i = 0, n = 0;
+    while (got < count) {
+        if (i >= limit) return -1;
+        starts_out[n++] = i;
+        int64_t v = packed[i];
+        got += v & 0x1FF;
+        i = v >> 9;
+    }
+    return (got == count) ? n : -2;
+}
+"""
+
+rle_walk = None  # callable(packed_int64, limit, count, out_int64) -> int64
+
+
+def _cache_dir() -> str:
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    d = os.path.join(base, "hive_dwrf_spark")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _build() -> str | None:
+    tag = hashlib.sha256(_SRC.encode()).hexdigest()[:16]
+    try:
+        d = _cache_dir()
+    except OSError:
+        return None
+    so_path = os.path.join(d, f"_rle_walk_{tag}.so")
+    if os.path.exists(so_path):
+        return so_path
+    cc = os.environ.get("CC") or "cc"
+    try:
+        with tempfile.TemporaryDirectory(dir=d) as tmp:
+            c_path = os.path.join(tmp, "rle_walk.c")
+            with open(c_path, "w") as f:
+                f.write(_SRC)
+            tmp_so = os.path.join(tmp, "rle_walk.so")
+            subprocess.run(
+                [cc, "-O2", "-shared", "-fPIC", "-o", tmp_so, c_path],
+                check=True,
+                capture_output=True,
+                timeout=60,
+            )
+            os.replace(tmp_so, so_path)  # atomic: concurrent builders race safely
+        return so_path
+    except Exception:
+        return None
+
+
+def _load() -> None:
+    global rle_walk
+    if os.environ.get("DWRF_NO_NATIVE"):
+        return
+    so = _build()
+    if so is None:
+        return
+    try:
+        lib = ctypes.CDLL(so)
+        fn = lib.rle_walk
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+
+        def walk(packed, limit, count, out):
+            return fn(
+                packed.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                limit,
+                count,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+
+        rle_walk = walk
+    except Exception:
+        rle_walk = None
+
+
+_load()

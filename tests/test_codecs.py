@@ -193,6 +193,69 @@ class TestSnappyFallback:
         assert got.column("s").to_pylist()[-1] == "v4999"
 
 
+class TestSnappyBackends:
+    """The pyarrow C++ snappy backend (the fast path) must be raw-format
+    interchangeable with the pure-python fallback in both directions."""
+
+    def test_cross_backend_blocks(self):
+        import pytest as _pytest
+
+        from hive_dwrf_spark.format.codecs import (
+            _PA_SNAPPY,
+            _snappy_compress_py,
+            _snappy_decompress_py,
+            _snappy_uncompressed_len,
+        )
+
+        if _PA_SNAPPY is None:
+            _pytest.skip("pyarrow snappy codec unavailable")
+        data = (b"the quick brown fox " * 500) + bytes(range(256)) * 4
+        pa_comp = _PA_SNAPPY.compress(data).to_pybytes()
+        py_comp = _snappy_compress_py(data)
+        assert _snappy_decompress_py(pa_comp) == data
+        assert (
+            _PA_SNAPPY.decompress(
+                py_comp, decompressed_size=_snappy_uncompressed_len(py_comp)
+            ).to_pybytes()
+            == data
+        )
+
+
+class TestNativeWalkParity:
+    """The compiled RLE group walk and the pure-Python fallback must pick
+    identical group starts (same decode output) on every stream shape."""
+
+    def test_native_matches_python(self):
+        import numpy as np
+
+        from hive_dwrf_spark.format import _native, codecs
+
+        if _native.rle_walk is None:
+            import pytest as _pytest
+
+            _pytest.skip("no C compiler available")
+        rng = np.random.default_rng(7)
+        cases = [
+            rng.integers(-(2**40), 2**40, 10_000),  # literal-heavy
+            np.repeat(np.arange(500), 20),  # repeat-heavy, delta 0
+            np.arange(10_000) // 3,  # short runs
+            np.concatenate([np.zeros(5000, np.int64), rng.integers(0, 9, 5000)]),
+        ]
+        saved = _native.rle_walk
+        for vals in cases:
+            vals = vals.astype(np.int64)
+            enc = codecs.encode_int_rle(vals, signed=True)
+            buf = np.frombuffer(enc, dtype=np.uint8)
+            got_native, _ = codecs.decode_int_rle(buf, len(vals), signed=True)
+            try:
+                _native.rle_walk = None
+                got_py, _ = codecs.decode_int_rle(buf, len(vals), signed=True)
+            finally:
+                _native.rle_walk = saved
+            np.testing.assert_array_equal(got_native, vals)
+            np.testing.assert_array_equal(got_py, vals)
+
+
 class TestColumnStatsMerge:
     """Stats merge semantics (TestColumnStatistics.java:38-72 analog):
     stripe stats merge into file stats preserving min/max/sum/counts and
