@@ -483,6 +483,15 @@ class DwrfFile:
             proto.PostScript, memoryview(bytes(tail[-1 - ps_len : -1]))
         )
         self.compression = CompressionKind(ps.compression or 0)
+        if self.compression == CompressionKind.LZO:
+            # declared proto kind (orc_proto.proto:124-129) that the
+            # reference loads reflectively (WriterImpl.java:184-196); no
+            # LZO codec ships in this environment, so fail at open with
+            # the kind named instead of deep in block decode
+            raise ValueError(
+                f"{path}: compression kind LZO is not supported by this "
+                "reader (supported: NONE, ZLIB, SNAPPY)"
+            )
         self.block_size = ps.compressionBlockSize
         flen = ps.footerLength
         if flen + ps_len + 1 > len(tail):  # footer larger than the tail probe

@@ -26,6 +26,16 @@ def spread(df: DataFrame, cap: int | None = None) -> DataFrame:
     target = sc.defaultParallelism
     if cap is not None:
         target = min(cap, target)
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # Width probe via input file count, not df.rdd.getNumPartitions(): the
+    # RDD probe forced a full plan analysis + RDD lineage build on every
+    # call. File count under-counts (files split into stripes/row-groups),
+    # so this stays conservative: a genuinely wide input (>= target files,
+    # the 100 TB case) is never touched — and never narrowed — while a
+    # bench-scale 1-file scan still fans out for the UDF stage.
+    try:
+        width = len(df.inputFiles())
+    except Exception:
+        width = 0
+    if width >= target:
+        return df
+    return df.repartition(target)

@@ -210,6 +210,29 @@ class TestFileFeatures:
         with pytest.raises(ValueError, match="bad magic"):
             DwrfFile(str(p))
 
+    def test_lzo_rejected_by_name(self, tmp_path):
+        """LZO is a declared proto CompressionKind (orc_proto.proto:124-129)
+        with no codec in this environment: the reader must fail at open
+        with the kind named, not deep inside block decode."""
+        import pyarrow as pa
+
+        from hive_dwrf_spark.format import proto, write_arrow_table
+
+        p = str(tmp_path / "lzo.dwrf")
+        write_arrow_table(p, pa.table({"a": [1, 2, 3]}), compression="none")
+        data = open(p, "rb").read()
+        ps_len = data[-1]
+        ps = proto.decode_message(
+            proto.PostScript, memoryview(data[-1 - ps_len : -1])
+        )
+        ps.compression = 3  # CompressionKind.LZO
+        new_ps = proto.encode_message(ps)
+        open(p, "wb").write(
+            data[: -1 - ps_len] + new_ps + bytes([len(new_ps)])
+        )
+        with pytest.raises(ValueError, match="LZO"):
+            DwrfFile(p)
+
 
 class TestSeededRandom:
     """Seeded randomized round-trip, analog of TestOrcFile random tests."""
