@@ -122,7 +122,13 @@ def decode_message(cls, buf: memoryview, start: int = 0, end: int | None = None)
             val, pos = read_varint(buf, pos)
             if entry:
                 name, kind = entry
-                setattr(msg, name, unzigzag(val) if kind == "sint" else val)
+                if kind == "packed_uint":
+                    # proto2 writers (the reference's generated Java) emit
+                    # repeated uints UNPACKED by default: one varint-wired
+                    # field per element — append, never overwrite the list
+                    getattr(msg, name).append(val)
+                else:
+                    setattr(msg, name, unzigzag(val) if kind == "sint" else val)
         elif wire == 1:
             if entry:
                 setattr(msg, entry[0], struct.unpack_from("<d", buf, pos)[0])
