@@ -43,9 +43,64 @@ int64_t rle_walk(const int64_t *packed, int64_t limit, int64_t count,
     }
     return (got == count) ? n : -2;
 }
+
+/* Full RLE v1 integer decode (RunLengthIntegerReader.java:100-163
+   semantics): LEB128 varints, zigzag when signed, repeat groups
+   (header h < 0x80 -> h+3 values, signed byte delta, one base varint)
+   and literal groups (h >= 0x80 -> 256-h varints). One sequential pass.
+   Returns values decoded (== count) and writes the final byte position
+   to *end_pos; -1 on truncation, -2 if a group overshoots `count`. */
+static int read_uv(const uint8_t *buf, int64_t n, int64_t *pos,
+                   uint64_t *val) {
+    uint64_t v = 0;
+    int shift = 0;
+    while (*pos < n) {
+        uint8_t b = buf[(*pos)++];
+        v |= (uint64_t)(b & 0x7F) << shift;
+        if (b < 0x80) { *val = v; return 1; }
+        shift += 7;
+        if (shift > 63) return 0;
+    }
+    return 0;
+}
+
+int64_t rle_decode(const uint8_t *buf, int64_t n, int64_t pos,
+                   int64_t count, int32_t is_signed, int64_t *out,
+                   int64_t *end_pos) {
+    int64_t got = 0;
+    while (got < count) {
+        if (pos >= n) return -1;
+        uint8_t h = buf[pos++];
+        if (h < 0x80) {  /* repeat group */
+            if (pos >= n) return -1;
+            int64_t delta = (int8_t)buf[pos++];
+            uint64_t u;
+            if (!read_uv(buf, n, &pos, &u)) return -1;
+            int64_t base = is_signed
+                ? (int64_t)(u >> 1) ^ -(int64_t)(u & 1)
+                : (int64_t)u;
+            int64_t cnt = (int64_t)h + 3;
+            if (got + cnt > count) return -2;
+            for (int64_t j = 0; j < cnt; j++) out[got++] = base + j * delta;
+        } else {  /* literal group */
+            int64_t cnt = 256 - (int64_t)h;
+            if (got + cnt > count) return -2;
+            for (int64_t j = 0; j < cnt; j++) {
+                uint64_t u;
+                if (!read_uv(buf, n, &pos, &u)) return -1;
+                out[got++] = is_signed
+                    ? (int64_t)(u >> 1) ^ -(int64_t)(u & 1)
+                    : (int64_t)u;
+            }
+        }
+    }
+    *end_pos = pos;
+    return got;
+}
 """
 
 rle_walk = None  # callable(packed_int64, limit, count, out_int64) -> int64
+rle_decode = None  # callable(buf_u8, pos, count, signed, out_i64) -> (n, pos)
 
 
 def _cache_dir() -> str:
@@ -86,7 +141,7 @@ def _build() -> str | None:
 
 
 def _load() -> None:
-    global rle_walk
+    global rle_walk, rle_decode
     if os.environ.get("DWRF_NO_NATIVE"):
         return
     so = _build()
@@ -112,8 +167,37 @@ def _load() -> None:
             )
 
         rle_walk = walk
+
+        dfn = lib.rle_decode
+        dfn.restype = ctypes.c_int64
+        dfn.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+
+        def decode(buf, pos, count, is_signed, out):
+            """-> (n_decoded, end_pos); n_decoded < 0 is an error code."""
+            end = ctypes.c_int64(0)
+            n = dfn(
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                len(buf),
+                pos,
+                count,
+                1 if is_signed else 0,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.byref(end),
+            )
+            return n, end.value
+
+        rle_decode = decode
     except Exception:
         rle_walk = None
+        rle_decode = None
 
 
 _load()

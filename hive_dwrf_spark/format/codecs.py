@@ -432,6 +432,17 @@ def decode_int_rle(buf: np.ndarray, count: int, signed: bool, pos: int = 0):
     materialized by vectorized scatter — no per-group numpy calls."""
     if count == 0:
         return np.zeros(0, dtype=np.int64), pos
+    from ._native import rle_decode as _nat_decode
+
+    if _nat_decode is not None:
+        bufc = np.ascontiguousarray(buf)
+        out = np.empty(count, dtype=np.int64)
+        n, end = _nat_decode(bufc, pos, count, signed, out)
+        if n == -1:
+            raise ValueError("RLE stream truncated")
+        if n == -2:
+            raise ValueError(f"RLE stream overshot {count} values")
+        return out, end
     n_bytes = len(buf)
     # pad by 2 so candidate header/delta gathers never need bounds clamping
     # (one memcpy of the stream vs two full np.minimum passes — measured

@@ -221,39 +221,71 @@ class TestSnappyBackends:
         )
 
 
-class TestNativeWalkParity:
-    """The compiled RLE group walk and the pure-Python fallback must pick
-    identical group starts (same decode output) on every stream shape."""
+class TestNativeDecodeParity:
+    """All three RLE decode paths — full native decode, vectorized numpy
+    with the native group walk, and pure Python — must produce identical
+    values and stream positions on every stream shape."""
 
-    def test_native_matches_python(self):
+    def _cases(self):
         import numpy as np
 
-        from hive_dwrf_spark.format import _native, codecs
-
-        if _native.rle_walk is None:
-            import pytest as _pytest
-
-            _pytest.skip("no C compiler available")
         rng = np.random.default_rng(7)
-        cases = [
+        return [
             rng.integers(-(2**40), 2**40, 10_000),  # literal-heavy
             np.repeat(np.arange(500), 20),  # repeat-heavy, delta 0
             np.arange(10_000) // 3,  # short runs
             np.concatenate([np.zeros(5000, np.int64), rng.integers(0, 9, 5000)]),
+            rng.integers(0, 2, 1000).cumsum(),  # mixed tiny runs
         ]
-        saved = _native.rle_walk
-        for vals in cases:
+
+    def test_three_paths_agree(self):
+        import numpy as np
+
+        from hive_dwrf_spark.format import _native, codecs
+
+        if _native.rle_decode is None:
+            import pytest as _pytest
+
+            _pytest.skip("no C compiler available")
+        saved_walk, saved_dec = _native.rle_walk, _native.rle_decode
+        for vals in self._cases():
             vals = vals.astype(np.int64)
-            enc = codecs.encode_int_rle(vals, signed=True)
-            buf = np.frombuffer(enc, dtype=np.uint8)
-            got_native, _ = codecs.decode_int_rle(buf, len(vals), signed=True)
-            try:
-                _native.rle_walk = None
-                got_py, _ = codecs.decode_int_rle(buf, len(vals), signed=True)
-            finally:
-                _native.rle_walk = saved
-            np.testing.assert_array_equal(got_native, vals)
-            np.testing.assert_array_equal(got_py, vals)
+            for signed in (True, False):
+                if not signed and vals.min() < 0:
+                    continue
+                enc = codecs.encode_int_rle(vals, signed=signed)
+                buf = np.frombuffer(enc, dtype=np.uint8)
+                got_c, pos_c = codecs.decode_int_rle(buf, len(vals), signed)
+                try:
+                    _native.rle_decode = None
+                    got_vec, pos_vec = codecs.decode_int_rle(
+                        buf, len(vals), signed
+                    )
+                    _native.rle_walk = None
+                    got_py, pos_py = codecs.decode_int_rle(
+                        buf, len(vals), signed
+                    )
+                finally:
+                    _native.rle_walk = saved_walk
+                    _native.rle_decode = saved_dec
+                np.testing.assert_array_equal(got_c, vals)
+                np.testing.assert_array_equal(got_vec, vals)
+                np.testing.assert_array_equal(got_py, vals)
+                assert pos_c == pos_vec == pos_py == len(enc)
+
+    def test_native_truncation_raises(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from hive_dwrf_spark.format import _native, codecs
+
+        if _native.rle_decode is None:
+            _pytest.skip("no C compiler available")
+        vals = np.arange(1000, dtype=np.int64)
+        enc = codecs.encode_int_rle(vals, signed=True)
+        buf = np.frombuffer(enc[: len(enc) // 2], dtype=np.uint8)
+        with _pytest.raises(ValueError, match="truncated"):
+            codecs.decode_int_rle(buf, len(vals), signed=True)
 
 
 class TestColumnStatsMerge:
