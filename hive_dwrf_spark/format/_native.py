@@ -97,10 +97,37 @@ int64_t rle_decode(const uint8_t *buf, int64_t n, int64_t pos,
     *end_pos = pos;
     return got;
 }
+
+/* Byte RLE decode (RunLengthByteReader.java semantics): repeat groups
+   h < 0x80 -> h+3 copies of the next byte; literal groups h >= 0x80 ->
+   256-h raw bytes. Same error codes as rle_decode. */
+int64_t byte_rle_decode(const uint8_t *buf, int64_t n, int64_t pos,
+                        int64_t count, uint8_t *out, int64_t *end_pos) {
+    int64_t got = 0;
+    while (got < count) {
+        if (pos >= n) return -1;
+        uint8_t h = buf[pos++];
+        if (h < 0x80) {
+            int64_t cnt = (int64_t)h + 3;
+            if (pos >= n) return -1;
+            if (got + cnt > count) return -2;
+            uint8_t v = buf[pos++];
+            for (int64_t j = 0; j < cnt; j++) out[got++] = v;
+        } else {
+            int64_t cnt = 256 - (int64_t)h;
+            if (pos + cnt > n) return -1;
+            if (got + cnt > count) return -2;
+            for (int64_t j = 0; j < cnt; j++) out[got++] = buf[pos++];
+        }
+    }
+    *end_pos = pos;
+    return got;
+}
 """
 
 rle_walk = None  # callable(packed_int64, limit, count, out_int64) -> int64
 rle_decode = None  # callable(buf_u8, pos, count, signed, out_i64) -> (n, pos)
+byte_rle_decode = None  # callable(buf_u8, pos, count, out_u8) -> (n, pos)
 
 
 def _cache_dir() -> str:
@@ -141,7 +168,7 @@ def _build() -> str | None:
 
 
 def _load() -> None:
-    global rle_walk, rle_decode
+    global rle_walk, rle_decode, byte_rle_decode
     if os.environ.get("DWRF_NO_NATIVE"):
         return
     so = _build()
@@ -195,9 +222,35 @@ def _load() -> None:
             return n, end.value
 
         rle_decode = decode
+
+        bfn = lib.byte_rle_decode
+        bfn.restype = ctypes.c_int64
+        bfn.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+
+        def bdecode(buf, pos, count, out):
+            end = ctypes.c_int64(0)
+            n = bfn(
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                len(buf),
+                pos,
+                count,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.byref(end),
+            )
+            return n, end.value
+
+        byte_rle_decode = bdecode
     except Exception:
         rle_walk = None
         rle_decode = None
+        byte_rle_decode = None
 
 
 _load()

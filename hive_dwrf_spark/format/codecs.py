@@ -623,6 +623,19 @@ def _emit_byte_literals(out: bytearray, vals: np.ndarray) -> None:
 
 
 def decode_byte_rle(buf: np.ndarray, count: int, pos: int = 0):
+    if count == 0:
+        return np.zeros(0, dtype=np.uint8), pos
+    from ._native import byte_rle_decode as _nat
+
+    if _nat is not None:
+        bufc = np.ascontiguousarray(buf)
+        out = np.empty(count, dtype=np.uint8)
+        n, end = _nat(bufc, pos, count, out)
+        if n == -1:
+            raise ValueError("byte RLE stream truncated")
+        if n == -2:
+            raise ValueError(f"byte RLE overshot {count} values")
+        return out, end
     pieces = []
     got = 0
     while got < count:

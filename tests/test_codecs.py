@@ -273,6 +273,36 @@ class TestNativeDecodeParity:
                 np.testing.assert_array_equal(got_py, vals)
                 assert pos_c == pos_vec == pos_py == len(enc)
 
+    def test_byte_rle_paths_agree(self):
+        import numpy as np
+
+        from hive_dwrf_spark.format import _native, codecs
+
+        if _native.byte_rle_decode is None:
+            import pytest as _pytest
+
+            _pytest.skip("no C compiler available")
+        rng = np.random.default_rng(11)
+        cases = [
+            rng.integers(0, 256, 5000),  # literal-heavy
+            np.repeat(rng.integers(0, 256, 40), 200),  # long runs
+            np.r_[np.zeros(10), rng.integers(0, 2, 500)],  # mixed
+        ]
+        saved = _native.byte_rle_decode
+        for vals in cases:
+            vals = vals.astype(np.uint8)
+            enc = codecs.encode_byte_rle(vals)
+            buf = np.frombuffer(enc, dtype=np.uint8)
+            got_c, pos_c = codecs.decode_byte_rle(buf, len(vals))
+            try:
+                _native.byte_rle_decode = None
+                got_py, pos_py = codecs.decode_byte_rle(buf, len(vals))
+            finally:
+                _native.byte_rle_decode = saved
+            np.testing.assert_array_equal(got_c, vals)
+            np.testing.assert_array_equal(got_py, vals)
+            assert pos_c == pos_py == len(enc)
+
     def test_native_truncation_raises(self):
         import numpy as np
         import pytest as _pytest
