@@ -13,6 +13,8 @@ evaluation to the consumer — SURVEY.md §4 O2)."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -100,7 +102,16 @@ class _StripeDecoder:
             self._ranges[(s.column, s.kind)] = (off, s.length)
             off += s.length
         self._chunks: list[tuple[int, np.ndarray]] = []  # (start, bytes) sorted
+        # stream cache: plain dict, GIL-atomic get/set. Under the column
+        # thread pool two threads may rarely decompress the same stream
+        # twice (distinct columns touch distinct streams, so in practice
+        # never); idempotent, so no lock on the hot path.
         self._cache: dict[tuple[int, int], np.ndarray] = {}
+        # per-thread decode scratch (present mask handoff to stride-dict
+        # decode) so columns can decode concurrently
+        import threading
+
+        self._tls = threading.local()
         wanted = self._wanted_ranges(include_ids, body_len)
         for start, end in wanted:
             data = reader._read_at(stripe.offset + start, end - start)
@@ -189,9 +200,10 @@ class _StripeDecoder:
             present = None
             n_values = n_rows
         # stride-dictionary decode needs the dense->row mapping of the
-        # column being decoded (top-level only; consumed before recursion)
-        self._present_mask = present
-        self._present_rows = n_rows
+        # column being decoded (top-level only; consumed before recursion);
+        # thread-local so concurrent column decodes don't race
+        self._tls.present_mask = present
+        self._tls.present_rows = n_rows
 
         if n_values == 0:
             dense = pa.array(
@@ -305,7 +317,7 @@ class _StripeDecoder:
                     else b""
                 )
                 stride = self.r.footer.rowIndexStride
-                present = self._present_mask
+                present = getattr(self._tls, "present_mask", None)
                 rows_of_dense = (
                     np.flatnonzero(present)
                     if present is not None
@@ -522,8 +534,9 @@ class DwrfFile:
         self.schema = type_tree_to_schema(self.types, self.type_overrides)
 
     def _read_at(self, offset: int, length: int) -> bytes:
-        self._f.seek(offset)
-        return self._f.read(length)
+        # positional read: no shared seek cursor, safe under the stripe
+        # thread pool in read()
+        return os.pread(self._f.fileno(), length, offset)
 
     def close(self):
         self._f.close()
@@ -704,6 +717,10 @@ class DwrfFile:
             schema = pa.schema([self.schema.field(nm) for nm, _ in selected])
         else:
             schema = self.projected_schema(columns)
+        # columns decode serially within a stripe: a column thread pool was
+        # measured 1.5-10x SLOWER here — the numpy sections between the
+        # GIL-releasing C calls convoy on the GIL. Parallelism lives at the
+        # stripe level (read() below, and one Spark task per stripe).
         arrays = [dec.decode_column(tid, n) for _, tid in selected]
         with profiler.phase("deserialization"):
             table = pa.Table.from_arrays(arrays, schema=schema)
@@ -738,11 +755,32 @@ class DwrfFile:
                 self.schema if columns is None else self.projected_schema(columns)
             )
             return schema.empty_table()
-        tables = []
-        for i in range(len(self.footer.stripes)):
-            t = self.read_stripe(i, columns=columns, filters=filters)
-            if t is not None:
-                tables.append(t)
+        n_stripes = len(self.footer.stripes)
+        if n_stripes > 1 and not profiler.enabled:
+            # Decode stripes on a small thread pool: the hot paths (ctypes
+            # RLE decode, zlib, pread) all release the GIL, so this scales
+            # like the C++ parquet reader's internal parallelism. Spark's
+            # one-task-per-stripe path never takes this branch (each task
+            # reads a single stripe); it serves whole-file readers (dump
+            # tool, bench, interactive use). Order is preserved.
+            from concurrent.futures import ThreadPoolExecutor
+
+            workers = min(n_stripes, os.cpu_count() or 4, 8)
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                maybe = list(
+                    ex.map(
+                        lambda i: self.read_stripe(
+                            i, columns=columns, filters=filters
+                        ),
+                        range(n_stripes),
+                    )
+                )
+        else:
+            maybe = [
+                self.read_stripe(i, columns=columns, filters=filters)
+                for i in range(n_stripes)
+            ]
+        tables = [t for t in maybe if t is not None]
         if not tables:
             schema = (
                 self.schema if columns is None else self.projected_schema(columns)
