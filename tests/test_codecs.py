@@ -303,6 +303,31 @@ class TestNativeDecodeParity:
             np.testing.assert_array_equal(got_py, vals)
             assert pos_c == pos_py == len(enc)
 
+    def test_random_bytes_never_crash(self):
+        """Adversarial input: arbitrary bytes into either RLE decoder must
+        raise ValueError or return exactly `count` values — never overrun
+        the output buffer or crash (bounds checks in the C paths)."""
+        import numpy as np
+
+        from hive_dwrf_spark.format import codecs
+
+        rng = np.random.default_rng(0)
+        for i in range(500):
+            buf = rng.integers(0, 256, int(rng.integers(1, 200))).astype(
+                np.uint8
+            )
+            count = int(rng.integers(1, 500))
+            try:
+                vals, pos = codecs.decode_int_rle(buf, count, signed=bool(i % 2))
+                assert len(vals) == count
+            except ValueError:
+                pass
+            try:
+                v2, _ = codecs.decode_byte_rle(buf, count)
+                assert len(v2) == count
+            except ValueError:
+                pass
+
     def test_native_truncation_raises(self):
         import numpy as np
         import pytest as _pytest
