@@ -255,12 +255,28 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def word_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, threshold: float
 ) -> DataFrame:
-    """Exact word-set Jaccard similarity for all pairs above threshold.
+    """Exact word-set Jaccard similarity for all pairs above threshold,
+    via LOSSLESS prefix filtering (the AllPairs/PPJoin principle from the
+    similarity-join literature).
 
-    Declarative form (explode distinct words -> self-join on word ->
-    intersection counts): at scale this is the verifier applied to LSH
-    candidates; on its own it is quadratic only within shared-word groups.
-    """
+    A naive shared-word self-join is quadratic within each word group —
+    one stop-word shared by 10M docs emits ~5e13 candidate rows. Instead,
+    order every document's tokens by ascending global document frequency
+    (rarest first, token as tie-break — one global total order) and keep
+    only each document's PREFIX of length |x| - ceil(t*|x|) + 1. If
+    J(x,y) >= t then |x∩y| >= ceil(t*max(|x|,|y|)), and the minimal
+    common token under the global order must sit inside BOTH prefixes
+    (pigeonhole: were it outside one prefix, all common tokens would have
+    to fit in the ceil(t|x|)-1 trailing slots). So joining prefixes on
+    the token misses nothing, while hot tokens — ranked last everywhere —
+    almost never enter a prefix: the quadratic stop-word group vanishes.
+    Candidates then get the exact intersection count, restricted to pairs
+    that passed, plus the |y| >= t|x| length filter both ways.
+
+    Cost at scale: one df aggregation over tokens, one per-doc rank, a
+    join on prefix tokens (rare by construction), and a verify join that
+    touches candidate pairs only. Every shuffle key is a token or doc id;
+    no step holds a hot group in memory."""
     words = (
         df.select(
             F.col(id_col),
@@ -272,11 +288,39 @@ def word_jaccard_pairs(
         .distinct()
     )
     sizes = words.groupBy(id_col).agg(F.count("*").alias("sz"))
+    dfreq = words.groupBy("w").agg(F.count("*").alias("df"))
+    rank_w = Window.partitionBy(id_col).orderBy("df", "w")
+    prefix = (
+        words.join(dfreq, "w")
+        .withColumn("rnk", F.row_number().over(rank_w))
+        .join(sizes, id_col)
+        .filter(
+            F.col("rnk")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+        .select(id_col, "w", "sz")
+    )
+    p1 = prefix.select(
+        F.col(id_col).alias("id1"), "w", F.col("sz").alias("sz1")
+    )
+    p2 = prefix.select(
+        F.col(id_col).alias("id2"), "w", F.col("sz").alias("sz2")
+    )
+    cand = (
+        p1.join(p2, "w")
+        .filter(
+            (F.col("id1") < F.col("id2"))
+            & (F.col("sz2") >= F.ceil(F.lit(threshold) * F.col("sz1")))
+            & (F.col("sz1") >= F.ceil(F.lit(threshold) * F.col("sz2")))
+        )
+        .select("id1", "id2")
+        .distinct()
+    )
     w1 = words.select(F.col(id_col).alias("id1"), "w")
     w2 = words.select(F.col(id_col).alias("id2"), "w")
     inter = (
-        w1.join(w2, ["w"])
-        .filter(F.col("id1") < F.col("id2"))
+        cand.join(w1, "id1")
+        .join(w2, ["id2", "w"])
         .groupBy("id1", "id2")
         .agg(F.count("*").alias("inter"))
     )

@@ -98,6 +98,25 @@ def test_word_jaccard_exact(spark):
     assert [(p.id1, p.id2, p.jaccard) for p in pairs] == [(1, 2, 0.6)]
 
 
+def test_word_jaccard_prefix_filter_lossless_with_hot_tokens(spark):
+    """Every doc shares the stop-words 'the'/'a' (the quadratic hot group
+    in a naive shared-word join); the prefix filter must still find
+    exactly the one true near-dup pair hiding among them."""
+    from hive_dwrf_spark.operators.dedup import word_jaccard_pairs
+
+    rows = [
+        (i, f"the a common words everywhere unique{i} only{i} here{i}")
+        for i in range(300)
+    ]
+    rows += [
+        (9001, "the a zebra quantum falcon mystery garden"),
+        (9002, "the a zebra quantum falcon mystery garden"),  # exact dup
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = word_jaccard_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    assert [(p.id1, p.id2, p.jaccard) for p in pairs] == [(9001, 9002, 1.0)]
+
+
 def test_cosine_topk_exact(spark):
     from hive_dwrf_spark.operators.similarity import cosine_topk
 
