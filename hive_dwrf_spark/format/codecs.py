@@ -701,27 +701,56 @@ def _decompress_block(block: bytes, kind: CompressionKind) -> bytes:
     raise ValueError(f"unsupported compression {kind}")
 
 
+_COMPRESS_POOL = None
+
+
+def _compress_pool():
+    # lazy shared pool for multi-block streams; zlib/snappy release the
+    # GIL, so block compression parallelizes within one writer thread
+    global _COMPRESS_POOL
+    if _COMPRESS_POOL is None:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        _COMPRESS_POOL = ThreadPoolExecutor(
+            max_workers=min(4, os.cpu_count() or 2),
+            thread_name_prefix="dwrf-compress",
+        )
+    return _COMPRESS_POOL
+
+
 def compress_stream(
     data: bytes, kind: CompressionKind, block_size: int, level: int = 4
 ) -> bytes:
     """Frame `data` into compressed blocks with 3-byte headers.
 
     Header low bit = 1 means the block is stored original (codec did not
-    shrink it), matching OutStream.writeHeader.
+    shrink it), matching OutStream.writeHeader. Streams larger than a few
+    blocks compress their (independent) blocks on a small thread pool —
+    the codecs drop the GIL — which matters for the single-writer path
+    (bench, interactive); Spark executor tasks already saturate cores, and
+    the pool is capped at 4 threads so oversubscription stays bounded.
     """
     if kind == CompressionKind.NONE:
         return data
+    blocks = [
+        data[off : off + block_size] for off in range(0, len(data), block_size)
+    ]
+    if len(blocks) >= 4:
+        comps = list(
+            _compress_pool().map(
+                lambda b: _compress_block(b, kind, level), blocks
+            )
+        )
+    else:
+        comps = [_compress_block(b, kind, level) for b in blocks]
     out = bytearray()
-    for off in range(0, len(data), block_size):
-        block = data[off : off + block_size]
-        comp = _compress_block(block, kind, level)
+    for block, comp in zip(blocks, comps):
         if len(comp) < len(block):
-            header = (len(comp) << 1) | 0
-            out += header.to_bytes(3, "little")
+            out += ((len(comp) << 1) | 0).to_bytes(3, "little")
             out += comp
         else:
-            header = (len(block) << 1) | 1
-            out += header.to_bytes(3, "little")
+            out += ((len(block) << 1) | 1).to_bytes(3, "little")
             out += block
     return bytes(out)
 
