@@ -20,6 +20,71 @@ _STOPWORDS = [
 ]
 
 
+def bm25_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed term list.
+
+    100 TB shape: per-term tf and doc length are pure JVM expressions over
+    one corpus scan; the collection statistics (N, avgdl, per-term df) are
+    ONE aggregate row cross-joined back (Spark broadcasts a 1-row side), so
+    the corpus is scanned twice and shuffled never. Per-term contributions
+    are summed in the fixed order of `query_terms` — a deterministic
+    expression tree the SQL oracle reproduces bit-for-bit.
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
+
+    def term_count(term: str):
+        # factory closure: a listcomp lambda would late-bind the term, and
+        # a two-arg lambda would be read by F.filter as (element, index)
+        return F.size(F.filter(words, lambda w: w == F.lit(term)))
+
+    tf_cols = [
+        term_count(t).alias(f"tf_{i}") for i, t in enumerate(query_terms)
+    ]
+    base = df.select(
+        F.col(id_col), F.size(words).alias("dl"), *tf_cols
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(query_terms)):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        tf = F.col(f"tf_{i}").cast("double")
+        contrib = idf * (
+            tf
+            * F.lit(k1 + 1.0)
+            / (
+                tf
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl") / F.col("avgdl")
+                )
+            )
+        )
+        score = contrib if score is None else score + contrib
+    return scored.select(
+        F.col(id_col), F.round(score, 6).alias("bm25")
+    )
+
+
 def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Length / token / punctuation / stopword-ratio features, all JVM-side."""
     words = F.split(F.lower(F.col(text_col)), " ")

@@ -642,6 +642,58 @@ def text_quality(spark, sf_dir):
     )
 
 
+_BM25_TERMS = ["spark", "vector", "merge"]
+
+
+def _bm25_oracle() -> str:
+    tf = ",\n           ".join(
+        f"len(list_filter(string_split(lower(text), ' '), "
+        f"w -> w = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    dfs = ",\n           ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    contribs = "\n         + ".join(
+        f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * (tf_{i} * 2.2 / (tf_{i} + 1.2 * (0.25 + 0.75 * dl / avgdl)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+           len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS dl,
+           {tf}
+      FROM documents
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+           {dfs}
+      FROM base
+    )
+    SELECT doc_id,
+           round({contribs}, 6) AS bm25
+    FROM base, stats
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """
+
+
+@query("text_bm25", oracle=_bm25_oracle())
+def text_bm25(spark, sf_dir):
+    """BM25 relevance ranking against a fixed query-term list (the scoring
+    half of a retrieval-based data-curation pass). One corpus scan for
+    per-doc tf/length, one 1-row broadcast of collection stats, zero
+    shuffles of documents; contributions sum in fixed term order so the
+    oracle's expression tree is bit-identical."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        text.bm25_scores(d, "text", "doc_id", _BM25_TERMS)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
 @query(
     "text_tokens_top",
     oracle="""
