@@ -638,16 +638,23 @@ def decode_byte_rle(buf: np.ndarray, count: int, pos: int = 0):
         return out, end
     pieces = []
     got = 0
+    n = len(buf)
     while got < count:
+        if pos >= n:
+            raise ValueError("byte RLE stream truncated")
         h = int(buf[pos])
         pos += 1
         if h < 0x80:
+            if pos >= n:
+                raise ValueError("byte RLE stream truncated")
             run = h + MIN_REPEAT_SIZE
             pieces.append(np.full(run, buf[pos], dtype=np.uint8))
             pos += 1
             got += run
         else:
             cnt = 256 - h
+            if pos + cnt > n:
+                raise ValueError("byte RLE stream truncated")
             pieces.append(buf[pos : pos + cnt].copy())
             pos += cnt
             got += cnt

@@ -311,22 +311,35 @@ class TestNativeDecodeParity:
 
         from hive_dwrf_spark.format import codecs
 
+        from hive_dwrf_spark.format import _native
+
+        saved = (_native.rle_walk, _native.rle_decode, _native.byte_rle_decode)
         rng = np.random.default_rng(0)
-        for i in range(500):
-            buf = rng.integers(0, 256, int(rng.integers(1, 200))).astype(
-                np.uint8
-            )
-            count = int(rng.integers(1, 500))
-            try:
-                vals, pos = codecs.decode_int_rle(buf, count, signed=bool(i % 2))
-                assert len(vals) == count
-            except ValueError:
-                pass
-            try:
-                v2, _ = codecs.decode_byte_rle(buf, count)
-                assert len(v2) == count
-            except ValueError:
-                pass
+        try:
+            for native in (True, False):
+                if not native:
+                    _native.rle_walk = None
+                    _native.rle_decode = None
+                    _native.byte_rle_decode = None
+                for i in range(400):
+                    buf = rng.integers(
+                        0, 256, int(rng.integers(1, 200))
+                    ).astype(np.uint8)
+                    count = int(rng.integers(1, 500))
+                    try:
+                        vals, _ = codecs.decode_int_rle(
+                            buf, count, signed=bool(i % 2)
+                        )
+                        assert len(vals) == count
+                    except ValueError:
+                        pass
+                    try:
+                        v2, _ = codecs.decode_byte_rle(buf, count)
+                        assert len(v2) == count
+                    except ValueError:
+                        pass
+        finally:
+            _native.rle_walk, _native.rle_decode, _native.byte_rle_decode = saved
 
     def test_native_truncation_raises(self):
         import numpy as np
