@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
@@ -82,6 +82,61 @@ def bm25_scores(
         score = contrib if score is None else score + contrib
     return scored.select(
         F.col(id_col), F.round(score, 6).alias("bm25")
+    )
+
+
+def pack_token_stream(
+    df: DataFrame, id_col: str, n_tokens_col, budget: int
+) -> DataFrame:
+    """GPT-style sequence packing: documents are concatenated into one
+    token stream in `id_col` order and chunked into fixed `budget`-token
+    training sequences; returns each document's byte-range in that stream
+    (start_tok, end_tok) and the first/last chunk it lands in.
+
+    The global running sum is the scalable two-pass shape, NOT a
+    single-partition global window: range-repartition by id, cumsum
+    within each partition, then offset by the (tiny, broadcast) running
+    totals of the partitions before it. Both passes shuffle only
+    (partition_id, total) rows besides the range exchange; no executor
+    ever holds more than its partition. The result is a pure function of
+    the data (independent of partition count), so the SQL oracle's plain
+    windowed SUM reproduces it exactly.
+    """
+    toks = df.select(F.col(id_col), F.col(n_tokens_col).alias("n_toks"))
+    ranged = toks.repartitionByRange(id_col).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("_pid").orderBy(id_col)
+    local = ranged.withColumn("_local_end", F.sum("n_toks").over(w_in))
+    # per-partition totals are a handful of rows: a driver-size window is
+    # fine here and AQE broadcasts the join side
+    w_pid = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.sum("n_toks").alias("_ptotal"))
+        .withColumn("_offset", F.coalesce(F.sum("_ptotal").over(w_pid), F.lit(0)))
+        .select("_pid", "_offset")
+    )
+    out = (
+        local.join(offsets, "_pid")
+        .withColumn("end_tok", F.col("_local_end") + F.col("_offset"))
+        .withColumn("start_tok", F.col("end_tok") - F.col("n_toks"))
+        .withColumn(
+            "first_chunk", F.floor(F.col("start_tok") / F.lit(budget))
+        )
+        .withColumn(
+            "last_chunk",
+            # greatest() pins zero-token docs to their insertion point
+            F.greatest(
+                F.col("first_chunk"),
+                F.floor((F.col("end_tok") - 1) / F.lit(budget)),
+            ),
+        )
+    )
+    return out.select(
+        id_col, "n_toks", "start_tok", "end_tok", "first_chunk", "last_chunk"
     )
 
 

@@ -642,6 +642,48 @@ def text_quality(spark, sf_dir):
     )
 
 
+@query(
+    "text_pack",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  w -> w <> '')) AS BIGINT) AS n_toks
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, n_toks,
+             SUM(n_toks) OVER (ORDER BY doc_id) AS end_tok
+      FROM toks
+    )
+    SELECT doc_id, n_toks,
+           end_tok - n_toks AS start_tok,
+           end_tok,
+           (end_tok - n_toks) // 512 AS first_chunk,
+           greatest((end_tok - n_toks) // 512,
+                    (end_tok - 1) // 512) AS last_chunk
+    FROM cum
+    ORDER BY doc_id
+    """,
+)
+def text_pack(spark, sf_dir):
+    """GPT-style sequence packing: concatenate the corpus token stream in
+    doc_id order, chunk into 512-token training sequences, and report each
+    document's [start_tok, end_tok) range and first/last chunk. The
+    running sum is the two-pass partition-prefix shape (no global-window
+    single partition); the oracle's plain windowed SUM replays it exactly
+    because the result is partitioning-independent."""
+    d = load(spark, sf_dir, "documents")
+    with_counts = d.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+        ).cast("bigint").alias("n_toks"),
+    )
+    return text.pack_token_stream(
+        with_counts, "doc_id", "n_toks", budget=512
+    ).orderBy("doc_id")
+
+
 _BM25_TERMS = ["spark", "vector", "merge"]
 
 
