@@ -140,6 +140,23 @@ def pack_token_stream(
     )
 
 
+def redact_columns(
+    df: DataFrame, rules: dict[str, tuple[str, str]]
+) -> DataFrame:
+    """PII redaction: apply (regex, replacement) per column, JVM-side.
+
+    Patterns should stay inside the RE2-compatible subset (no lookarounds,
+    no backreferences) so the same rule set runs identically on Spark
+    (java.util.regex), DuckDB (RE2), and any downstream engine. One
+    projection, no shuffle, composes with pushed-down filters — at 100 TB
+    this is a free pass over the scan, which is the only acceptable cost
+    for a transform that must touch every row."""
+    out = df
+    for col, (pattern, repl) in rules.items():
+        out = out.withColumn(col, F.regexp_replace(F.col(col), pattern, repl))
+    return out
+
+
 def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Length / token / punctuation / stopword-ratio features, all JVM-side."""
     words = F.split(F.lower(F.col(text_col)), " ")

@@ -684,6 +684,35 @@ def text_pack(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@query(
+    "pii_redact",
+    oracle=r"""
+    SELECT c_custkey,
+           regexp_replace(c_name, '\d', 'X', 'g') AS name_redacted,
+           c_mktsegment
+    FROM customer
+    ORDER BY c_custkey
+    LIMIT 200
+    """,
+)
+def pii_redact(spark, sf_dir):
+    """PII redaction pass: digit sequences in identifying columns masked by
+    a JVM-side regexp projection (operators/text.py::redact_columns). The
+    rule set stays in the RE2-compatible regex subset so Spark and the
+    DuckDB oracle apply byte-identical transforms."""
+    c = load(spark, sf_dir, "customer")
+    red = text.redact_columns(c, {"c_name": (r"\d", "X")})
+    return (
+        red.select(
+            "c_custkey",
+            F.col("c_name").alias("name_redacted"),
+            "c_mktsegment",
+        )
+        .orderBy("c_custkey")
+        .limit(200)
+    )
+
+
 _BM25_TERMS = ["spark", "vector", "merge"]
 
 
