@@ -176,6 +176,91 @@ def test_projection_on_foreign_file(tmp_path):
     assert t.column("i").to_pylist() == ROWS_I
 
 
+def _build_nullable_list_file() -> bytes:
+    """Second foreign file: nullable int + list<int> with nulls and empty
+    lists — pins PRESENT-stream null suppression (child streams carry only
+    non-null rows' values) and LIST length/child layout.
+
+    rows: a  = [10, NULL, 30, NULL, 50, 60]
+          li = [[1,2], [3], [], NULL, [4,5,6], []]
+    """
+    # column 1 (a: int): PRESENT bits 1,0,1,0,1,1 -> MSB byte 0b10101100;
+    # bitfield = byte-RLE literal of one byte (header 0xFF = 1 literal)
+    present_a = bytes([0xFF, 0b10101100])
+    # DATA: the 4 non-null values only, one literal group, zigzag varints
+    data_a = bytes([256 - 4]) + b"".join(_uv(_zz(v)) for v in (10, 30, 50, 60))
+    # column 2 (li: list): PRESENT bits 1,1,1,0,1,1 -> 0b11101100
+    present_li = bytes([0xFF, 0b11101100])
+    # LENGTH: one entry per non-null list row: [2,1,0,3,0]
+    len_li = bytes([256 - 5]) + b"".join(_uv(v) for v in (2, 1, 0, 3, 0))
+    # column 3 (list child int): all elements, zigzag varints
+    data_child = bytes([256 - 6]) + b"".join(
+        _uv(_zz(v)) for v in (1, 2, 3, 4, 5, 6)
+    )
+
+    streams = [  # kinds: PRESENT=0, DATA=1, LENGTH=2
+        (0, 1, present_a),
+        (1, 1, data_a),
+        (0, 2, present_li),
+        (2, 2, len_li),
+        (1, 3, data_child),
+    ]
+    body = b"".join(s[2] for s in streams)
+    stream_msgs = b"".join(
+        _ldf(1, _field(1, kind) + _field(2, col) + _field(3, len(raw)))
+        for kind, col, raw in streams
+    )
+    enc_msgs = b"".join(_ldf(2, _field(1, 0)) for _ in range(4))
+    stripe_footer = stream_msgs + enc_msgs
+
+    # types: 0 STRUCT{a,li}, 1 INT, 2 LIST, 3 INT (kinds: INT=3, LIST=10,
+    # STRUCT=12); subtypes unpacked again
+    t_root = (
+        _field(1, 12)
+        + _field(2, 1) + _field(2, 2)
+        + _ldf(3, b"a") + _ldf(3, b"li")
+    )
+    t_a = _field(1, 3)
+    t_li = _field(1, 10) + _field(2, 3)
+    t_child = _field(1, 3)
+
+    magic = b"ORC"
+    stripe_info = (
+        _field(1, len(magic))
+        + _field(2, 0)
+        + _field(3, len(body))
+        + _field(4, len(stripe_footer))
+        + _field(5, 6)
+    )
+    footer = (
+        _field(1, len(magic))
+        + _field(2, len(magic) + len(body) + len(stripe_footer))
+        + _ldf(3, stripe_info)
+        + _ldf(4, t_root) + _ldf(4, t_a) + _ldf(4, t_li) + _ldf(4, t_child)
+        + _field(6, 6)
+    )
+    postscript = _field(1, len(footer)) + _field(2, 0)
+    return (
+        magic + body + stripe_footer + footer + postscript
+        + bytes([len(postscript)])
+    )
+
+
+def test_reader_decodes_foreign_nulls_and_lists(tmp_path):
+    from hive_dwrf_spark.format import DwrfFile
+
+    p = str(tmp_path / "foreign_nulls.dwrf")
+    with open(p, "wb") as f:
+        f.write(_build_nullable_list_file())
+    with DwrfFile(p) as f:
+        t = f.read()
+    assert t.num_rows == 6
+    assert t.column("a").to_pylist() == [10, None, 30, None, 50, 60]
+    assert t.column("li").to_pylist() == [
+        [1, 2], [3], [], None, [4, 5, 6], [],
+    ]
+
+
 def test_foreign_file_through_spark_datasource(tmp_path, spark):
     """End-to-end: the foreign file is readable through the registered
     Spark DataSource, not just the low-level reader."""
