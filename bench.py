@@ -60,6 +60,9 @@ HEADLINE = [
     "sample_fraction",
     "pipeline_curate",
     "text_decontaminate",
+    "text_bm25",
+    "text_pack",
+    "pii_redact",
 ]
 
 
