@@ -47,9 +47,14 @@ def bm25_scores(
     tf_cols = [
         term_count(t).alias(f"tf_{i}") for i, t in enumerate(query_terms)
     ]
+    from pyspark import StorageLevel
+
+    # persisted: consumed by the stats aggregate AND the scoring join, and
+    # it is the narrow frame (id, dl, k tf ints — ~40 B/doc, so ~40 GB per
+    # 1B docs spread across a cluster), not the corpus text
     base = df.select(
         F.col(id_col), F.size(words).alias("dl"), *tf_cols
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
