@@ -213,6 +213,25 @@ def minhash_dedup_pairs(
     )
 
 
+def resolve_duplicates(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Resolve near-dup clusters to a deduplicated corpus: cluster the
+    pair list with connected components, keep the minimum-id document of
+    every cluster as canonical, and pass all unpaired documents through.
+
+    The whole resolution is one anti-join of the corpus against the
+    non-canonical cluster members (component label != node id) — the
+    labels frame is tiny next to the corpus (only documents that appear
+    in some pair), so at 100 TB this broadcasts and the corpus is
+    scanned once and shuffled never."""
+    labels = connected_components(pairs)
+    losers = labels.filter(F.col("component") != F.col("node")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens (weighted bit-vote), as a
     pandas UDF; near-dups share a hash within small Hamming distance.

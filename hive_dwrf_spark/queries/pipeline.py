@@ -161,6 +161,57 @@ def dedup_components(spark, sf_dir):
     return dedup.connected_components(pairs).orderBy("node")
 
 
+@query(
+    "dedup_resolve",
+    # end of the dedup pipeline: same Jaccard >= 0.5 clusters, keep only
+    # each cluster's min-id canonical document plus all unpaired docs
+    oracle="""
+    WITH RECURSIVE words AS (
+      SELECT DISTINCT doc_id, w
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents) t
+      WHERE w <> ''
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM words GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+      FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT id1, id2
+      FROM inter
+      JOIN sizes s1 ON s1.doc_id = id1
+      JOIN sizes s2 ON s2.doc_id = id2
+      WHERE round(inter / (s1.sz + s2.sz - inter), 6) >= 0.5
+    ), sym AS (
+      SELECT id1 AS a, id2 AS b FROM edges
+      UNION
+      SELECT id2, id1 FROM edges
+    ), reach(node, r) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node
+    ), comp AS (
+      SELECT node, min(r) AS component FROM reach GROUP BY node
+    )
+    SELECT doc_id
+    FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM comp WHERE component <> node)
+    ORDER BY doc_id
+    """,
+)
+def dedup_resolve(spark, sf_dir):
+    """Full dedup resolution (operators/dedup.py::resolve_duplicates):
+    detect near-dups, cluster, keep one canonical doc per cluster."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.word_jaccard_pairs(d, "text", "doc_id", threshold=0.5)
+    return (
+        dedup.resolve_duplicates(d, pairs, "doc_id")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def _minhash_params_values() -> str:
     """The engine's fixed (a, b) permutation constants as a SQL VALUES list,
     so the oracle replays the exact signature arithmetic (31-bit minhash:
