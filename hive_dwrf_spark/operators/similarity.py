@@ -92,6 +92,32 @@ def embedding_centroids(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame, vec_col: str, id_col: str, bits: int = 8
+) -> DataFrame:
+    """Symmetric per-vector int quantization (the int8 memory/bandwidth
+    trick for ANN serving and embedding storage): scale = max|v| / (2^(b-1)
+    - 1), q_i = trunc(v_i / scale). Pure column expressions — one scan, no
+    shuffle, 4x (fp32) / 8x (fp64) smaller vectors downstream.
+
+    Truncation (not rounding) is the defined semantics: Spark's
+    double->int cast truncates while SQL engines disagree on cast
+    rounding, so `trunc` keeps every engine bit-identical. Zero vectors
+    quantize to zeros with scale 0."""
+    qmax = float(2 ** (bits - 1) - 1)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(qmax)
+    return df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.when(scale == 0.0, F.transform(v, lambda x: F.lit(0)))
+        .otherwise(
+            F.transform(v, lambda x: (x / scale).cast("int"))
+        )
+        .alias("q"),
+    )
+
+
 def lsh_buckets(
     df: DataFrame, vec_col: str, id_col: str, n_planes: int = 16, dim: int = 64
 ) -> DataFrame:

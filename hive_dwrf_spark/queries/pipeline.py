@@ -736,6 +736,61 @@ def text_pack(spark, sf_dir):
 
 
 @query(
+    "embedding_quantize",
+    # int8 symmetric quantization replayed in SQL: scale = max|v|/127,
+    # q = trunc(v/scale) (defined as truncation — engines disagree on
+    # cast rounding); outputs are scalar summaries so the driver's
+    # canonicalizer never sees list cells
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x))) / 127 AS scale
+      FROM embeddings
+    ), quant AS (
+      SELECT vec_id, scale,
+             CASE WHEN scale = 0
+                  THEN list_transform(v, x -> 0)
+                  ELSE list_transform(v, x -> CAST(trunc(x / scale) AS INT))
+             END AS q
+      FROM scaled
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale_r,
+           list_aggregate(list_transform(q, x -> abs(x)), 'sum') AS q_l1,
+           list_aggregate(q, 'min') AS q_min,
+           list_aggregate(q, 'max') AS q_max
+    FROM quant
+    ORDER BY vec_id
+    LIMIT 500
+    """,
+)
+def embedding_quantize(spark, sf_dir):
+    """Int8 embedding quantization (operators/similarity.py::
+    quantize_embeddings) with scalar summaries of the quantized vector."""
+    e = load(spark, sf_dir, "embeddings")
+    from ..operators.similarity import quantize_embeddings
+
+    q = quantize_embeddings(e, "embedding", "vec_id")
+    return (
+        q.select(
+            "vec_id",
+            F.round("scale", 6).alias("scale_r"),
+            F.aggregate(
+                F.transform("q", lambda x: F.abs(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("q_l1"),
+            F.array_min("q").alias("q_min"),
+            F.array_max("q").alias("q_max"),
+        )
+        .orderBy("vec_id")
+        .limit(500)
+    )
+
+
+@query(
     "pii_redact",
     oracle=r"""
     SELECT c_custkey,
