@@ -57,3 +57,21 @@ def curate(
         .drop("__rn")
         .filter(_hash64(F.col(id_col)) < F.lit(str(threshold)).cast("decimal(20,0)"))
     )
+
+
+def upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE-style keyed upsert without a table format: rows from `updates`
+    win on key collision, unmatched `base` rows pass through.
+
+    Spark-first emulation of MERGE INTO (matched -> update, not matched ->
+    insert) for plain-file tables: one left-anti join of base against the
+    update keys plus a union. At 100 TB the updates side is the small one
+    (a day's changes vs the full table), so the anti-join broadcasts and
+    the base table is scanned once with zero shuffle; the output is then
+    typically written partition-overwrite style. Deterministic: the result
+    is a pure function of the two inputs, so the SQL oracle (NOT IN +
+    UNION ALL) replays it exactly."""
+    survivors = base.join(
+        F.broadcast(updates.select(*keys).distinct()), keys, "left_anti"
+    )
+    return updates.unionByName(survivors)

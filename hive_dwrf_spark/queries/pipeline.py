@@ -510,6 +510,52 @@ _CURATE_THRESHOLD = int(0.5 * float(1 << 64))
 
 
 @query(
+    "pipeline_upsert",
+    # MERGE-style upsert: customers with c_custkey % 10 == 0 arrive as
+    # "updates" with a changed segment; update rows win, the rest pass
+    # through. Replayed as UNION ALL + NOT IN.
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+    ), merged AS (
+      SELECT c_custkey, c_name, c_mktsegment FROM updates
+      UNION ALL
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+    )
+    SELECT c_mktsegment, count(*) AS cnt,
+           min(c_custkey) AS min_key, max(c_custkey) AS max_key
+    FROM merged
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def pipeline_upsert(spark, sf_dir):
+    """Keyed upsert (operators/curation.py::upsert): CDC-style daily
+    changes merged over the base table with one broadcast anti-join."""
+    from ..operators.curation import upsert
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    updates = c.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_mktsegment", F.lit("UPDATED")
+    )
+    merged = upsert(c, updates, ["c_custkey"])
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
     "pipeline_curate",
     # the full curation pass replayed: word-count quality gate ->
     # fingerprint dedup with keep-smallest-id winner -> keyed-md5 sample.
