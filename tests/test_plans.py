@@ -105,3 +105,39 @@ def test_text_df_distinct_before_explode(spark):
     # array_distinct must run scan-side (inside the generate stage), so the
     # aggregate needs no distinct-aggregation expand
     assert "Expand" not in plan
+
+
+def test_bm25_broadcasts_collection_stats(spark):
+    plan = _plan(_queries()["text_bm25"](spark, SF_SMOKE))
+    # the 1-row stats side must broadcast (nested-loop on a 1-row side is
+    # the intended plan); the corpus is never exchanged for the join
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_prefix_filter_no_cartesian(spark):
+    plan = _plan(_queries()["dedup_jaccard"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pii_redact_is_scan_side_projection(spark):
+    plan = _plan(_queries()["pii_redact"](spark, SF_SMOKE))
+    # regexp projection + top-k presentation only: no shuffle beyond the
+    # TakeOrderedAndProject, no join, no aggregate
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_upsert_broadcasts_update_keys(spark):
+    plan = _plan(_queries()["pipeline_upsert"](spark, SF_SMOKE))
+    # the anti-join against update keys must be broadcast, never shuffled
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quantize_is_pure_projection(spark):
+    plan = _plan(_queries()["embedding_quantize"](spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
