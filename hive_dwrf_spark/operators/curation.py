@@ -59,6 +59,39 @@ def curate(
     )
 
 
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Data-quality profile of numeric columns: one row per column with
+    row/null counts and min/max/sum.
+
+    The whole profile is ONE global aggregate over one scan — every
+    per-column stat is just another aggregate expression, and the 1-row
+    result is unpivoted driver-side with `stack`. At 100 TB this is a
+    single pass with partial aggregation; there is nothing cheaper that
+    still reads the data. The standard pre-training gate: run after every
+    ingest, diff against the previous profile, alert on drift."""
+    aggs = []
+    for c in cols:
+        d = F.col(c).cast("double")
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.isnull(d).cast("bigint")).alias(f"{c}__nulls"),
+            F.min(d).alias(f"{c}__min"),
+            F.max(d).alias(f"{c}__max"),
+            # per-value round then exact decimal sum: order-independent,
+            # so partial-aggregation order can't drift from any replayer
+            F.sum(F.round(d, 4).cast("decimal(18,4)")).alias(f"{c}__sum"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__n`, `{c}__nulls`, `{c}__min`, `{c}__max`, `{c}__sum`"
+        for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n, n_nulls, min_v, max_v, sum_v)"
+    )
+
+
 def upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     """MERGE-style keyed upsert without a table format: rows from `updates`
     win on key collision, unmatched `base` rows pass through.

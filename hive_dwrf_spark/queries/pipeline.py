@@ -510,6 +510,46 @@ _CURATE_THRESHOLD = int(0.5 * float(1 << 64))
 
 
 @query(
+    "pipeline_profile",
+    # per-column data-quality profile as one aggregate pass, unpivoted;
+    # sums are per-value-rounded exact decimals, so Spark's partial-agg
+    # order can never drift from the oracle
+    oracle="""
+    SELECT 'l_quantity' AS col_name, count(*) AS n,
+           sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           min(CAST(l_quantity AS DOUBLE)) AS min_v,
+           max(CAST(l_quantity AS DOUBLE)) AS max_v,
+           sum(CAST(round(l_quantity, 4) AS DECIMAL(18,4))) AS sum_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*),
+           sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+           min(CAST(l_extendedprice AS DOUBLE)),
+           max(CAST(l_extendedprice AS DOUBLE)),
+           sum(CAST(round(l_extendedprice, 4) AS DECIMAL(18,4)))
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*),
+           sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+           min(CAST(l_discount AS DOUBLE)),
+           max(CAST(l_discount AS DOUBLE)),
+           sum(CAST(round(l_discount, 4) AS DECIMAL(18,4)))
+    FROM lineitem
+    ORDER BY col_name
+    """,
+)
+def pipeline_profile(spark, sf_dir):
+    """Column profile gate (operators/curation.py::profile_columns): one
+    scan, one global aggregate, stack-unpivoted."""
+    from ..operators.curation import profile_columns
+
+    li = load(spark, sf_dir, "lineitem")
+    return profile_columns(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    ).orderBy("col_name")
+
+
+@query(
     "pipeline_upsert",
     # MERGE-style upsert: customers with c_custkey % 10 == 0 arrive as
     # "updates" with a changed segment; update rows win, the rest pass

@@ -309,3 +309,25 @@ class TestMergeSchema:
                 .load(d)
                 .collect()
             )
+
+
+def test_mixed_compression_directory(dwrf_spark, tmp_path):
+    """Compression is a per-file property (each postscript declares its
+    own kind): one directory holding a zlib file and a snappy file must
+    read as a single table."""
+    import pyarrow as pa
+
+    from hive_dwrf_spark.format import write_arrow_table
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    t1 = pa.table({"k": list(range(100)), "s": [f"a{i}" for i in range(100)]})
+    t2 = pa.table(
+        {"k": list(range(100, 200)), "s": [f"b{i}" for i in range(100)]}
+    )
+    write_arrow_table(str(d / "p1.dwrf"), t1, compression="zlib")
+    write_arrow_table(str(d / "p2.dwrf"), t2, compression="snappy")
+    rows = dwrf_spark.read.format("dwrf").load(str(d)).orderBy("k").collect()
+    assert len(rows) == 200
+    assert rows[0].k == 0 and rows[0].s == "a0"
+    assert rows[199].k == 199 and rows[199].s == "b99"
