@@ -307,6 +307,65 @@ class TestRandomAccess:
             assert got.column_names == ["s"]
             assert got.column("s").to_pylist() == ["row7001", "row7002", "row7003"]
 
+    def test_every_nth_row_sweep(self, tmp_path):
+        """TestOrcFile.java:1533-1694 analog: read back every Nth row for
+        N in {1,2,3,7,10,100,1000,10000} (positions capped per N so the
+        sweep stays fast); values must match the source exactly at every
+        stride/stripe phase."""
+        from hive_dwrf_spark.format import DwrfFile
+
+        path, table = self._write(tmp_path)
+        ks = table.column("k").to_pylist()
+        ss = table.column("s").to_pylist()
+        with DwrfFile(path) as f:
+            for n in (1, 2, 3, 7, 10, 100, 1000, 10000):
+                positions = range(0, 25_000, n)
+                # cap the N=1..10 sweeps; always include boundary-phase rows
+                sample = list(positions)[:150] + [
+                    p for p in (6999, 7000, 13999, 20999, 24999) if p % n == 0
+                ]
+                for off in sample:
+                    got = f.read_rows(off, 1)
+                    assert got.num_rows == 1, (n, off)
+                    assert got.column("k").to_pylist() == [ks[off]], (n, off)
+                    assert got.column("s").to_pylist() == [ss[off]], (n, off)
+
+    def test_seek_across_engineered_block_boundaries(self, tmp_path):
+        """TestOrcFile.java:266-344 analog: a tiny compression block size
+        forces every stream to span many blocks; ranged reads that cross
+        block boundaries must still decode exactly."""
+        import numpy as np
+        import pyarrow as pa
+
+        from hive_dwrf_spark.format import DwrfFile, write_arrow_table
+
+        rng = np.random.RandomState(7)
+        n = 20_000
+        table = pa.table(
+            {
+                "k": np.arange(n, dtype=np.int64),
+                "v": rng.randint(-(10**9), 10**9, size=n),
+                "s": pa.array([f"value-{i:08d}" for i in range(n)]),
+            }
+        )
+        path = str(tmp_path / "blocks.dwrf")
+        write_arrow_table(
+            path,
+            table,
+            stripe_rows=6000,
+            row_index_stride=500,
+            compression_block_size=1024,  # hundreds of blocks per stream
+        )
+        with DwrfFile(path) as f:
+            for off, cnt in [
+                (0, 20_000), (5990, 20), (11999, 2), (499, 502),
+                (17777, 1), (19999, 1),
+            ]:
+                got = f.read_rows(off, cnt)
+                exp = table.slice(off, min(cnt, n - off))
+                assert got.column("v").to_pylist() == exp.column("v").to_pylist()
+                assert got.column("s").to_pylist() == exp.column("s").to_pylist()
+
     def test_stride_pruning_slices_rows(self, tmp_path):
         from hive_dwrf_spark.format import DwrfFile
 
