@@ -259,3 +259,57 @@ def test_stream_source_works_from_foreign_cwd(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "OK 25" in proc.stdout
+
+
+def test_restart_from_checkpoint_exactly_once(spark, tmp_path):
+    """Stop a checkpointed stream, add a new source file, restart with the
+    SAME checkpoint: the persisted name-set offset must skip every
+    already-processed file and deliver only the new one — each row exactly
+    once across the restart boundary."""
+    import os
+
+    from hive_dwrf_spark.format import write_arrow_table
+    from hive_dwrf_spark.sources import register
+    from hive_dwrf_spark.streaming import stream_dwrf_dir
+
+    register(spark)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def run_once():
+        q = (
+            stream_dwrf_dir(spark, src)
+            .writeStream.format("dwrf")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        while q.isActive:
+            q.awaitTermination(5)
+        q.awaitTermination()
+
+    write_arrow_table(f"{src}/f1.dwrf", pa.table({"k": pa.array(np.arange(100))}))
+    run_once()
+    back1 = spark.read.format("dwrf").load(out)
+    assert back1.count() == 100
+
+    # a file that sorts BEFORE f1 plus a later one; restart must pick up
+    # exactly these two and never re-emit f1's rows
+    write_arrow_table(
+        f"{src}/a0.dwrf", pa.table({"k": pa.array(np.arange(100, 130))})
+    )
+    write_arrow_table(
+        f"{src}/z9.dwrf", pa.table({"k": pa.array(np.arange(130, 150))})
+    )
+    run_once()
+    back2 = spark.read.format("dwrf").load(out)
+    assert back2.count() == 150
+    dup = (
+        back2.groupBy("k").count().filter("count > 1").count()
+    )
+    assert dup == 0
+    ks = sorted(r.k for r in back2.select("k").collect())
+    assert ks == list(range(150))
