@@ -213,6 +213,57 @@ def minhash_dedup_pairs(
     )
 
 
+def cosine_pairs_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs via the LSH scale path: random-hyperplane
+    buckets (similarity.lsh_buckets) -> in-bucket exact cosine verify.
+
+    This is the 100 TB form of embedding_cosine_pairs: the all-pairs join
+    becomes an equi-join on the bucket key (one shuffle, candidates only
+    within buckets), with the exact verifier applied to candidates. LSH
+    recall is the documented trade: a pair above threshold is found only
+    if its vectors share a bucket (probability (1 - theta/pi)^n_planes);
+    fewer planes -> higher recall, fatter buckets."""
+    from .similarity import lsh_buckets
+
+    b = lsh_buckets(df, vec_col, id_col, n_planes=n_planes)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    b = b.select(F.col(id_col), v.alias("v"), "lsh_bucket")
+    a1 = b.select(
+        F.col(id_col).alias("id1"), F.col("v").alias("v1"), "lsh_bucket"
+    )
+    a2 = b.select(
+        F.col(id_col).alias("id2"), F.col("v").alias("v2"), "lsh_bucket"
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    return (
+        a1.join(a2, "lsh_bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot("v1", "v2")
+                / (F.sqrt(dot("v1", "v1")) * F.sqrt(dot("v2", "v2"))),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )
+
+
 def resolve_duplicates(
     df: DataFrame, pairs: DataFrame, id_col: str
 ) -> DataFrame:

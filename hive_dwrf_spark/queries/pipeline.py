@@ -735,6 +735,40 @@ def sim_ann(spark, sf_dir):
     return similarity.ann_topk(e, "embedding", "vec_id", _query_vector(spark, sf_dir), 10)
 
 
+def _cosine_lsh_oracle() -> str:
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_ann_bucket_sql(n_planes=4)} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+    ORDER BY id1, id2
+    """
+
+
+@query("dedup_cosine_lsh", oracle=_cosine_lsh_oracle())
+def dedup_cosine_lsh(spark, sf_dir):
+    """The 100 TB form of dedup_cosine (operators/dedup.py::
+    cosine_pairs_lsh): bucket equi-join instead of all-pairs, exact cosine
+    verify inside buckets; the oracle replays the seeded hyperplane
+    projections and the same in-bucket candidate set."""
+    e = load(spark, sf_dir, "embeddings")
+    return dedup.cosine_pairs_lsh(
+        e, "embedding", "vec_id", threshold=0.3, n_planes=4
+    ).orderBy("id1", "id2")
+
+
+
+
 # --- text analysis ------------------------------------------------------------
 
 
