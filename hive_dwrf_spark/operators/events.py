@@ -1,0 +1,191 @@
+"""Event-analytics operators: funnel, cohort retention, histogram,
+z-score outliers, SCD2 history build.
+
+These are the classic product-analytics shapes a warehouse engine is asked
+for daily (the reference exposes them through its host engine's SQL surface;
+here they are first-class DataFrame compositions). Every operator is a pure
+Catalyst plan — no UDFs — so filters push to the scan and aggregates get
+map-side partial combining.
+
+100 TB design notes:
+- funnel: each step is a filtered partial aggregate on user_id; the step
+  joins are all on user_id, so with events bucketed/partitioned by user_id
+  the whole funnel co-partitions after one shuffle. Filters (`event_type =
+  'x'`) reach the scan as pushed predicates.
+- retention: two aggregates on user_id + one co-partitioned join; the
+  (cohort, offset) group-by output is tiny (weeks x weeks).
+- histogram: a single map-side-combinable aggregate; bucket count is
+  bounded by the value domain, never by row count.
+- zscore: two passes over the fact table (stats, then flag) with the
+  per-group stats broadcast back — no window over the full table, so no
+  per-group sort at any scale.
+- scd2: one window shuffle on the entity key; state-change compression
+  happens before the second window, so the lead() pass sees only change
+  rows (usually orders of magnitude smaller).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered conversion funnel: a user reaches step i when an event of
+    type steps[i] occurs at-or-after their step i-1 time (min-timestamp
+    semantics). Returns one row per step with the user count.
+
+    Each stage is `filter -> partial agg on user -> co-partitioned join`;
+    the event-type filters push down to the scan, so each step reads only
+    its slice. Step outputs shrink monotonically, and all joins share the
+    user_id partitioning."""
+    reached = None  # DataFrame[user_col, t] of users who reached prev step
+    counts = []
+    for i, step in enumerate(steps):
+        ev = df.filter(F.col(type_col) == step)
+        if reached is None:
+            reached = ev.groupBy(user_col).agg(F.min(ts_col).alias("t"))
+        else:
+            reached = (
+                ev.join(reached, user_col)
+                .filter(F.col(ts_col) >= F.col("t"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("t"))
+            )
+        counts.append(
+            reached.agg(
+                F.lit(i + 1).alias("step"),
+                F.lit(step).alias("event_type"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+def retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: cohort = the Monday-truncated week of a
+    user's first event; a (cohort, offset) cell counts distinct users with
+    any activity `offset` weeks after their cohort week.
+
+    Both aggregates shuffle on user_id (co-partitioned join between them);
+    the final group-by output is weeks x weeks — tiny at any scale."""
+    cohort = df.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).cast("date").alias("cohort_week")
+    )
+    active = (
+        df.select(
+            user_col, F.date_trunc("week", F.col(ts_col)).cast("date").alias("wk")
+        )
+        .distinct()
+    )
+    return (
+        active.join(cohort, user_col)
+        .select(
+            "cohort_week",
+            (F.datediff("wk", "cohort_week") / 7).cast("bigint").alias("week_offset"),
+            user_col,
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )
+
+
+def value_histogram(
+    df: DataFrame, value_col: str, width: float
+) -> DataFrame:
+    """Fixed-width histogram over a numeric column. Bucket id is
+    floor(value / width); the sum is accumulated in exact integer cents so
+    it is order-independent (a float sum would hash differently between
+    engines and between partitionings). Single map-side-combinable
+    aggregate; output is bounded by the value domain."""
+    bucket = F.floor(F.col(value_col) / F.lit(width)).cast("bigint")
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    return (
+        df.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("sum_cents"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(width)).alias("lo"),
+            ((F.col("bucket") + 1) * F.lit(width)).alias("hi"),
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Per-group z-score outlier flags via two passes: (1) group stats with
+    exact integer-cent sums (order-independent, cross-engine bit-stable),
+    (2) broadcast the tiny stats back and flag |z| > threshold as a pure
+    projection. No window over the fact table — per-group sort is what
+    kills a naive implementation at scale. Population std (divide by n)."""
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    stats = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(cents).alias("__s"),
+        F.sum(cents * cents).alias("__s2"),
+    )
+    mean = F.col("__s") / F.col("__n")
+    var = F.col("__s2") / F.col("__n") - mean * mean
+    stats = stats.select(
+        *group_cols,
+        mean.alias("__mean"),
+        F.sqrt(var).alias("__std"),
+    )
+    z = (cents - F.col("__mean")) / F.col("__std")
+    return (
+        df.join(F.broadcast(stats), group_cols)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > threshold)
+        .drop("__mean", "__std")
+    )
+
+
+def scd2(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str = "ts",
+    tiebreakers: tuple[str, ...] = (),
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from an event log:
+    compress consecutive identical states per key, then stamp each surviving
+    state row with [valid_from, valid_to) from the next change (NULL = the
+    current open row).
+
+    One shuffle on the key; both windows share the (key, ts) sort so Spark
+    plans a single Sort + two Window nodes. The lead() pass runs over
+    change rows only — after compression, usually a small fraction of the
+    log."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, *tiebreakers)
+    changes = (
+        df.withColumn("__prev", F.lag(state_col).over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(state_col)))
+        .drop("__prev")
+    )
+    return (
+        changes.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .select(key_col, F.col(state_col).alias("state"), "valid_from", "valid_to")
+    )

@@ -76,6 +76,43 @@ def split_assign(
     return df.withColumn("split", split_col)
 
 
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    key_cols: list[str],
+    alpha: float = 0.5,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-balanced downsampling (the multilingual-corpus
+    rebalancing scheme): target group shares proportional to N_g^alpha,
+    achieved by keeping each group at rate (N_min / N_g)^(1 - alpha) — the
+    smallest group is kept whole, larger groups are thinned toward uniform.
+    alpha=1 is a no-op, alpha=0 exact uniform targets.
+
+    Two tiny aggregates (group counts, then the global min) produce a
+    rates table of |groups| rows that broadcasts back; the keep decision is
+    the same keyed-md5 pure filter as `deterministic_sample`, so the
+    sample is deterministic, shuffle-free on the corpus side, and stable
+    under backfills. The hash-vs-rate comparison is done in double
+    precision identically on both engines, so oracles replay it exactly."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    nmin = counts.agg(F.min("__n").alias("__nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        group_col,
+        F.pow(F.col("__nmin") / F.col("__n"), F.lit(1.0 - alpha)).alias("__rate"),
+    )
+    frac = _hash64(F.lit(salt), *key_cols).cast("double") / F.lit(
+        float(1 << 64)
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(frac < F.col("__rate"))
+        .drop("__rate")
+    )
+
+
 def stratified_take(
     df: DataFrame, strata_cols: list[str], k: int, key_cols: list[str]
 ) -> DataFrame:

@@ -355,3 +355,41 @@ def ngram_contamination(
             F.col("n_contaminated_ngrams").isNotNull().alias("contaminated"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Sliding-window document chunking (RAG/embedding prep): emit
+    overlapping character windows starting at 1, 1+stride, 1+2*stride, ...
+    while a window would still contain text. `stride < chunk_size` gives
+    `chunk_size - stride` characters of overlap between neighbors.
+
+    Pure JVM expressions (sequence + explode + substring) — no UDF, no
+    shuffle; amplification is len/stride per doc and the explode runs
+    inside the scan stage, so chunking composes with pushed-down document
+    filters. 1-based substring with tail clamping matches ANSI SUBSTR, so
+    the op replays exactly in SQL."""
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    pos = F.explode(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.length(F.col(text_col)), F.lit(1)),
+            F.lit(stride),
+        )
+    ).alias("chunk_start")
+    chunk = F.substring(F.col(text_col), F.col("chunk_start"), chunk_size)
+    return (
+        df.select(F.col(id_col), F.col(text_col), pos)
+        .select(
+            F.col(id_col),
+            F.col("chunk_start"),
+            F.length(chunk).alias("chunk_len"),
+            F.md5(chunk).alias("chunk_hash"),
+        )
+    )

@@ -44,4 +44,8 @@ def load_registry():
         from . import extended  # noqa: F401
     except ImportError:
         pass
+    try:
+        from . import analytics  # noqa: F401
+    except ImportError:
+        pass
     return QUERIES, ORACLE

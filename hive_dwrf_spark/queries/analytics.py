@@ -1,0 +1,233 @@
+"""Event-analytics + pipeline-prep queries (round 3 widening): funnel,
+cohort retention, histogram, z-score outliers, SCD2 history, document
+chunking, temperature-balanced sampling.
+
+Same contract as every other registered query: the Spark plan is pure
+Catalyst (no UDFs anywhere in this module) and each query carries a DuckDB
+oracle that replays the computation exactly — float-order-dependent sums are
+avoided by accumulating integer cents, and hash decisions replay via
+md5_number_upper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import events, sampling, text
+from ..tables import load
+from . import query
+
+# --- event analytics ---------------------------------------------------------
+
+
+@query(
+    "events_funnel",
+    # each funnel stage is min-timestamp semantics: a user reaches step i
+    # when an event of steps[i] happens at-or-after their step i-1 time
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts >= s1.t
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+             (SELECT count(*) FROM s1) AS n_users
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'click', (SELECT count(*) FROM s2)
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM s3)
+    ) ORDER BY step
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel view -> click -> purchase. Stage filters
+    push to the scan; all joins co-partition on user_id."""
+    e = load(spark, sf_dir, "events")
+    out = events.funnel(e, ["view", "click", "purchase"])
+    return out.select(
+        F.col("step").cast("bigint").alias("step"), "event_type", "n_users"
+    ).orderBy("step")
+
+
+@query(
+    "events_retention",
+    # cohort = Monday-truncated week of first event; offsets are exact
+    # multiples of 7 days so the /7 division is integral in both engines
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    )
+    SELECT c.cohort_week,
+           CAST(date_diff('day', c.cohort_week, a.wk) / 7 AS BIGINT)
+             AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM active a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def events_retention(spark, sf_dir):
+    """Weekly cohort retention triangle."""
+    e = load(spark, sf_dir, "events")
+    return events.retention(e).orderBy("cohort_week", "week_offset")
+
+
+@query(
+    "events_histogram",
+    # exact integer-cent sums: order-independent, so partitioning can't
+    # change the hash; DuckDB's SUM(BIGINT) is HUGEINT -> cast back
+    oracle="""
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           CAST(floor(value / 50.0) AS BIGINT) * CAST(50.0 AS DOUBLE) AS lo,
+           (CAST(floor(value / 50.0) AS BIGINT) + 1) * CAST(50.0 AS DOUBLE)
+             AS hi,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def events_histogram(spark, sf_dir):
+    """Fixed-width value histogram: one map-side-combinable aggregate."""
+    e = load(spark, sf_dir, "events")
+    return events.value_histogram(e, "value", 50.0).orderBy("bucket")
+
+
+@query(
+    "events_zscore",
+    # stats from exact integer-cent sums; the double formula below is
+    # operation-for-operation the Spark plan's, so IEEE doubles agree
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
+      FROM events GROUP BY event_type
+    ), st AS (
+      SELECT event_type,
+             CAST(s AS DOUBLE) / n AS mean,
+             sqrt(CAST(s2 AS DOUBLE) / n
+                  - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS std
+      FROM stats
+    )
+    SELECT e.event_id, e.event_type,
+           round((CAST(round(e.value * 100) AS BIGINT) - st.mean) / st.std, 4)
+             AS z
+    FROM events e JOIN st ON e.event_type = st.event_type
+    WHERE abs((CAST(round(e.value * 100) AS BIGINT) - st.mean) / st.std) > 2.5
+    ORDER BY event_id
+    """,
+)
+def events_zscore(spark, sf_dir):
+    """Per-group z-score outliers: two passes + broadcast stats, no
+    full-table window."""
+    e = load(spark, sf_dir, "events")
+    out = events.zscore_outliers(e, "value", ["event_type"], threshold=2.5)
+    return out.select(
+        "event_id", "event_type", F.round("z", 4).alias("z")
+    ).orderBy("event_id")
+
+
+@query(
+    "pipeline_scd2",
+    # event_id tiebreaks equal timestamps so both engines' windows agree
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM (SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events) t
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to
+    FROM changes
+    ORDER BY user_id, valid_from
+    """,
+)
+def pipeline_scd2(spark, sf_dir):
+    """Type-2 SCD history from the event log: compress consecutive equal
+    states, stamp [valid_from, valid_to) from the next change."""
+    e = load(spark, sf_dir, "events")
+    return events.scd2(
+        e, "user_id", "event_type", "ts", tiebreakers=("event_id",)
+    ).orderBy("user_id", "valid_from")
+
+
+# --- pipeline prep -----------------------------------------------------------
+
+
+@query(
+    "text_chunk",
+    # 1-based SUBSTR with tail clamping is ANSI — the chunk bytes (and so
+    # the md5) replay exactly; generate_series/sequence are both inclusive
+    oracle="""
+    SELECT doc_id, CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(length(substring(text, CAST(chunk_start AS INT), 200))
+                AS BIGINT) AS chunk_len,
+           md5(substring(text, CAST(chunk_start AS INT), 200)) AS chunk_hash
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, greatest(length(text), 1), 150))
+                   AS chunk_start
+          FROM documents) t
+    ORDER BY doc_id, chunk_start
+    """,
+)
+def text_chunk(spark, sf_dir):
+    """Sliding-window chunking (200-char windows, 50-char overlap) as pure
+    JVM sequence/explode/substring — chunking runs inside the scan stage."""
+    d = load(spark, sf_dir, "documents")
+    out = text.chunk_documents(d, "text", "doc_id", chunk_size=200, stride=150)
+    return out.select(
+        "doc_id",
+        F.col("chunk_start").cast("bigint").alias("chunk_start"),
+        F.col("chunk_len").cast("bigint").alias("chunk_len"),
+        "chunk_hash",
+    ).orderBy("doc_id", "chunk_start")
+
+
+@query(
+    "sample_temperature",
+    # keep rate per lang = (n_min / n_lang)^(1-alpha); the keyed-md5 keep
+    # decision replays via md5_number_upper in double precision
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ), nm AS (
+      SELECT min(n) AS nmin FROM counts
+    ), rates AS (
+      SELECT lang, pow(CAST(nmin AS DOUBLE) / n, 0.5) AS rate
+      FROM counts, nm
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE CAST(md5_number_upper('temp|' || CAST(d.doc_id AS VARCHAR))
+               AS DOUBLE) / 1.8446744073709552e19 < r.rate
+    ORDER BY d.doc_id
+    """,
+)
+def sample_temperature(spark, sf_dir):
+    """Temperature-balanced corpus rebalancing over the skewed lang column
+    (alpha=0.5): smallest language kept whole, larger ones thinned toward
+    uniform — deterministic, shuffle-free on the corpus side."""
+    d = load(spark, sf_dir, "documents")
+    out = sampling.temperature_sample(d, "lang", ["doc_id"], alpha=0.5)
+    return out.select("doc_id", "lang").orderBy("doc_id")

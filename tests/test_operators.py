@@ -539,3 +539,105 @@ def test_embedding_centroids_exact(spark):
         for r in embedding_centroids(df.repartition(7), "embedding", "label").collect()
     }
     assert got == got2
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    from hive_dwrf_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a" * 350), (2, "xy"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(df, "text", "doc_id", chunk_size=200, stride=150)
+    rows = {(r.doc_id, r.chunk_start): r.chunk_len for r in out.collect()}
+    # 350 chars -> starts 1, 151, 301 with lens 200, 200, 50
+    assert rows[(1, 1)] == 200 and rows[(1, 151)] == 200 and rows[(1, 301)] == 50
+    # short doc: one full-remainder chunk; empty doc: one zero-length chunk
+    assert rows[(2, 1)] == 2
+    assert rows[(3, 1)] == 0
+    assert len(rows) == 5
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", chunk_size=0)
+
+
+def test_temperature_sample_rates_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from hive_dwrf_spark.operators.sampling import temperature_sample
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 < 8, "big").otherwise("small").alias("g"),
+    )
+    # big: 2400 rows, small: 600 rows; alpha=0 targets uniform -> big kept
+    # at rate 600/2400 = 0.25, small kept whole
+    out = temperature_sample(df, "g", ["k"], alpha=0.0)
+    counts = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts["small"] == 600
+    assert 0.18 * 2400 < counts["big"] < 0.32 * 2400
+    # alpha=1 is a no-op
+    assert temperature_sample(df, "g", ["k"], alpha=1.0).count() == 3000
+    # deterministic under repartitioning
+    a = sorted(r.k for r in out.collect())
+    b = sorted(r.k for r in temperature_sample(df.repartition(11), "g", ["k"], alpha=0.0).collect())
+    assert a == b
+    import pytest
+
+    with pytest.raises(ValueError):
+        temperature_sample(df, "g", ["k"], alpha=1.5)
+
+
+def test_scd2_compresses_and_chains(spark):
+    from hive_dwrf_spark.operators.events import scd2
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 1, 10),
+            (1, "A", 2, 11),
+            (1, "B", 3, 12),
+            (1, "A", 4, 13),
+            (2, "C", 1, 14),
+        ],
+        "user_id bigint, state_in string, ts bigint, event_id bigint",
+    )
+    out = scd2(df, "user_id", "state_in", "ts", tiebreakers=("event_id",))
+    rows = sorted(
+        ((r.user_id, r.state, r.valid_from, r.valid_to) for r in out.collect())
+    )
+    # consecutive A,A compressed; B opens at 3; A reopens at 4 (open-ended)
+    assert rows == [
+        (1, "A", 1, 3),
+        (1, "A", 4, None),
+        (1, "B", 3, 4),
+        (2, "C", 1, None),
+    ]
+
+
+def test_funnel_requires_order(spark):
+    from hive_dwrf_spark.operators.events import funnel
+
+    df = spark.createDataFrame(
+        [
+            # u1 converts fully in order
+            (1, "view", 1.0), (1, "click", 2.0), (1, "purchase", 3.0),
+            # u2 clicked before viewing: must not count past step 1
+            (2, "click", 1.0), (2, "view", 2.0),
+            # u3 views only
+            (3, "view", 5.0),
+        ],
+        "user_id bigint, event_type string, value double",
+    ).selectExpr("user_id", "event_type", "timestamp_seconds(value) as ts")
+    out = {r.event_type: r.n_users for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert out == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_zscore_outliers_flags_extremes(spark):
+    from hive_dwrf_spark.operators.events import zscore_outliers
+
+    rows = [(i, "a", 10.0) for i in range(100)] + [(100, "a", 500.0)]
+    df = spark.createDataFrame(rows, "event_id bigint, event_type string, value double")
+    out = zscore_outliers(df, "value", ["event_type"], threshold=2.5).collect()
+    assert [r.event_id for r in out] == [100]
+    assert out[0].z > 2.5

@@ -141,3 +141,39 @@ def test_quantize_is_pure_projection(spark):
     plan = _plan(_queries()["embedding_quantize"](spark, SF_SMOKE))
     assert "Join" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_text_chunk_stays_in_scan_stage(spark):
+    plan = _plan(_queries()["text_chunk"](spark, SF_SMOKE))
+    # sequence/explode/substring are scan-stage expressions: the only
+    # exchange is the presentation ORDER BY, and nothing drops to Python
+    assert plan.count("Exchange") <= 1
+    assert "EvalPython" not in plan
+
+
+def test_temperature_sample_broadcasts_rates(spark):
+    plan = _plan(_queries()["sample_temperature"](spark, SF_SMOKE))
+    # the |groups|-row rates table must broadcast; the corpus side is never
+    # shuffled for the join (exchanges: counts agg + presentation sort)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zscore_no_window_over_fact_table(spark):
+    plan = _plan(_queries()["events_zscore"](spark, SF_SMOKE))
+    # two-pass stats + broadcast join back — a per-group sort (Window) over
+    # the fact table is the anti-pattern this operator exists to avoid
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_funnel_no_cartesian(spark):
+    plan = _plan(_queries()["events_funnel"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_sort_for_both_windows(spark):
+    plan = _plan(_queries()["pipeline_scd2"](spark, SF_SMOKE))
+    # lag-compression and lead-stamping share the (user_id, ts) sort order:
+    # one shuffle on user_id plus the presentation sort, nothing more
+    assert plan.count("Exchange") <= 2
