@@ -63,6 +63,11 @@ HEADLINE = [
     "text_bm25",
     "text_pack",
     "pii_redact",
+    "events_funnel",
+    "events_histogram",
+    "pipeline_scd2",
+    "text_chunk",
+    "sample_temperature",
 ]
 
 
