@@ -121,6 +121,7 @@ def main() -> None:
         src = os.path.join(SF_DIR, "lineitem.parquet")
         table = pq.read_table(src)
         out = "/tmp/bench_lineitem.dwrf"
+        write_arrow_table(out, table)  # warm: compressor pool + native codecs
         t0 = time.perf_counter()
         write_arrow_table(out, table)
         extras["dwrf_write_sec"] = round(time.perf_counter() - t0, 4)

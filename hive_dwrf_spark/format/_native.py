@@ -98,6 +98,70 @@ int64_t rle_decode(const uint8_t *buf, int64_t n, int64_t pos,
     return got;
 }
 
+/* RLE v1 integer ENCODE (RunLengthIntegerWriter.java semantics), byte-
+   identical to the numpy encoder in codecs.encode_int_rle: maximal
+   constant-delta spans (delta in [-128,127]) found left-to-right, each
+   span's head trimmed against the previous maximal span's end (spans can
+   share one value), kept when >= 3 values remain, chunked into <= 130-
+   value repeat groups with a < 3 tail falling back to literals; all
+   uncovered values emit as <= 128-value literal groups split from each
+   uncovered span's start. Returns bytes written; caller must provide
+   out with capacity >= 11*n + 2. */
+static void put_uv(uint8_t *out, int64_t *w, uint64_t u) {
+    while (u >= 0x80) { out[(*w)++] = (uint8_t)(u | 0x80); u >>= 7; }
+    out[(*w)++] = (uint8_t)u;
+}
+
+static uint64_t enc_val(int64_t x, int32_t is_signed) {
+    return is_signed ? (((uint64_t)x << 1) ^ (uint64_t)(x >> 63))
+                     : (uint64_t)x;
+}
+
+static void emit_literals(const int64_t *v, int64_t from, int64_t to,
+                          int32_t is_signed, uint8_t *out, int64_t *w) {
+    while (from < to) {
+        int64_t cnt = (to - from >= 128) ? 128 : (to - from);
+        out[(*w)++] = (uint8_t)(256 - cnt);
+        for (int64_t k = 0; k < cnt; k++)
+            put_uv(out, w, enc_val(v[from + k], is_signed));
+        from += cnt;
+    }
+}
+
+int64_t rle_encode(const int64_t *v, int64_t n, int32_t is_signed,
+                   uint8_t *out) {
+    int64_t w = 0, lit_start = 0, j = 0, prev_E = 0;
+    while (j + 2 < n) {
+        int64_t delta = v[j + 1] - v[j];
+        if (delta < -128 || delta > 127 || v[j + 2] - v[j + 1] != delta) {
+            j++;
+            continue;
+        }
+        int64_t e = j + 2;                 /* last value index in span */
+        while (e + 1 < n && v[e + 1] - v[e] == delta) e++;
+        int64_t S = j, E = e + 1;          /* span values [S, E) */
+        int64_t Sp = (S > prev_E) ? S : prev_E;  /* trim shared head */
+        int64_t L = E - Sp;
+        prev_E = E;
+        j = e;                             /* next span can share v[e] */
+        if (L < 3) continue;
+        emit_literals(v, lit_start, Sp, is_signed, out, &w);
+        int64_t rem = L % 130;
+        int64_t covered = L - (rem < 3 ? rem : 0);
+        for (int64_t p = Sp; p < Sp + covered; ) {
+            int64_t cnt = (Sp + covered - p >= 130) ? 130
+                                                    : (Sp + covered - p);
+            out[w++] = (uint8_t)(cnt - 3);
+            out[w++] = (uint8_t)(delta & 0xFF);
+            put_uv(out, &w, enc_val(v[p], is_signed));
+            p += cnt;
+        }
+        lit_start = Sp + covered;
+    }
+    emit_literals(v, lit_start, n, is_signed, out, &w);
+    return w;
+}
+
 /* Byte RLE decode (RunLengthByteReader.java semantics): repeat groups
    h < 0x80 -> h+3 copies of the next byte; literal groups h >= 0x80 ->
    256-h raw bytes. Same error codes as rle_decode. */
@@ -128,6 +192,7 @@ int64_t byte_rle_decode(const uint8_t *buf, int64_t n, int64_t pos,
 rle_walk = None  # callable(packed_int64, limit, count, out_int64) -> int64
 rle_decode = None  # callable(buf_u8, pos, count, signed, out_i64) -> (n, pos)
 byte_rle_decode = None  # callable(buf_u8, pos, count, out_u8) -> (n, pos)
+rle_encode = None  # callable(values_i64, signed) -> bytes
 
 
 def _cache_dir() -> str:
@@ -168,7 +233,7 @@ def _build() -> str | None:
 
 
 def _load() -> None:
-    global rle_walk, rle_decode, byte_rle_decode
+    global rle_walk, rle_decode, byte_rle_decode, rle_encode
     if os.environ.get("DWRF_NO_NATIVE"):
         return
     so = _build()
@@ -247,10 +312,36 @@ def _load() -> None:
             return n, end.value
 
         byte_rle_decode = bdecode
+
+        efn = lib.rle_encode
+        efn.restype = ctypes.c_int64
+        efn.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+
+        def encode(values, is_signed):
+            """int64 array -> RLE v1 bytes (grouping identical to the
+            numpy encoder; property-tested byte-for-byte)."""
+            import numpy as np
+
+            out = np.empty(11 * len(values) + 2, dtype=np.uint8)
+            w = efn(
+                values.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(values),
+                1 if is_signed else 0,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            )
+            return out[:w].tobytes()
+
+        rle_encode = encode
     except Exception:
         rle_walk = None
         rle_decode = None
         byte_rle_decode = None
+        rle_encode = None
 
 
 _load()

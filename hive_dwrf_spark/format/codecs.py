@@ -295,6 +295,12 @@ def encode_int_rle(values: np.ndarray, signed: bool) -> bytes:
     n = len(v)
     if n == 0:
         return b""
+    from ._native import rle_encode as _nat_encode
+
+    if _nat_encode is not None:
+        # byte-identical compiled path (see _native.py rle_encode; the
+        # property test pins native == numpy on random + adversarial data)
+        return _nat_encode(v, signed)
 
     empty_i = np.zeros(0, dtype=np.int64)
     if n >= MIN_REPEAT_SIZE:

@@ -91,6 +91,21 @@ def _binary_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return np.diff(offsets), data
 
 
+def _sorted_unique_inverse(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted uniques, inverse ids) — np.unique(return_inverse=True)
+    semantics via pandas' hash-based factorize: O(n + d log d) instead of
+    the full O(n log n) sort, a ~2-4x win on high-cardinality int columns
+    (the dictionary-decision scan is the write path's price of A12/A13)."""
+    try:
+        import pandas as pd
+
+        codes, uniques = pd.factorize(vals, sort=True)
+        return np.asarray(uniques), codes.astype(np.int64, copy=False)
+    except Exception:
+        u, inv = np.unique(vals, return_inverse=True)
+        return u, inv
+
+
 def _pack_nanos(nanos: np.ndarray) -> np.ndarray:
     """Trailing-decimal-zero packing (WriterImpl.formatNanos)."""
     n = nanos.astype(np.int64)
@@ -222,14 +237,19 @@ class _StripeEncoder:
         if not stride or present is None:
             return
         n = len(present)
-        dense_pos = np.cumsum(present) - present  # dense index of each row
+        # dense-slice bounds per stride in two vectorized passes (a full
+        # per-row cumsum + a sum per stride was the write path's top cost
+        # at 6M rows): reduceat gives each stride's valid count, their
+        # running sum gives each stride's dense start
+        starts = np.arange(0, n, stride, dtype=np.int64)
+        per = np.add.reduceat(present.astype(np.int64), starts)
+        los = np.empty(len(starts), dtype=np.int64)
+        los[0] = 0
+        np.cumsum(per[:-1], out=los[1:])
         entries = []
-        for start in range(0, n, stride):
-            end = min(start + stride, n)
-            lo = int(dense_pos[start])
-            hi = lo + int(present[start:end].sum())
+        for i in range(len(starts)):
             st = ColumnStats(kind)
-            update(st, lo, hi)
+            update(st, int(los[i]), int(los[i] + per[i]))
             entries.append(proto.RowIndexEntry(statistics=st.to_proto()))
         self._stride_entries(type_id, entries)
 
@@ -265,9 +285,9 @@ class _StripeEncoder:
         if not self.decide and type_id in self.carried:
             use_dict = self.carried[type_id] and n > 0
             if use_dict:
-                uniques, ids = np.unique(vals, return_inverse=True)
+                uniques, ids = _sorted_unique_inverse(vals)
         elif n and self.opts["int_dict_threshold"] < 1.0 and n >= 32:
-            uniques, ids = np.unique(vals, return_inverse=True)
+            uniques, ids = _sorted_unique_inverse(vals)
             use_dict = len(uniques) / n <= self.opts["int_dict_threshold"]
         self.carried[type_id] = bool(use_dict)
         if use_dict:

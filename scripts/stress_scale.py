@@ -1,0 +1,222 @@
+"""Scale-stress harness: does each operator's runtime scale ~linearly when
+the data grows 10x?
+
+Synthesizes an sf1-equivalent dataset in /tmp by replicating the sf0.1
+parquet tables 10x with referentially-consistent key shifts (orderkey /
+custkey / suppkey / partkey / doc_id / vec_id / event_id / user_id all move
+together, so joins keep their selectivity and dedup keys stay unique), each
+replica its own parquet file — the input is genuinely multi-file, so Spark
+plans multi-partition scans exactly as it would on a real table.
+
+Then a representative query per plan shape runs once at sf0.1 and once at
+the 10x copy on the same local[32] session; the wall-clock ratio is the
+evidence. A shape that is secretly quadratic (all-pairs joins, per-group
+sorts over the whole table, driver-side collects) shows up as a ratio far
+above ~10-15x; the linear shapes land near or below it (fixed overheads
+amortize). Heavy all-pairs verifiers (dedup_jaccard, dedup_cosine) are
+deliberately excluded — their scale path IS the LSH variant measured here.
+
+Usage: python scripts/stress_scale.py [out.json]
+Writes {query: {base_sec, x10_sec, ratio}} plus format write/read scaling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE = "/root/testdata/sf0.1"
+X10 = "/tmp/stress_sf1"
+REPLICAS = 10
+
+# key columns to shift per table: (column, period) — period is the key
+# stride between replicas, taken as max(key)+1 of the base table
+SHIFT = {
+    "lineitem": ["l_orderkey", "l_suppkey", "l_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey", "c_nationkey__keep"],
+    "supplier": ["s_suppkey", "s_nationkey__keep"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    # dims stay identical (nation/region join keys must not shift)
+    "nation": [],
+    "region": [],
+}
+
+QUERIES = [
+    "q01",            # scan + hash agg
+    "q04",            # multi-way join (broadcast dims)
+    "q10",            # window ranking
+    "q12",            # top-k
+    "dedup_exact",    # one-shuffle dedup
+    "dedup_minhash",  # LSH banding (the dedup scale path)
+    "dedup_cosine_lsh",  # LSH-bucketed cosine (the embedding scale path)
+    "sim_ann",        # LSH ANN probe
+    "text_quality",   # pure-JVM text features
+    "text_chunk",     # scan-stage explode
+    "sample_temperature",  # broadcast-rates sampling
+    "events_funnel",  # staged co-partitioned joins
+    "pipeline_curate",  # composed curation pass
+    "text_decontaminate",  # broadcast semi-join
+]
+
+
+def synthesize() -> None:
+    import duckdb
+
+    if os.path.isdir(X10):
+        shutil.rmtree(X10)
+    os.makedirs(X10)
+    con = duckdb.connect()
+    for table, keys in SHIFT.items():
+        src = f"{BASE}/{table}.parquet"
+        outdir = f"{X10}/{table}.parquet"
+        os.makedirs(outdir)
+        shift_cols = [k for k in keys if not k.endswith("__keep")]
+        periods = {}
+        for k in shift_cols:
+            periods[k] = con.sql(
+                f"SELECT max({k}) + 1 FROM read_parquet('{src}')"
+            ).fetchone()[0]
+        for i in range(REPLICAS):
+            replaces = [f"{k} + {i * periods[k]} AS {k}" for k in shift_cols]
+            # content columns must differ per replica, or dedup/similarity
+            # operators would see every doc 10x (cluster growth quadratic by
+            # data construction, telling us nothing about the algorithm):
+            # - text: per-replica vowel rotation changes most words, so
+            #   shingle sets / fingerprints / embeddings of copies diverge
+            # - embedding: circular shift by i decorrelates replica vectors
+            #   while preserving norms and the overall distribution
+            if table == "documents" and i > 0:
+                # 10-char alphabet, shift 1..9: never the identity mapping
+                alpha = "aeiousnrtl"
+                rot = alpha[i % 10:] + alpha[: i % 10]
+                replaces.append(
+                    f"translate(text, '{alpha}', '{rot}') AS text"
+                )
+            if table == "embeddings" and i > 0:
+                # Rademacher sign pattern keyed by replica: exact norm
+                # preservation, ~zero expected cosine between any two
+                # replicas of the same vector (a circular shift is NOT
+                # enough — clustered embeddings correlate at small shifts)
+                dim = con.sql(
+                    f"SELECT len(embedding) FROM read_parquet('{src}') "
+                    "LIMIT 1"
+                ).fetchone()[0]
+                comps = ", ".join(
+                    f"embedding[{k + 1}] * "
+                    f"{1 if (hash((i, k)) & 1) == 0 else -1}"
+                    for k in range(dim)
+                )
+                replaces.append(f"CAST([{comps}] AS FLOAT[]) AS embedding")
+            sel = "*" if not replaces else f"* REPLACE ({', '.join(replaces)})"
+            con.sql(
+                f"COPY (SELECT {sel} FROM read_parquet('{src}')) TO "
+                f"'{outdir}/part-{i:02d}.parquet' (FORMAT PARQUET)"
+            )
+
+
+def main() -> int:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, "STRESS_r03.json"
+    )
+    print("synthesizing 10x dataset ...", flush=True)
+    t0 = time.perf_counter()
+    synthesize()
+    print(f"  done in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    from pyspark.sql import SparkSession
+
+    from hive_dwrf_spark.queries import load_registry
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .appName("stress")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries, _ = load_registry()
+
+    results: dict[str, dict] = {}
+    for name in QUERIES:
+        fn = queries[name]
+        fn(spark, BASE).collect()  # warm (JIT + python workers)
+        t0 = time.perf_counter()
+        n_base = fn(spark, BASE).count()
+        base_sec = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        n_x10 = fn(spark, X10).count()
+        x10_sec = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        results[name] = {
+            "base_sec": round(base_sec, 3),
+            "x10_sec": round(x10_sec, 3),
+            "ratio": round(x10_sec / base_sec, 2),
+            "rows_base": n_base,
+            "rows_x10": n_x10,
+        }
+        print(
+            f"{name}: {base_sec:.2f}s -> {x10_sec:.2f}s "
+            f"(x{x10_sec / base_sec:.1f}, rows {n_base} -> {n_x10})",
+            flush=True,
+        )
+
+    # format core: write + read the 10x lineitem as DWRF, single thread
+    try:
+        import pyarrow.parquet as pq
+
+        from hive_dwrf_spark.format import write_arrow_table
+        from hive_dwrf_spark.format.reader import DwrfFile
+
+        table = pq.read_table(f"{X10}/lineitem.parquet")
+        out = "/tmp/stress_lineitem.dwrf"
+        write_arrow_table(out, table)  # warm
+        t0 = time.perf_counter()
+        write_arrow_table(out, table)
+        w = time.perf_counter() - t0
+        with DwrfFile(out) as f:
+            f.read()
+        t0 = time.perf_counter()
+        with DwrfFile(out) as f:
+            f.read()
+        r = time.perf_counter() - t0
+        results["_format_x10"] = {
+            "rows": table.num_rows,
+            "write_sec": round(w, 3),
+            "read_sec": round(r, 3),
+            "write_mrows_per_sec": round(table.num_rows / w / 1e6, 2),
+            "read_mrows_per_sec": round(table.num_rows / r / 1e6, 2),
+        }
+        print(f"format 10x: write {w:.2f}s read {r:.2f}s", flush=True)
+        os.remove(out)
+    except Exception as ex:  # noqa: BLE001
+        results["_format_x10"] = {"error": str(ex)[:200]}
+
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    print(f"-> {out_path}")
+    bad = [
+        n for n, v in results.items()
+        if not n.startswith("_") and v["ratio"] > 25
+    ]
+    if bad:
+        print(f"SUPERLINEAR: {bad}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

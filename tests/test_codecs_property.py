@@ -110,3 +110,48 @@ def test_compression_roundtrip(data, block):
 def test_zigzag_roundtrip(vals):
     arr = np.array(vals, dtype=np.int64)
     assert np.array_equal(codecs.zigzag_decode(codecs.zigzag_encode(arr)), arr)
+
+
+# run-biased generator: mixes constant-delta runs (various deltas/lengths,
+# crossing the 130-chunk and 3-minimum boundaries) with random literals, so
+# span-trim / chunk-tail / shared-value cases all get exercised
+_run_biased = st.lists(
+    st.tuples(
+        st.integers(-300, 300),       # start value
+        st.integers(-130, 130),       # delta (beyond byte range sometimes)
+        st.integers(1, 140),          # run length
+    ),
+    max_size=12,
+).map(
+    lambda spans: [s + d * k for (s, d, ln) in spans for k in range(ln)]
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_run_biased, st.booleans())
+def test_native_rle_encode_matches_numpy(vals, signed):
+    """The compiled rle_encode must be byte-identical to the numpy
+    encoder — golden dumps pin the writer's exact output, so the two
+    paths may never diverge in grouping, trimming, or chunking."""
+    from hive_dwrf_spark.format import _native
+
+    if _native.rle_encode is None:
+        import pytest
+
+        pytest.skip("no C compiler available")
+    arr = np.array(vals, dtype=np.int64)
+    if not signed and len(arr) and arr.min() < 0:
+        arr = arr - arr.min()
+    native = _native.rle_encode(arr, signed)
+    saved = _native.rle_encode
+    _native.rle_encode = None
+    try:
+        pure = codecs.encode_int_rle(arr, signed)
+    finally:
+        _native.rle_encode = saved
+    assert native == pure
+    if len(arr):
+        dec, _ = codecs.decode_int_rle(
+            np.frombuffer(native, dtype=np.uint8), len(arr), signed
+        )
+        assert np.array_equal(dec, arr)
