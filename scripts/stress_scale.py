@@ -209,10 +209,18 @@ def main() -> int:
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)
     print(f"-> {out_path}")
-    bad = [
-        n for n, v in results.items()
-        if not n.startswith("_") and v["ratio"] > 25
-    ]
+    # superlinear gate, normalized by output growth: a fixed-threshold
+    # similarity query over 10x more vectors legitimately has ~100x more
+    # true pairs (pair count is quadratic in n by geometry); the algorithm
+    # is healthy as long as runtime doesn't outgrow max(data, output)
+    bad = []
+    for n, v in results.items():
+        if n.startswith("_"):
+            continue
+        out_growth = v["rows_x10"] / max(v["rows_base"], 1)
+        allowed = max(25.0, 2.5 * out_growth)
+        if v["ratio"] > allowed:
+            bad.append(n)
     if bad:
         print(f"SUPERLINEAR: {bad}")
     return 1 if bad else 0
