@@ -13,9 +13,40 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators import events, sampling, text
+from ..operators import events, layout, sampling, text
 from ..tables import load
 from . import query
+
+
+def _zorder_oracle(bits: int = 8) -> str:
+    """DuckDB replay of operators/layout.py::add_zorder_key for
+    (l_partkey, l_suppkey): identical integer quantization (width =
+    range >> bits + 1, floor division) and identical bit interleave
+    (x on even bits, y on odd), generated from the same loop shape."""
+    inter = " | ".join(
+        f"(((qx >> {k}) & 1) << {2 * k}) | (((qy >> {k}) & 1) << {2 * k + 1})"
+        for k in range(bits)
+    )
+    return f"""
+    WITH s AS (
+      SELECT CAST(min(l_partkey) AS BIGINT) AS min_x,
+             CAST(max(l_partkey) AS BIGINT) AS max_x,
+             CAST(min(l_suppkey) AS BIGINT) AS min_y,
+             CAST(max(l_suppkey) AS BIGINT) AS max_y
+      FROM lineitem
+    ), q AS (
+      SELECT l_orderkey, l_linenumber,
+             coalesce((CAST(l_partkey AS BIGINT) - min_x)
+                      // (((max_x - min_x) >> {bits}) + 1), 0) AS qx,
+             coalesce((CAST(l_suppkey AS BIGINT) - min_y)
+                      // (((max_y - min_y) >> {bits}) + 1), 0) AS qy
+      FROM lineitem, s
+    )
+    SELECT l_orderkey, l_linenumber, CAST({inter} AS BIGINT) AS zkey
+    FROM q
+    ORDER BY l_orderkey, l_linenumber
+    LIMIT 200
+    """
 
 # --- event analytics ---------------------------------------------------------
 
@@ -202,6 +233,21 @@ def text_chunk(spark, sf_dir):
         F.col("chunk_len").cast("bigint").alias("chunk_len"),
         "chunk_hash",
     ).orderBy("doc_id", "chunk_start")
+
+
+@query("layout_zorder", oracle=_zorder_oracle(bits=8))
+def layout_zorder(spark, sf_dir):
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey): the
+    multi-column layout key that makes stride min/max stats prune
+    predicates on EITHER column after a one-time rewrite. Pure bigint
+    projection; the min/max pass is a broadcast-sized aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    keyed = layout.add_zorder_key(li, ["l_partkey", "l_suppkey"], bits=8)
+    return (
+        keyed.select("l_orderkey", "l_linenumber", "zkey")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(200)
+    )
 
 
 @query(

@@ -641,3 +641,64 @@ def test_zscore_outliers_flags_extremes(spark):
     out = zscore_outliers(df, "value", ["event_type"], threshold=2.5).collect()
     assert [r.event_id for r in out] == [100]
     assert out[0].z > 2.5
+
+
+def test_zorder_prunes_both_columns(spark, tmp_path):
+    """Z-order layout must make stride stats selective on EITHER key:
+    range-clustering by (a, b) only prunes `a`, the Morton key prunes
+    both. Gate: each single-column predicate ships <1/3 of the rows a
+    random layout ships, and answers stay identical."""
+    import os
+
+    from hive_dwrf_spark.format.reader import DwrfFile
+    from hive_dwrf_spark.operators.layout import write_zordered
+    from hive_dwrf_spark.sources import register
+
+    register(spark)
+    df = spark.sql(
+        "SELECT CAST(rand(11) * 100000 AS BIGINT) AS a,"
+        "       CAST(rand(13) * 100000 AS BIGINT) AS b, id AS v"
+        " FROM range(100000)"
+    )
+    rnd, zo = str(tmp_path / "rnd"), str(tmp_path / "zo")
+    df.coalesce(1).write.format("dwrf").option("path", rnd).option(
+        "row_index_stride", "1000"
+    ).mode("append").save()
+    write_zordered(df, zo, ["a", "b"], n_files=1, row_index_stride="1000")
+
+    def shipped(root, col):
+        f = [fn for fn in os.listdir(root) if fn.endswith(".dwrf")][0]
+        with DwrfFile(os.path.join(root, f)) as r:
+            return r.read(filters=[(col, "gte", 95000)]).num_rows
+
+    for col in ("a", "b"):
+        s_rnd, s_zo = shipped(rnd, col), shipped(zo, col)
+        assert s_zo < s_rnd / 3, (col, s_zo, s_rnd)
+        q = f"{col} >= 95000"
+        assert (
+            spark.read.format("dwrf").load(rnd).filter(q).count()
+            == spark.read.format("dwrf").load(zo).filter(q).count()
+        )
+
+
+def test_zorder_key_deterministic_and_bounded(spark):
+    from hive_dwrf_spark.operators.layout import add_zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (100, 100), (0, 100), (100, 0), (50, 50)], "x long, y long"
+    )
+    out = {(r.x, r.y): r.zkey for r in add_zorder_key(df, ["x", "y"], bits=4).collect()}
+    # corners: (min,min) -> 0; interleave puts x on even bits, y on odd
+    assert out[(0, 0)] == 0
+    assert out[(100, 100)] == max(out.values())
+    assert all(0 <= z < (1 << 8) for z in out.values())
+    # deterministic under repartitioning
+    out2 = {
+        (r.x, r.y): r.zkey
+        for r in add_zorder_key(df.repartition(3), ["x", "y"], bits=4).collect()
+    }
+    assert out == out2
+    import pytest
+
+    with pytest.raises(ValueError):
+        add_zorder_key(df, ["x", "y"], bits=40)
