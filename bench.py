@@ -108,8 +108,11 @@ def main() -> None:
         # operators that persist an intermediate (minhash signatures, bm25
         # per-doc frame) cannot unpersist before the caller consumes the
         # result; drop those blocks here so leaked cache from earlier
-        # queries never pressures later measurements
+        # queries never pressures later measurements, and collect garbage
+        # so a late query isn't taxed for the allocations of 30 earlier
+        # ones (measurement isolation, not a production setting)
         spark.catalog.clearCache()
+        spark._jvm.System.gc()
 
     # format sanity: DWRF vs parquet bytes for lineitem at this SF
     extras = {}
