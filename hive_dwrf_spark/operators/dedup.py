@@ -349,6 +349,70 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return spread(df).select(id_col, sim(F.col(text_col)).alias("simhash"))
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairing: all document pairs whose 64-bit
+    simhashes differ in <= `max_hamming` bits — the LSH-banded completion
+    of `simhash` the same way lsh_candidate_pairs completes minhash.
+
+    The 64-bit hash splits into `bands` equal slices; with
+    max_hamming < bands, the pigeonhole principle guarantees any pair
+    within distance lands at least one identical slice, so the banded
+    equi-join is a COMPLETE (not approximate) candidate generator.
+    Verification is bit_count(xor) — everything JVM-side, no UDF beyond
+    the signature itself.
+
+    100 TB shape: one shuffle on (band, band_val); a 16-bit band has 65k
+    buckets per band position, and degenerate empty-doc hashes (simhash 0)
+    are excluded before banding, mirroring the minhash zero-signature
+    guard (the all-empty bucket is the one quadratic trap). Verify cost
+    is one cheap integer op per candidate."""
+    if not (0 < bands <= 64 and 64 % bands == 0):
+        raise ValueError(f"bands must divide 64, got {bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole completeness needs max_hamming < bands "
+            f"({max_hamming} >= {bands})"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sigs = simhash(df, text_col, id_col).filter(F.col("simhash") != 0)
+    slices = F.posexplode(
+        F.array(
+            *[
+                F.shiftright("simhash", k * width).bitwiseAND(F.lit(mask))
+                for k in range(bands)
+            ]
+        )
+    )
+    banded = sigs.select(F.col(id_col), F.col("simhash"), slices.alias("band", "band_val"))
+    left = banded.select(
+        F.col(id_col).alias("id1"), F.col("simhash").alias("s1"), "band", "band_val"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id2"), F.col("simhash").alias("s2"), "band", "band_val"
+    )
+    return (
+        left.join(right, ["band", "band_val"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "s1", "s2")
+        .distinct()
+        .select(
+            "id1",
+            "id2",
+            F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def word_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, threshold: float
 ) -> DataFrame:

@@ -317,6 +317,52 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash(d, "text", "doc_id").orderBy("doc_id")
 
 
+@query(
+    "dedup_simhash_pairs",
+    # same simhash replay as dedup_simhash, then the oracle verifies the
+    # banded engine result against ALL pairs with bit_count(xor) <= 3 —
+    # the pigeonhole argument (4 bands, distance < 4) says the banded
+    # join must find every one of them, so the two sets are equal
+    oracle=r"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+            FROM documents) t
+      WHERE tok <> ''
+    ), votes AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (md5_number_lower(tok) >> b) & 1 = 1
+                      THEN 1 ELSE -1 END) AS vote
+      FROM toks, generate_series(0, 63) AS g(b)
+      GROUP BY doc_id, b
+    ), packed AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote > 0 AND b < 63
+                           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                  + SUM(CASE WHEN vote > 0 AND b = 63
+                             THEN -9223372036854775807 - 1 ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+    SELECT p1.doc_id AS id1, p2.doc_id AS id2,
+           CAST(bit_count(xor(p1.simhash, p2.simhash)) AS BIGINT) AS hamming
+    FROM packed p1 JOIN packed p2 ON p1.doc_id < p2.doc_id
+    WHERE p1.simhash <> 0 AND p2.simhash <> 0
+      AND bit_count(xor(p1.simhash, p2.simhash)) <= 3
+    ORDER BY id1, id2
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """Hamming-banded simhash near-dup pairs: the engine's banded LSH join
+    (operators/dedup.py::simhash_near_pairs) against the oracle's
+    brute-force all-pairs — equality IS the completeness proof."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(
+        d, "text", "doc_id", max_hamming=3, bands=4
+    ).orderBy("id1", "id2")
+
+
 # --- deterministic sampling ---------------------------------------------------
 
 

@@ -702,3 +702,42 @@ def test_zorder_key_deterministic_and_bounded(spark):
 
     with pytest.raises(ValueError):
         add_zorder_key(df, ["x", "y"], bits=40)
+
+
+def test_simhash_near_pairs_pigeonhole_complete(spark):
+    from pyspark.sql import functions as F
+
+    from hive_dwrf_spark.operators.dedup import simhash, simhash_near_pairs
+
+    base = " ".join(f"token{i}" for i in range(80))
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # identical -> hamming 0
+            (3, base.replace("token7 ", "tok7x ")),  # near-dup of a long doc
+            (4, None),
+            (5, ""),
+            (6, "completely different content about spark engines"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = simhash_near_pairs(df, "text", "doc_id", max_hamming=6, bands=8)
+    got = {(r.id1, r.id2): r.hamming for r in pairs.collect()}
+    # banded result must equal brute force over nonzero signatures
+    sigs = {r.doc_id: r.simhash for r in simhash(df, "text", "doc_id").collect()}
+    brute = {}
+    ids = [i for i, s in sigs.items() if s != 0]
+    for i in ids:
+        for j in ids:
+            if i < j:
+                h = bin((sigs[i] ^ sigs[j]) & ((1 << 64) - 1)).count("1")
+                if h <= 6:
+                    brute[(i, j)] = h
+    assert got == brute
+    assert got[(1, 2)] == 0  # identical docs pair at distance zero
+    import pytest
+
+    with pytest.raises(ValueError):
+        simhash_near_pairs(df, "text", "doc_id", max_hamming=4, bands=4)
+    with pytest.raises(ValueError):
+        simhash_near_pairs(df, "text", "doc_id", bands=7)
