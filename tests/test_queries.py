@@ -18,9 +18,11 @@ def _cases():
 
 def test_registry_nonempty():
     queries, oracle = _cases()
-    assert len(queries) >= 18
-    # every oracle key must have a query
-    assert set(oracle) <= set(queries)
+    # the full declared surface: a silent registration regression (lost
+    # module import, decorator typo) must fail here, not in the driver
+    assert len(queries) >= 102
+    # every query carries an oracle — no rows-only weak checks
+    assert set(oracle) == set(queries)
 
 
 @pytest.mark.parametrize("name", sorted(_cases()[1]))
