@@ -235,6 +235,60 @@ def text_chunk(spark, sf_dir):
     ).orderBy("doc_id", "chunk_start")
 
 
+def _winnow_oracle(k: int = 8, window: int = 4) -> str:
+    """DuckDB replay of operators/text.py::winnow_fingerprints: the same
+    base-31 codepoint polynomial per k-gram, the same window minima (a
+    ROWS frame stands in for the engine's array slice), aggregated to a
+    compact per-doc contract (count / checksum / min / max of the
+    distinct fingerprints)."""
+    poly = " + ".join(
+        f"CAST(ascii(substr(text, i + {j}, 1)) AS BIGINT) * {31 ** j}"
+        for j in range(k)
+    )
+    return f"""
+    WITH grams AS (
+      SELECT doc_id, i, ({poly}) % 2147483647 AS h
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - {k - 1})) AS i
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) >= {k}) t
+    ), wins AS (
+      SELECT doc_id, i,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW
+                          AND {window - 1} FOLLOWING) AS fp,
+             count(*) OVER (PARTITION BY doc_id) AS nh
+      FROM grams
+    ), fps AS (
+      SELECT DISTINCT doc_id, fp
+      FROM wins WHERE i <= nh - {window - 1}
+    )
+    SELECT doc_id, count(*) AS n_fps,
+           CAST(sum(fp) AS BIGINT) AS fp_sum,
+           min(fp) AS fp_min, max(fp) AS fp_max
+    FROM fps GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("text_winnow", oracle=_winnow_oracle())
+def text_winnow(spark, sf_dir):
+    """Winnowing fingerprints (MOSS): local rolling-hash minima — any
+    shared substring of >= window+k-1 chars between two docs shares a
+    fingerprint. Summarized per doc so the contract stays compact."""
+    d = load(spark, sf_dir, "documents")
+    fps = text.winnow_fingerprints(d, "text", "doc_id", k=8, window=4)
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.sum("fingerprint").alias("fp_sum"),
+            F.min("fingerprint").alias("fp_min"),
+            F.max("fingerprint").alias("fp_max"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query("layout_zorder", oracle=_zorder_oracle(bits=8))
 def layout_zorder(spark, sf_dir):
     """Z-order (Morton) clustering key over (l_partkey, l_suppkey): the

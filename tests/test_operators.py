@@ -741,3 +741,38 @@ def test_simhash_near_pairs_pigeonhole_complete(spark):
         simhash_near_pairs(df, "text", "doc_id", max_hamming=4, bands=4)
     with pytest.raises(ValueError):
         simhash_near_pairs(df, "text", "doc_id", bands=7)
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee: documents sharing a substring of length
+    >= window + k - 1 share at least one fingerprint; short/NULL/empty
+    docs produce none; values match a direct python replay."""
+    from hive_dwrf_spark.operators.text import winnow_fingerprints
+
+    shared = "a very distinctive common passage of text"
+    df = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared + " suffix alpha"),
+            (2, "other start " + shared + " different end"),
+            (3, "entirely unrelated words here about engines"),
+            (4, "short"),
+            (5, None),
+            (6, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    by = {}
+    for r in winnow_fingerprints(df, "text", "doc_id", k=8, window=4).collect():
+        by.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by[1] & by[2]           # shared passage -> shared fingerprint
+    assert not (by[3] & by[1])     # unrelated docs don't collide here
+    assert 4 not in by and 5 not in by and 6 not in by
+    # python replay of doc 3
+    t = "entirely unrelated words here about engines"
+    M = (1 << 31) - 1
+    hs = [sum(ord(t[i + j]) * 31**j for j in range(8)) % M for i in range(len(t) - 7)]
+    assert {min(hs[p : p + 4]) for p in range(len(hs) - 3)} == by[3]
+    import pytest
+
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, "text", "doc_id", k=1)
