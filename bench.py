@@ -68,6 +68,7 @@ HEADLINE = [
     "pipeline_scd2",
     "text_chunk",
     "sample_temperature",
+    "text_winnow",
 ]
 
 
