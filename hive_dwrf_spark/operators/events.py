@@ -162,6 +162,43 @@ def zscore_outliers(
     )
 
 
+def sliding_time_aggregate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Per-row trailing time-window aggregate: for every event, the count
+    and exact integer-cent sum of the same key's events in the preceding
+    `window_seconds` (inclusive of the current row) — a RANGE frame over
+    microsecond epoch, not a ROWS frame, so irregular event spacing is
+    handled exactly and timestamp ties contribute symmetrically to every
+    row that shares the instant.
+
+    One shuffle + one sort on (key, ts); the frame is evaluated with a
+    sliding two-pointer inside each partition, so cost is O(rows), not
+    O(rows x window). State is bounded by the densest window, never by
+    history length."""
+    # timezone-free epoch micros: the column is TIMESTAMP_NTZ (the driver
+    # session has no UTC conf), and unix_micros/casts would route through
+    # the session zone — timestampdiff on NTZ keeps differences exact
+    # across any DST rule
+    micros = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" `{ts_col}`)"
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(micros)
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    return df.withColumn("n_window", F.count(F.lit(1)).over(w)).withColumn(
+        "sum_cents_window", F.sum(cents).over(w)
+    )
+
+
 def scd2(
     df: DataFrame,
     key_col: str,

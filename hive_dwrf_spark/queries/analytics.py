@@ -203,6 +203,32 @@ def pipeline_scd2(spark, sf_dir):
     ).orderBy("user_id", "valid_from")
 
 
+@query(
+    "events_moving_window",
+    # RANGE frame over microsecond epoch — DuckDB's RANGE with a BIGINT
+    # ordering key replays Spark's rangeBetween exactly, ties included
+    oracle="""
+    SELECT event_id,
+           count(*) OVER w AS n_window,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+             AS sum_cents_window
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def events_moving_window(spark, sf_dir):
+    """Trailing 1-hour per-user aggregate via a time-RANGE frame (exact
+    under irregular spacing and timestamp ties; O(rows) two-pointer
+    evaluation, one shuffle on user_id)."""
+    e = load(spark, sf_dir, "events")
+    out = events.sliding_time_aggregate(e, "user_id", "ts", "value", 3600)
+    return out.select("event_id", "n_window", "sum_cents_window").orderBy(
+        "event_id"
+    )
+
+
 # --- pipeline prep -----------------------------------------------------------
 
 

@@ -776,3 +776,29 @@ def test_winnow_fingerprints_guarantee(spark):
 
     with pytest.raises(ValueError):
         winnow_fingerprints(df, "text", "doc_id", k=1)
+
+
+def test_sliding_time_aggregate_range_semantics(spark):
+    """RANGE (not ROWS) frame: irregular spacing and timestamp ties must
+    contribute symmetrically; events older than the window fall out."""
+    from hive_dwrf_spark.operators.events import sliding_time_aggregate
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", 1.00),
+        (2, 1, "2024-01-01 10:30:00", 2.00),
+        (3, 1, "2024-01-01 10:30:00", 4.00),   # tie with event 2
+        (4, 1, "2024-01-01 11:45:00", 8.00),   # events 1-3 out of window
+        (5, 2, "2024-01-01 10:15:00", 16.00),  # other user: independent
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts string, value double"
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "value")
+    out = {
+        r.event_id: (r.n_window, r.sum_cents_window)
+        for r in sliding_time_aggregate(df, "user_id", "ts", "value", 3600).collect()
+    }
+    assert out[1] == (1, 100)
+    # both tied rows see each other plus event 1
+    assert out[2] == (3, 700) and out[3] == (3, 700)
+    assert out[4] == (1, 800)
+    assert out[5] == (1, 1600)
