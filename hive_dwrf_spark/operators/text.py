@@ -411,6 +411,45 @@ def winnow_fingerprints(
     )
 
 
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_shared: int = 5,
+    max_df: int = 50,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowing fingerprints: two
+    docs pair when they share >= `min_shared` selected fingerprints —
+    i.e. multiple independent >= window+k-1 char substring matches, the
+    MOSS plagiarism-detection join.
+
+    Fingerprints occurring in more than `max_df` documents are dropped
+    before the self-join — boilerplate phrases ("terms of service") would
+    otherwise form quadratic hot groups, the same trap (and the same cap
+    remedy) as the MinHash degenerate-bucket guard. The join then
+    shuffles once on the fingerprint; group cost is bounded by max_df²,
+    never corpus²."""
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, window=window)
+    rare = (
+        fps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("fingerprint")
+    )
+    kept = fps.join(rare, "fingerprint")
+    left = kept.select(F.col("fingerprint"), F.col(id_col).alias("id1"))
+    right = kept.select(F.col("fingerprint"), F.col(id_col).alias("id2"))
+    return (
+        left.join(right, "fingerprint")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str,

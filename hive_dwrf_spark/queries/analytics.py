@@ -296,6 +296,57 @@ def _winnow_oracle(k: int = 8, window: int = 4) -> str:
     """
 
 
+def _winnow_pairs_oracle(
+    k: int = 8, window: int = 4, min_shared: int = 5, max_df: int = 50
+) -> str:
+    """Replay of operators/text.py::winnow_pairs: same fingerprints (see
+    _winnow_oracle), df-capped, self-joined, thresholded."""
+    poly = " + ".join(
+        f"CAST(ascii(substr(text, i + {j}, 1)) AS BIGINT) * {31 ** j}"
+        for j in range(k)
+    )
+    return f"""
+    WITH grams AS (
+      SELECT doc_id, i, ({poly}) % 2147483647 AS h
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - {k - 1})) AS i
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) >= {k}) t
+    ), wins AS (
+      SELECT doc_id, i,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW
+                          AND {window - 1} FOLLOWING) AS fp,
+             count(*) OVER (PARTITION BY doc_id) AS nh
+      FROM grams
+    ), fps AS (
+      SELECT DISTINCT doc_id, fp
+      FROM wins WHERE i <= nh - {window - 1}
+    ), rare AS (
+      SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {max_df}
+    ), kept AS (
+      SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_shared}
+    ORDER BY id1, id2
+    """
+
+
+@query("dedup_winnow", oracle=_winnow_pairs_oracle(min_shared=15, max_df=30))
+def dedup_winnow(spark, sf_dir):
+    """MOSS-style near-dup pairs: >= 15 shared winnowing fingerprints
+    (i.e. many independent >= 11-char substring matches), boilerplate
+    fingerprints df-capped at 30 docs before the join — thresholds tuned
+    so the result is discriminative (~0.1% of pairs) on this corpus."""
+    d = load(spark, sf_dir, "documents")
+    return text.winnow_pairs(
+        d, "text", "doc_id", min_shared=15, max_df=30
+    ).orderBy("id1", "id2")
+
+
 @query("text_winnow", oracle=_winnow_oracle())
 def text_winnow(spark, sf_dir):
     """Winnowing fingerprints (MOSS): local rolling-hash minima — any

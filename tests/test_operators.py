@@ -802,3 +802,21 @@ def test_sliding_time_aggregate_range_semantics(spark):
     assert out[2] == (3, 700) and out[3] == (3, 700)
     assert out[4] == (1, 800)
     assert out[5] == (1, 1600)
+
+
+def test_winnow_pairs_hot_fingerprint_cap(spark):
+    """Shared-boilerplate fingerprints above max_df must not create
+    pairs; genuinely shared long passages must."""
+    from hive_dwrf_spark.operators.text import winnow_pairs
+
+    passage = "an unmistakably shared long passage that repeats verbatim"
+    boiler = "standard footer text common to every single document here"
+    rows = [(i, f"doc {i} body {boiler}") for i in range(20)]
+    rows += [(101, "first " + passage + " tail one"),
+             (102, "second " + passage + " tail two")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # boilerplate appears in 22 docs > max_df=10 -> capped out; the
+    # passage appears in 2 docs -> kept
+    pairs = winnow_pairs(df, "text", "doc_id", min_shared=3, max_df=10)
+    got = [(r.id1, r.id2) for r in pairs.collect()]
+    assert got == [(101, 102)]
