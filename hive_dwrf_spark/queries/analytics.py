@@ -347,6 +347,76 @@ def dedup_winnow(spark, sf_dir):
     ).orderBy("id1", "id2")
 
 
+def _winnow_resolve_oracle(
+    k: int = 8, window: int = 4, min_shared: int = 15, max_df: int = 30
+) -> str:
+    """winnow_pairs edges -> recursive-CTE connected components -> keep
+    each cluster's min-id doc plus all unpaired docs (the same resolution
+    contract as dedup_resolve, fed by the MOSS pair generator)."""
+    poly = " + ".join(
+        f"CAST(ascii(substr(text, i + {j}, 1)) AS BIGINT) * {31 ** j}"
+        for j in range(k)
+    )
+    return f"""
+    WITH RECURSIVE grams AS (
+      SELECT doc_id, i, ({poly}) % 2147483647 AS h
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - {k - 1})) AS i
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) >= {k}) t
+    ), wins AS (
+      SELECT doc_id, i,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW
+                          AND {window - 1} FOLLOWING) AS fp,
+             count(*) OVER (PARTITION BY doc_id) AS nh
+      FROM grams
+    ), fps AS (
+      SELECT DISTINCT doc_id, fp
+      FROM wins WHERE i <= nh - {window - 1}
+    ), rare AS (
+      SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {max_df}
+    ), kept AS (
+      SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp
+    ), edges AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= {min_shared}
+    ), sym AS (
+      SELECT id1 AS a, id2 AS b FROM edges
+      UNION
+      SELECT id2, id1 FROM edges
+    ), reach(node, r) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node
+    ), comp AS (
+      SELECT node, min(r) AS component FROM reach GROUP BY node
+    )
+    SELECT doc_id
+    FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM comp WHERE component <> node)
+    ORDER BY doc_id
+    """
+
+
+@query("dedup_winnow_resolve", oracle=_winnow_resolve_oracle())
+def dedup_winnow_resolve(spark, sf_dir):
+    """End-to-end MOSS dedup: winnowing pairs -> connected components ->
+    one canonical doc per cluster (min id), unpaired docs pass through.
+    The resolution itself is a broadcast anti-join — zero corpus shuffle."""
+    from ..operators import dedup
+
+    d = load(spark, sf_dir, "documents")
+    pairs = text.winnow_pairs(d, "text", "doc_id", min_shared=15, max_df=30)
+    return (
+        dedup.resolve_duplicates(d, pairs.select("id1", "id2"), "doc_id")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 @query("text_winnow", oracle=_winnow_oracle())
 def text_winnow(spark, sf_dir):
     """Winnowing fingerprints (MOSS): local rolling-hash minima — any

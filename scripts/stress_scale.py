@@ -64,6 +64,9 @@ QUERIES = [
     "text_chunk",     # scan-stage explode
     "sample_temperature",  # broadcast-rates sampling
     "events_funnel",  # staged co-partitioned joins
+    "events_moving_window",  # time-RANGE frame over epoch micros
+    "text_winnow",    # per-char window functions (heaviest row expansion)
+    "dedup_winnow",   # fingerprint join with df cap
     "pipeline_curate",  # composed curation pass
     "text_decontaminate",  # broadcast semi-join
 ]
