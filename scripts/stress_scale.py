@@ -165,6 +165,9 @@ def main() -> int:
         n_x10 = fn(spark, X10).count()
         x10_sec = time.perf_counter() - t0
         spark.catalog.clearCache()
+        # measurement isolation (same rationale as bench.py): a query must
+        # not be taxed for the allocations of a heavy predecessor
+        spark._jvm.System.gc()
         results[name] = {
             "base_sec": round(base_sec, 3),
             "x10_sec": round(x10_sec, 3),

@@ -177,3 +177,16 @@ def test_scd2_single_sort_for_both_windows(spark):
     # lag-compression and lead-stamping share the (user_id, ts) sort order:
     # one shuffle on user_id plus the presentation sort, nothing more
     assert plan.count("Exchange") <= 2
+
+
+def test_moving_window_no_python(spark):
+    plan = _plan(_queries()["events_moving_window"](spark, SF_SMOKE))
+    # a RANGE frame over epoch micros: one Window node, nothing in Python
+    assert "Window" in plan
+    assert "EvalPython" not in plan
+
+
+def test_winnow_join_no_cartesian(spark):
+    plan = _plan(_queries()["dedup_winnow"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
