@@ -686,6 +686,63 @@ def _query_vector(spark, sf_dir):
 
 
 @query(
+    "sim_quantized_topk",
+    # search over int8-quantized vectors: dequantized score =
+    # scale_a * scale_q * (integer dot product). Quantized values are
+    # exact small ints, so the double dot product is exact in both
+    # engines and the whole ranking hash-checks — the end-to-end proof
+    # that the 4x-smaller embedding_quantize output is searchable
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x))) / 127 AS scale
+      FROM embeddings
+    ), quant AS (
+      SELECT vec_id, scale,
+             CASE WHEN scale = 0
+                  THEN list_transform(v, x -> 0)
+                  ELSE list_transform(v, x -> CAST(trunc(x / scale) AS INT))
+             END AS q
+      FROM scaled
+    ), qq AS (
+      SELECT scale AS qs, q AS qv FROM quant WHERE vec_id = 0
+    )
+    SELECT vec_id,
+           round(scale * qq.qs
+                 * list_dot_product(CAST(q AS DOUBLE[]),
+                                    CAST(qq.qv AS DOUBLE[])), 6) AS qscore
+    FROM quant, qq
+    ORDER BY qscore DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_quantized_topk(spark, sf_dir):
+    """Top-k over int8-quantized embeddings (the serving-memory path):
+    one scan of the 4x-smaller quantized table, integer dot products,
+    broadcast 1-row query side. Exactly replayable — quantization uses
+    defined trunc semantics, and int8 products sum exactly in doubles."""
+    e = load(spark, sf_dir, "embeddings")
+    q = similarity.quantize_embeddings(e, "embedding", "vec_id")
+    row = q.filter(F.col("vec_id") == 0).select("scale", "q").collect()[0]
+    qs, qv = float(row.scale), [int(x) for x in row.q]
+    qv_lit = F.array(*[F.lit(x) for x in qv])
+    dot = F.aggregate(
+        F.zip_with("q", qv_lit, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).cast("double")
+    return (
+        q.select(
+            "vec_id",
+            F.round(F.col("scale") * F.lit(qs) * dot, 6).alias("qscore"),
+        )
+        .orderBy(F.col("qscore").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
     "sim_topk",
     oracle="""
     SELECT vec_id,

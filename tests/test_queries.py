@@ -20,7 +20,7 @@ def test_registry_nonempty():
     queries, oracle = _cases()
     # the full declared surface: a silent registration regression (lost
     # module import, decorator typo) must fail here, not in the driver
-    assert len(queries) >= 106
+    assert len(queries) >= 107
     # every query carries an oracle — no rows-only weak checks
     assert set(oracle) == set(queries)
 
