@@ -59,6 +59,42 @@ def curate(
     )
 
 
+def source_cap(
+    df: DataFrame, group_col: str, order_cols: list, n: int
+) -> DataFrame:
+    """Per-source quota (domain cap): keep at most `n` rows per group,
+    ranked by `order_cols` (a total order, so the survivors are a pure
+    function of the data).
+
+    The standard web-corpus mixing step — no single domain may contribute
+    more than its cap — and a per-group-top-n that must survive skew:
+    one domain can hold 10% of a 100 TB crawl. Runs in two phases:
+
+    1. local top-n per (input-partition, group): the window's hash
+       exchange keys on (_pid, group), so a hot group is spread across as
+       many reducers as there are input partitions — built-in salting —
+       and each slice keeps only n rows;
+    2. global top-n per group over the <= n x P survivors.
+
+    Phase 1's local top-n is a superset of every group's global top-n
+    (each surviving row beat all co-slice rows under the same total
+    order), so the result is identical to a single global window while no
+    reducer ever sorts more than one slice. Reference parity: DWRF itself
+    has no query layer; this extends SURVEY §2.D curation ops.
+    """
+    w_local = Window.partitionBy("_pid", group_col).orderBy(*order_cols)
+    w_global = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrn", F.row_number().over(w_local))
+        .filter(F.col("_lrn") <= n)
+        .drop("_pid", "_lrn")
+        .withColumn("_rn", F.row_number().over(w_global))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """Data-quality profile of numeric columns: one row per column with
     row/null counts and min/max/sum.

@@ -1,0 +1,84 @@
+"""Count-Min Sketch: sub-linear frequency estimation over a key stream.
+
+The 100 TB motivation: exact token/URL/n-gram frequency tables can be
+nearly as large as the corpus, but most consumers (heavy-hitter gates,
+stop-list construction, frequency-based filters) only need *estimates
+with a one-sided error bound*. A CMS compresses the whole frequency
+distribution into a fixed depth x width counter grid:
+
+- build is ONE map-side-combinable aggregate (explode each key into
+  `depth` (row, bucket) cells, hash-aggregate counts) — the shuffle
+  carries at most depth x width cells per map partition no matter how
+  large the corpus is;
+- estimate(key) = min over rows of the key's bucket counter, which is
+  always >= the true count (collisions only ever inflate), and exceeds
+  it by more than eps*N with probability <= delta for
+  width = ceil(e/eps), depth = ceil(ln(1/delta)).
+
+Everything is hash-deterministic: the bucket function is the keyed-md5
+uniform hash shared with operators/sampling.py (first 8 digest bytes
+little-endian == DuckDB ``md5_number_upper``), so a SQL oracle replays
+the sketch — including its collisions — bit-for-bit. No randomness, no
+UDFs, no driver state.
+
+Reference parity: the DWRF reference is a storage format with no sketch
+machinery; this extends SURVEY §2.D (pipeline analytics over documents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import _hash64
+
+
+def _bucket(row_idx, key, width: int):
+    """CMS bucket for `key` in hash row `row_idx`: keyed-md5 of
+    '<row>|<key>' modulo width. Replayed in DuckDB as
+    ``md5_number_upper(CAST(i AS VARCHAR) || '|' || key) % width``."""
+    return F.pmod(_hash64(row_idx.cast("string"), key), F.lit(width)).cast("int")
+
+
+def cms_build(
+    df: DataFrame, key_col, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Build the sketch: (row_i, bucket, cnt) with depth x width cells.
+
+    One exploded projection (depth rows per key occurrence — pure
+    whole-stage-codegen expressions) into one hash aggregate with partial
+    (map-side) combine, so the exchange is bounded by depth x width cells
+    per map task regardless of corpus size.
+    """
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    cells = df.select(
+        F.col(key_col).alias("_k") if isinstance(key_col, str) else key_col.alias("_k")
+    ).select("_k", F.explode(rows).alias("row_i"))
+    return cells.select(
+        "row_i", _bucket(F.col("row_i"), F.col("_k"), width).alias("bucket")
+    ).groupBy("row_i", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: list[str], depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Point-estimate the counts of `keys` from a built sketch.
+
+    The probe side is a literal key list (heavy-hitter candidates, a
+    stop-list draft) — tiny, so it broadcasts; the sketch side is at most
+    depth x width rows. Estimates are min-over-rows, >= the true count.
+    Keys absent from the stream can still return > 0 (collision floor);
+    that is the CMS contract, and the oracle reproduces it exactly.
+    """
+    spark = sketch.sparkSession
+    kdf = spark.createDataFrame([(k,) for k in keys], "key string")
+    probes = kdf.select(
+        "key", F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row_i")
+    )
+    probes = probes.select(
+        "key", "row_i", _bucket(F.col("row_i"), F.col("key"), width).alias("bucket")
+    )
+    joined = F.broadcast(probes).join(sketch, ["row_i", "bucket"], "left")
+    return joined.groupBy("key").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
+    )

@@ -486,3 +486,87 @@ def chunk_documents(
             F.md5(chunk).alias("chunk_hash"),
         )
     )
+
+
+def tfidf_topk(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (smooth idf: ln((N+1)/(df+1))+1).
+
+    The keyword-extraction half of corpus indexing/labeling. Shapes at
+    100 TB: tf is one (doc, token) hash aggregate; document frequency is
+    one (token) hash aggregate over the *already-aggregated* tf frame (no
+    second corpus scan); N is a 1-row broadcast; the model join keys on
+    token where AQE broadcasts the vocab side when it fits; final ranking
+    is one doc-keyed window whose per-group heap is O(k).
+
+    Ranking compares the ROUNDED score (6 dp) with the token as
+    tie-break, so Spark and any SQL replayer rank identically even when
+    two raw doubles differ in the last ulp."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
+    tok = df.select(F.col(id_col), F.explode(words).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    from pyspark import StorageLevel
+
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(
+        1.0
+    )
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "token",
+            "tf",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(id_col, "token", "tf", "tfidf", F.col("_rn").alias("rank"))
+    )
+
+
+def bigram_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """CCNet-style LM quality score: each document's mean bigram
+    log-probability under the MLE bigram model of the corpus itself
+    (ln(c(w1,w2) / c(w1)); every doc bigram exists in the model by
+    construction, so no smoothing term is needed). Repetitive,
+    in-distribution text scores high; rare/garbled text scores low — the
+    standard perplexity-filter signal without an external model.
+
+    100 TB shapes: bigrams are pure array expressions in the scan stage
+    (slice + zip_with, no UDF); the model is two hash aggregates (bigram
+    and context counts — both map-side combinable); scoring joins doc
+    bigrams to the model on the bigram key (one AQE shuffle join; prune
+    the model to top-V for a broadcast variant). The per-doc mean is
+    accumulated in FIXED-POINT int64 (round(ln*1e6)) so the sum is exact
+    and order-independent — partial aggregation can never drift from the
+    SQL oracle's replay."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
+    n = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    doc_bg = df.select(F.col(id_col), F.explode(bigrams).alias("bg")).select(
+        id_col, "bg", F.split(F.col("bg"), " ")[0].alias("w1")
+    )
+    from pyspark import StorageLevel
+
+    doc_bg = doc_bg.persist(StorageLevel.MEMORY_AND_DISK)
+    c2 = doc_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = doc_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    model = c2.withColumn("w1", F.split(F.col("bg"), " ")[0]).join(c1, "w1")
+    contrib = F.round(F.log(F.col("c2") / F.col("c1")) * F.lit(1e6)).cast("bigint")
+    scored = doc_bg.join(model.select("bg", contrib.alias("lp_fp")), "bg")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            (F.sum("lp_fp") / F.lit(1e6)) / F.count(F.lit(1)), 6
+        ).alias("lm_score"),
+    )

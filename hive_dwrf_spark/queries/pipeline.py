@@ -1577,3 +1577,157 @@ def sim_knn_join(spark, sf_dir):
     return similarity.knn_join(e, probes, "embedding", "vec_id", 3).orderBy(
         "query_id", "rank"
     )
+
+
+@query(
+    "pipeline_source_cap",
+    oracle="""
+    SELECT doc_id, source, n_chars
+    FROM (SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents) t
+    WHERE rn <= 10
+    ORDER BY source, n_chars DESC, doc_id
+    """,
+)
+def pipeline_source_cap(spark, sf_dir):
+    """Per-source quota (operators/curation.py::source_cap): at most 10
+    docs per source, best-first by (n_chars DESC, doc_id) — the
+    domain-mixing cap of a web-corpus build. The engine runs the skew-safe
+    two-phase form (local top-n per input slice, then global top-n); the
+    oracle's single global window is definitionally equivalent because the
+    order is total."""
+    from ..operators.curation import source_cap
+
+    d = load(spark, sf_dir, "documents")
+    capped = source_cap(
+        d, "source", [F.desc("n_chars"), F.asc("doc_id")], 10
+    )
+    return capped.select("doc_id", "source", "n_chars").orderBy(
+        "source", F.desc("n_chars"), "doc_id"
+    )
+
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 1024
+_CMS_KEYS = ["spark", "merge", "table", "window", "zzz_absent"]
+
+
+@query(
+    "sketch_cms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ), rows_ AS (
+      SELECT CAST(r.range AS INTEGER) AS row_i FROM range(0, {_CMS_DEPTH}) r
+    ), cells AS (
+      SELECT row_i,
+             CAST(md5_number_upper(CAST(row_i AS VARCHAR) || '|' || tok)
+                  % {_CMS_WIDTH} AS INTEGER) AS bucket,
+             count(*) AS cnt
+      FROM toks, rows_
+      WHERE tok <> ''
+      GROUP BY 1, 2
+    ), keys_ AS (
+      SELECT unnest({_CMS_KEYS}) AS key
+    ), probes AS (
+      SELECT key, row_i,
+             CAST(md5_number_upper(CAST(row_i AS VARCHAR) || '|' || key)
+                  % {_CMS_WIDTH} AS INTEGER) AS bucket
+      FROM keys_, rows_
+    )
+    SELECT key, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+    FROM probes LEFT JOIN cells USING (row_i, bucket)
+    GROUP BY key ORDER BY key
+    """,
+)
+def sketch_cms(spark, sf_dir):
+    """Count-Min Sketch frequency estimation (operators/sketch.py): build
+    a 4x1024 counter grid over the token stream in one map-side-combinable
+    aggregate, then point-estimate a fixed key list (incl. one absent key)
+    by min-over-rows. The keyed-md5 bucket function is shared with the
+    sampling operators, so the oracle replays the sketch — collisions and
+    all — exactly."""
+    from ..operators import sketch
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    cms = sketch.cms_build(toks, "tok", _CMS_DEPTH, _CMS_WIDTH)
+    return sketch.cms_estimate(cms, _CMS_KEYS, _CMS_DEPTH, _CMS_WIDTH).orderBy(
+        "key"
+    )
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM tok WHERE token <> '' GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY 1
+    ), nd AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf,
+             round(tf.tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6)
+               AS tfidf
+      FROM tf JOIN dfreq USING (token), nd
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rank
+      FROM scored
+    )
+    SELECT doc_id, token, tf, tfidf, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def text_tfidf(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (operators/text.py::tfidf_topk) —
+    keyword extraction for corpus indexing. Both engines rank by the
+    ROUNDED score with the token as tie-break, so the ranking is immune to
+    last-ulp ln() differences."""
+    d = load(spark, sf_dir, "documents")
+    return text.tfidf_topk(d, "text", "doc_id", 3).orderBy("doc_id", "rank")
+
+
+@query(
+    "text_lm_score",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      FROM documents
+    ), doc_pos AS (
+      SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w
+    ), doc_bg AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg, ws[i] AS w1
+      FROM doc_pos
+    ), c2 AS (SELECT bg, count(*) AS c2 FROM doc_bg GROUP BY 1),
+    c1 AS (SELECT w1, count(*) AS c1 FROM doc_bg GROUP BY 1),
+    model AS (
+      SELECT bg,
+             CAST(round(ln(CAST(c2 AS DOUBLE) / c1) * 1000000) AS BIGINT)
+               AS lp_fp
+      FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round((sum(lp_fp) / 1000000.0) / count(*), 6) AS lm_score
+    FROM doc_bg JOIN model USING (bg)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_lm_score(spark, sf_dir):
+    """Corpus-bigram LM quality score (operators/text.py::
+    bigram_lm_scores): mean ln P(w2|w1) per document under the corpus's
+    own MLE bigram model — the CCNet perplexity-filter signal. Per-bigram
+    log-probs are fixed-point int64 before summing, so partial-aggregation
+    order can never drift from the oracle."""
+    d = load(spark, sf_dir, "documents")
+    return text.bigram_lm_scores(d, "text", "doc_id").orderBy("doc_id")

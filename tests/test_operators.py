@@ -820,3 +820,87 @@ def test_winnow_pairs_hot_fingerprint_cap(spark):
     pairs = winnow_pairs(df, "text", "doc_id", min_shared=3, max_df=10)
     got = [(r.id1, r.id2) for r in pairs.collect()]
     assert got == [(101, 102)]
+
+
+def test_source_cap_matches_single_window(spark):
+    from pyspark.sql import Window
+
+    from hive_dwrf_spark.operators.curation import source_cap
+
+    # skewed: group "hot" holds 80 of 100 rows, spread over 8 partitions
+    rows = [(i, "hot" if i < 80 else f"g{i % 4}", i * 7 % 101) for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "grp", "score"]).repartition(8)
+    out = source_cap(df, "grp", [F.desc("score"), F.asc("id")], 5)
+    got = sorted((r.grp, r.id) for r in out.collect())
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("id"))
+    naive = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+    want = sorted((r.grp, r.id) for r in naive.collect())
+    assert got == want
+    per_group = {}
+    for g, _ in got:
+        per_group[g] = per_group.get(g, 0) + 1
+    assert all(v <= 5 for v in per_group.values())
+
+
+def test_cms_estimate_bounds(spark):
+    from hive_dwrf_spark.operators import sketch
+
+    rows = [("a",)] * 50 + [("b",)] * 7 + [(f"x{i}",) for i in range(40)]
+    df = spark.createDataFrame(rows, ["tok"])
+    # wide sketch: no collisions among ~42 keys, estimates are exact
+    cms = sketch.cms_build(df, "tok", depth=4, width=4096)
+    est = {
+        r.key: r.est
+        for r in sketch.cms_estimate(
+            cms, ["a", "b", "absent"], depth=4, width=4096
+        ).collect()
+    }
+    assert est["a"] == 50 and est["b"] == 7 and est["absent"] == 0
+    # narrow sketch: collisions only ever inflate (one-sided error)
+    cms2 = sketch.cms_build(df, "tok", depth=2, width=8)
+    est2 = {
+        r.key: r.est
+        for r in sketch.cms_estimate(cms2, ["a", "b"], depth=2, width=8).collect()
+    }
+    assert est2["a"] >= 50 and est2["b"] >= 7
+
+
+def test_tfidf_ranks_distinctive_terms(spark):
+    from hive_dwrf_spark.operators.text import tfidf_topk
+
+    rows = [
+        (1, "common unique"),
+        (2, "common common other words"),
+        (3, "common filler words here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    top = {
+        r.doc_id: r.token
+        for r in tfidf_topk(df, "text", "doc_id", 1).collect()
+    }
+    # both terms in doc 1 have tf=1, but 'common' is in every doc
+    # (idf = ln(4/4)+1 = 1) while 'unique' is in doc 1 only
+    # (idf = ln(4/2)+1) - the distinctive term wins
+    assert top[1] == "unique"
+
+
+def test_bigram_lm_repetitive_scores_higher(spark):
+    from hive_dwrf_spark.operators.text import bigram_lm_scores
+
+    rows = [
+        (1, "the cat sat the cat sat the cat sat the cat sat"),
+        (2, "quick brown fox jumps over seven lazy sleeping dogs today"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.n_bigrams, r.lm_score) for r in bigram_lm_scores(
+        df, "text", "doc_id"
+    ).collect()}
+    # doc 1 reuses the same bigrams -> high P(w2|w1); doc 2's bigrams are
+    # all singletons over contexts that still appear once -> ln(1/1)=0 only
+    # when the context is unique; the repeated doc must not score lower
+    assert got[1][0] == 11 and got[2][0] == 9
+    assert got[1][1] >= got[2][1]
