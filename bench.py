@@ -133,7 +133,9 @@ def main() -> None:
         extras["parquet_bytes"] = os.path.getsize(src)
         extras["dwrf_bytes_per_row"] = round(os.path.getsize(out) / table.num_rows, 2)
 
-        # read throughput, same table, single-thread: our decoder vs pyarrow
+        # read throughput, same table, one reader call each: our decoder
+        # (block decompression fans out on the small shared pool) vs
+        # pyarrow's parallel C++ parquet reader
         from hive_dwrf_spark.format.reader import DwrfFile
 
         with DwrfFile(out) as f:  # warm page cache

@@ -769,16 +769,36 @@ def compress_stream(
 
 
 def decompress_stream(data: bytes, kind: CompressionKind) -> bytes:
+    """Inverse of compress_stream. Blocks are independent, and the codecs
+    release the GIL, so streams with several compressed blocks decompress
+    on the same small shared pool the writer uses — the single-reader path
+    (bench, driver-side tools) gets the cores; Spark executor tasks are
+    already core-saturated and the pool cap keeps oversubscription
+    bounded."""
     if kind == CompressionKind.NONE:
         return data
-    out = bytearray()
     pos = 0
     n = len(data)
+    parts: list[bytes] = []  # stored blocks stay as-is; others decompress
+    todo: list[int] = []  # indices into parts that need decompression
     while pos < n:
         header = int.from_bytes(data[pos : pos + 3], "little")
         pos += 3
         ln = header >> 1
         block = data[pos : pos + ln]
         pos += ln
-        out += block if header & 1 else _decompress_block(bytes(block), kind)
-    return bytes(out)
+        if header & 1:
+            parts.append(block)
+        else:
+            todo.append(len(parts))
+            parts.append(block)
+    if len(todo) >= 4:
+        done = _compress_pool().map(
+            lambda i: _decompress_block(parts[i], kind), todo
+        )
+        for i, blk in zip(todo, done):
+            parts[i] = blk
+    else:
+        for i in todo:
+            parts[i] = _decompress_block(parts[i], kind)
+    return b"".join(parts)
