@@ -126,3 +126,41 @@ def stratified_take(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame, key_cols: list[str], seed: str = "epoch0"
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    contiguous position 0..N-1 in the pseudo-random order of its keyed
+    md5 (ties broken by the key itself). Re-runs, repartitions, and
+    backfills reproduce the same epoch order; a new `seed` is a new epoch.
+
+    The 100 TB shape is the two-pass prefix form (shared with
+    text.pack_token_stream), NOT a single-partition global window:
+    range-repartition on the hash, local row_number per partition, then
+    offset by the broadcast per-partition totals. Correctness does not
+    depend on where the range boundaries land — ranges are disjoint and
+    ordered, so offset + local rank is the exact global rank."""
+    h = _hash64(F.lit(seed), *key_cols)
+    ranged = (
+        df.withColumn("_h", h)
+        .repartitionByRange("_h", *key_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_in = Window.partitionBy("_pid").orderBy("_h", *key_cols)
+    local = ranged.withColumn("_lrn", F.row_number().over(w_in))
+    w_pid = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_ptotal"))
+        .withColumn("_off", F.coalesce(F.sum("_ptotal").over(w_pid), F.lit(0)))
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "train_pos", (F.col("_off") + F.col("_lrn") - 1).cast("bigint")
+        )
+        .drop("_h", "_pid", "_lrn", "_off")
+    )

@@ -570,3 +570,79 @@ def bigram_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             (F.sum("lp_fp") / F.lit(1e6)) / F.count(F.lit(1)), 6
         ).alias("lm_score"),
     )
+
+
+def bpe_train_merges(df: DataFrame, text_col: str, k: int = 3) -> DataFrame:
+    """Train the first `k` BPE tokenizer merges on the corpus: round r
+    counts adjacent symbol pairs weighted by word frequency, picks the
+    most frequent pair (count DESC, then lexicographic — a total order),
+    and applies it left-to-right non-overlapping to every word, exactly
+    the Sennrich et al. BPE procedure.
+
+    100 TB shape: ONE corpus-scale aggregate (word frequencies); every
+    merge round then operates on the vocabulary table — typically a few
+    million rows, broadcast scale — so k rounds cost k tiny jobs, not k
+    corpus scans. All string surgery is JVM expressions; the
+    double-space-then-replace trick applies a merge without regex
+    lookbehind, so the identical transform runs on Spark, DuckDB (RE2),
+    or any ANSI engine, making the whole training loop oracle-replayable.
+    """
+    from functools import reduce
+
+    from pyspark import StorageLevel
+
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
+    wf = (
+        df.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # initial symbol sequence: the word's characters, space-separated
+    syms = wf.select(
+        F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("s"), "freq"
+    )
+    merges = []
+    for r in range(k):
+        ws = F.split(F.col("s"), " ")
+        n = F.size(ws)
+        pairs = F.zip_with(
+            F.slice(ws, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(ws, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        pc = (
+            syms.select(F.explode(pairs).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            pc.orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .select(F.lit(r + 1).alias("merge_rank"), "pair", "cnt")
+        )
+        merges.append(best)
+        # apply the merge: double every separator so matches can't
+        # overlap, wrap in sentinels so 'a b' can't match inside 'xa b',
+        # then collapse spacing back. Left-to-right non-overlapping ==
+        # BPE's merge order.
+        doubled = F.concat(
+            F.lit(" "), F.replace(F.col("s"), F.lit(" "), F.lit("  ")), F.lit(" ")
+        )
+        pat = F.concat(
+            F.lit(" "),
+            F.replace(F.col("pair"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
+        rep = F.concat(
+            F.lit(" "),
+            F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+            F.lit(" "),
+        )
+        merged = F.trim(
+            F.regexp_replace(F.replace(doubled, pat, rep), " +", " ")
+        )
+        syms = syms.crossJoin(F.broadcast(best.select("pair"))).select(
+            merged.alias("s"), "freq"
+        )
+    return reduce(lambda a, b: a.unionByName(b), merges)

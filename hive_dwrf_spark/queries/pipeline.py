@@ -1731,3 +1731,85 @@ def text_lm_score(spark, sf_dir):
     order can never drift from the oracle."""
     d = load(spark, sf_dir, "documents")
     return text.bigram_lm_scores(d, "text", "doc_id").orderBy("doc_id")
+
+
+@query(
+    "sample_epoch_shuffle",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+                  ORDER BY md5_number_upper('epoch0|' || CAST(doc_id AS VARCHAR)),
+                           doc_id) - 1 AS BIGINT) AS train_pos
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def sample_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle (operators/sampling.py::epoch_shuffle):
+    every document gets its contiguous 0..N-1 training position in keyed-md5
+    order via the scalable two-pass prefix form (range exchange + local
+    rank + broadcast offsets — never a single-partition global window).
+    The oracle's plain global window is definitionally the same order."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        sampling.epoch_shuffle(d, ["doc_id"], seed="epoch0")
+        .select("doc_id", "train_pos")
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_oracle(k: int) -> str:
+    """Unrolled k-round replay of operators/text.py::bpe_train_merges.
+    DuckDB regexp backrefs are '\\1' where Spark's are '$1'; the
+    double-space merge trick is plain replace() on both engines."""
+
+    def round_ctes(r: int) -> str:
+        prev = f"s{r - 1}"
+        return f""",
+    pc{r} AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT ws[i] || ' ' || ws[i+1] AS pair, freq FROM (
+          SELECT string_split(s, ' ') AS ws, freq,
+                 unnest(generate_series(1, len(string_split(s, ' ')) - 1)) AS i
+          FROM {prev}) t) u
+      GROUP BY pair
+    ), best{r} AS (
+      SELECT {r} AS merge_rank, pair, cnt
+      FROM pc{r} ORDER BY cnt DESC, pair LIMIT 1
+    ), s{r} AS (
+      SELECT trim(regexp_replace(
+               replace(' ' || replace(s, ' ', '  ') || ' ',
+                       ' ' || replace(b.pair, ' ', '  ') || ' ',
+                       ' ' || replace(b.pair, ' ', '') || ' '),
+               ' +', ' ', 'g')) AS s, freq
+      FROM {prev}, best{r} b
+    )"""
+
+    union = " UNION ALL ".join(f"SELECT * FROM best{r}" for r in range(1, k + 1))
+    return (
+        """
+    WITH wf AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS word
+        FROM documents) t
+      WHERE word <> '' GROUP BY word
+    ), s0 AS (
+      SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s, freq FROM wf
+    )"""
+        + "".join(round_ctes(r) for r in range(1, k + 1))
+        + f"""
+    SELECT merge_rank, pair, cnt FROM ({union}) ORDER BY merge_rank
+    """
+    )
+
+
+@query("text_bpe_merges", oracle=_bpe_oracle(3))
+def text_bpe_merges(spark, sf_dir):
+    """First 3 BPE tokenizer merges trained on the corpus
+    (operators/text.py::bpe_train_merges): one corpus-scale word-frequency
+    aggregate, then each merge round runs on the vocabulary table only.
+    Pair choice is total-ordered (count DESC, pair ASC) and the merge
+    application is lookbehind-free string surgery, so the 3-round training
+    loop replays exactly in the unrolled SQL oracle."""
+    d = load(spark, sf_dir, "documents")
+    return text.bpe_train_merges(d, "text", 3).orderBy("merge_rank")

@@ -904,3 +904,61 @@ def test_bigram_lm_repetitive_scores_higher(spark):
     # when the context is unique; the repeated doc must not score lower
     assert got[1][0] == 11 and got[2][0] == 9
     assert got[1][1] >= got[2][1]
+
+
+def test_epoch_shuffle_is_permutation_and_stable(spark):
+    from pyspark.sql import Window
+
+    from hive_dwrf_spark.operators.sampling import _hash64, epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["id"])
+    out = epoch_shuffle(df.repartition(7), ["id"], seed="e1")
+    rows = {r.id: r.train_pos for r in out.collect()}
+    assert sorted(rows.values()) == list(range(200))
+    # matches the naive single-window global rank
+    w = Window.orderBy(_hash64(F.lit("e1"), F.col("id")), "id")
+    naive = {
+        r.id: r.pos
+        for r in df.select(
+            "id", (F.row_number().over(w) - 1).alias("pos")
+        ).collect()
+    }
+    assert rows == naive
+    # stable under a different input partitioning
+    out2 = {r.id: r.train_pos for r in epoch_shuffle(
+        df.repartition(3), ["id"], seed="e1"
+    ).collect()}
+    assert out2 == rows
+    # a different seed is a different epoch order
+    out3 = {r.id: r.train_pos for r in epoch_shuffle(
+        df, ["id"], seed="e2"
+    ).collect()}
+    assert out3 != rows
+
+
+def test_bpe_train_merges_known_corpus(spark):
+    from hive_dwrf_spark.operators.text import bpe_train_merges
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower newest newest")], ["doc_id", "text"]
+    )
+    got = [
+        (r.merge_rank, r.pair, r.cnt)
+        for r in bpe_train_merges(df, "text", 3).orderBy("merge_rank").collect()
+    ]
+    # round 1: 'l o' and 'o w' tie at 4, lexicographic picks 'l o';
+    # round 2: 'lo w' at 4; round 3: five pairs tie at 2, 'e s' is minimal
+    assert got == [(1, "l o", 4), (2, "lo w", 4), (3, "e s", 2)]
+
+
+def test_bpe_merge_left_to_right_non_overlapping(spark):
+    from hive_dwrf_spark.operators.text import bpe_train_merges
+
+    df = spark.createDataFrame([(1, "aaaa aaaa")], ["doc_id", "text"])
+    got = [
+        (r.merge_rank, r.pair, r.cnt)
+        for r in bpe_train_merges(df, "text", 2).orderBy("merge_rank").collect()
+    ]
+    # 'a a a a' merges to 'aa aa' (left-to-right, no overlap), so round 2
+    # sees the 'aa aa' pair — not 'aa a'
+    assert got == [(1, "a a", 6), (2, "aa aa", 2)]
