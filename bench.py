@@ -69,6 +69,12 @@ HEADLINE = [
     "text_chunk",
     "sample_temperature",
     "text_winnow",
+    "pipeline_source_cap",
+    "sketch_cms",
+    "text_tfidf",
+    "text_lm_score",
+    "sample_epoch_shuffle",
+    "text_bpe_merges",
 ]
 
 

@@ -187,8 +187,17 @@ def _convert_filter(f) -> tuple | None:
 
 @dataclass
 class _StripePartition(InputPartition):
+    """One scan split: a run of CONSECUTIVE stripes of one file.
+
+    Small stripes are bin-packed into one split up to the computed
+    maxSplitBytes (Spark's own file-split policy: min(128 MB,
+    max(4 MB, totalBytes/parallelism))), so a 100 TB table of many
+    small-stripe files doesn't explode into millions of tasks, while a
+    large-stripe file still fans out one task per stripe. Consecutive
+    runs keep IO sequential within the split."""
+
     path: str
-    stripe_index: int
+    stripe_indices: tuple = ()  # empty = sentinel for "no data"
     part_values: tuple = ()  # (name, raw_string_value) pairs, hive-style
 
 
@@ -273,6 +282,9 @@ class DwrfReader(DataSourceReader):
             "1",
             "yes",
         )
+        # split planning knobs (0 = derive Spark-style from total bytes)
+        self._max_split = int(options.get("maxSplitBytes", 0) or 0)
+        self._target_parallelism = int(options.get("targetParallelism", 0) or 0)
         self._filters: list[tuple] = []
         # partition columns are those in the (possibly pruned) schema that
         # come from hive-style key=value directories, not from file data
@@ -304,9 +316,13 @@ class DwrfReader(DataSourceReader):
         return False
 
     def partitions(self):
+        import os as _os
+
         from ..format.reader import DwrfFile
 
-        parts = []
+        # pass 1: survivors of directory/footer pruning, with stripe sizes
+        files = []  # (path, part_values, [stripe_bytes...])
+        total_bytes = 0
         for path in _list_dwrf_files(self.path):
             part_values = (
                 _partition_values_from_path(self.path, path)
@@ -320,23 +336,56 @@ class DwrfReader(DataSourceReader):
                     self._filters, lambda tid: f.file_stats(tid)
                 ):
                     continue  # whole file pruned by footer stats
-                for i in range(len(f.footer.stripes)):
+                sizes = [
+                    (s.indexLength or 0)
+                    + (s.dataLength or 0)
+                    + (s.footerLength or 0)
+                    for s in f.footer.stripes
+                ]
+            files.append((path, part_values, sizes))
+            total_bytes += sum(sizes)
+
+        # Spark's file-split formula: splits big enough to amortize task
+        # overhead, small enough to keep `parallelism` tasks busy
+        par = self._target_parallelism or _os.cpu_count() or 8
+        max_split = self._max_split or min(
+            128 << 20, max(4 << 20, total_bytes // max(par, 1) + 1)
+        )
+
+        # pass 2: bin-pack CONSECUTIVE stripes of each file into splits
+        parts = []
+        for path, part_values, sizes in files:
+            run: list[int] = []
+            run_bytes = 0
+            for i, sz in enumerate(sizes):
+                if run and run_bytes + sz > max_split:
                     parts.append(
                         _StripePartition(
-                            path=path, stripe_index=i, part_values=part_values
+                            path=path,
+                            stripe_indices=tuple(run),
+                            part_values=part_values,
                         )
                     )
+                    run, run_bytes = [], 0
+                run.append(i)
+                run_bytes += sz
+            if run:
+                parts.append(
+                    _StripePartition(
+                        path=path,
+                        stripe_indices=tuple(run),
+                        part_values=part_values,
+                    )
+                )
         if not parts:
             # Spark requires >=1 partition; emit an empty sentinel
-            parts.append(_StripePartition(path="", stripe_index=-1))
+            parts.append(_StripePartition(path=""))
         return parts
 
     def read(self, partition: _StripePartition):
-        import pyarrow as pa
-
         from ..format.reader import DwrfFile
 
-        if partition.stripe_index < 0:
+        if not partition.stripe_indices:
             return
         file_columns = self.columns
         if file_columns is not None:
@@ -364,11 +413,18 @@ class DwrfReader(DataSourceReader):
                     and fl.name.lower() not in present
                     and fl.name in want
                 ]
-            table = f.read_stripe(
-                partition.stripe_index,
-                columns=file_columns,
-                filters=self._filters or None,
-            )
+            for idx in partition.stripe_indices:
+                table = f.read_stripe(
+                    idx,
+                    columns=file_columns,
+                    filters=self._filters or None,
+                )
+                yield from self._emit(table, partition, missing)
+
+    def _emit(self, table, partition: _StripePartition, missing: list):
+        """Post-decode fixups for one stripe table, then Arrow batches."""
+        import pyarrow as pa
+
         if table is None:
             return
         for fld in missing:

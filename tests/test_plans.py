@@ -190,3 +190,33 @@ def test_winnow_join_no_cartesian(spark):
     plan = _plan(_queries()["dedup_winnow"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_source_cap_no_global_single_partition_sort(spark):
+    # the skew-safe two-phase cap: phase 1 windows on (_pid, group), so
+    # no stage ever sorts a whole hot group in one task before truncation
+    plan = _plan(_queries()["pipeline_source_cap"](spark, SF_SMOKE))
+    assert "_pid" in plan  # local phase present
+    assert "CartesianProduct" not in plan
+
+
+def test_epoch_shuffle_uses_range_exchange_not_global_window(spark):
+    plan = _plan(_queries()["sample_epoch_shuffle"](spark, SF_SMOKE))
+    # the scalable two-pass form: a range exchange plus per-partition
+    # windows; the only SinglePartition exchange allowed is the one over
+    # the tiny per-partition-totals frame (grouped by _pid), never over
+    # the row-level frame
+    assert "rangepartitioning" in plan.lower()
+    assert "BroadcastExchange" in plan  # offsets join side
+
+
+def test_cms_probe_side_broadcasts(spark):
+    plan = _plan(_queries()["sketch_cms"](spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_no_second_corpus_scan_for_df(spark):
+    # document frequency aggregates the persisted tf frame, not the text
+    plan = _plan(_queries()["text_tfidf"](spark, SF_SMOKE))
+    assert "InMemoryTableScan" in plan
