@@ -164,3 +164,45 @@ def epoch_shuffle(
         )
         .drop("_h", "_pid", "_lrn", "_off")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    per_group_budget: float,
+    key_cols: list[str],
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic mixture resampling: every group is up- or
+    down-sampled toward `per_group_budget` expected rows — the
+    domain-rebalancing step of a training-data mix (Dolma/DataComp style).
+    rate = budget / |group|; each row emits floor(rate) copies plus one
+    more iff its keyed md5 falls under frac(rate). Expected output is
+    exactly `budget` per group; decisions are pure row-local hashes, so
+    re-runs and backfills replicate identically and rows never flip.
+
+    100 TB shapes: group counts are one map-side-combinable aggregate
+    whose result (one row per domain) broadcasts back; the expansion is a
+    pure projection (sequence + explode) in the scan stage — the corpus
+    is never shuffled. Output carries `rep` (1..k) so downstream epoch
+    shuffling can spread the copies."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n_g"))
+    rates = counts.select(
+        group_col, (F.lit(float(per_group_budget)) / F.col("_n_g")).alias("_rate")
+    )
+    frac_fp = ((F.col("_rate") - F.floor(F.col("_rate"))) * F.lit(1000000)).cast(
+        "bigint"
+    )
+    extra = (
+        F.pmod(_hash64(F.lit(salt), *key_cols), F.lit(1000000)) < frac_fp
+    ).cast("int")
+    n_copies = (F.floor(F.col("_rate")).cast("int") + extra).alias("_copies")
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .select("*", n_copies)
+        .filter(F.col("_copies") >= 1)
+        .select(
+            "*", F.explode(F.sequence(F.lit(1), F.col("_copies"))).alias("rep")
+        )
+        .drop("_rate", "_copies")
+    )

@@ -646,3 +646,41 @@ def bpe_train_merges(df: DataFrame, text_col: str, k: int = 3) -> DataFrame:
             merged.alias("s"), "freq"
         )
     return reduce(lambda a, b: a.unionByName(b), merges)
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    salt: str = "clf",
+    dims: int = 4096,
+) -> DataFrame:
+    """Inference of a hashing-trick linear classifier (the fasttext-style
+    quality-filter shape): each token hashes into one of `dims` feature
+    buckets, the bucket's weight is looked up, and the document's score is
+    sigmoid(mean weight). Here the weight table is a fixed deterministic
+    function of the bucket (a stand-in for trained weights — swap in a
+    broadcast weight map in production; the plan shape is identical).
+
+    100 TB story: scoring a corpus with a linear model is ONE projection +
+    ONE hash aggregate — no shuffle of text, no UDF, no model server. The
+    per-token weights are summed in fixed-point int64 so the aggregate is
+    exact and order-independent, and the whole inference replays in SQL.
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
+    tok = df.select(F.col(id_col), F.explode(words).alias("token"))
+    from .sampling import _hash64
+
+    bucket = F.pmod(_hash64(F.lit(salt), F.col("token")), F.lit(dims)).cast(
+        "bigint"
+    )
+    # pseudo-trained weight in [-0.5, 0.5), fixed-point 1e6
+    w_fp = (
+        F.floor((bucket % 997) * F.lit(1000000.0) / F.lit(997.0)) - F.lit(500000)
+    ).cast("bigint")
+    scored = tok.select(F.col(id_col), w_fp.alias("w_fp"))
+    mean = (F.sum("w_fp") / F.lit(1e6)) / F.count(F.lit(1))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_feats"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean)), 6).alias("clf_score"),
+    )

@@ -1813,3 +1813,66 @@ def text_bpe_merges(spark, sf_dir):
     loop replays exactly in the unrolled SQL oracle."""
     d = load(spark, sf_dir, "documents")
     return text.bpe_train_merges(d, "text", 3).orderBy("merge_rank")
+
+
+@query(
+    "text_clf_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             CAST(md5_number_upper('clf|' || token) % 4096 AS BIGINT) AS b
+      FROM tok WHERE token <> ''
+    ), weighted AS (
+      SELECT doc_id,
+             CAST(floor((b % 997) * 1000000.0 / 997) - 500000 AS BIGINT) AS w_fp
+      FROM feats
+    )
+    SELECT doc_id, count(*) AS n_feats,
+           round(1.0 / (1.0 + exp(-(CAST(sum(w_fp) AS BIGINT) / 1000000.0)
+                                    / count(*))), 6) AS clf_score
+    FROM weighted GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_clf_score(spark, sf_dir):
+    """Hashing-trick linear classifier inference (operators/text.py::
+    hashed_linear_score): fasttext-style quality scoring as one projection
+    + one hash aggregate — no UDF, no model server, corpus never
+    shuffled. Fixed-point weight sums keep the aggregate exact, so the
+    sigmoid replays in SQL to 6 dp."""
+    d = load(spark, sf_dir, "documents")
+    return text.hashed_linear_score(d, "text", "doc_id").orderBy("doc_id")
+
+
+@query(
+    "sample_mixture",
+    oracle="""
+    WITH counts AS (
+      SELECT source, count(*) AS n_g FROM documents GROUP BY source
+    ), rates AS (
+      SELECT source, 40.0 / n_g AS rate FROM counts
+    ), expanded AS (
+      SELECT d.doc_id, d.source,
+             unnest(generate_series(1,
+               CAST(floor(r.rate) AS INTEGER) +
+               CASE WHEN md5_number_upper('mix|' || CAST(d.doc_id AS VARCHAR))
+                         % 1000000
+                         < CAST((r.rate - floor(r.rate)) * 1000000 AS BIGINT)
+                    THEN 1 ELSE 0 END)) AS rep
+      FROM documents d JOIN rates r USING (source)
+    )
+    SELECT doc_id, source, rep FROM expanded
+    ORDER BY doc_id, rep
+    """,
+)
+def sample_mixture(spark, sf_dir):
+    """Deterministic mixture resampling (operators/sampling.py::
+    mixture_sample): every source up/down-sampled toward a 40-row budget —
+    rate = 40/|group|, floor(rate) copies plus a keyed-md5 fractional
+    keep. Group rates broadcast back; the expansion is a pure projection,
+    zero corpus shuffle, decisions backfill-stable."""
+    d = load(spark, sf_dir, "documents")
+    out = sampling.mixture_sample(d, "source", 40.0, ["doc_id"])
+    return out.select("doc_id", "source", "rep").orderBy("doc_id", "rep")

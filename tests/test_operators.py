@@ -962,3 +962,42 @@ def test_bpe_merge_left_to_right_non_overlapping(spark):
     # 'a a a a' merges to 'aa aa' (left-to-right, no overlap), so round 2
     # sees the 'aa aa' pair — not 'aa a'
     assert got == [(1, "a a", 6), (2, "aa aa", 2)]
+
+
+def test_mixture_sample_budget_and_determinism(spark):
+    from hive_dwrf_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "big" if i < 400 else "small") for i in range(440)]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    out = mixture_sample(df, "grp", 100.0, ["id"])
+    per = {r.grp: r.c for r in out.groupBy("grp").count()
+           .withColumnRenamed("count", "c").collect()}
+    # big: rate 0.25 -> ~100 expected (downsample); small: rate 2.5 ->
+    # everyone gets 2 copies plus ~half get a third -> ~100
+    assert 70 <= per["big"] <= 130
+    assert 80 <= per["small"] <= 120
+    small_reps = (
+        out.filter("grp = 'small'").groupBy("id").count().collect()
+    )
+    assert all(r["count"] in (2, 3) for r in small_reps)
+    # deterministic under re-run and repartitioning
+    again = mixture_sample(df.repartition(5), "grp", 100.0, ["id"])
+    assert sorted((r.id, r.rep) for r in out.collect()) == sorted(
+        (r.id, r.rep) for r in again.collect()
+    )
+
+
+def test_hashed_linear_score_deterministic_and_bounded(spark):
+    from hive_dwrf_spark.operators.text import hashed_linear_score
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "omega psi chi phi upsilon")],
+        ["doc_id", "text"],
+    )
+    a = {r.doc_id: (r.n_feats, r.clf_score)
+         for r in hashed_linear_score(df, "text", "doc_id").collect()}
+    assert a[1][0] == 4 and a[2][0] == 5
+    assert all(0.0 < s < 1.0 for _, s in a.values())
+    b = {r.doc_id: (r.n_feats, r.clf_score)
+         for r in hashed_linear_score(df.repartition(3), "text", "doc_id").collect()}
+    assert a == b
