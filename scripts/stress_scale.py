@@ -69,6 +69,11 @@ QUERIES = [
     "dedup_winnow",   # fingerprint join with df cap
     "pipeline_curate",  # composed curation pass
     "text_decontaminate",  # broadcast semi-join
+    "pipeline_source_cap",  # two-phase skew-safe per-group top-n
+    "sample_epoch_shuffle",  # range exchange + prefix offsets
+    "sketch_cms",     # fixed-size sketch aggregate
+    "text_clf_score",  # projection + hash agg inference
+    "sample_mixture",  # broadcast rates + projection expansion
 ]
 
 
