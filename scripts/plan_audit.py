@@ -49,6 +49,7 @@ CARTESIAN_ALLOWED = {
     "sample_temperature",
     "pipeline_profile",
     "q27_percentile",
+    "layout_zorder",  # 1-row min/max stats broadcast (operators/layout.py)
 }
 
 # streaming queries execute via their own harness, not a batch plan
