@@ -92,3 +92,25 @@ def cms_estimate(
     return joined.groupBy("key").agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
     )
+
+
+def hll_partial_sketches(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Per-group HyperLogLog sketches of distinct `key_col` values — the
+    MERGEABLE half of distinct counting at 100 TB: build one sketch per
+    partition/day/source (a few KB each), store them, and answer
+    "distinct over any group combination" later by unioning sketches
+    instead of rescanning the corpus. Wraps Spark's datasketches-backed
+    hll_sketch_agg (JVM-side, map-side combinable)."""
+    return df.groupBy(group_col).agg(
+        F.hll_sketch_agg(key_col).alias("hll_sketch")
+    )
+
+
+def hll_merge_estimate(sketches: DataFrame) -> DataFrame:
+    """Union previously-built HLL sketches and estimate the combined
+    distinct count — the read side of the mergeable pattern. Input is one
+    row per group (KBs), so this runs at driver-adjacent cost no matter
+    how large the corpus that produced the sketches was."""
+    return sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll_sketch")).alias("est")
+    )

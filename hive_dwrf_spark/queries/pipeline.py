@@ -1880,3 +1880,100 @@ def sample_mixture(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     out = sampling.mixture_sample(d, "source", 40.0, ["doc_id"])
     return out.select("doc_id", "source", "rep").orderBy("doc_id", "rep")
+
+
+@query(
+    "sketch_hll_merge",
+    # like q08_approx: the estimate is engine-specific, but the accuracy
+    # contract is pinned — per-source partial sketches unioned must land
+    # within the HLL rsd envelope of the exact global distinct count
+    oracle="""
+    SELECT count(DISTINCT w) AS cnt_exact, true AS within_5pct,
+           CAST(20 AS BIGINT) AS n_sketches
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+          FROM documents) t
+    WHERE w <> ''
+    """,
+)
+def sketch_hll_merge(spark, sf_dir):
+    """Mergeable distinct-count sketches (operators/sketch.py::
+    hll_partial_sketches + hll_merge_estimate): one HLL sketch per source
+    (the build-daily-merge-later pattern that replaces rescans at 100 TB),
+    unioned and estimated, gated within ±5% of the exact global distinct
+    token count."""
+    from ..operators import sketch
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    sketches = sketch.hll_partial_sketches(toks, "source", "tok")
+    merged = sketch.hll_merge_estimate(sketches)
+    exact = toks.agg(
+        F.countDistinct("tok").alias("cnt_exact"),
+    )
+    n_sk = sketches.agg(F.count(F.lit(1)).alias("n_sketches"))
+    return (
+        exact.crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(n_sk))
+        .select(
+            "cnt_exact",
+            (
+                F.abs(F.col("est") - F.col("cnt_exact"))
+                <= 0.05 * F.col("cnt_exact")
+            ).alias("within_5pct"),
+            "n_sketches",
+        )
+    )
+
+
+@query(
+    "dedup_semantic",
+    # SemDeDup-shaped resolution over embeddings: LSH-bucketed cosine
+    # pairs -> connected components -> keep each cluster's min-id vector;
+    # the oracle replays buckets, pairs, and clusters in one recursive CTE
+    oracle=f"""
+    WITH RECURSIVE bucketed AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_ann_bucket_sql(n_planes=4)} AS bucket
+      FROM embeddings
+    ), edges AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+    ), sym AS (
+      SELECT id1 AS a, id2 AS b FROM edges
+      UNION
+      SELECT id2, id1 FROM edges
+    ), reach(node, r) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node
+    ), comp AS (
+      SELECT node, min(r) AS component FROM reach GROUP BY node
+    )
+    SELECT vec_id
+    FROM embeddings
+    WHERE vec_id NOT IN (SELECT node FROM comp WHERE component <> node)
+    ORDER BY vec_id
+    """,
+)
+def dedup_semantic(spark, sf_dir):
+    """Semantic dedup resolution (SemDeDup shape): near-dup pairs from
+    the LSH-bucketed cosine join (operators/dedup.py::cosine_pairs_lsh),
+    clustered with connected components, one canonical vector kept per
+    cluster via broadcast anti-join (resolve_duplicates). Zero corpus
+    shuffle beyond the bucket join."""
+    e = load(spark, sf_dir, "embeddings")
+    pairs = dedup.cosine_pairs_lsh(
+        e, "embedding", "vec_id", threshold=0.3, n_planes=4
+    )
+    return (
+        dedup.resolve_duplicates(e, pairs, "vec_id")
+        .select("vec_id")
+        .orderBy("vec_id")
+    )

@@ -1001,3 +1001,15 @@ def test_hashed_linear_score_deterministic_and_bounded(spark):
     b = {r.doc_id: (r.n_feats, r.clf_score)
          for r in hashed_linear_score(df.repartition(3), "text", "doc_id").collect()}
     assert a == b
+
+
+def test_hll_partial_merge_vs_exact(spark):
+    from hive_dwrf_spark.operators import sketch
+
+    rows = [(f"g{i % 4}", f"k{i % 500}") for i in range(5000)]
+    df = spark.createDataFrame(rows, ["grp", "key"])
+    sketches = sketch.hll_partial_sketches(df, "grp", "key")
+    assert sketches.count() == 4
+    est = sketch.hll_merge_estimate(sketches).collect()[0].est
+    # 500 true distinct; HLL default accuracy is well inside 5%
+    assert abs(est - 500) <= 25
