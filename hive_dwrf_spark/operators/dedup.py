@@ -372,30 +372,51 @@ def simhash_near_pairs(
     are excluded before banding, mirroring the minhash zero-signature
     guard (the all-empty bucket is the one quadratic trap). Verify cost
     is one cheap integer op per candidate."""
-    if not (0 < bands <= 64 and 64 % bands == 0):
-        raise ValueError(f"bands must divide 64, got {bands}")
+    sigs = simhash(df, text_col, id_col).filter(F.col("simhash") != 0)
+    return hamming_near_pairs(
+        sigs, "simhash", id_col, max_hamming=max_hamming, bands=bands, bits=64
+    )
+
+
+def hamming_near_pairs(
+    sigs: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 64,
+) -> DataFrame:
+    """All pairs whose `bits`-wide integer hashes differ in <= `max_hamming`
+    bits — the banded Hamming join underlying simhash_near_pairs,
+    factored out so ANY 64-bit-or-narrower signature column (simhash,
+    image pHash, audio chromaprint slice) gets the same COMPLETE
+    candidate generator: with max_hamming < bands the pigeonhole
+    principle guarantees a matching band slice for every in-distance
+    pair. One shuffle on (band, band_val); verify is one bit_count(xor)
+    per candidate. Callers exclude degenerate all-zero hashes first."""
+    if not (0 < bands <= bits and bits % bands == 0):
+        raise ValueError(f"bands must divide bits={bits}, got {bands}")
     if max_hamming >= bands:
         raise ValueError(
             f"pigeonhole completeness needs max_hamming < bands "
             f"({max_hamming} >= {bands})"
         )
-    width = 64 // bands
+    width = bits // bands
     mask = (1 << width) - 1
-    sigs = simhash(df, text_col, id_col).filter(F.col("simhash") != 0)
     slices = F.posexplode(
         F.array(
             *[
-                F.shiftright("simhash", k * width).bitwiseAND(F.lit(mask))
+                F.shiftright(hash_col, k * width).bitwiseAND(F.lit(mask))
                 for k in range(bands)
             ]
         )
     )
-    banded = sigs.select(F.col(id_col), F.col("simhash"), slices.alias("band", "band_val"))
+    banded = sigs.select(F.col(id_col), F.col(hash_col), slices.alias("band", "band_val"))
     left = banded.select(
-        F.col(id_col).alias("id1"), F.col("simhash").alias("s1"), "band", "band_val"
+        F.col(id_col).alias("id1"), F.col(hash_col).alias("s1"), "band", "band_val"
     )
     right = banded.select(
-        F.col(id_col).alias("id2"), F.col("simhash").alias("s2"), "band", "band_val"
+        F.col(id_col).alias("id2"), F.col(hash_col).alias("s2"), "band", "band_val"
     )
     return (
         left.join(right, ["band", "band_val"])

@@ -146,3 +146,26 @@ def frame_sample_plan(
     return df.select(
         "media_id", F.explode(idx).alias("frame_index")
     )
+
+
+def phash_stub(mm: DataFrame, bits: int = 60) -> DataFrame:
+    """Perceptual-hash stand-in for media near-dup detection: a `bits`-wide
+    integer hash per payload, derived from the metadata sha256 (the
+    documented deterministic decode stub — a real pHash comes from decoded
+    pixels via set_decoder, but lands in the identical column and feeds
+    the identical Hamming join). 60 bits = 15 hex nibbles keeps the value
+    inside a signed bigint on every engine, so the SQL oracle rebuilds it
+    with plain nibble arithmetic.
+
+    Pair with operators/dedup.py::hamming_near_pairs(bits=60) for the
+    complete banded near-dup join — the image-thumbnail dedup pass of a
+    multimodal corpus."""
+    if not 0 < bits <= 60 or bits % 4 != 0:
+        raise ValueError(f"bits must be a multiple of 4 in (0, 60], got {bits}")
+    nib = bits // 4
+    return mm.select(
+        "media_id",
+        F.conv(F.substring(F.col("meta.sha256"), 1, nib), 16, 10)
+        .cast("bigint")
+        .alias("phash"),
+    )

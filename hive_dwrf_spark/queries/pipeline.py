@@ -1977,3 +1977,51 @@ def dedup_semantic(spark, sf_dir):
         .select("vec_id")
         .orderBy("vec_id")
     )
+
+
+def _phash_nibbles_sql() -> str:
+    """DuckDB SQL rebuilding the 60-bit phash: 15 leading sha256 hex
+    nibbles as one bigint (identical to Spark's conv(substr(h,1,15),16,10))."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}"
+        for i in range(15)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "multimodal_phash_pairs",
+    # the banded join is pigeonhole-COMPLETE for hamming < bands, so the
+    # oracle is the stronger brute-force all-pairs check
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id AS media_id,
+             sha256(substr(text, 1, 100)) AS h
+      FROM documents
+    ), ph AS (
+      SELECT media_id, CAST({_phash_nibbles_sql()} AS BIGINT) AS phash FROM p
+    )
+    SELECT a.media_id AS id1, b.media_id AS id2,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM ph a JOIN ph b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    ORDER BY id1, id2
+    """,
+)
+def multimodal_phash_pairs(spark, sf_dir):
+    """Media near-dup pairing: thumbnail payloads (first 100 chars as the
+    stand-in for a decoded thumbnail) -> 60-bit perceptual-hash stub
+    (operators/multimodal.py::phash_stub) -> COMPLETE Hamming-banded join
+    (operators/dedup.py::hamming_near_pairs, bits=60). The engine runs
+    the banded LSH form; the oracle brute-forces all pairs — equality
+    proves the banding lost nothing."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.substring("text", 1, 100), "UTF-8").cast("binary")
+    )
+    mm = multimodal.attach_metadata(d, "payload", "image", "doc_id")
+    ph = multimodal.phash_stub(mm, bits=60)
+    pairs = dedup.hamming_near_pairs(
+        ph, "phash", "media_id", max_hamming=3, bands=4, bits=60
+    )
+    return pairs.select("id1", "id2", "hamming").orderBy("id1", "id2")

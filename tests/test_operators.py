@@ -1013,3 +1013,37 @@ def test_hll_partial_merge_vs_exact(spark):
     est = sketch.hll_merge_estimate(sketches).collect()[0].est
     # 500 true distinct; HLL default accuracy is well inside 5%
     assert abs(est - 500) <= 25
+
+
+def test_hamming_near_pairs_complete_at_60_bits(spark):
+    """Banded join at bits=60/bands=4 must find EXACTLY the brute-force
+    pairs at hamming <= 3 (pigeonhole completeness, non-64-bit width)."""
+    import itertools
+    import random
+
+    from hive_dwrf_spark.operators.dedup import hamming_near_pairs
+
+    rng = random.Random(7)
+    base = rng.getrandbits(60)
+    hashes = {0: base}
+    # neighbors at controlled distances 1..5 plus random far points
+    for i, d in enumerate([1, 2, 3, 4, 5], start=1):
+        h = base
+        for b in rng.sample(range(60), d):
+            h ^= 1 << b
+        hashes[i] = h
+    for i in range(6, 20):
+        hashes[i] = rng.getrandbits(60)
+    df = spark.createDataFrame(
+        [(k, v) for k, v in hashes.items()], ["id", "h"]
+    )
+    got = sorted(
+        (r.id1, r.id2)
+        for r in hamming_near_pairs(df, "h", "id", 3, bands=4, bits=60).collect()
+    )
+    want = sorted(
+        (a, b)
+        for a, b in itertools.combinations(sorted(hashes), 2)
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    )
+    assert got == want and (0, 1) in got and (0, 4) not in got
