@@ -50,6 +50,7 @@ CARTESIAN_ALLOWED = {
     "pipeline_profile",
     "q27_percentile",
     "layout_zorder",  # 1-row min/max stats broadcast (operators/layout.py)
+    "sketch_hll_merge",  # 1-row merged-estimate + sketch-count broadcasts
 }
 
 # streaming queries execute via their own harness, not a batch plan
