@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..tables import load
@@ -314,4 +315,78 @@ def streaming_stream_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_pairs"),
         F.count_distinct("click_id").alias("n_clicks"),
         F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "streaming_window_topk",
+    oracle="""
+    WITH wc AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+             event_type, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT window_start, event_type, cnt,
+             row_number() OVER (PARTITION BY window_start
+                                ORDER BY cnt DESC, event_type) AS rnk
+      FROM wc
+    )
+    SELECT window_start, event_type, cnt, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY window_start, rnk
+    """,
+)
+def streaming_window_topk(spark, sf_dir):
+    """Streaming trending-topics: events stream -> watermarked 1-hour
+    tumbling-window counts (streaming/dwrf_stream.py::
+    windowed_event_counts) -> complete-mode sink -> top-3 event types per
+    window. Complete mode re-emits the full aggregate at termination, so
+    the result is exactly the batch aggregation -- the oracle checks the
+    whole stateful-aggregation path through the stream source. (The
+    append-mode + watermark emission path is exercised by the streaming
+    tests; an availableNow single batch never advances the watermark far
+    enough to release append windows, which is Spark semantics, not a
+    bug.)"""
+    import shutil
+
+    from ..sources import register
+    from ..streaming import stream_dwrf_dir, windowed_event_counts
+
+    register(spark)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    src = f"/tmp/hive_dwrf_spark_topk_src_{base}"
+    ckpt = f"/tmp/hive_dwrf_spark_topk_ckpt_{base}"
+    for p in (src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    e = load(spark, sf_dir, "events")
+    e.write.format("dwrf").option("path", src).option(
+        "stripe_rows", "12500"
+    ).mode("overwrite").save()
+    # the stream's ts is TIMESTAMP_NTZ (the format's tz-free semantics);
+    # watermarks require TIMESTAMP, and under the UTC session timezone the
+    # cast is value-preserving
+    stream = stream_dwrf_dir(spark, src).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    counts = windowed_event_counts(stream, watermark="0 seconds")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("topk_windows")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q)
+    back = spark.table("topk_windows").withColumn(
+        "window_start", F.col("window_start").cast("timestamp_ntz")
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+    return (
+        back.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("window_start", "event_type", "cnt", "rnk")
+        .orderBy("window_start", "rnk")
     )
