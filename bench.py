@@ -75,6 +75,11 @@ HEADLINE = [
     "text_lm_score",
     "sample_epoch_shuffle",
     "text_bpe_merges",
+    "text_clf_score",
+    "sample_mixture",
+    "sketch_hll_merge",
+    "dedup_semantic",
+    "multimodal_phash_pairs",
 ]
 
 
