@@ -278,3 +278,68 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def ann_knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    n_planes: int = 8,
+    probe_hamming: int = 2,
+) -> DataFrame:
+    """Approximate k-NN JOIN: ann_topk for a whole probe set at once.
+
+    The scale shape multi-probe needs: the corpus is LSH-bucketed once;
+    each probe row explodes into its bucket plus every bucket within
+    `probe_hamming` bit flips (1 + 8 + 28 = 37 masks at the defaults) and
+    the probe side EQUI-joins the corpus on the bucket id — no
+    nested-loop bit_count scan, and the corpus shuffles zero times (the
+    exploded probe side broadcasts). Ranking is exact cosine within the
+    probed candidates, on the ROUNDED score with neighbor-id tie-break so
+    a SQL oracle ranks identically."""
+    from pyspark.sql import Window
+
+    masks = [0] + [1 << i for i in range(n_planes)]
+    if probe_hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    if probe_hamming > 2:
+        raise ValueError("probe_hamming > 2 multiplies probes past usefulness")
+    cb = lsh_buckets(corpus, vec_col, id_col, n_planes).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+        F.col("lsh_bucket").alias("bucket"),
+    )
+    qb = lsh_buckets(queries, vec_col, id_col, n_planes).select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+        F.col("lsh_bucket").alias("qb"),
+    )
+    probed = (
+        qb.withColumn("_mask", F.explode(F.array(*[F.lit(m) for m in masks])))
+        .withColumn("bucket", F.col("qb").bitwiseXOR(F.col("_mask")))
+        .select("query_id", "qv", "bucket")
+    )
+    cand = cb.join(F.broadcast(probed), "bucket").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sim = _dot(F.col("cv"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("cv"), F.col("cv")))
+        * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", F.round(sim, 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

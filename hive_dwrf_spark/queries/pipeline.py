@@ -2025,3 +2025,77 @@ def multimodal_phash_pairs(spark, sf_dir):
         ph, "phash", "media_id", max_hamming=3, bands=4, bits=60
     )
     return pairs.select("id1", "id2", "hamming").orderBy("id1", "id2")
+
+
+@query(
+    "sim_recall_report",
+    # both paths are deterministic (seeded planes, rounded-score ranking),
+    # so the recall REPORT itself is exact — the oracle replays ANN and
+    # exact side by side and computes the same per-probe intersection
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_ann_bucket_sql()} AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, bucket AS qb,
+             sqrt(list_dot_product(v, v)) AS qn
+      FROM bucketed WHERE vec_id % 50 = 0
+    ), ann_r AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY round(list_dot_product(c.v, q.qv)
+                       / (sqrt(list_dot_product(c.v, c.v)) * q.qn), 6) DESC,
+                        c.vec_id) AS rnk
+      FROM bucketed c, q
+      WHERE bit_count(xor(c.bucket, q.qb)) <= 2 AND c.vec_id <> q.query_id
+    ), ex_r AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY round(list_dot_product(c.v, q.qv)
+                       / (sqrt(list_dot_product(c.v, c.v)) * q.qn), 6) DESC,
+                        c.vec_id) AS rnk
+      FROM bucketed c, q
+      WHERE c.vec_id <> q.query_id
+    ), hits AS (
+      SELECT a.query_id, count(*) AS n_hits
+      FROM (SELECT query_id, neighbor_id FROM ann_r WHERE rnk <= 10) a
+      JOIN (SELECT query_id, neighbor_id FROM ex_r WHERE rnk <= 10) e
+        USING (query_id, neighbor_id)
+      GROUP BY a.query_id
+    )
+    SELECT query_id, round(coalesce(n_hits, 0) / 10.0, 4) AS recall10
+    FROM q LEFT JOIN hits USING (query_id)
+    ORDER BY query_id
+    """,
+)
+def sim_recall_report(spark, sf_dir):
+    """ANN quality evaluation as a first-class query: recall@10 of the
+    multi-probe LSH path (operators/similarity.py::ann_knn_join — corpus
+    bucketed once, probes explode to 37 bucket masks and EQUI-join, no
+    nested loop) against the exact k-NN join, per probe. The eval you run
+    before trusting an ANN index at 100 TB; here both paths are
+    deterministic so even the report is hash-checked."""
+    e = load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % 50 == 0)
+    ann = similarity.ann_knn_join(e, probes, "embedding", "vec_id", 10)
+    exact = similarity.knn_join(e, probes, "embedding", "vec_id", 10)
+    hits = (
+        ann.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        probes.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / 10.0, 4).alias(
+                "recall10"
+            ),
+        )
+        .orderBy("query_id")
+    )

@@ -1047,3 +1047,33 @@ def test_hamming_near_pairs_complete_at_60_bits(spark):
         if bin(hashes[a] ^ hashes[b]).count("1") <= 3
     )
     assert got == want and (0, 1) in got and (0, 4) not in got
+
+
+def test_curation_decisions_stable_under_backfill(spark):
+    """The incremental-backfill property the curation ops claim: running
+    the pipeline on a GROWN corpus must keep every previous decision for
+    unchanged rows — survivors stay survivors with identical fields, and
+    previously-rejected rows stay out (fingerprint winners can change only
+    if a new row with a smaller id and the same content arrives, excluded
+    here by construction)."""
+    from hive_dwrf_spark.operators.curation import curate
+
+    base_rows = [
+        (i, f"doc number {i} " + " ".join(f"w{i}x{j}" for j in range(25)))
+        for i in range(100)
+    ]
+    extra_rows = [
+        (1000 + i, f"new doc {i} " + " ".join(f"n{i}y{j}" for j in range(25)))
+        for i in range(40)
+    ]
+    small = spark.createDataFrame(base_rows, ["doc_id", "text"])
+    grown = spark.createDataFrame(base_rows + extra_rows, ["doc_id", "text"])
+    first = {r.doc_id: (r.fingerprint, r.n_words)
+             for r in curate(small, "text", "doc_id").collect()}
+    second = {r.doc_id: (r.fingerprint, r.n_words)
+              for r in curate(grown, "text", "doc_id").collect()}
+    for doc_id, vals in first.items():
+        assert second.get(doc_id) == vals  # every old decision preserved
+    assert not any(
+        d < 1000 and d not in first for d in second
+    )  # no previously-rejected old row resurrected
