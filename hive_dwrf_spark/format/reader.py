@@ -646,6 +646,51 @@ class DwrfFile:
                 return False
         return True
 
+    def _dictionary_disproves(self, stripe, filters) -> bool:
+        """Fourth pruning tier: an equality conjunct on a DICTIONARY-encoded
+        string column can be decided EXACTLY from the stripe dictionary —
+        if the value is not among the keys, no row in the stripe matches,
+        even when min/max stats cannot prune (the value sorts inside the
+        range). Reads only the LENGTH + DICTIONARY_DATA streams (direct IO,
+        no data-stream prefetch); stride-dictionary stripes are skipped
+        because their side dictionaries hold additional keys."""
+        eligible = [
+            (name, value)
+            for name, op, value in filters
+            if op == "eq" and isinstance(value, str)
+        ]
+        if not eligible:
+            return False
+        dec = _StripeDecoder(self, stripe, include_ids=set())
+        for name, value in eligible:
+            tid = self._top_level_id(name)
+            if tid is None or tid >= len(dec.encodings):
+                continue
+            if TypeKind(self.types[tid].kind) != TypeKind.STRING:
+                continue
+            enc = dec.encodings[tid]
+            if enc.kind != int(ColumnEncodingKind.DICTIONARY):
+                continue
+            if dec.has_stream(tid, StreamKind.IN_DICTIONARY):
+                continue
+            n_dict = enc.dictionarySize or 0
+            if n_dict == 0:
+                return True  # all-null column: equality cannot match
+            key_lengths, _ = codecs.decode_int_rle(
+                dec.stream(tid, StreamKind.LENGTH), n_dict, signed=False
+            )
+            key_data = dec.stream(tid, StreamKind.DICTIONARY_DATA).tobytes()
+            vb = value.encode("utf-8")
+            lens = np.asarray(key_lengths, dtype=np.int64)
+            offs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)])
+            found = any(
+                key_data[offs[i] : offs[i + 1]] == vb
+                for i in np.flatnonzero(lens == len(vb))
+            )
+            if not found:
+                return True
+        return False
+
     # -- read -------------------------------------------------------------------
 
     def read_stripe(
@@ -665,6 +710,8 @@ class DwrfFile:
         filters: list[tuple] | None = None,
     ) -> pa.Table | None:
         stripe = self.footer.stripes[stripe_index]
+        if filters and self._dictionary_disproves(stripe, filters):
+            return None
         include_ids: set[int] | None = None
         index_ids: set[int] | None = None
         selected: list[tuple[str, int]] | None = None

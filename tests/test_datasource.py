@@ -370,3 +370,27 @@ def test_split_packing_bins_small_stripes(dwrf_spark, tmp_path):
     got = dflt.selectExpr("count(*) c", "sum(k) sk", "sum(v) sv").collect()[0]
     assert (got.c, got.sk, got.sv) == (50_000, 1249975000, 3749925000)
     assert 1 <= dflt.rdd.getNumPartitions() <= n_stripes
+
+
+def test_dictionary_membership_prunes_stripe(tmp_path):
+    """Fourth pruning tier: an eq filter whose value sorts INSIDE a
+    stripe's min/max range (so stats cannot prune) but is absent from the
+    stripe's string dictionary must skip the stripe without decoding its
+    data streams; a present value still decodes."""
+    import pyarrow as pa
+
+    from hive_dwrf_spark.format import write_arrow_table
+    from hive_dwrf_spark.format.reader import DwrfFile
+
+    # low-cardinality column -> dictionary encoding; 'mm' sorts between
+    # 'aa' and 'zz' so min/max passes but the dictionary disproves it
+    vals = (["aa", "zz"] * 500)
+    tbl = pa.table({"k": list(range(1000)), "c": vals})
+    path = str(tmp_path / "dictprune.dwrf")
+    write_arrow_table(path, tbl)
+    with DwrfFile(path) as f:
+        assert f.read_stripe(0, filters=[("c", "eq", "mm")]) is None
+        got = f.read_stripe(0, filters=[("c", "eq", "zz")])
+        assert got is not None and got.num_rows == 1000  # residual in Spark
+        # whole-file read with the disproved filter: zero rows, zero decode
+        assert f.read(filters=[("c", "eq", "mm")]).num_rows == 0
