@@ -51,6 +51,7 @@ CARTESIAN_ALLOWED = {
     "q27_percentile",
     "layout_zorder",  # 1-row min/max stats broadcast (operators/layout.py)
     "sketch_hll_merge",  # 1-row merged-estimate + sketch-count broadcasts
+    "sim_recall_report",  # exact-kNN side: broadcast probe set (knn_join shape)
 }
 
 # streaming queries execute via their own harness, not a batch plan
