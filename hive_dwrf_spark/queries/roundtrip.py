@@ -390,3 +390,51 @@ def streaming_window_topk(spark, sf_dir):
         .select("window_start", "event_type", "cnt", "rnk")
         .orderBy("window_start", "rnk")
     )
+
+
+@query(
+    "q43_deep_nested",
+    oracle="""
+    SELECT l_orderkey AS k, l_linenumber AS ln,
+           l_quantity AS s0_q, l_returnflag AS s0_f,
+           l_quantity + 1 AS s1_q,
+           l_discount AS ma_1
+    FROM lineitem
+    ORDER BY k, ln, s0_q, ma_1, s0_f
+    LIMIT 100
+    """,
+)
+def q43_deep_nested(spark, sf_dir):
+    """Deep nesting round-trip: list<struct<q,f>> and map<string,
+    array<double>> columns survive DWRF write+read — the recursive
+    type-tree encode/decode (LIST of STRUCT children, MAP with composite
+    values) beyond q17's single-level nesting."""
+    li = load(spark, sf_dir, "lineitem")
+    nested = li.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("ln"),
+        F.array(
+            F.struct(
+                F.col("l_quantity").alias("q"), F.col("l_returnflag").alias("f")
+            ),
+            F.struct(
+                (F.col("l_quantity") + 1).alias("q"), F.lit("X").alias("f")
+            ),
+        ).alias("arr_s"),
+        F.create_map(
+            F.lit("a"), F.array("l_extendedprice", "l_discount")
+        ).alias("m"),
+    )
+    back = _roundtrip(spark, nested, "q43", sf_dir)
+    return (
+        back.select(
+            "k",
+            "ln",
+            F.col("arr_s")[0]["q"].alias("s0_q"),
+            F.col("arr_s")[0]["f"].alias("s0_f"),
+            F.col("arr_s")[1]["q"].alias("s1_q"),
+            F.element_at(F.element_at("m", "a"), 2).alias("ma_1"),
+        )
+        .orderBy("k", "ln", "s0_q", "ma_1", "s0_f")
+        .limit(100)
+    )
