@@ -669,11 +669,11 @@ def hashed_linear_score(
     """
     words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
     tok = df.select(F.col(id_col), F.explode(words).alias("token"))
-    from .sampling import _hash64
+    # shares the CMS bucket fn: for dims | 2^16 it takes the 16-bit conv
+    # fast path, bit-identical to md5_number_upper % dims (~5x cheaper)
+    from .sketch import _bucket
 
-    bucket = F.pmod(_hash64(F.lit(salt), F.col("token")), F.lit(dims)).cast(
-        "bigint"
-    )
+    bucket = _bucket(F.lit(salt), F.col("token"), dims).cast("bigint")
     # pseudo-trained weight in [-0.5, 0.5), fixed-point 1e6
     w_fp = (
         F.floor((bucket % 997) * F.lit(1000000.0) / F.lit(997.0)) - F.lit(500000)
