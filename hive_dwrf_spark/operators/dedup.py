@@ -136,6 +136,7 @@ def lsh_candidate_pairs(
     id_col: str,
     bands: int = _LSH_BANDS,
     max_bucket: int = 10_000,
+    new_col: str | None = None,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs (id1 < id2) that share
     at least one band bucket. One shuffle on (band, band_slice).
@@ -156,7 +157,12 @@ def lsh_candidate_pairs(
       of k ids emits k*(k-1)/2 pairs; 10^4 ids -> 5e7 pairs is the most a
       single collect_list group is allowed to cost). A bucket that hot is
       boilerplate/templated content; the docs in it still pair through
-      their other, more selective bands."""
+      their other, more selective bands.
+
+    Incremental mode (`new_col`: a boolean column on sig_df): only pairs
+    TOUCHING a new row are emitted, and buckets holding no new rows are
+    dropped before any pair materializes — the daily-ingest shape, where
+    yesterday's corpus must not re-pair against itself."""
     rows_per_band = _N_HASHES // bands
     band_exprs = [
         F.struct(
@@ -165,11 +171,48 @@ def lsh_candidate_pairs(
         )
         for i in range(bands)
     ]
-    banded = (
-        sig_df.filter(F.exists("minhash", lambda x: x != 0))
-        .select(F.col(id_col), F.explode(F.array(*band_exprs)).alias("bb"))
-        .select(id_col, "bb.band", "bb.bucket")
-    )
+    live = sig_df.filter(F.exists("minhash", lambda x: x != 0))
+    if new_col is not None:
+        banded = live.select(
+            F.col(id_col), F.col(new_col), F.explode(F.array(*band_exprs)).alias("bb")
+        ).select(id_col, new_col, "bb.band", "bb.bucket")
+        # sort_array on struct(id, nw) orders by id first, so id1 < id2
+        # still falls out of list order; buckets with zero new rows are
+        # dropped before any pair materializes
+        grp = (
+            banded.groupBy("band", "bucket")
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col(id_col).alias("id"), F.col(new_col).alias("nw")
+                        )
+                    )
+                ).alias("items")
+            )
+            .filter(
+                (F.size("items") > 1)
+                & (F.size("items") <= F.lit(max_bucket))
+                & F.exists("items", lambda s: s["nw"])
+            )
+        )
+        return (
+            grp.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(items, (x, i) -> "
+                        "filter(transform(slice(items, i + 2, size(items)), "
+                        "y -> struct(x.id AS id1, y.id AS id2, "
+                        "(x.nw OR y.nw) AS tn)), p -> p.tn)))"
+                    )
+                ).alias("p")
+            )
+            .select("p.id1", "p.id2")
+            .distinct()
+        )
+    banded = live.select(
+        F.col(id_col), F.explode(F.array(*band_exprs)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
     # group-then-explode beats a banded self-join: one shuffle on
     # (band, bucket), pairs materialize JVM-side inside each bucket group,
     # and no join-key dup-row blowup that the self-join's distinct had to
@@ -622,3 +665,51 @@ def connected_components(
             break
     edges.unpersist()
     return labels
+
+
+def incremental_minhash_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Daily-ingest near-dup detection: MinHash pairs that TOUCH the new
+    batch — batch-vs-corpus and batch-vs-batch — never corpus-vs-corpus
+    (yesterday's deduped corpus must not re-pair against itself).
+
+    100 TB shape: corpus signatures are computed once here but in
+    production are loaded from the signature store (~512 B/doc) written by
+    previous runs; the banding shuffle still touches every signature, but
+    buckets holding no new docs are dropped BEFORE any pair explodes, so
+    candidate volume scales with the batch's bucket overlap, not the
+    corpus's k^2/2. Verification joins only the surviving (mostly
+    new-touching) ids back to signatures."""
+    from pyspark import StorageLevel
+
+    sc = minhash_signatures(corpus, text_col, id_col).withColumn(
+        "_new", F.lit(False)
+    )
+    sb = minhash_signatures(batch, text_col, id_col).withColumn(
+        "_new", F.lit(True)
+    )
+    sigs = sc.unionByName(sb).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = lsh_candidate_pairs(sigs, id_col, new_col="_new")
+    s1 = sigs.select(F.col(id_col).alias("id1"), F.col("minhash").alias("sig1"))
+    s2 = sigs.select(F.col(id_col).alias("id2"), F.col("minhash").alias("sig2"))
+    return (
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sig1", "sig2", lambda a, b: a == b),
+                    lambda x: x,
+                )
+            )
+            / F.size("sig1"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id1", "id2", "est_jaccard")
+    )

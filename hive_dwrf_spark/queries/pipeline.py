@@ -2099,3 +2099,63 @@ def sim_recall_report(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "dedup_incremental",
+    # same signature/banding replay as dedup_minhash, restricted to pairs
+    # TOUCHING the new batch (doc_id >= 400) — corpus-vs-corpus pairs are
+    # excluded by construction on both sides
+    oracle=f"""
+    WITH params(i, a, b) AS (
+      VALUES {_minhash_params_values()}
+    ), pos AS (
+      SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS pos
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) >= 5
+    ), shingles AS (
+      SELECT DISTINCT doc_id,
+             (ascii(substr(text, pos, 1))
+              + ascii(substr(text, pos + 1, 1)) * 257
+              + ascii(substr(text, pos + 2, 1)) * 66049
+              + ascii(substr(text, pos + 3, 1)) * 16974593
+              + ascii(substr(text, pos + 4, 1)) * 4362470401) % 2147483647 AS h
+      FROM pos
+    ), sigs AS (
+      SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+      FROM shingles CROSS JOIN params
+      GROUP BY doc_id, i
+    ), bands AS (
+      SELECT doc_id, i // 4 AS band, list(mh ORDER BY i) AS slice
+      FROM sigs GROUP BY doc_id, i // 4
+    ), cand AS (
+      SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
+      FROM bands b1 JOIN bands b2
+        ON b1.band = b2.band AND b1.slice = b2.slice AND b1.doc_id < b2.doc_id
+      WHERE b1.doc_id >= 400 OR b2.doc_id >= 400
+    ), est AS (
+      SELECT c.id1, c.id2,
+             SUM(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) / 64.0
+               AS est_jaccard
+      FROM cand c
+      JOIN sigs s1 ON s1.doc_id = c.id1
+      JOIN sigs s2 ON s2.doc_id = c.id2 AND s2.i = s1.i
+      GROUP BY c.id1, c.id2
+    )
+    SELECT id1, id2, est_jaccard FROM est
+    WHERE est_jaccard >= 0.5
+    ORDER BY id1, id2
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Daily-ingest dedup (operators/dedup.py::incremental_minhash_pairs):
+    docs with id >= 400 are 'today's batch', the rest the already-deduped
+    corpus. Only pairs touching the batch are found — buckets with no new
+    docs are dropped before any pair explodes, so candidate volume scales
+    with the batch, not corpus^2."""
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 400)
+    batch = d.filter(F.col("doc_id") >= 400)
+    return dedup.incremental_minhash_pairs(
+        corpus, batch, "text", "doc_id", threshold=0.5
+    ).orderBy("id1", "id2")

@@ -1077,3 +1077,46 @@ def test_curation_decisions_stable_under_backfill(spark):
     assert not any(
         d < 1000 and d not in first for d in second
     )  # no previously-rejected old row resurrected
+
+
+def test_incremental_minhash_only_batch_touching_pairs(spark):
+    """Incremental dedup must find batch-vs-corpus and batch-vs-batch
+    near-dups but NEVER corpus-vs-corpus — even when the corpus contains
+    an undetected near-dup pair of its own."""
+    from hive_dwrf_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_dedup_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the cat watches from the warm windowsill every day"
+    )
+    other = (
+        "completely different content about spark query engines and "
+        "columnar storage formats with dictionaries and stripes"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, other)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(10, base + " today"), (11, other + " fresh")], ["doc_id", "text"]
+    )
+    got = sorted(
+        (r.id1, r.id2)
+        for r in incremental_minhash_pairs(
+            corpus, batch, "text", "doc_id", threshold=0.5
+        ).collect()
+    )
+    # full-run pairs on the union, restricted to batch-touching
+    full = sorted(
+        (r.id1, r.id2)
+        for r in minhash_dedup_pairs(
+            corpus.unionByName(batch), "text", "doc_id", threshold=0.5
+        ).collect()
+        if r.id1 >= 10 or r.id2 >= 10
+    )
+    assert got == full
+    assert all(a >= 10 or b >= 10 for a, b in got)
+    assert (1, 10) in got and (2, 10) in got  # batch-vs-corpus found
+    assert (1, 2) not in got  # the corpus's own near-dup pair excluded
