@@ -74,6 +74,8 @@ QUERIES = [
     "sketch_cms",     # fixed-size sketch aggregate
     "text_clf_score",  # projection + hash agg inference
     "sample_mixture",  # broadcast rates + projection expansion
+    "dedup_incremental",  # batch-touching-only LSH pairing
+    "multimodal_phash_pairs",  # banded Hamming join over stub pHash
 ]
 
 
