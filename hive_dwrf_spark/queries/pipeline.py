@@ -1936,7 +1936,7 @@ def sketch_hll_merge(spark, sf_dir):
     oracle=f"""
     WITH RECURSIVE bucketed AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-             {_ann_bucket_sql(n_planes=4)} AS bucket
+             {_ann_bucket_sql(n_planes=6)} AS bucket
       FROM embeddings
     ), edges AS (
       SELECT a.vec_id AS id1, b.vec_id AS id2
@@ -1970,7 +1970,7 @@ def dedup_semantic(spark, sf_dir):
     shuffle beyond the bucket join."""
     e = load(spark, sf_dir, "embeddings")
     pairs = dedup.cosine_pairs_lsh(
-        e, "embedding", "vec_id", threshold=0.3, n_planes=4
+        e, "embedding", "vec_id", threshold=0.3, n_planes=6
     )
     return (
         dedup.resolve_duplicates(e, pairs, "vec_id")
