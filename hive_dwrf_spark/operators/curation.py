@@ -144,3 +144,22 @@ def upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
         F.broadcast(updates.select(*keys).distinct()), keys, "left_anti"
     )
     return updates.unionByName(survivors)
+
+
+def dataset_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-independent dataset fingerprint: the sum (mod 2^64) of every
+    row's keyed-md5 over `cols` — the data-versioning primitive. Equal
+    checksums <=> same multiset of rows (up to md5 collisions), regardless
+    of partitioning, row order, or file layout, so ingest jobs can verify
+    "same data?" across engines/copies without sorting anything.
+
+    ONE map-side-combinable aggregate; commutative integer addition means
+    partial-aggregation order cannot change the result, and the same sum
+    replays in any SQL engine. Returns (n_rows, checksum as decimal)."""
+    h = _hash64(*[F.col(c).cast("string") for c in cols])
+    # 2^64 exceeds a Java long; pass the modulus as a decimal literal
+    modulus = F.lit(str(1 << 64)).cast("decimal(38,0)")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.pmod(F.sum(h), modulus).cast("decimal(20,0)").alias("checksum"),
+    )

@@ -684,3 +684,64 @@ def hashed_linear_score(
         F.count(F.lit(1)).alias("n_feats"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean)), 6).alias("clf_score"),
     )
+
+
+def repeated_span_coverage(
+    df: DataFrame, text_col: str, id_col: str, gram_len: int = 20
+) -> DataFrame:
+    """EXACT repeated-substring detection (the exhaustive counterpart of
+    winnowing): for every document, how many of its `gram_len`-char
+    windows also occur anywhere else in the corpus — the Lee et al.
+    "deduplicating training data" signal that catches verbatim boilerplate
+    near-dup text misses.
+
+    Shapes at 100 TB: positions explode inside the scan stage (O(chars)
+    rows); gram identity is md5 of the window (pure JVM), counted in ONE
+    map-side-combinable hash aggregate; only grams with count > 1 survive
+    to the join back (the duplicated-gram table is corpus-boilerplate
+    sized, usually broadcastable). Winnowing (winnow_fingerprints) is the
+    sampled version when even O(chars) aggregation is too hot."""
+    n_pos = F.length(text_col) - gram_len + 1
+    # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]), so docs shorter
+    # than the gram must get an empty array, not two phantom windows
+    pos = F.explode(
+        F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+            F.array().cast("array<int>")
+        )
+    ).alias("p")
+    grams = df.select(F.col(id_col), F.col(text_col), pos).select(
+        id_col, F.md5(F.substring(F.col(text_col), F.col("p"), gram_len)).alias("g")
+    )
+    from pyspark import StorageLevel
+
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("g")
+    )
+    # window counts come from the corpus, not the gram frame, so docs
+    # shorter than the gram still appear (with 0 windows) in the output
+    per_doc = df.select(
+        F.col(id_col),
+        F.greatest(n_pos, F.lit(0)).cast("bigint").alias("n_windows"),
+    )
+    hits = (
+        grams.join(dup, "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    return (
+        per_doc.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.coalesce(F.col("n_dup_windows"), F.lit(0))
+                / F.greatest(F.col("n_windows"), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

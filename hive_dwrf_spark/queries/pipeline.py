@@ -2159,3 +2159,69 @@ def dedup_incremental(spark, sf_dir):
     return dedup.incremental_minhash_pairs(
         corpus, batch, "text", "doc_id", threshold=0.5
     ).orderBy("id1", "id2")
+
+
+@query(
+    "text_repeated_spans",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 19, 0))) AS p
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, md5(substr(text, p, 20)) AS g FROM pos
+    ), dup AS (
+      SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(greatest(length(text) - 19, 0) AS BIGINT) AS n_windows
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, count(*) AS n_dup_windows
+      FROM grams JOIN dup USING (g) GROUP BY doc_id
+    )
+    SELECT per_doc.doc_id, n_windows,
+           coalesce(n_dup_windows, 0) AS n_dup_windows,
+           round(coalesce(n_dup_windows, 0) / greatest(n_windows, 1), 6)
+             AS dup_frac
+    FROM per_doc LEFT JOIN hits ON per_doc.doc_id = hits.doc_id
+    ORDER BY per_doc.doc_id
+    """,
+)
+def text_repeated_spans(spark, sf_dir):
+    """Exact repeated-substring coverage (operators/text.py::
+    repeated_span_coverage): per document, the fraction of its 20-char
+    windows that occur anywhere else in the corpus — the exhaustive Lee
+    et al. verbatim-duplication signal (winnowing is its sampled form).
+    One O(chars) explode in the scan stage, one map-side-combinable gram
+    count, join back against the (boilerplate-sized) duplicated-gram
+    set."""
+    d = load(spark, sf_dir, "documents")
+    return text.repeated_span_coverage(d, "text", "doc_id", 20).orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "pipeline_checksum",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(md5_number_upper(CAST(o_orderkey AS VARCHAR) || '|'
+                    || CAST(o_custkey AS VARCHAR) || '|'
+                    || o_orderpriority))
+                % 18446744073709551616 AS DECIMAL(20,0)) AS checksum
+    FROM orders
+    """,
+)
+def pipeline_checksum(spark, sf_dir):
+    """Order-independent dataset fingerprint (operators/curation.py::
+    dataset_checksum): sum of keyed row hashes mod 2^64 in ONE map-side-
+    combinable aggregate — identical for any partitioning/row order/file
+    layout, so ingest jobs verify 'same data?' across copies and engines
+    without sorting. Columns here are ints + a string (float-to-string
+    formatting differs across engines, so checksum keys should be
+    integers/strings/decimals)."""
+    from ..operators.curation import dataset_checksum
+
+    o = load(spark, sf_dir, "orders")
+    return dataset_checksum(o, ["o_orderkey", "o_custkey", "o_orderpriority"])

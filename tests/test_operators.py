@@ -1120,3 +1120,39 @@ def test_incremental_minhash_only_batch_touching_pairs(spark):
     assert all(a >= 10 or b >= 10 for a, b in got)
     assert (1, 10) in got and (2, 10) in got  # batch-vs-corpus found
     assert (1, 2) not in got  # the corpus's own near-dup pair excluded
+
+
+def test_repeated_span_coverage_exact(spark):
+    from hive_dwrf_spark.operators.text import repeated_span_coverage
+
+    shared = "X" * 25  # a 25-char run shared verbatim between docs 1 and 2
+    rows = [
+        (1, shared + " unique tail one aaaaaa"),
+        (2, shared + " other ending entirely"),
+        (3, "no overlap with anything here at all ok"),
+        (4, "short"),  # shorter than the gram: zero windows, not phantom ones
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.n_windows, r.n_dup_windows)
+           for r in repeated_span_coverage(df, "text", "doc_id", 20).collect()}
+    # the shared 25-char run plus its trailing space give 7 shared
+    # 20-grams per doc (6 all-X + one 19-X-then-space)
+    assert got[1][1] == 7 and got[2][1] == 7
+    assert got[3][1] == 0
+    assert got[4] == (0, 0)
+    assert got[1][0] == len(rows[0][1]) - 19
+
+
+def test_dataset_checksum_order_and_partition_invariant(spark):
+    from hive_dwrf_spark.operators.curation import dataset_checksum
+
+    rows = [(i, f"s{i % 7}") for i in range(500)]
+    a = spark.createDataFrame(rows, ["k", "s"])
+    b = spark.createDataFrame(list(reversed(rows)), ["k", "s"]).repartition(13)
+    ra = dataset_checksum(a, ["k", "s"]).collect()[0]
+    rb = dataset_checksum(b, ["k", "s"]).collect()[0]
+    assert (ra.n_rows, ra.checksum) == (rb.n_rows, rb.checksum)
+    # any single-row change moves the checksum
+    c = spark.createDataFrame(rows[:-1] + [(999, "zz")], ["k", "s"])
+    rc = dataset_checksum(c, ["k", "s"]).collect()[0]
+    assert rc.checksum != ra.checksum
