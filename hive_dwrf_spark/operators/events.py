@@ -226,3 +226,45 @@ def scd2(
         .withColumn("valid_to", F.lead(ts_col).over(w))
         .select(key_col, F.col(state_col).alias("state"), "valid_from", "valid_to")
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window_hours: int = 3,
+) -> DataFrame:
+    """Rolling distinct actives (the DAU/WAU/MAU primitive): for every
+    observed hour, the number of DISTINCT users active in the trailing
+    `window_hours` hours.
+
+    Spark has no count_distinct over a window frame, and the naive
+    per-window self-join explodes at scale. The presence-smearing shape
+    instead: (user, hour) presence dedups once (shuffle 1, map-side
+    combinable), each presence row then covers the `window_hours` windows
+    it participates in via a pure sequence+explode projection, and one
+    (user, window) dedup + count (shuffle 2) finishes. Work scales as
+    presences x window size — independent of raw event volume after the
+    first dedup, no per-window scans, no quadratic join."""
+    hour = F.date_trunc("hour", F.col(ts_col))
+    presence = events.select(
+        F.col(user_col).alias("u"), hour.alias("h")
+    ).distinct()
+    observed = presence.select("h").distinct()
+    smear = presence.select(
+        "u",
+        F.explode(
+            F.sequence(
+                F.col("h"),
+                F.col("h") + F.expr(f"INTERVAL {window_hours - 1} HOURS"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("w"),
+    )
+    return (
+        smear.join(observed, smear["w"] == observed["h"], "left_semi")
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .select(F.col("w").alias("hour"), "active_users")
+    )

@@ -2225,3 +2225,32 @@ def pipeline_checksum(spark, sf_dir):
 
     o = load(spark, sf_dir, "orders")
     return dataset_checksum(o, ["o_orderkey", "o_custkey", "o_orderpriority"])
+
+
+@query(
+    "events_rolling_active",
+    oracle="""
+    WITH ph AS (
+      SELECT DISTINCT user_id,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+      FROM events
+    ), hours AS (
+      SELECT DISTINCT h FROM ph
+    )
+    SELECT hours.h AS hour, count(DISTINCT ph.user_id) AS active_users
+    FROM hours JOIN ph
+      ON ph.h BETWEEN hours.h - INTERVAL 2 HOUR AND hours.h
+    GROUP BY hours.h
+    ORDER BY hour
+    """,
+)
+def events_rolling_active(spark, sf_dir):
+    """Rolling 3-hour distinct active users per observed hour
+    (operators/events.py::rolling_active_users) — the DAU/WAU primitive
+    without count_distinct-over-window (which Spark lacks) or per-window
+    scans: presence-smearing makes it two hash dedups and a count. The
+    oracle is the direct interval-join definition."""
+    from ..operators.events import rolling_active_users
+
+    e = load(spark, sf_dir, "events")
+    return rolling_active_users(e, "ts", "user_id", 3).orderBy("hour")

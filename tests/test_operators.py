@@ -1156,3 +1156,25 @@ def test_dataset_checksum_order_and_partition_invariant(spark):
     c = spark.createDataFrame(rows[:-1] + [(999, "zz")], ["k", "s"])
     rc = dataset_checksum(c, ["k", "s"]).collect()[0]
     assert rc.checksum != ra.checksum
+
+
+def test_rolling_active_users_semantics(spark):
+    """A user active in hour h must count in windows h, h+1, h+2 — once
+    each — and only observed hours appear."""
+    import datetime as dt
+
+    from hive_dwrf_spark.operators.events import rolling_active_users
+
+    t0 = dt.datetime(2026, 1, 1, 0, 30)
+    rows = [
+        (1, t0),                                 # u1 @ 00:xx
+        (1, t0 + dt.timedelta(minutes=10)),      # same hour, same user
+        (2, t0 + dt.timedelta(hours=1)),         # u2 @ 01:xx
+        (1, t0 + dt.timedelta(hours=4)),         # u1 @ 04:xx (gap at 02,03)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {r.hour.hour: r.active_users
+           for r in rolling_active_users(df, "ts", "user_id", 3).collect()}
+    # observed hours: 00, 01, 04. Trailing-3h actives:
+    # 00 -> {u1}; 01 -> {u1, u2}; 04 -> {u1} (02/03 not observed, excluded)
+    assert got == {0: 1, 1: 2, 4: 1}
