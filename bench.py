@@ -80,6 +80,8 @@ HEADLINE = [
     "sketch_hll_merge",
     "dedup_semantic",
     "multimodal_phash_pairs",
+    "events_gap_fill",
+    "text_line_dedup",
 ]
 
 

@@ -268,3 +268,50 @@ def rolling_active_users(
         .agg(F.count(F.lit(1)).alias("active_users"))
         .select(F.col("w").alias("hour"), "active_users")
     )
+
+
+def gap_fill_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-series resample + forward fill (the gap-fill primitive every
+    metrics store needs): build the dense per-user daily grid between each
+    user's first and last event, attach the observed daily aggregate, and
+    carry the most recent observed value forward across the gaps.
+
+    Scale shape: the observed aggregate is one map-side-combinable shuffle
+    on (user, day); the grid is a pure sequence+explode projection of the
+    per-user (min_day, max_day) row — grid size is users x span, bounded by
+    calendar time, never by event volume; the forward fill is one window
+    sort per user. No self-joins, no per-day scans. Values accumulate as
+    integer cents so the fill is float-order independent.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    observed = (
+        events.select(F.col(user_col).alias("u"), day.alias("day"), cents.alias("c"))
+        .groupBy("u", "day")
+        .agg(F.sum("c").alias("day_cents"))
+    )
+    span = observed.groupBy("u").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "u", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    w = (
+        Window.partitionBy("u")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(observed, ["u", "day"], "left")
+        .select(
+            F.col("u").alias(user_col),
+            "day",
+            F.last("day_cents", ignorenulls=True).over(w).alias("filled_cents"),
+            F.col("day_cents").isNotNull().alias("is_observed"),
+        )
+    )

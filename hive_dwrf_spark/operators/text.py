@@ -745,3 +745,66 @@ def repeated_span_coverage(
             ).alias("dup_frac"),
         )
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 12,
+    max_df: int = 2,
+) -> DataFrame:
+    """Cross-corpus line-level dedup with document reassembly (the
+    RefinedWeb/CCNet "remove duplicated lines" pass): split every document
+    into fixed-width word chunks (the synthetic corpus has no newlines, so
+    `chunk_words`-word windows stand in for lines), count each normalized
+    chunk's document frequency across the WHOLE corpus, drop chunks that
+    appear in more than `max_df` documents (boilerplate / licence headers /
+    navigation), and re-join each document's surviving chunks in their
+    original order.
+
+    Scale shape: three keyed shuffles, none of which can blow up — the df
+    count is a map-side-combinable count-distinct per chunk (hot boilerplate
+    chunks become a single counter, never a collected list), the join back
+    is chunk-keyed (AQE splits skewed chunks), and reassembly groups by
+    doc_id collecting only that document's own chunks. Pure JVM expressions
+    throughout; no UDFs.
+    """
+    k = chunk_words
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(k))).cast("int")
+    chunks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(words, i * k + 1, k), " "),
+            )
+        ).alias("idx", "chunk"),
+    )
+    dfreq = chunks.groupBy("chunk").agg(
+        F.countDistinct("_id").alias("chunk_df")
+    )
+    kept = F.col("chunk_df") <= max_df
+    return (
+        chunks.join(dfreq, "chunk")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept, F.struct("idx", "chunk"))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(
+            F.col("_id").alias(id_col), "n_total", "n_kept", "clean_text"
+        )
+    )

@@ -478,3 +478,76 @@ def sample_temperature(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     out = sampling.temperature_sample(d, "lang", ["doc_id"], alpha=0.5)
     return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+@query(
+    "events_gap_fill",
+    # dense per-user daily grid between first and last activity; observed
+    # daily sums accumulate as integer cents so the forward fill is
+    # float-order independent in both engines
+    oracle="""
+    WITH obs AS (
+      SELECT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS day_cents
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT u, min(day) AS d0, max(day) AS d1 FROM obs GROUP BY u
+    ), grid AS (
+      SELECT u, CAST(gs AS DATE) AS day
+      FROM span, UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                                        CAST(d1 AS TIMESTAMP),
+                                        INTERVAL 1 DAY)) AS t(gs)
+    )
+    SELECT g.u AS user_id, g.day AS day,
+           last_value(o.day_cents IGNORE NULLS) OVER (
+             PARTITION BY g.u ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_cents,
+           o.day_cents IS NOT NULL AS is_observed
+    FROM grid g LEFT JOIN obs o ON g.u = o.u AND g.day = o.day
+    ORDER BY user_id, g.day
+    """,
+)
+def events_gap_fill(spark, sf_dir):
+    """Resample every user's activity to a dense daily grid and forward-fill
+    the most recent observed daily total across gaps. Grid size is bounded
+    by users x calendar span, never by event volume."""
+    e = load(spark, sf_dir, "events")
+    return events.gap_fill_daily(e).orderBy("user_id", "day")
+
+
+@query(
+    "text_line_dedup",
+    # 12-word chunks stand in for lines (the synthetic corpus has no
+    # newlines); chunks appearing in >2 documents are boilerplate and are
+    # dropped before reassembly
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), c AS (
+      SELECT doc_id, CAST(i AS INT) AS idx,
+             array_to_string(ws[(i*12+1):(i*12+12)], ' ') AS chunk
+      FROM w, UNNEST(range(CAST(ceil(len(ws) / 12.0) AS BIGINT))) AS t(i)
+    ), d AS (
+      SELECT chunk, count(DISTINCT doc_id) AS chunk_df FROM c GROUP BY chunk
+    )
+    SELECT c.doc_id,
+           count(*) AS n_total,
+           count(*) FILTER (WHERE chunk_df <= 2) AS n_kept,
+           coalesce(string_agg(c.chunk, ' ' ORDER BY c.idx)
+                      FILTER (WHERE chunk_df <= 2), '') AS clean_text
+    FROM c JOIN d USING (chunk)
+    GROUP BY c.doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_line_dedup(spark, sf_dir):
+    """RefinedWeb-style cross-corpus line dedup with document reassembly:
+    drop any 12-word chunk that appears in more than 2 documents, keep the
+    rest in original order. Hot boilerplate chunks stay scalar counters in
+    the df pass, so no key can blow up a task."""
+    docs = load(spark, sf_dir, "documents")
+    return text.line_dedup(
+        docs, chunk_words=12, max_df=2
+    ).orderBy("doc_id")

@@ -1178,3 +1178,55 @@ def test_rolling_active_users_semantics(spark):
     # observed hours: 00, 01, 04. Trailing-3h actives:
     # 00 -> {u1}; 01 -> {u1, u2}; 04 -> {u1} (02/03 not observed, excluded)
     assert got == {0: 1, 1: 2, 4: 1}
+
+
+def test_gap_fill_daily_forward_fills_gaps(spark):
+    """Missing days between a user's first and last activity appear in the
+    grid with the previous observed daily total carried forward."""
+    import datetime as dt
+
+    from hive_dwrf_spark.operators.events import gap_fill_daily
+
+    d = dt.datetime(2026, 3, 1, 12, 0)
+    rows = [
+        (1, d, 1.25),                          # Mar 1: 125 cents
+        (1, d + dt.timedelta(days=0, hours=3), 0.75),  # Mar 1 again: +75
+        (1, d + dt.timedelta(days=3), 10.0),   # Mar 4 (gap Mar 2-3)
+        (2, d + dt.timedelta(days=1), 2.0),    # single-day user
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    got = {
+        (r.user_id, str(r.day)): (r.filled_cents, r.is_observed)
+        for r in gap_fill_daily(df).collect()
+    }
+    assert got == {
+        (1, "2026-03-01"): (200, True),
+        (1, "2026-03-02"): (200, False),
+        (1, "2026-03-03"): (200, False),
+        (1, "2026-03-04"): (1000, True),
+        (2, "2026-03-02"): (200, True),
+    }
+
+
+def test_line_dedup_drops_boilerplate_keeps_order(spark):
+    """A chunk shared by >max_df docs is removed from every doc; surviving
+    chunks reassemble in original order; an all-boilerplate doc becomes
+    the empty string (not a dropped row)."""
+    from hive_dwrf_spark.operators.text import line_dedup
+
+    boiler = "x y"                      # 2-word chunk shared by all 3 docs
+    rows = [
+        (1, f"{boiler} a b"),           # chunks: [x y], [a b]
+        (2, f"c d {boiler}"),           # chunks: [c d], [x y]
+        (3, boiler),                    # chunks: [x y] only
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.n_total, r.n_kept, r.clean_text)
+        for r in line_dedup(df, chunk_words=2, max_df=2).collect()
+    }
+    assert out == {
+        1: (2, 1, "a b"),
+        2: (2, 1, "c d"),
+        3: (1, 0, ""),
+    }
