@@ -82,6 +82,8 @@ HEADLINE = [
     "multimodal_phash_pairs",
     "events_gap_fill",
     "text_line_dedup",
+    "text_quality_calibrated",
+    "entity_fuzzy_match",
 ]
 
 

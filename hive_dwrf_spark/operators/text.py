@@ -808,3 +808,77 @@ def line_dedup(
             F.col("_id").alias(id_col), "n_total", "n_kept", "clean_text"
         )
     )
+
+
+def per_source_quality_rank(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    keep_pct: int = 20,
+) -> DataFrame:
+    """Per-source quality calibration (the DCLM/FineWeb move): instead of
+    one global quality threshold — which would empty low-scoring domains and
+    keep every doc from verbose ones — rank documents WITHIN each source and
+    keep the same top fraction of every source.
+
+    The score is the integer word count and the keep decision is pure
+    integer arithmetic (`rank <= ceil(pct * n / 100)`, doc_id tiebreak), so
+    the cut is bit-exact across engines and stable under backfill. One
+    window sort per source; no global sort, no floats.
+    """
+    words = F.split(F.lower(F.col(text_col)), " ")
+    n_words = F.size(F.filter(words, lambda w: w != ""))
+    scored = df.select(
+        F.col(id_col), F.col(source_col), n_words.alias("score")
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    wn = Window.partitionBy(source_col)
+    return scored.select(
+        id_col,
+        source_col,
+        "score",
+        F.row_number().over(w).alias("src_rank"),
+        (
+            F.row_number().over(w)
+            <= F.floor((F.lit(keep_pct) * F.count(F.lit(1)).over(wn) + 99) / 100)
+        ).alias("kept"),
+    )
+
+
+def fuzzy_match_names(
+    df: DataFrame,
+    name_col: str,
+    max_distance: int = 4,
+) -> DataFrame:
+    """Entity-resolution fuzzy self-join: find pairs of distinct name
+    strings within `max_distance` edits of each other, using shared-token
+    blocking so no all-pairs product ever forms.
+
+    Scale shape: dedup to DISTINCT names first (name cardinality is far
+    below row count in any entity table), block on shared whitespace
+    tokens (a candidate pair must agree on at least one token — a safe
+    blocker for word-level typos), dedup candidates, then verify with the
+    JVM-side levenshtein builtin. Every stage is keyed: distinct (1
+    shuffle), token self-join (chunk-keyed, AQE-splittable), pair distinct
+    + verify. No UDFs, no cartesian joins.
+    """
+    names = df.select(F.col(name_col).alias("name")).distinct()
+    toks = names.select(
+        "name", F.explode(F.split("name", " ")).alias("tok")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    cand = (
+        a.join(b, "tok")
+        .where(F.col("a.name") < F.col("b.name"))
+        .select(
+            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
+        )
+        .distinct()
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return cand.select(
+        "name_a", "name_b", dist.cast("int").alias("dist")
+    ).where(F.col("dist") <= max_distance)

@@ -551,3 +551,71 @@ def text_line_dedup(spark, sf_dir):
     return text.line_dedup(
         docs, chunk_words=12, max_df=2
     ).orderBy("doc_id")
+
+
+@query(
+    "text_quality_calibrated",
+    # per-source top-20% cut on integer word count; the keep decision is
+    # rank <= ceil(20*n/100) in integer arithmetic with doc_id tiebreak,
+    # so both engines cut at exactly the same row
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  w -> w <> '')) AS INTEGER) AS score
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, score,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY score DESC, doc_id ASC
+             ) AS INTEGER) AS src_rank,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM scored
+    )
+    SELECT doc_id, source, score, src_rank,
+           src_rank <= (20 * n + 99) // 100 AS kept
+    FROM ranked
+    ORDER BY doc_id
+    """,
+)
+def text_quality_calibrated(spark, sf_dir):
+    """Per-source quality calibration: keep the top 20% of each source by
+    word count instead of one global threshold, so no domain is emptied
+    or over-represented."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        text.per_source_quality_rank(docs, keep_pct=20)
+        .select(
+            "doc_id", "source", "score",
+            F.col("src_rank").cast("int").alias("src_rank"), "kept",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "entity_fuzzy_match",
+    # shared-token blocking (a pair must agree on >=1 whitespace token)
+    # then levenshtein verify — both engines use the same builtin
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    t AS (SELECT p_name, unnest(string_split(p_name, ' ')) AS tok
+          FROM names),
+    cand AS (
+      SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+      FROM t a JOIN t b ON a.tok = b.tok AND a.p_name < b.p_name
+    )
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 4
+    ORDER BY name_a, name_b
+    """,
+)
+def entity_fuzzy_match(spark, sf_dir):
+    """Entity-resolution fuzzy self-join over part names: distinct-first,
+    token-blocked candidate pairs, edit-distance <= 4 verification."""
+    p = load(spark, sf_dir, "part")
+    return text.fuzzy_match_names(p, "p_name", max_distance=4).orderBy(
+        "name_a", "name_b"
+    )

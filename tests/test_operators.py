@@ -1230,3 +1230,38 @@ def test_line_dedup_drops_boilerplate_keeps_order(spark):
         2: (2, 1, "c d"),
         3: (1, 0, ""),
     }
+
+
+def test_per_source_quality_rank_cut_is_per_source(spark):
+    """Each source keeps ceil(20% of its own docs) — a verbose source
+    cannot crowd out a terse one; ties break by doc_id."""
+    from hive_dwrf_spark.operators.text import per_source_quality_rank
+
+    rows = [(i, "s1", "w " * (100 - i)) for i in range(10)]  # 10 docs
+    rows += [(100 + i, "s2", "w") for i in range(3)]         # 3 tied docs
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r.doc_id: (r.src_rank, r.kept)
+           for r in per_source_quality_rank(df, keep_pct=20).collect()}
+    # s1: ceil(20%*10)=2 kept -> doc 0, 1 (longest texts)
+    assert out[0] == (1, True) and out[1] == (2, True)
+    assert not out[2][1] and not out[9][1]
+    # s2: ceil(20%*3)=1 kept; all scores tie -> lowest doc_id wins
+    assert out[100] == (1, True)
+    assert out[101] == (2, False) and out[102] == (3, False)
+
+
+def test_fuzzy_match_names_blocks_and_verifies(spark):
+    """Pairs must share a token AND be within edit distance; a near pair
+    with no shared token is (by design) not found; duplicates collapse."""
+    from hive_dwrf_spark.operators.text import fuzzy_match_names
+
+    rows = [("red bolt",), ("red bolt",), ("red belt",), ("blue bolt",),
+            ("xyz qqq",)]
+    df = spark.createDataFrame(rows, ["name"])
+    got = {(r.name_a, r.name_b): r.dist
+           for r in fuzzy_match_names(df, "name", max_distance=3).collect()}
+    # "red belt"/"red bolt": shared token 'red', dist 1 -> found once even
+    # though "red bolt" appears twice. "blue bolt"/"red bolt" share 'bolt'
+    # but dist("blue","red")=4 exceeds the threshold; "xyz qqq" shares no
+    # token with anything and never enters a candidate pair.
+    assert got == {("red belt", "red bolt"): 1}
