@@ -84,6 +84,7 @@ HEADLINE = [
     "text_line_dedup",
     "text_quality_calibrated",
     "entity_fuzzy_match",
+    "graph_pagerank",
 ]
 
 

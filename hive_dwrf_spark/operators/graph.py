@@ -1,0 +1,97 @@
+"""Iterative graph algorithms on DataFrames: fixed-point PageRank.
+
+The 100 TB story: PageRank (and label propagation, SimRank, etc.) on Spark
+is the pregel shape — edges partitioned by source, one message-aggregate
+shuffle per iteration, lineage truncated per round so the plan doesn't grow
+with the iteration count. This module implements it with EXACT integer
+fixed-point arithmetic (ranks scaled by 10^6, floor division) so the result
+is bit-stable regardless of partitioning, summation order, or engine — an
+iterative algorithm whose every iteration a SQL oracle can replay with
+unrolled CTEs, instead of settling for a weaker rows-only check.
+
+Reference parity: the DWRF reference is a storage format with no graph
+machinery; this extends SURVEY §2.D (training-data pipeline analytics needs
+graph centrality for e.g. citation/link-quality weighting of web corpora).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: offset separating the two node-id spaces of a bipartite graph
+BIPARTITE_OFFSET = 1_000_000_000
+
+
+def bipartite_edges(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    left_key: str = "o_custkey",
+    right_key: str = "l_suppkey",
+) -> DataFrame:
+    """Distinct customer<->supplier interaction edges via the order join,
+    mapped into one bigint node-id space (suppliers offset by 10^9).
+
+    One equi-join (AQE broadcasts the smaller side) + one distinct — the
+    per-order fanout is bounded by order size, never quadratic."""
+    return (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.col(left_key).cast("bigint").alias("src"),
+            (F.col(right_key).cast("bigint") + BIPARTITE_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = 1_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Undirected PageRank in exact integer fixed-point.
+
+    Every node starts at `scale`; each iteration a node sends
+    ``rank DIV degree`` along every incident edge and becomes
+    ``(100-damping_pct)% * scale + damping_pct% * sum(incoming)`` with all
+    divisions floored — pure integer arithmetic, so the fixed point is
+    identical under any partitioning or summation order and replayable
+    with unrolled SQL CTEs.
+
+    Scale shape: `sym` (both edge directions) is computed once and cached
+    by reuse; each iteration is ONE join of the edge list with the current
+    rank/degree state (both keyed by node — co-partitioned after the first
+    shuffle) and ONE message aggregate keyed by destination.
+    `localCheckpoint` truncates the lineage each round, the same discipline
+    as connected components (operators/dedup.py), so the plan stays
+    iteration-count-independent.
+    """
+    base = (100 - damping_pct) * scale // 100
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    state = deg.select(
+        F.col("src").alias("node"),
+        "deg",
+        F.lit(scale).cast("bigint").alias("r"),
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        msgs = sym.join(state, sym["src"] == state["node"]).select(
+            F.col("dst"), F.expr("r DIV deg").alias("contrib")
+        )
+        incoming = msgs.groupBy("dst").agg(F.sum("contrib").alias("s"))
+        state = (
+            incoming.select(
+                F.col("dst").alias("node"),
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * s) DIV 100")
+                ).cast("bigint").alias("r"),
+            )
+            .join(deg.withColumnRenamed("src", "node"), "node")
+            .select("node", "deg", "r")
+            .localCheckpoint(eager=True)
+        )
+    return state.select("node", F.col("r").alias("rank_fp"))

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators import events, layout, sampling, text
+from ..operators import events, graph, layout, sampling, text
 from ..tables import load
 from . import query
 
@@ -619,3 +619,45 @@ def entity_fuzzy_match(spark, sf_dir):
     return text.fuzzy_match_names(p, "p_name", max_distance=4).orderBy(
         "name_a", "name_b"
     )
+
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    """Unrolled-CTE DuckDB replay of operators/graph.py::pagerank_fixed_point:
+    identical integer fixed-point formula per iteration (rank DIV degree
+    messages, 15% base + 85% damped floored sum), generated for the same
+    iteration count so the replay is bit-exact."""
+    parts = ["""
+    WITH e AS (
+      SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS src,
+             1000000000 + CAST(l.l_suppkey AS BIGINT) AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), sym AS (
+      SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+    ), deg AS (
+      SELECT src AS node, count(*) AS deg FROM sym GROUP BY src
+    ), r0 AS (
+      SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg
+    )"""]
+    for i in range(1, iterations + 1):
+        parts.append(f""", r{i} AS (
+      SELECT s.dst AS node,
+             CAST(150000 + (85 * sum(r.r // d.deg)) // 100 AS BIGINT) AS r
+      FROM sym s
+      JOIN r{i - 1} r ON s.src = r.node
+      JOIN deg d ON s.src = d.node
+      GROUP BY s.dst
+    )""")
+    parts.append(f"""
+    SELECT node, r AS rank_fp FROM r{iterations} ORDER BY node""")
+    return "".join(parts)
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle(3))
+def graph_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (3 iterations) over the customer<->supplier
+    interaction graph: an iterative pregel-shaped algorithm whose integer
+    arithmetic makes every iteration bit-replayable in SQL."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    edges = graph.bipartite_edges(o, l)
+    return graph.pagerank_fixed_point(edges, iterations=3).orderBy("node")

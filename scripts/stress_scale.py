@@ -76,6 +76,11 @@ QUERIES = [
     "sample_mixture",  # broadcast rates + projection expansion
     "dedup_incremental",  # batch-touching-only LSH pairing
     "multimodal_phash_pairs",  # banded Hamming join over stub pHash
+    "events_gap_fill",  # calendar-bounded grid + per-user window fill
+    "text_line_dedup",  # count-distinct chunk df + doc-keyed reassembly
+    "text_quality_calibrated",  # per-source window rank cut
+    "entity_fuzzy_match",  # distinct-first token blocking + levenshtein
+    "graph_pagerank",  # pregel iterations, integer fixed-point
 ]
 
 

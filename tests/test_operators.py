@@ -1265,3 +1265,19 @@ def test_fuzzy_match_names_blocks_and_verifies(spark):
     # but dist("blue","red")=4 exceeds the threshold; "xyz qqq" shares no
     # token with anything and never enters a candidate pair.
     assert got == {("red belt", "red bolt"): 1}
+
+
+def test_pagerank_fixed_point_star_graph(spark):
+    """Hand-computed 2-iteration fixed point on a 3-node star: the center
+    splits its rank (floored DIV) between the leaves; every value is exact
+    integer arithmetic so the assertion is equality, not tolerance."""
+    from hive_dwrf_spark.operators.graph import pagerank_fixed_point
+
+    edges = spark.createDataFrame([(1, 2), (1, 3)], ["src", "dst"])
+    got = {r.node: r.rank_fp
+           for r in pagerank_fixed_point(edges, iterations=2).collect()}
+    # iter1: center gets 150000 + 85%*(1000000+1000000) = 1850000;
+    #        leaves get 150000 + 85%*(1000000 DIV 2) = 575000
+    # iter2: center gets 150000 + 85%*(575000+575000) = 1127500;
+    #        leaves get 150000 + 85%*(1850000 DIV 2) = 936250
+    assert got == {1: 1127500, 2: 936250, 3: 936250}
