@@ -85,6 +85,7 @@ HEADLINE = [
     "text_quality_calibrated",
     "entity_fuzzy_match",
     "graph_pagerank",
+    "pipeline_dataset_diff",
 ]
 
 

@@ -163,3 +163,36 @@ def dataset_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.pmod(F.sum(h), modulus).cast("decimal(20,0)").alias("checksum"),
     )
+
+
+def dataset_diff(
+    v1: DataFrame,
+    v2: DataFrame,
+    key_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Versioned-dataset diff: classify every key as added / removed /
+    changed / same between two snapshots and count each class.
+
+    The scale-critical move: each side is projected to (key, md5(payload))
+    IN THE SCAN — the full-outer join then exchanges 16-byte hashes, never
+    payloads, so comparing two 100 TB snapshots shuffles GBs, not TBs. If
+    both snapshots are bucketed by key the exchange disappears entirely
+    (bucketed or storage-partitioned join). One join + one 4-row
+    aggregate; hash-deterministic, so the diff itself is replayable."""
+    def fp(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(key_col).alias("k"),
+            F.md5(F.concat_ws("\x1f", *payload_cols)).alias("h"),
+        )
+    a, b = fp(v1).alias("a"), fp(v2).alias("b")
+    joined = a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
+    status = (
+        F.when(F.col("a.k").isNull(), F.lit("added"))
+        .when(F.col("b.k").isNull(), F.lit("removed"))
+        .when(F.col("a.h") != F.col("b.h"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return joined.select(status.alias("status")).groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )

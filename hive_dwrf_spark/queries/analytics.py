@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators import events, graph, layout, sampling, text
+from ..operators import curation, events, graph, layout, sampling, text
 from ..tables import load
 from . import query
 
@@ -661,3 +661,47 @@ def graph_pagerank(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
     edges = graph.bipartite_edges(o, l)
     return graph.pagerank_fixed_point(edges, iterations=3).orderBy("node")
+
+
+@query(
+    "pipeline_dataset_diff",
+    # v2 is derived deterministically from v1 (drop doc_id%7=0, uppercase
+    # doc_id%5=0, add doc_id%11=0 under shifted ids) so both engines diff
+    # the identical pair of snapshots
+    oracle="""
+    WITH v1 AS (SELECT doc_id, text FROM documents),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END AS text
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT status, count(*) AS n_rows FROM (
+      SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+                  ELSE 'same' END AS status
+      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+    ) GROUP BY status ORDER BY status
+    """,
+)
+def pipeline_dataset_diff(spark, sf_dir):
+    """Snapshot diff between two dataset versions: each side reduces to
+    (key, md5(payload)) in the scan, the full-outer join exchanges 16-byte
+    hashes instead of payloads, and four counters summarize the delta."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = (
+        d.where(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 5 == 0, F.upper("text"))
+            .otherwise(F.col("text")),
+        )
+        .unionAll(
+            d.where(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return curation.dataset_diff(d, v2, "doc_id", ["text"]).orderBy("status")

@@ -1281,3 +1281,19 @@ def test_pagerank_fixed_point_star_graph(spark):
     # iter2: center gets 150000 + 85%*(575000+575000) = 1127500;
     #        leaves get 150000 + 85%*(1850000 DIV 2) = 936250
     assert got == {1: 1127500, 2: 936250, 3: 936250}
+
+
+def test_dataset_diff_classifies_all_four(spark):
+    """Constructed snapshots: one removed, one added, one changed payload,
+    one untouched — each lands in its own counter."""
+    from hive_dwrf_spark.operators.curation import dataset_diff
+
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "text"]
+    )
+    v2 = spark.createDataFrame(
+        [(1, "a"), (3, "C"), (4, "d")], ["id", "text"]
+    )
+    got = {r.status: r.n_rows
+           for r in dataset_diff(v1, v2, "id", ["text"]).collect()}
+    assert got == {"same": 1, "removed": 1, "changed": 1, "added": 1}
