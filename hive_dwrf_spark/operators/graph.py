@@ -49,6 +49,7 @@ def pagerank_fixed_point(
     iterations: int = 3,
     scale: int = 1_000_000,
     damping_pct: int = 85,
+    checkpoint_interval: int = 4,
 ) -> DataFrame:
     """Undirected PageRank in exact integer fixed-point.
 
@@ -63,21 +64,27 @@ def pagerank_fixed_point(
     by reuse; each iteration is ONE join of the edge list with the current
     rank/degree state (both keyed by node — co-partitioned after the first
     shuffle) and ONE message aggregate keyed by destination.
-    `localCheckpoint` truncates the lineage each round, the same discipline
-    as connected components (operators/dedup.py), so the plan stays
-    iteration-count-independent.
+    `localCheckpoint` truncates the lineage every `checkpoint_interval`
+    rounds — the connected-components discipline (operators/dedup.py) —
+    so long runs stay plan-bounded while short runs execute as ONE lazy
+    DAG with no intermediate materialization (each state feeds exactly one
+    consumer, so nothing recomputes).
     """
     base = (100 - damping_pct) * scale // 100
+    # the edge list is read every iteration (plus once for degrees): persist
+    # it so the upstream edge-construction join runs exactly once — ~16 B
+    # per directed edge, MEMORY_AND_DISK so a 100 TB-derived graph spills
+    # instead of recomputing
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ).persist()
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     state = deg.select(
         F.col("src").alias("node"),
         "deg",
         F.lit(scale).cast("bigint").alias("r"),
-    ).localCheckpoint(eager=True)
-    for _ in range(iterations):
+    )
+    for it in range(iterations):
         msgs = sym.join(state, sym["src"] == state["node"]).select(
             F.col("dst"), F.expr("r DIV deg").alias("contrib")
         )
@@ -92,6 +99,7 @@ def pagerank_fixed_point(
             )
             .join(deg.withColumnRenamed("src", "node"), "node")
             .select("node", "deg", "r")
-            .localCheckpoint(eager=True)
         )
+        if (it + 1) % checkpoint_interval == 0 and it + 1 < iterations:
+            state = state.localCheckpoint(eager=True)
     return state.select("node", F.col("r").alias("rank_fp"))
