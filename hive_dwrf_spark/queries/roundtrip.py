@@ -438,3 +438,80 @@ def q43_deep_nested(spark, sf_dir):
         .orderBy("k", "ln", "s0_q", "ma_1", "s0_f")
         .limit(100)
     )
+
+
+@query(
+    "streaming_dedup",
+    # the stream input is every event file DUPLICATED; exact stateful dedup
+    # on event_id must reduce it back to the original set, so the oracle is
+    # the plain batch aggregate over events
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS sum_value,
+           count(DISTINCT user_id) AS users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_dedup(spark, sf_dir):
+    """Stateful streaming dedup at ingest: the source directory holds two
+    byte-identical copies of every event file; the stream drops the
+    duplicates with dropDuplicatesWithinWatermark on event_id before they
+    reach storage. The watermark is set beyond the data's time span so no
+    state evicts mid-run and the result is exact regardless of how
+    availableNow slices the files into micro-batches (at production scale
+    the watermark bounds state to the lateness window's key cardinality)."""
+    import shutil
+
+    from ..sources import register
+    from ..streaming import stream_dwrf_dir
+    from ..streaming.dwrf_stream import streaming_dedup as dedup_stream
+
+    register(spark)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    src = f"/tmp/hive_dwrf_spark_sdedup_src_{base}"
+    out = f"/tmp/hive_dwrf_spark_sdedup_out_{base}"
+    ckpt = f"/tmp/hive_dwrf_spark_sdedup_ckpt_{base}"
+    for p in (src, out, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    e = load(spark, sf_dir, "events")
+    e.write.format("dwrf").option("path", src).option(
+        "stripe_rows", "12500"
+    ).mode("overwrite").save()
+    # duplicate every data file under a distinct name: same rows twice,
+    # arriving as separate discovered files
+    for name in sorted(os.listdir(src)):
+        if name.endswith(".dwrf"):
+            shutil.copy(
+                os.path.join(src, name), os.path.join(src, f"dup-{name}")
+            )
+    # the stream reads ts as TIMESTAMP_NTZ; watermarks require an instant
+    # type, and the event-time VALUE is irrelevant to the dedup key
+    stream = stream_dwrf_dir(spark, src).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    deduped = dedup_stream(
+        stream, ["event_id"], ts_col="ts", watermark="2160 hours"
+    )
+    q = (
+        deduped.writeStream.format("dwrf")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q)
+    back = spark.read.format("dwrf").load(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)")).alias(
+                "sum_value"
+            ),
+            F.count_distinct(F.col("user_id")).alias("users"),
+        )
+        .orderBy("event_type")
+    )
