@@ -86,6 +86,7 @@ HEADLINE = [
     "entity_fuzzy_match",
     "graph_pagerank",
     "pipeline_dataset_diff",
+    "events_gap_interpolate",
 ]
 
 

@@ -315,3 +315,62 @@ def gap_fill_daily(
             F.col("day_cents").isNotNull().alias("is_observed"),
         )
     )
+
+
+def gap_fill_interpolate(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap fill by LINEAR INTERPOLATION between the surrounding observed
+    days (the other standard resample policy next to forward fill): a
+    missing day gets prev + (next - prev) * elapsed DIV span, all in
+    integer cents with floored division, so the interpolated series is
+    bit-exact under any partitioning and in any engine.
+
+    Same scale shape as gap_fill_daily — calendar-bounded grid, one
+    combinable daily aggregate — plus two window passes per user (one
+    forward for the previous observation, one backward for the next)."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    observed = (
+        events.select(F.col(user_col).alias("u"), day.alias("day"), cents.alias("c"))
+        .groupBy("u", "day")
+        .agg(F.sum("c").alias("day_cents"))
+    )
+    span = observed.groupBy("u").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select("u", F.explode(F.sequence("d0", "d1")).alias("day"))
+    wb = (
+        Window.partitionBy("u")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("u")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_cents").isNotNull(), F.col("day"))
+    joined = grid.join(observed, ["u", "day"], "left").select(
+        "u",
+        "day",
+        "day_cents",
+        F.last("day_cents", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(wb).alias("pd"),
+        F.first("day_cents", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("nd"),
+    )
+    interp = F.col("pv") + F.expr(
+        "((nv - pv) * datediff(day, pd)) DIV datediff(nd, pd)"
+    )
+    return joined.select(
+        F.col("u").alias(user_col),
+        "day",
+        F.when(F.col("day_cents").isNotNull(), F.col("day_cents"))
+        .otherwise(interp)
+        .alias("filled_cents"),
+        F.col("day_cents").isNotNull().alias("is_observed"),
+    )

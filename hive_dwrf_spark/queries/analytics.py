@@ -705,3 +705,52 @@ def pipeline_dataset_diff(spark, sf_dir):
         )
     )
     return curation.dataset_diff(d, v2, "doc_id", ["text"]).orderBy("status")
+
+
+@query(
+    "events_gap_interpolate",
+    # missing days get prev + (next-prev)*elapsed // span in integer cents
+    # (floored), observed days keep their exact sum — bit-stable in both
+    # engines; grid boundaries are observed so prev/next always exist
+    oracle="""
+    WITH obs AS (
+      SELECT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS day_cents
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT u, min(day) AS d0, max(day) AS d1 FROM obs GROUP BY u
+    ), grid AS (
+      SELECT u, CAST(gs AS DATE) AS day
+      FROM span, UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                                        CAST(d1 AS TIMESTAMP),
+                                        INTERVAL 1 DAY)) AS t(gs)
+    ), j AS (
+      SELECT g.u, g.day AS day, o.day_cents,
+             last_value(o.day_cents IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN o.day_cents IS NOT NULL THEN g.day END
+                        IGNORE NULLS) OVER wb AS pd,
+             first_value(o.day_cents IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN o.day_cents IS NOT NULL THEN g.day END
+                         IGNORE NULLS) OVER wf AS nd
+      FROM grid g LEFT JOIN obs o ON g.u = o.u AND g.day = o.day
+      WINDOW wb AS (PARTITION BY g.u ORDER BY g.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY g.u ORDER BY g.day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT u AS user_id, day,
+           CAST(coalesce(day_cents,
+                pv + ((nv - pv) * date_diff('day', pd, day))
+                     // date_diff('day', pd, nd)) AS BIGINT) AS filled_cents,
+           day_cents IS NOT NULL AS is_observed
+    FROM j
+    ORDER BY user_id, day
+    """,
+)
+def events_gap_interpolate(spark, sf_dir):
+    """Resample to a dense daily grid with linear interpolation across the
+    gaps (integer-cent arithmetic, floored division — exact in any
+    engine)."""
+    e = load(spark, sf_dir, "events")
+    return events.gap_fill_interpolate(e).orderBy("user_id", "day")

@@ -1297,3 +1297,30 @@ def test_dataset_diff_classifies_all_four(spark):
     got = {r.status: r.n_rows
            for r in dataset_diff(v1, v2, "id", ["text"]).collect()}
     assert got == {"same": 1, "removed": 1, "changed": 1, "added": 1}
+
+
+def test_gap_fill_interpolate_exact_linear(spark):
+    """A 3-day gap between 100 and 500 cents interpolates to 200/300/400;
+    observed days keep their exact sums; floored division on uneven
+    spans."""
+    import datetime as dt
+
+    from hive_dwrf_spark.operators.events import gap_fill_interpolate
+
+    d = dt.datetime(2026, 3, 1, 8, 0)
+    rows = [
+        (1, d, 1.00),                         # Mar 1: 100
+        (1, d + dt.timedelta(days=4), 5.00),  # Mar 5: 500 (gap 2,3,4)
+        (2, d, 1.00),                         # uneven: 100 -> 200 over 3d
+        (2, d + dt.timedelta(days=3), 2.00),  # Mar 4; gap days 2,3
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    got = {(r.user_id, str(r.day)): (r.filled_cents, r.is_observed)
+           for r in gap_fill_interpolate(df).collect()}
+    assert got[(1, "2026-03-02")] == (200, False)
+    assert got[(1, "2026-03-03")] == (300, False)
+    assert got[(1, "2026-03-04")] == (400, False)
+    assert got[(1, "2026-03-05")] == (500, True)
+    # user 2: slope 100/3 -> day2: 100 + 100*1 DIV 3 = 133; day3: 166
+    assert got[(2, "2026-03-02")] == (133, False)
+    assert got[(2, "2026-03-03")] == (166, False)
