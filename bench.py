@@ -87,6 +87,7 @@ HEADLINE = [
     "graph_pagerank",
     "pipeline_dataset_diff",
     "events_gap_interpolate",
+    "sim_decontaminate",
 ]
 
 

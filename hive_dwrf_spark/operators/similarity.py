@@ -343,3 +343,44 @@ def ann_knn_join(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    probes: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Embedding-space decontamination: remove every corpus vector whose
+    cosine to ANY probe (benchmark/eval-set) vector reaches `threshold` —
+    the semantic analog of n-gram decontamination (operators/text.py),
+    catching paraphrased eval leakage that exact n-grams miss.
+
+    Scale shape mirrors text_decontaminate: the probe side is a benchmark
+    set (MBs), so it BROADCASTS; the corpus is scanned once against the
+    broadcast probes and reduced per-row (max cosine via a groupBy on the
+    corpus id that AQE keeps local-ish — the only exchanged rows are
+    (id, flag) pairs). Zero corpus shuffle of vectors. For probe sets too
+    large to broadcast, pre-bucket both sides with lsh_buckets and run
+    per-bucket, same as the ANN path."""
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("pv"),
+    )
+    p = p.select("probe_id", "pv", F.sqrt(_dot(F.col("pv"), F.col("pv"))).alias("pn"))
+    c = corpus.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+    sim = _dot(F.col("cv"), F.col("pv")) / (
+        F.sqrt(_dot(F.col("cv"), F.col("cv"))) * F.col("pn")
+    )
+    contaminated = (
+        c.join(F.broadcast(p))
+        .select(id_col, F.round(sim, 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")

@@ -2254,3 +2254,43 @@ def events_rolling_active(spark, sf_dir):
 
     e = load(spark, sf_dir, "events")
     return rolling_active_users(e, "ts", "user_id", 3).orderBy("hour")
+
+
+@query(
+    "sim_decontaminate",
+    # label-0 vectors are the "benchmark" probe set; any other vector with
+    # cosine >= 0.3 to some probe is semantic leakage and is removed. Both
+    # engines fold the dot product left-to-right and round to 6 places.
+    oracle="""
+    WITH p AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE label = 0
+    ), c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE label <> 0
+    ), bad AS (
+      SELECT DISTINCT c.vec_id
+      FROM c JOIN p
+        ON round(list_dot_product(c.v, p.v)
+                 / (sqrt(list_dot_product(c.v, c.v))
+                    * sqrt(list_dot_product(p.v, p.v))), 6) >= 0.3
+    )
+    SELECT vec_id FROM c WHERE vec_id NOT IN (SELECT vec_id FROM bad)
+    ORDER BY vec_id
+    """,
+)
+def sim_decontaminate(spark, sf_dir):
+    """Embedding-space decontamination: drop corpus vectors within cosine
+    0.3 of any benchmark (label-0) vector — the semantic complement of
+    text_decontaminate's n-gram check. The probe set broadcasts; the
+    corpus shuffles nothing but (id) flags."""
+    e = load(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("label") == 0)
+    corpus = e.where(F.col("label") != 0)
+    return (
+        similarity.semantic_decontaminate(
+            corpus, probes, "embedding", "vec_id", threshold=0.3
+        )
+        .select("vec_id")
+        .orderBy("vec_id")
+    )

@@ -39,6 +39,7 @@ CARTESIAN_ALLOWED = {
     "sim_topk",
     "sim_range",
     "sim_knn_join",
+    "sim_decontaminate",
     "sim_quantized_topk",
     "sim_ann",
     "sim_ivf",

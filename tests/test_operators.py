@@ -1324,3 +1324,24 @@ def test_gap_fill_interpolate_exact_linear(spark):
     # user 2: slope 100/3 -> day2: 100 + 100*1 DIV 3 = 133; day3: 166
     assert got[(2, "2026-03-02")] == (133, False)
     assert got[(2, "2026-03-03")] == (166, False)
+
+
+def test_semantic_decontaminate_removes_near_probes(spark):
+    """A corpus vector parallel to a probe is removed at threshold 0.9;
+    an orthogonal one survives."""
+    from hive_dwrf_spark.operators.similarity import semantic_decontaminate
+
+    probes = spark.createDataFrame(
+        [(100, [1.0, 0.0])], ["vec_id", "embedding"]
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    corpus = spark.createDataFrame(
+        [(1, [2.0, 0.0]), (2, [0.0, 3.0]), (3, [1.0, 1.0])],
+        ["vec_id", "embedding"],
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    kept = sorted(
+        r.vec_id
+        for r in semantic_decontaminate(
+            corpus, probes, "embedding", "vec_id", 0.9
+        ).collect()
+    )
+    assert kept == [2, 3]  # cos: v1=1.0 removed, v2=0.0, v3=0.7071 kept
