@@ -88,6 +88,7 @@ HEADLINE = [
     "pipeline_dataset_diff",
     "events_gap_interpolate",
     "sim_decontaminate",
+    "events_changepoint",
 ]
 
 

@@ -374,3 +374,48 @@ def gap_fill_interpolate(
         .alias("filled_cents"),
         F.col("day_cents").isNotNull().alias("is_observed"),
     )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    value_col: str = "value",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Offline CUSUM changepoint estimate per group: the index i maximizing
+    |n*S_i - i*S_n| over the time-ordered series (the classic cumulative-sum
+    statistic, cross-multiplied by n so everything stays in integer cents —
+    no mean, no floats, bit-exact in any engine).
+
+    One window sort per group computes the prefix sums; the argmax is a
+    rank-1 filter. State per group is O(1); ties break on the earliest
+    index so the answer is deterministic."""
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    wall = Window.partitionBy(key_col)
+    scored = events.select(
+        key_col,
+        F.col(ts_col).alias("cp_ts"),
+        F.row_number().over(w).alias("i"),
+        F.sum(cents).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("s_i"),
+        F.sum(cents).over(wall).alias("s_n"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    ).select(
+        key_col,
+        "cp_ts",
+        "i",
+        F.abs(
+            F.col("n") * F.col("s_i") - F.col("i") * F.col("s_n")
+        ).alias("d_stat"),
+    )
+    pick = Window.partitionBy(key_col).orderBy(
+        F.desc("d_stat"), F.asc("i")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(key_col, F.col("i").alias("cp_index"), "cp_ts", "d_stat")
+    )

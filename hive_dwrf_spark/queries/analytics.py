@@ -754,3 +754,42 @@ def events_gap_interpolate(spark, sf_dir):
     engine)."""
     e = load(spark, sf_dir, "events")
     return events.gap_fill_interpolate(e).orderBy("user_id", "day")
+
+
+@query(
+    "events_changepoint",
+    # classic offline CUSUM estimator, cross-multiplied by n so the whole
+    # statistic is integer cents: argmax_i |n*S_i - i*S_n| per group,
+    # earliest index on ties; (ts, event_id) ordering is total
+    oracle="""
+    WITH s AS (
+      SELECT event_type, ts AS cp_ts,
+             CAST(row_number() OVER w AS BIGINT) AS i,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS s_i,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY event_type) AS BIGINT) AS s_n,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), d AS (
+      SELECT event_type, cp_ts, i,
+             abs(n * s_i - i * s_n) AS d_stat,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(n * s_i - i * s_n) DESC, i ASC)
+               AS rn
+      FROM s
+    )
+    SELECT event_type, i AS cp_index, cp_ts, CAST(d_stat AS BIGINT) AS d_stat
+    FROM d WHERE rn = 1
+    ORDER BY event_type
+    """,
+)
+def events_changepoint(spark, sf_dir):
+    """Per-event-type CUSUM changepoint: the time index maximizing the
+    integer cumulative-sum deviation statistic — one window sort per
+    group, O(1) state, bit-exact."""
+    e = load(spark, sf_dir, "events")
+    return events.cusum_changepoint(e).orderBy("event_type")

@@ -515,3 +515,58 @@ def streaming_dedup(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "format_compact",
+    # the merged single file must be value-transparent: the aggregate over
+    # it equals the aggregate over the source events
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS sum_value,
+           count(DISTINCT user_id) AS users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def format_compact(spark, sf_dir):
+    """Small-files compaction end-to-end (reference A22, StripeMerge):
+    events written as many small-stripe DWRF part files, merged into ONE
+    file by raw stripe-byte copy — no decode, no re-encode — then read
+    back and aggregated. IO-speed compaction is what makes streaming
+    ingest sustainable at 100 TB; this proves the merged file is
+    value-transparent."""
+    import glob
+    import shutil
+
+    from ..format.merge import compact_directory
+    from ..sources import register
+
+    register(spark)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    src = f"/tmp/hive_dwrf_spark_compact_src_{base}"
+    merged = f"/tmp/hive_dwrf_spark_compact_out_{base}/events.dwrf"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(os.path.dirname(merged), ignore_errors=True)
+    os.makedirs(os.path.dirname(merged))
+    e = load(spark, sf_dir, "events")
+    # many small stripes across several part files: the small-files state
+    e.repartition(4).write.format("dwrf").option("path", src).option(
+        "stripe_rows", "1000"
+    ).mode("overwrite").save()
+    n = compact_directory(src, merged)
+    assert n >= 1 and len(glob.glob(os.path.join(src, "*.dwrf"))) >= 2
+    back = spark.read.format("dwrf").load(os.path.dirname(merged))
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)")).alias(
+                "sum_value"
+            ),
+            F.count_distinct(F.col("user_id")).alias("users"),
+        )
+        .orderBy("event_type")
+    )

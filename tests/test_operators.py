@@ -1345,3 +1345,21 @@ def test_semantic_decontaminate_removes_near_probes(spark):
         ).collect()
     )
     assert kept == [2, 3]  # cos: v1=1.0 removed, v2=0.0, v3=0.7071 kept
+
+
+def test_cusum_changepoint_finds_level_shift(spark):
+    """A series that jumps from 100 to 500 cents at index 5 (of 10) has its
+    CUSUM argmax exactly at the last pre-jump index."""
+    import datetime as dt
+
+    from hive_dwrf_spark.operators.events import cusum_changepoint
+
+    t0 = dt.datetime(2026, 5, 1)
+    rows = [("a", t0 + dt.timedelta(minutes=i), i,
+             1.00 if i < 5 else 5.00) for i in range(10)]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "event_id", "value"])
+    got = cusum_changepoint(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    # S_5=500, S_n=3000, n=10 -> |10*500 - 5*3000| = 10000 is the max
+    assert (r.cp_index, r.d_stat) == (5, 10000)
