@@ -89,6 +89,7 @@ HEADLINE = [
     "events_gap_interpolate",
     "sim_decontaminate",
     "events_changepoint",
+    "orders_itemsets",
 ]
 
 

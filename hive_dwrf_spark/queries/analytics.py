@@ -793,3 +793,44 @@ def events_changepoint(spark, sf_dir):
     group, O(1) state, bit-exact."""
     e = load(spark, sf_dir, "events")
     return events.cusum_changepoint(e).orderBy("event_type")
+
+
+@query(
+    "orders_itemsets",
+    # frequent 2-itemsets with support >= 3 distinct orders; per-order pair
+    # fanout is bounded by order size (TPC-H <= 7 lines), so candidate
+    # volume is linear in lineitems, never quadratic in parts
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(DISTINCT a.l_orderkey) AS support
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(DISTINCT a.l_orderkey) >= 3
+    ORDER BY support DESC, part_a, part_b
+    """,
+)
+def orders_itemsets(spark, sf_dir):
+    """Market-basket frequent 2-itemsets: part pairs co-purchased in >= 3
+    distinct orders. The self-join is order-key-equi (co-partitioned), the
+    support count is a map-side-combinable count-distinct — the a-priori
+    candidate generation shape that scales with basket size, not catalog
+    size."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_orderkey").alias("ok"),
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.countDistinct("ok").alias("support"))
+        .where(F.col("support") >= 3)
+        .orderBy(F.desc("support"), "part_a", "part_b")
+    )
