@@ -90,6 +90,7 @@ HEADLINE = [
     "sim_decontaminate",
     "events_changepoint",
     "orders_itemsets",
+    "events_markov",
 ]
 
 

@@ -11,6 +11,7 @@ md5_number_upper.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators import curation, events, graph, layout, sampling, text
@@ -834,3 +835,94 @@ def orders_itemsets(spark, sf_dir):
         .where(F.col("support") >= 3)
         .orderBy(F.desc("support"), "part_a", "part_b")
     )
+
+
+@query(
+    "events_markov",
+    # first-order transition matrix over each user's time-ordered event
+    # types; probability in exact parts-per-million via integer DIV
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS next_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), t AS (
+      SELECT prev_type, next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           CAST((n * 1000000) // sum(n) OVER (PARTITION BY prev_type)
+                AS BIGINT) AS prob_ppm
+    FROM t
+    ORDER BY prev_type, next_type
+    """,
+)
+def events_markov(spark, sf_dir):
+    """First-order Markov transition matrix of user event sequences — the
+    user-journey primitive. One window lag per user, one combinable count;
+    probabilities emitted as integer parts-per-million so the matrix is
+    bit-exact."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("n * 1000000").cast("bigint").alias("_num"),
+    ).withColumn(
+        "prob_ppm", F.expr("_num DIV sum(n) OVER (PARTITION BY prev_type)")
+    ).select("prev_type", "next_type", "n", "prob_ppm").orderBy(
+        "prev_type", "next_type"
+    )
+
+
+@query(
+    "q44_ratio_to_parent",
+    # nation revenue as exact ppm share of its region's total: integer
+    # cents, integer DIV — the ratio-to-parent analytic without floats
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation, cents,
+           CAST((cents * 1000000) // sum(cents) OVER (PARTITION BY region)
+                AS BIGINT) AS share_ppm
+    FROM rev
+    ORDER BY region, nation
+    """,
+)
+def q44_ratio_to_parent(spark, sf_dir):
+    """Ratio-to-parent analytic: each nation's exact ppm share of its
+    region's revenue. Dims broadcast; one combinable aggregate + one
+    small window over the 25-row result."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(cents).alias("cents"))
+    )
+    return rev.withColumn(
+        "share_ppm",
+        F.expr("(cents * 1000000) DIV sum(cents) OVER (PARTITION BY region)"),
+    ).orderBy("region", "nation")
