@@ -91,6 +91,7 @@ HEADLINE = [
     "events_changepoint",
     "orders_itemsets",
     "events_markov",
+    "events_attribution",
 ]
 
 

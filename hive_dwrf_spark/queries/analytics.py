@@ -926,3 +926,69 @@ def q44_ratio_to_parent(spark, sf_dir):
         "share_ppm",
         F.expr("(cents * 1000000) DIV sum(cents) OVER (PARTITION BY region)"),
     ).orderBy("region", "nation")
+
+
+@query(
+    "events_attribution",
+    # last-touch attribution: each purchase credits the latest preceding
+    # click/view by the same user within 24h, else 'none'. One window pass,
+    # no join; (ts, event_id) makes the order total in both engines.
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             last_value(CASE WHEN event_type IN ('click', 'view') THEN ts END
+                        IGNORE NULLS) OVER w AS touch_ts,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS) OVER w
+               AS touch_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CASE WHEN touch_ts IS NOT NULL
+                     AND ts - touch_ts <= INTERVAL 24 HOURS
+                THEN touch_type ELSE 'none' END AS attributed,
+           count(*) AS conversions,
+           count(DISTINCT user_id) AS users
+    FROM tagged WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY attributed
+    """,
+)
+def events_attribution(spark, sf_dir):
+    """Marketing-style last-touch attribution: purchases credited to the
+    most recent click/view touch within 24 hours — one window sort per
+    user carries the last touch forward, so there is NO self-join and the
+    whole pass is a single shuffle."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    tagged = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+    ).where(F.col("event_type") == "purchase")
+    attributed = F.when(
+        F.col("touch_ts").isNotNull()
+        & (F.col("ts") <= F.col("touch_ts") + F.expr("INTERVAL 24 HOURS")),
+        F.col("touch_type"),
+    ).otherwise(F.lit("none"))
+    return (
+        tagged.select(attributed.alias("attributed"), "user_id")
+        .groupBy("attributed")
+        .agg(
+            F.count(F.lit(1)).alias("conversions"),
+            F.count_distinct("user_id").alias("users"),
+        )
+        .orderBy("attributed")
+    )
