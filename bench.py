@@ -92,6 +92,7 @@ HEADLINE = [
     "orders_itemsets",
     "events_markov",
     "events_attribution",
+    "events_rolling_median",
 ]
 
 

@@ -992,3 +992,59 @@ def events_attribution(spark, sf_dir):
         )
         .orderBy("attributed")
     )
+
+
+@query(
+    "events_rolling_median",
+    # exact rolling median (x2, to stay integer) of the per-user daily
+    # cents over a 7-day centered ROWS frame: both engines sort the frame
+    # list and sum the two central elements — no interpolation floats
+    oracle="""
+    WITH obs AS (
+      SELECT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS day_cents
+      FROM events GROUP BY 1, 2
+    ), f AS (
+      SELECT u, day,
+             list_sort(list(day_cents) OVER (
+               PARTITION BY u ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS frame
+      FROM obs
+    )
+    SELECT u AS user_id, day,
+           CAST(frame[(len(frame) + 1) // 2]
+                + frame[(len(frame) + 2) // 2] AS BIGINT) AS median_x2,
+           CAST(len(frame) AS INTEGER) AS frame_n
+    FROM f
+    ORDER BY user_id, day
+    """,
+)
+def events_rolling_median(spark, sf_dir):
+    """Exact rolling median of daily spend per user (7-day centered
+    frame), reported as 2x-median so even frames stay integral. The frame
+    collect is bounded at 7 elements per row — O(1) state, one window
+    sort per user; the robust-rolling-statistics shape approx sketches
+    can't replace when exactness is contractual."""
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    obs = (
+        e.select(F.col("user_id").alias("u"), day.alias("day"), cents.alias("c"))
+        .groupBy("u", "day")
+        .agg(F.sum("c").alias("day_cents"))
+    )
+    w = Window.partitionBy("u").orderBy("day").rowsBetween(-3, 3)
+    f = obs.select(
+        "u", "day", F.array_sort(F.collect_list("day_cents").over(w)).alias("frame")
+    )
+    n = F.size("frame")
+    return f.select(
+        F.col("u").alias("user_id"),
+        "day",
+        (
+            F.element_at("frame", ((n + 1) / 2).cast("int"))
+            + F.element_at("frame", ((n + 2) / 2).cast("int"))
+        ).alias("median_x2"),
+        n.alias("frame_n"),
+    ).orderBy("user_id", "day")
