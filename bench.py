@@ -93,6 +93,7 @@ HEADLINE = [
     "events_markov",
     "events_attribution",
     "events_rolling_median",
+    "text_novelty",
 ]
 
 

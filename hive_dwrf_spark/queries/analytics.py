@@ -1048,3 +1048,112 @@ def events_rolling_median(spark, sf_dir):
         ).alias("median_x2"),
         n.alias("frame_n"),
     ).orderBy("user_id", "day")
+
+
+@query(
+    "text_novelty",
+    # per-doc novelty: fraction (ppm) of its 8-grams whose FIRST occurrence
+    # (min doc_id) is this doc — the corpus-diversity / memorization-risk
+    # report. Duplicate grams within a doc count each occurrence, exactly
+    # as the Spark plan does.
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             array_to_string(ws[i:i+7], ' ') AS gram
+      FROM w, UNNEST(range(1, greatest(len(ws) - 6, 1))) AS t(i)
+      WHERE len(ws) >= 8
+    ), first AS (
+      SELECT gram, min(doc_id) AS first_id FROM g GROUP BY gram
+    )
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           count(*) FILTER (WHERE f.first_id = g.doc_id) AS n_novel,
+           CAST((count(*) FILTER (WHERE f.first_id = g.doc_id) * 1000000)
+                // count(*) AS BIGINT) AS novelty_ppm
+    FROM g JOIN first f USING (gram)
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+)
+def text_novelty(spark, sf_dir):
+    """Corpus novelty report: for every document, the ppm fraction of its
+    8-grams that first appear (by min doc_id) in that document. The
+    first-occurrence table is one combinable min aggregate keyed by gram;
+    hot boilerplate grams stay scalar rows, never collected lists."""
+    d = load(spark, sf_dir, "documents")
+    g = text.word_ngrams(d, "text", "doc_id", n=8)
+    first = g.groupBy("gram").agg(F.min("doc_id").alias("first_id"))
+    novel = F.count(F.when(F.col("first_id") == F.col("doc_id"), 1))
+    return (
+        g.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.alias("n_novel"),
+            F.expr(
+                "(count(CASE WHEN first_id = doc_id THEN 1 END) * 1000000)"
+                " DIV count(1)"
+            ).alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "events_cohort_ltv",
+    # cumulative revenue (integer cents) per signup-week cohort across
+    # week offsets — the LTV curve; offsets are exact multiples of 7 days
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+      FROM events GROUP BY user_id
+    ), rev AS (
+      SELECT c.cw,
+             CAST(date_diff('day', c.cw,
+                            CAST(date_trunc('week', e.ts) AS DATE)) / 7
+                  AS BIGINT) AS wk,
+             CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events e JOIN cohort c ON e.user_id = c.user_id
+      GROUP BY 1, 2
+    )
+    SELECT cw AS cohort_week, wk AS week_offset,
+           CAST(sum(cents) OVER (PARTITION BY cw ORDER BY wk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_cents
+    FROM rev
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def events_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curve: cumulative integer-cent revenue by signup-week
+    cohort and week offset. One combinable aggregate plus a prefix sum
+    over the tiny cohort x offset frame."""
+    e = load(spark, sf_dir, "events")
+    cw = F.date_trunc("week", F.col("ts")).cast("date")
+    cohort = e.groupBy("user_id").agg(
+        F.min(cw).alias("cw")
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    rev = (
+        e.join(cohort, "user_id")
+        .groupBy(
+            "cw",
+            (F.datediff(cw, F.col("cw")) / 7).cast("bigint").alias("wk"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cw")
+        .orderBy("wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.select(
+        F.col("cw").alias("cohort_week"),
+        F.col("wk").alias("week_offset"),
+        F.sum("cents").over(w).alias("cum_cents"),
+    ).orderBy("cohort_week", "week_offset")
