@@ -373,9 +373,11 @@ def semantic_decontaminate(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
     )
-    sim = _dot(F.col("cv"), F.col("pv")) / (
-        F.sqrt(_dot(F.col("cv"), F.col("cv"))) * F.col("pn")
-    )
+    # corpus norm projected ONCE per row before the probe fan-out: without
+    # this, sqrt(dot(cv,cv)) would be re-evaluated for every (row, probe)
+    # pair — |probes| redundant dot products per corpus row
+    c = c.select(id_col, "cv", F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cn"))
+    sim = _dot(F.col("cv"), F.col("pv")) / (F.col("cn") * F.col("pn"))
     contaminated = (
         c.join(F.broadcast(p))
         .select(id_col, F.round(sim, 6).alias("cos"))

@@ -1086,11 +1086,13 @@ def text_novelty(spark, sf_dir):
     hot boilerplate grams stay scalar rows, never collected lists."""
     d = load(spark, sf_dir, "documents")
     g = text.word_ngrams(d, "text", "doc_id", n=8)
-    first = g.groupBy("gram").agg(F.min("doc_id").alias("first_id"))
+    # first-occurrence via ONE gram-keyed window instead of groupBy + join
+    # back (two shuffles of the gram stream -> one)
+    first_w = Window.partitionBy("gram")
+    g = g.withColumn("first_id", F.min("doc_id").over(first_w))
     novel = F.count(F.when(F.col("first_id") == F.col("doc_id"), 1))
     return (
-        g.join(first, "gram")
-        .groupBy("doc_id")
+        g.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             novel.alias("n_novel"),
