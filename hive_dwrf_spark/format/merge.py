@@ -43,7 +43,9 @@ def merge_files(paths: list[str], out_path: str) -> None:
         row_count = 0
         raw_size = 0
 
-        with open(out_path, "wb") as out:
+        from .fs import get_fs
+
+        with get_fs().open(out_path, "wb") as out:
             out.write(MAGIC)
             pos = len(MAGIC)
             for idx, r in enumerate(readers):

@@ -482,8 +482,19 @@ class DwrfFile:
     """Random-access DWRF file reader."""
 
     def __init__(self, path: str):
+        from .fs import get_fs
+
         self.path = path
-        self._f = open(path, "rb")
+        self._f = get_fs().open(path, "rb")
+        try:
+            # local files: positional os.pread, safe under the stripe pool
+            self._fileno = self._f.fileno()
+        except (AttributeError, OSError):
+            # non-local file-likes (fsspec objects): seek+read under a lock
+            import threading
+
+            self._fileno = None
+            self._read_lock = threading.Lock()
         self._f.seek(0, 2)
         self.file_length = self._f.tell()
         tail_len = min(self.file_length, 64 * 1024)
@@ -536,7 +547,11 @@ class DwrfFile:
     def _read_at(self, offset: int, length: int) -> bytes:
         # positional read: no shared seek cursor, safe under the stripe
         # thread pool in read()
-        return os.pread(self._f.fileno(), length, offset)
+        if self._fileno is not None:
+            return os.pread(self._fileno, length, offset)
+        with self._read_lock:
+            self._f.seek(offset)
+            return self._f.read(length)
 
     def close(self):
         self._f.close()

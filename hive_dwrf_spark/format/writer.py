@@ -594,7 +594,12 @@ class DwrfWriter:
         if isinstance(union_columns, str):
             union_columns = {c for c in union_columns.split(",") if c}
         self._own_file = isinstance(sink, str)
-        self._f = open(sink, "wb") if self._own_file else sink
+        if self._own_file:
+            from .fs import get_fs
+
+            self._f = get_fs().open(sink, "wb")
+        else:
+            self._f = sink
         self.schema = schema
         self.types = schema_to_type_tree(schema, union_columns)
         self.compression = compression

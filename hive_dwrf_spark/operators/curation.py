@@ -113,9 +113,11 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
             F.sum(F.isnull(d).cast("bigint")).alias(f"{c}__nulls"),
             F.min(d).alias(f"{c}__min"),
             F.max(d).alias(f"{c}__max"),
-            # per-value round then exact decimal sum: order-independent,
-            # so partial-aggregation order can't drift from any replayer
-            F.sum(F.round(d, 4).cast("decimal(18,4)")).alias(f"{c}__sum"),
+            # per-value fixed-point units (floor(x*1e4+0.5) is the same
+            # IEEE-754 expression in every engine — no rounding-tie
+            # divergence) then an exact BIGINT sum: order-independent AND
+            # engine-identical, so any replayer reproduces it bit-for-bit
+            F.sum(F.floor(d * 10000 + 0.5)).alias(f"{c}__sum"),
         ]
     one = df.agg(*aggs)
     stack_args = ", ".join(
@@ -181,9 +183,16 @@ def dataset_diff(
     (bucketed or storage-partitioned join). One join + one 4-row
     aggregate; hash-deterministic, so the diff itself is replayable."""
     def fp(df: DataFrame) -> DataFrame:
+        # null-sentinel each column before concatenation: concat_ws skips
+        # NULLs, so ('a', NULL, 'b') and ('a', 'b', NULL) would otherwise
+        # hash identically and be misclassified as 'same'
+        sentineled = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00<NULL>"))
+            for c in payload_cols
+        ]
         return df.select(
             F.col(key_col).alias("k"),
-            F.md5(F.concat_ws("\x1f", *payload_cols)).alias("h"),
+            F.md5(F.concat_ws("\x1f", *sentineled)).alias("h"),
         )
     a, b = fp(v1).alias("a"), fp(v2).alias("b")
     joined = a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")

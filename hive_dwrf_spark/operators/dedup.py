@@ -288,46 +288,84 @@ def cosine_pairs_lsh(
     vec_col: str,
     id_col: str,
     threshold: float,
-    n_planes: int = 4,
+    bands: int = 4,
+    planes_per_band: int = 8,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
-    """Embedding near-dup pairs via the LSH scale path: random-hyperplane
-    buckets (similarity.lsh_buckets) -> in-bucket exact cosine verify.
+    """Embedding near-dup pairs via the banded LSH scale path:
+    per-band random-hyperplane buckets (similarity.lsh_band_buckets) ->
+    in-band bucket pairing -> exact cosine verify on candidates.
 
-    This is the 100 TB form of embedding_cosine_pairs: the all-pairs join
-    becomes an equi-join on the bucket key (one shuffle, candidates only
-    within buckets), with the exact verifier applied to candidates. LSH
-    recall is the documented trade: a pair above threshold is found only
-    if its vectors share a bucket (probability (1 - theta/pi)^n_planes);
-    fewer planes -> higher recall, fatter buckets."""
-    from .similarity import lsh_buckets
+    This is the 100 TB form of embedding_cosine_pairs, with the same three
+    guards as the MinHash path (lsh_candidate_pairs):
+    - BANDED amplification: candidates = pairs colliding in ANY of `bands`
+      independent 2^planes_per_band-bucket hashes, so recall concentrates
+      on high-cosine pairs (1 - (1 - p^k)^B) while each band's buckets stay
+      selective — no single 16-bucket hash whose fattest bucket goes
+      quadratic.
+    - `max_bucket` cap: a (band, bucket) group larger than this is skipped
+      (k ids -> k*(k-1)/2 pairs; vectors that dense still pair through
+      their other bands). Bounds the worst collect_list group.
+    - per-side norms projected ONCE before the verify join — never
+      recomputed per pair (|bucket| redundant dot products per vector
+      otherwise).
+    The projected (id, v, norm, bands) table is persisted: it feeds the
+    banding pass and both verify-join sides, ~600 B/vector at dim 64."""
+    from pyspark import StorageLevel
 
-    b = lsh_buckets(df, vec_col, id_col, n_planes=n_planes)
+    from .similarity import _dot, lsh_band_buckets
+
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    b = b.select(F.col(id_col), v.alias("v"), "lsh_bucket")
-    a1 = b.select(
-        F.col(id_col).alias("id1"), F.col("v").alias("v1"), "lsh_bucket"
-    )
-    a2 = b.select(
-        F.col(id_col).alias("id2"), F.col("v").alias("v2"), "lsh_bucket"
-    )
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q),
-            F.lit(0.0),
-            lambda acc, z: acc + z,
+    base = (
+        lsh_band_buckets(
+            df.select(F.col(id_col), v.alias("v")),
+            "v",
+            bands=bands,
+            planes_per_band=planes_per_band,
         )
-
+        .withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    banded = base.select(
+        F.col(id_col), F.posexplode("lsh_bands").alias("band", "bucket")
+    )
+    # group-then-explode (one shuffle on (band, bucket), pairs materialize
+    # JVM-side) — same shape as lsh_candidate_pairs; sorted ids keep
+    # id1 < id2 without a filter
+    grp = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= F.lit(max_bucket)))
+    )
+    pairs = (
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS id1, y AS id2))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id1", "p.id2")
+        .distinct()
+    )
+    s1 = base.select(
+        F.col(id_col).alias("id1"),
+        F.col("v").alias("v1"),
+        F.col("norm").alias("n1"),
+    )
+    s2 = base.select(
+        F.col(id_col).alias("id2"),
+        F.col("v").alias("v2"),
+        F.col("norm").alias("n2"),
+    )
     return (
-        a1.join(a2, "lsh_bucket")
-        .filter(F.col("id1") < F.col("id2"))
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
         .withColumn(
             "cosine",
-            F.round(
-                dot("v1", "v2")
-                / (F.sqrt(dot("v1", "v1")) * F.sqrt(dot("v2", "v2"))),
-                6,
-            ),
+            F.round(_dot("v1", "v2") / (F.col("n1") * F.col("n2")), 6),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")

@@ -112,7 +112,7 @@ def value_histogram(
     engines and between partitionings). Single map-side-combinable
     aggregate; output is bounded by the value domain."""
     bucket = F.floor(F.col(value_col) / F.lit(width)).cast("bigint")
-    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    cents = F.floor(F.col(value_col) * 100 + 0.5).cast("bigint")
     return (
         df.groupBy(bucket.alias("bucket"))
         .agg(
@@ -140,7 +140,7 @@ def zscore_outliers(
     (2) broadcast the tiny stats back and flag |z| > threshold as a pure
     projection. No window over the fact table — per-group sort is what
     kills a naive implementation at scale. Population std (divide by n)."""
-    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    cents = F.floor(F.col(value_col) * 100 + 0.5).cast("bigint")
     stats = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(cents).alias("__s"),
@@ -193,7 +193,7 @@ def sliding_time_aggregate(
         .orderBy(micros)
         .rangeBetween(-window_seconds * 1_000_000, 0)
     )
-    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    cents = F.floor(F.col(value_col) * 100 + 0.5).cast("bigint")
     return df.withColumn("n_window", F.count(F.lit(1)).over(w)).withColumn(
         "sum_cents_window", F.sum(cents).over(w)
     )
@@ -289,7 +289,7 @@ def gap_fill_daily(
     integer cents so the fill is float-order independent.
     """
     day = F.date_trunc("day", F.col(ts_col)).cast("date")
-    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    cents = F.floor(F.col(value_col) * 100 + 0.5).cast("bigint")
     observed = (
         events.select(F.col(user_col).alias("u"), day.alias("day"), cents.alias("c"))
         .groupBy("u", "day")
@@ -333,7 +333,7 @@ def gap_fill_interpolate(
     combinable daily aggregate — plus two window passes per user (one
     forward for the previous observation, one backward for the next)."""
     day = F.date_trunc("day", F.col(ts_col)).cast("date")
-    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    cents = F.floor(F.col(value_col) * 100 + 0.5).cast("bigint")
     observed = (
         events.select(F.col(user_col).alias("u"), day.alias("day"), cents.alias("c"))
         .groupBy("u", "day")
@@ -391,7 +391,7 @@ def cusum_changepoint(
     One window sort per group computes the prefix sums; the argmax is a
     rank-1 filter. State per group is O(1); ties break on the earliest
     index so the answer is deterministic."""
-    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    cents = F.floor(F.col(value_col) * 100 + 0.5).cast("bigint")
     w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
     wall = Window.partitionBy(key_col)
     scored = events.select(
@@ -407,8 +407,12 @@ def cusum_changepoint(
         key_col,
         "cp_ts",
         "i",
+        # the cross-multiplied statistic in decimal(38,0): at 100 TB scale
+        # (n ~ 1e10 rows, prefix sums ~ 1e15 cents) n*s_i exceeds int64 and
+        # non-ANSI Spark would wrap silently, corrupting the argmax
         F.abs(
-            F.col("n") * F.col("s_i") - F.col("i") * F.col("s_n")
+            F.col("n").cast("decimal(38,0)") * F.col("s_i").cast("decimal(38,0)")
+            - F.col("i").cast("decimal(38,0)") * F.col("s_n").cast("decimal(38,0)")
         ).alias("d_stat"),
     )
     pick = Window.partitionBy(key_col).orderBy(

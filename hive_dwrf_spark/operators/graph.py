@@ -71,13 +71,21 @@ def pagerank_fixed_point(
     consumer, so nothing recomputes).
     """
     base = (100 - damping_pct) * scale // 100
-    # the edge list is read every iteration (plus once for degrees): persist
-    # it so the upstream edge-construction join runs exactly once — ~16 B
-    # per directed edge, MEMORY_AND_DISK so a 100 TB-derived graph spills
-    # instead of recomputing
-    sym = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    # the edge list is read every iteration (plus once for degrees):
+    # hash-partition it on src ONCE and persist — the cached partitioning
+    # satisfies both the degree aggregate and every per-iteration join's
+    # distribution requirement, so each round shuffles only the (small)
+    # rank state, never the edges. ~16 B per directed edge,
+    # MEMORY_AND_DISK so a 100 TB-derived graph spills instead of
+    # recomputing
+    sym = (
+        edges.select("src", "dst")
+        .union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition("src")
+        .persist()
+    )
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     state = deg.select(
         F.col("src").alias("node"),
@@ -102,4 +110,12 @@ def pagerank_fixed_point(
         )
         if (it + 1) % checkpoint_interval == 0 and it + 1 < iterations:
             state = state.localCheckpoint(eager=True)
-    return state.select("node", F.col("r").alias("rank_fp"))
+    # materialize the (small) final state eagerly so the cached edge list
+    # and degree table can be released here — repeated calls in one session
+    # must not accumulate MEMORY_AND_DISK partitions with no release path
+    result = state.select("node", F.col("r").alias("rank_fp")).localCheckpoint(
+        eager=True
+    )
+    sym.unpersist()
+    deg.unpersist()
+    return result

@@ -15,7 +15,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType
 
 _SEED = 20240813
 
@@ -149,6 +149,56 @@ def lsh_buckets(
         return pd.Series(out)
 
     return df.withColumn("lsh_bucket", bucket(F.col(vec_col)))
+
+
+def lsh_band_buckets(
+    df: DataFrame,
+    vec_col: str,
+    bands: int = 4,
+    planes_per_band: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Banded random-hyperplane LSH: `bands` INDEPENDENT sign-bit bucket
+    keys per vector (`planes_per_band` bits each, distinct seeded planes
+    per band). Two vectors are candidates if they collide in ANY band —
+    P(candidate) = 1 - (1 - p^k)^B with p = 1 - theta/pi — the standard
+    amplification that favors high-similarity pairs while each per-band
+    bucket stays 2^k-way selective, so one hot bucket in one band cannot
+    swallow the corpus the way a single low-bit hash can.
+
+    Same bit-reproducibility discipline as lsh_buckets: seeded plane
+    matrix, left-to-right accumulation over dimensions, so a SQL oracle
+    replays every sign decision exactly. Band b uses plane rows
+    [b*k, (b+1)*k) of RandomState(_SEED).standard_normal((B*k, dim))."""
+    rng = np.random.RandomState(_SEED)
+    planes = rng.standard_normal((bands * planes_per_band, dim))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def bucket_bands(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(
+            [
+                np.asarray(v, dtype=np.float64)
+                if v is not None
+                else np.zeros(dim)
+                for v in vecs
+            ]
+        )
+        acc = np.zeros((len(mat), bands * planes_per_band))
+        for d in range(dim):
+            acc += mat[:, d, None] * planes.T[d]
+        signs = (acc > 0).astype(np.int64)  # (batch, B*k)
+        w = 1 << np.arange(planes_per_band)
+        out = np.stack(
+            [
+                (signs[:, b * planes_per_band : (b + 1) * planes_per_band] * w)
+                .sum(axis=1)
+                for b in range(bands)
+            ],
+            axis=1,
+        )
+        return pd.Series(list(out))
+
+    return df.withColumn("lsh_bands", bucket_bands(F.col(vec_col)))
 
 
 def ann_topk(

@@ -128,7 +128,7 @@ def events_retention(spark, sf_dir):
            (CAST(floor(value / 50.0) AS BIGINT) + 1) * CAST(50.0 AS DOUBLE)
              AS hi,
            count(*) AS n_events,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM events
     GROUP BY 1
     ORDER BY bucket
@@ -147,9 +147,9 @@ def events_histogram(spark, sf_dir):
     oracle="""
     WITH stats AS (
       SELECT event_type, count(*) AS n,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)
-                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s2
       FROM events GROUP BY event_type
     ), st AS (
       SELECT event_type,
@@ -159,10 +159,10 @@ def events_histogram(spark, sf_dir):
       FROM stats
     )
     SELECT e.event_id, e.event_type,
-           round((CAST(round(e.value * 100) AS BIGINT) - st.mean) / st.std, 4)
+           round((CAST(floor(e.value * 100 + 0.5) AS BIGINT) - st.mean) / st.std, 4)
              AS z
     FROM events e JOIN st ON e.event_type = st.event_type
-    WHERE abs((CAST(round(e.value * 100) AS BIGINT) - st.mean) / st.std) > 2.5
+    WHERE abs((CAST(floor(e.value * 100 + 0.5) AS BIGINT) - st.mean) / st.std) > 2.5
     ORDER BY event_id
     """,
 )
@@ -211,7 +211,7 @@ def pipeline_scd2(spark, sf_dir):
     oracle="""
     SELECT event_id,
            count(*) OVER w AS n_window,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
              AS sum_cents_window
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -489,7 +489,7 @@ def sample_temperature(spark, sf_dir):
     oracle="""
     WITH obs AS (
       SELECT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS day,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS day_cents
       FROM events GROUP BY 1, 2
     ), span AS (
@@ -716,7 +716,7 @@ def pipeline_dataset_diff(spark, sf_dir):
     oracle="""
     WITH obs AS (
       SELECT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS day,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS day_cents
       FROM events GROUP BY 1, 2
     ), span AS (
@@ -766,11 +766,11 @@ def events_gap_interpolate(spark, sf_dir):
     WITH s AS (
       SELECT event_type, ts AS cp_ts,
              CAST(row_number() OVER w AS BIGINT) AS i,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
                PARTITION BY event_type ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS BIGINT) AS s_i,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
                PARTITION BY event_type) AS BIGINT) AS s_n,
              count(*) OVER (PARTITION BY event_type) AS n
       FROM events
@@ -791,9 +791,20 @@ def events_gap_interpolate(spark, sf_dir):
 def events_changepoint(spark, sf_dir):
     """Per-event-type CUSUM changepoint: the time index maximizing the
     integer cumulative-sum deviation statistic — one window sort per
-    group, O(1) state, bit-exact."""
+    group, O(1) state, bit-exact. The operator computes d_stat in
+    decimal(38,0) (overflow-safe at 100 TB); the bigint cast here is
+    display-only and safe at test scale."""
     e = load(spark, sf_dir, "events")
-    return events.cusum_changepoint(e).orderBy("event_type")
+    return (
+        events.cusum_changepoint(e)
+        .select(
+            "event_type",
+            "cp_index",
+            "cp_ts",
+            F.col("d_stat").cast("bigint").alias("d_stat"),
+        )
+        .orderBy("event_type")
+    )
 
 
 @query(
@@ -891,7 +902,7 @@ def events_markov(spark, sf_dir):
     oracle="""
     WITH rev AS (
       SELECT r.r_name AS region, n.n_name AS nation,
-             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
                   AS BIGINT) AS cents
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
@@ -908,15 +919,17 @@ def events_markov(spark, sf_dir):
 )
 def q44_ratio_to_parent(spark, sf_dir):
     """Ratio-to-parent analytic: each nation's exact ppm share of its
-    region's revenue. Dims broadcast; one combinable aggregate + one
-    small window over the 25-row result."""
+    region's revenue. Fixed dims (nation/region) broadcast; customer GROWS
+    with scale factor (150k rows/sf), so no forced broadcast there — AQE
+    picks broadcast vs shuffle join by actual size. One combinable
+    aggregate + one small window over the 25-row result."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
     rev = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
@@ -1002,7 +1015,7 @@ def events_attribution(spark, sf_dir):
     oracle="""
     WITH obs AS (
       SELECT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS day,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS day_cents
       FROM events GROUP BY 1, 2
     ), f AS (
@@ -1028,7 +1041,7 @@ def events_rolling_median(spark, sf_dir):
     can't replace when exactness is contractual."""
     e = load(spark, sf_dir, "events")
     day = F.date_trunc("day", F.col("ts")).cast("date")
-    cents = F.round(F.col("value") * 100).cast("bigint")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
     obs = (
         e.select(F.col("user_id").alias("u"), day.alias("day"), cents.alias("c"))
         .groupBy("u", "day")
@@ -1081,24 +1094,33 @@ def events_rolling_median(spark, sf_dir):
 )
 def text_novelty(spark, sf_dir):
     """Corpus novelty report: for every document, the ppm fraction of its
-    8-grams that first appear (by min doc_id) in that document. The
-    first-occurrence table is one combinable min aggregate keyed by gram;
-    hot boilerplate grams stay scalar rows, never collected lists."""
+    8-grams that first appear (by min doc_id) in that document.
+
+    Skew-safe shape: NO gram-partitioned window (a hot boilerplate gram
+    would put all its occurrences in one task). Instead the gram stream is
+    pre-aggregated to (doc_id, gram, cnt) — map-side combinable — the
+    first-occurrence table is a combinable min keyed by gram, and the two
+    meet in an equi-join on gram that AQE's skew-join splits if a gram is
+    hot. Every aggregate here has a partial stage; no key ever pins a
+    whole task."""
     d = load(spark, sf_dir, "documents")
     g = text.word_ngrams(d, "text", "doc_id", n=8)
-    # first-occurrence via ONE gram-keyed window instead of groupBy + join
-    # back (two shuffles of the gram stream -> one)
-    first_w = Window.partitionBy("gram")
-    g = g.withColumn("first_id", F.min("doc_id").over(first_w))
-    novel = F.count(F.when(F.col("first_id") == F.col("doc_id"), 1))
+    per_doc = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    first = per_doc.groupBy("gram").agg(F.min("doc_id").alias("first_id"))
+    novel_cnt = F.sum(
+        F.when(F.col("first_id") == F.col("doc_id"), F.col("cnt")).otherwise(
+            F.lit(0)
+        )
+    )
     return (
-        g.groupBy("doc_id")
+        per_doc.join(first, "gram")
+        .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            novel.alias("n_novel"),
+            F.sum("cnt").alias("n_grams"),
+            novel_cnt.alias("n_novel"),
             F.expr(
-                "(count(CASE WHEN first_id = doc_id THEN 1 END) * 1000000)"
-                " DIV count(1)"
+                "(sum(CASE WHEN first_id = doc_id THEN cnt ELSE 0 END)"
+                " * 1000000) DIV sum(cnt)"
             ).alias("novelty_ppm"),
         )
         .orderBy("doc_id")
@@ -1118,7 +1140,7 @@ def text_novelty(spark, sf_dir):
              CAST(date_diff('day', c.cw,
                             CAST(date_trunc('week', e.ts) AS DATE)) / 7
                   AS BIGINT) AS wk,
-             CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS cents
       FROM events e JOIN cohort c ON e.user_id = c.user_id
       GROUP BY 1, 2
@@ -1140,7 +1162,7 @@ def events_cohort_ltv(spark, sf_dir):
     cohort = e.groupBy("user_id").agg(
         F.min(cw).alias("cw")
     )
-    cents = F.round(F.col("value") * 100).cast("bigint")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
     rev = (
         e.join(cohort, "user_id")
         .groupBy(

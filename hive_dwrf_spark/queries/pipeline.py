@@ -558,28 +558,32 @@ _CURATE_THRESHOLD = int(0.5 * float(1 << 64))
 @query(
     "pipeline_profile",
     # per-column data-quality profile as one aggregate pass, unpivoted;
-    # sums are per-value-rounded exact decimals, so Spark's partial-agg
-    # order can never drift from the oracle
+    # sums are per-value fixed-point BIGINT units (floor(x*1e4+0.5) is the
+    # same IEEE-754 expression in Spark and DuckDB) so partial-agg order
+    # AND engine rounding-tie behavior can never drift from the oracle
     oracle="""
     SELECT 'l_quantity' AS col_name, count(*) AS n,
            sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_nulls,
            min(CAST(l_quantity AS DOUBLE)) AS min_v,
            max(CAST(l_quantity AS DOUBLE)) AS max_v,
-           sum(CAST(round(l_quantity, 4) AS DECIMAL(18,4))) AS sum_v
+           CAST(sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_v
     FROM lineitem
     UNION ALL
     SELECT 'l_extendedprice', count(*),
            sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
            min(CAST(l_extendedprice AS DOUBLE)),
            max(CAST(l_extendedprice AS DOUBLE)),
-           sum(CAST(round(l_extendedprice, 4) AS DECIMAL(18,4)))
+           CAST(sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT))
+                AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT 'l_discount', count(*),
            sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
            min(CAST(l_discount AS DOUBLE)),
            max(CAST(l_discount AS DOUBLE)),
-           sum(CAST(round(l_discount, 4) AS DECIMAL(18,4)))
+           CAST(sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT))
+                AS BIGINT)
     FROM lineitem
     ORDER BY col_name
     """,
@@ -838,19 +842,74 @@ def sim_ann(spark, sf_dir):
     return similarity.ann_topk(e, "embedding", "vec_id", _query_vector(spark, sf_dir), 10)
 
 
+def _banded_bucket_sql(
+    bands: int = 4, planes_per_band: int = 8, dim: int = 64
+) -> list[str]:
+    """DuckDB replay of similarity.lsh_band_buckets: one sign-bit bucket
+    expression per band over a DOUBLE[] column ``v``; band b uses plane
+    rows [b*k, (b+1)*k) of the same seeded matrix, term order matching the
+    UDF's left-to-right accumulation so every sign decision is
+    bit-identical."""
+    import numpy as np
+
+    planes = np.random.RandomState(20240813).standard_normal(
+        (bands * planes_per_band, dim)
+    )
+    out = []
+    for b in range(bands):
+        parts = []
+        for p in range(planes_per_band):
+            row = b * planes_per_band + p
+            proj = " + ".join(
+                f"v[{d + 1}] * ({planes[row, d]!r})" for d in range(dim)
+            )
+            parts.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END)")
+        out.append("\n       + ".join(parts))
+    return out
+
+
+def _cosine_lsh_pairs_cte(
+    bands: int = 4, planes_per_band: int = 8, max_bucket: int = 10_000
+) -> str:
+    """Shared oracle CTE chain replaying cosine_pairs_lsh's candidate
+    generation: banded buckets -> per-(band,bucket) size cap -> distinct
+    in-bucket id pairs. Ends with a CTE named `cand(id1, id2)`."""
+    bexprs = _banded_bucket_sql(bands, planes_per_band)
+    selects = ",\n             ".join(
+        f"{e} AS b{i}" for i, e in enumerate(bexprs)
+    )
+    banded_union = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {i} AS band, b{i} AS bucket FROM bucketed"
+        for i in range(bands)
+    )
+    return f"""bucketed AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {selects}
+      FROM embeddings
+    ), banded AS (
+      {banded_union}
+    ), sized AS (
+      SELECT band, bucket, count(*) AS n FROM banded GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.vec_id < b.vec_id
+      JOIN sized s ON s.band = a.band AND s.bucket = a.bucket
+      WHERE s.n <= {max_bucket}
+    )"""
+
+
 def _cosine_lsh_oracle() -> str:
     return f"""
-    WITH bucketed AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-             {_ann_bucket_sql(n_planes=4)} AS bucket
-      FROM embeddings
-    )
-    SELECT a.vec_id AS id1, b.vec_id AS id2,
+    WITH {_cosine_lsh_pairs_cte()}
+    SELECT c.id1, c.id2,
            round(list_dot_product(a.v, b.v)
                  / (sqrt(list_dot_product(a.v, a.v))
                     * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-    FROM bucketed a JOIN bucketed b
-      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    FROM cand c
+    JOIN bucketed a ON a.vec_id = c.id1
+    JOIN bucketed b ON b.vec_id = c.id2
     WHERE round(list_dot_product(a.v, b.v)
                 / (sqrt(list_dot_product(a.v, a.v))
                    * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
@@ -861,12 +920,13 @@ def _cosine_lsh_oracle() -> str:
 @query("dedup_cosine_lsh", oracle=_cosine_lsh_oracle())
 def dedup_cosine_lsh(spark, sf_dir):
     """The 100 TB form of dedup_cosine (operators/dedup.py::
-    cosine_pairs_lsh): bucket equi-join instead of all-pairs, exact cosine
-    verify inside buckets; the oracle replays the seeded hyperplane
-    projections and the same in-bucket candidate set."""
+    cosine_pairs_lsh): banded bucket pairing instead of all-pairs, size-
+    capped buckets, norms projected once, exact cosine verify on
+    candidates; the oracle replays the seeded per-band hyperplane
+    projections, the bucket cap, and the same candidate set."""
     e = load(spark, sf_dir, "embeddings")
     return dedup.cosine_pairs_lsh(
-        e, "embedding", "vec_id", threshold=0.3, n_planes=4
+        e, "embedding", "vec_id", threshold=0.3
     ).orderBy("id1", "id2")
 
 
@@ -1930,18 +1990,16 @@ def sketch_hll_merge(spark, sf_dir):
 
 @query(
     "dedup_semantic",
-    # SemDeDup-shaped resolution over embeddings: LSH-bucketed cosine
+    # SemDeDup-shaped resolution over embeddings: banded-LSH cosine
     # pairs -> connected components -> keep each cluster's min-id vector;
-    # the oracle replays buckets, pairs, and clusters in one recursive CTE
+    # the oracle replays buckets, cap, pairs, and clusters in one
+    # recursive CTE
     oracle=f"""
-    WITH RECURSIVE bucketed AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-             {_ann_bucket_sql(n_planes=6)} AS bucket
-      FROM embeddings
-    ), edges AS (
-      SELECT a.vec_id AS id1, b.vec_id AS id2
-      FROM bucketed a JOIN bucketed b
-        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WITH RECURSIVE {_cosine_lsh_pairs_cte()}, edges AS (
+      SELECT c.id1, c.id2
+      FROM cand c
+      JOIN bucketed a ON a.vec_id = c.id1
+      JOIN bucketed b ON b.vec_id = c.id2
       WHERE round(list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v))
                      * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
@@ -1964,14 +2022,12 @@ def sketch_hll_merge(spark, sf_dir):
 )
 def dedup_semantic(spark, sf_dir):
     """Semantic dedup resolution (SemDeDup shape): near-dup pairs from
-    the LSH-bucketed cosine join (operators/dedup.py::cosine_pairs_lsh),
+    the banded-LSH cosine join (operators/dedup.py::cosine_pairs_lsh),
     clustered with connected components, one canonical vector kept per
     cluster via broadcast anti-join (resolve_duplicates). Zero corpus
-    shuffle beyond the bucket join."""
+    shuffle beyond the bucket-pairing pass."""
     e = load(spark, sf_dir, "embeddings")
-    pairs = dedup.cosine_pairs_lsh(
-        e, "embedding", "vec_id", threshold=0.3, n_planes=6
-    )
+    pairs = dedup.cosine_pairs_lsh(e, "embedding", "vec_id", threshold=0.3)
     return (
         dedup.resolve_duplicates(e, pairs, "vec_id")
         .select("vec_id")

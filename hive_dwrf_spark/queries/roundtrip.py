@@ -105,7 +105,8 @@ def q17(spark, sf_dir):
     oracle="""
     SELECT event_type,
            count(*) AS cnt,
-           sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS sum_value,
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_e4,
            count(DISTINCT user_id) AS users
     FROM events
     GROUP BY event_type
@@ -149,10 +150,12 @@ def streaming_roundtrip(spark, sf_dir):
         back.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            # per-value round then exact decimal sum: order-independent, so
-            # Spark's partial-aggregation order can't drift from the oracle
-            F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)")).alias(
-                "sum_value"
+            # per-value fixed-point conversion (floor(x*1e4+0.5) is the SAME
+            # IEEE-754 double expression in Spark and DuckDB — no BigDecimal
+            # HALF_UP vs double-scaled rounding tie divergence) then an exact
+            # BIGINT sum: order-independent AND engine-identical
+            F.sum(F.floor(F.col("value") * 10000 + 0.5)).alias(
+                "sum_value_e4"
             ),
             F.count_distinct(F.col("user_id")).alias("users"),
         )
@@ -448,7 +451,8 @@ def q43_deep_nested(spark, sf_dir):
     oracle="""
     SELECT event_type,
            count(*) AS cnt,
-           sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS sum_value,
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_e4,
            count(DISTINCT user_id) AS users
     FROM events
     GROUP BY event_type
@@ -508,8 +512,8 @@ def streaming_dedup(spark, sf_dir):
         back.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)")).alias(
-                "sum_value"
+            F.sum(F.floor(F.col("value") * 10000 + 0.5)).alias(
+                "sum_value_e4"
             ),
             F.count_distinct(F.col("user_id")).alias("users"),
         )
@@ -524,7 +528,8 @@ def streaming_dedup(spark, sf_dir):
     oracle="""
     SELECT event_type,
            count(*) AS cnt,
-           sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS sum_value,
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_e4,
            count(DISTINCT user_id) AS users
     FROM events
     GROUP BY event_type
@@ -563,8 +568,8 @@ def format_compact(spark, sf_dir):
         back.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)")).alias(
-                "sum_value"
+            F.sum(F.floor(F.col("value") * 10000 + 0.5)).alias(
+                "sum_value_e4"
             ),
             F.count_distinct(F.col("user_id")).alias("users"),
         )

@@ -69,16 +69,110 @@ from pyspark.sql.types import (
 
 
 def _list_dwrf_files(path: str) -> list[str]:
-    if os.path.isfile(path):
-        return [path]
-    out = []
-    for root, _dirs, files in os.walk(path):
-        for fn in sorted(files):
-            if fn.endswith((".dwrf", ".orc")) and not fn.startswith(("_", ".")):
-                out.append(os.path.join(root, fn))
+    from ..format.fs import get_fs
+
+    out = get_fs().list_files(path, (".dwrf", ".orc"))
     if not out:
         raise FileNotFoundError(f"no .dwrf files under {path}")
     return out
+
+
+# --- driver-side footer plan cache -------------------------------------------
+# Planning (schema() + partitions()) needs only a small footer-derived
+# summary per file: stripe sizes for split packing, top-level column stats
+# for file pruning, and the arrow schema. Parsing a footer costs one tail
+# read + one proto decode; on a 100k-file table that is the dominant
+# planning cost, so summaries are cached keyed by (path, size, mtime) and
+# missing entries are filled by a small thread pool (pread + zlib release
+# the GIL). Spark's own InMemoryFileIndex plays the same role for parquet.
+
+_PLAN_CACHE: "OrderedDict[tuple, _FilePlan]" = None  # type: ignore[assignment]
+_PLAN_CACHE_MAX = 8192
+_PLAN_POOL_WORKERS = 16
+
+
+@dataclass(frozen=True)
+class _FilePlan:
+    stripe_sizes: tuple  # per-stripe byte sizes, in file order
+    stats_by_name: dict  # top-level field name -> ColumnStats (or None)
+    arrow_schema: object  # pyarrow.Schema
+
+
+def _compute_file_plan(path: str):
+    from ..format.reader import DwrfFile
+
+    with DwrfFile(path) as f:
+        sizes = tuple(
+            (s.indexLength or 0) + (s.dataLength or 0) + (s.footerLength or 0)
+            for s in f.footer.stripes
+        )
+        root = f.types[0]
+        stats = {}
+        for name, tid in zip(root.fieldNames, root.subtypes):
+            try:
+                stats[name] = f.file_stats(tid)
+            except Exception:  # noqa: BLE001 - stats are advisory
+                stats[name] = None
+        return _FilePlan(sizes, stats, f.schema)
+
+
+def _file_plans(paths: list[str]) -> dict[str, _FilePlan]:
+    """Footer summaries for `paths`, cache-first, cache misses parsed on a
+    thread pool. Returns {path: plan}."""
+    global _PLAN_CACHE
+    from collections import OrderedDict
+
+    from ..format.fs import get_fs
+
+    if _PLAN_CACHE is None:
+        _PLAN_CACHE = OrderedDict()
+    fs = get_fs()
+    plans: dict[str, _FilePlan] = {}
+    missing: list[tuple[str, tuple]] = []
+    for p in paths:
+        key = (p, fs.stat_key(p))
+        hit = _PLAN_CACHE.get(key)
+        if hit is not None:
+            _PLAN_CACHE.move_to_end(key)
+            plans[p] = hit
+        else:
+            missing.append((p, key))
+    if missing:
+        if len(missing) == 1:
+            computed = [_compute_file_plan(missing[0][0])]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            workers = min(_PLAN_POOL_WORKERS, len(missing))
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                computed = list(
+                    ex.map(_compute_file_plan, [p for p, _ in missing])
+                )
+        for (p, key), plan in zip(missing, computed):
+            plans[p] = plan
+            _PLAN_CACHE[key] = plan
+        while len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
+            _PLAN_CACHE.popitem(last=False)
+    return plans
+
+
+def _plan_may_match(plan: _FilePlan, filters) -> bool:
+    """File-level stats pruning from the cached footer summary — the same
+    decision as DwrfFile._filter_may_match_stats without reopening the
+    file."""
+    from ..format.reader import _resolve_field, _stats_may_match
+
+    names = list(plan.stats_by_name)
+    for name, op, value in filters:
+        resolved = _resolve_field(name, names)
+        if resolved is None:
+            continue
+        st = plan.stats_by_name.get(resolved)
+        if st is None:
+            continue
+        if not _stats_may_match(st, op, value):
+            return False
+    return True
 
 
 def _arrow_to_spark_type(t):
@@ -318,11 +412,8 @@ class DwrfReader(DataSourceReader):
     def partitions(self):
         import os as _os
 
-        from ..format.reader import DwrfFile
-
-        # pass 1: survivors of directory/footer pruning, with stripe sizes
-        files = []  # (path, part_values, [stripe_bytes...])
-        total_bytes = 0
+        # pass 0: directory pruning needs no footer at all
+        survivors = []  # (path, part_values)
         for path in _list_dwrf_files(self.path):
             part_values = (
                 _partition_values_from_path(self.path, path)
@@ -331,19 +422,19 @@ class DwrfReader(DataSourceReader):
             )
             if part_values and self._partition_pruned(part_values):
                 continue  # directory pruned without opening the file
-            with DwrfFile(path) as f:
-                if self._filters and not f._filter_may_match_stats(
-                    self._filters, lambda tid: f.file_stats(tid)
-                ):
-                    continue  # whole file pruned by footer stats
-                sizes = [
-                    (s.indexLength or 0)
-                    + (s.dataLength or 0)
-                    + (s.footerLength or 0)
-                    for s in f.footer.stripes
-                ]
-            files.append((path, part_values, sizes))
-            total_bytes += sum(sizes)
+            survivors.append((path, part_values))
+
+        # pass 1: footer summaries (cache-first, thread-pool parsed) for
+        # footer-stats pruning + stripe sizes
+        plans = _file_plans([p for p, _ in survivors])
+        files = []  # (path, part_values, [stripe_bytes...])
+        total_bytes = 0
+        for path, part_values in survivors:
+            plan = plans[path]
+            if self._filters and not _plan_may_match(plan, self._filters):
+                continue  # whole file pruned by footer stats
+            files.append((path, part_values, list(plan.stripe_sizes)))
+            total_bytes += sum(plan.stripe_sizes)
 
         # Spark's file-split formula: splits big enough to amortize task
         # overhead, small enough to keep `parallelism` tasks busy
@@ -646,8 +737,6 @@ class DwrfDataSource(DataSource):
         return "dwrf"
 
     def schema(self):
-        from ..format.reader import DwrfFile
-
         path = self.options.get("path")
         if not path:
             raise ValueError("dwrf source requires a path")
@@ -661,24 +750,26 @@ class DwrfDataSource(DataSource):
         seen: dict[str, StructField] = {}
         # without mergeSchema the first footer defines the schema (cheap —
         # O(1) footers); with it, union fields by name across every footer
-        # in first-seen order, requiring type agreement. Planning stays
-        # O(footers), the same bound as partitions().
+        # in first-seen order, requiring type agreement. Footer summaries
+        # come from the shared plan cache, so the partitions() call that
+        # follows re-parses nothing.
+        plans = _file_plans(files if merge else files[:1])
         for fp in files if merge else files[:1]:
-            with DwrfFile(fp) as f:
-                for i in range(len(f.schema)):
-                    fld = StructField(
-                        f.schema.field(i).name,
-                        _arrow_to_spark_type(f.schema.field(i).type),
+            aschema = plans[fp].arrow_schema
+            for i in range(len(aschema)):
+                fld = StructField(
+                    aschema.field(i).name,
+                    _arrow_to_spark_type(aschema.field(i).type),
+                )
+                prev = seen.get(fld.name.lower())
+                if prev is None:
+                    seen[fld.name.lower()] = fld
+                    fields.append(fld)
+                elif prev.dataType != fld.dataType:
+                    raise ValueError(
+                        f"mergeSchema type conflict for {fld.name!r}: "
+                        f"{prev.dataType} vs {fld.dataType} in {fp}"
                     )
-                    prev = seen.get(fld.name.lower())
-                    if prev is None:
-                        seen[fld.name.lower()] = fld
-                        fields.append(fld)
-                    elif prev.dataType != fld.dataType:
-                        raise ValueError(
-                            f"mergeSchema type conflict for {fld.name!r}: "
-                            f"{prev.dataType} vs {fld.dataType} in {fp}"
-                        )
         # hive-style partition columns from directory layout, appended after
         # data columns (Spark's convention for partitioned sources)
         part_cols: dict[str, list[str]] = {}
