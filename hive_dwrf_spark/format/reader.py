@@ -878,6 +878,30 @@ class DwrfFile:
             return schema.empty_table()
         return pa.concat_tables(tables)
 
+    def read_row(
+        self, row_number: int, columns: list[str] | None = None
+    ) -> dict:
+        """Point lookup (RecordReaderImpl.java:494-543 seekToRow +
+        LazyTreeReader.java:300-365 parity, at this format's designed
+        granularity): return row `row_number` as a {column: value} dict.
+
+        Cost model: the stripe directory locates the containing stripe in
+        O(stripes) without touching data; only that stripe's projected
+        columns are read (lazy IO skips unprojected streams) and decoded.
+        The reference seeks WITHIN a stripe via per-stream positions in
+        the ROW_INDEX; this writer deliberately records no stream
+        positions (SURVEY §7 — Spark's scan model reads stride-aligned
+        batches, so positions would be dead weight on every file), which
+        makes one stripe of the needed columns the seek quantum. For a
+        point-lookup service keep stripes small (stripe_rows option) —
+        cost scales with stripe size, not file size."""
+        if row_number < 0 or row_number >= self.num_rows:
+            raise IndexError(
+                f"row {row_number} out of range [0, {self.num_rows})"
+            )
+        t = self.read_rows(row_number, 1, columns=columns)
+        return {name: t.column(i)[0].as_py() for i, name in enumerate(t.schema.names)}
+
     def __enter__(self):
         return self
 

@@ -394,3 +394,89 @@ def test_dictionary_membership_prunes_stripe(tmp_path):
         assert got is not None and got.num_rows == 1000  # residual in Spark
         # whole-file read with the disproved filter: zero rows, zero decode
         assert f.read(filters=[("c", "eq", "mm")]).num_rows == 0
+
+
+def test_footer_plan_cache_and_parallel_planning(tmp_path, monkeypatch):
+    """Planning over a many-file directory: footer summaries come from the
+    thread-pool-filled cache; a second planning pass re-parses NOTHING
+    (proven by making the parser explode after warm-up), and pruning +
+    splits are identical from cached plans."""
+    import time
+
+    import pyarrow as pa
+
+    from hive_dwrf_spark.format import write_arrow_table
+    from hive_dwrf_spark.sources import dwrf_datasource as ds
+    from hive_dwrf_spark.sources.dwrf_datasource import DwrfDataSource
+
+    n_files = 120
+    for i in range(n_files):
+        tbl = pa.table({"k": [i * 10 + j for j in range(10)]})
+        write_arrow_table(str(tmp_path / f"part-{i:04d}.dwrf"), tbl)
+
+    def reader_for(path):
+        src = DwrfDataSource({"path": path})
+        return src.reader(src.schema())
+
+    t0 = time.perf_counter()
+    parts_cold = reader_for(str(tmp_path)).partitions()
+    cold = time.perf_counter() - t0
+    assert len(parts_cold) == n_files
+    # a 1000-file table must plan in O(seconds): 120 files well under 5s
+    assert cold < 5.0, f"cold planning took {cold:.2f}s for {n_files} files"
+
+    # warm pass: poison the parser — every summary must come from cache
+    def boom(path):
+        raise AssertionError(f"footer re-parsed for {path}")
+
+    monkeypatch.setattr(ds, "_compute_file_plan", boom)
+    parts_warm = reader_for(str(tmp_path)).partitions()
+    assert [(p.path, p.stripe_indices) for p in parts_warm] == [
+        (p.path, p.stripe_indices) for p in parts_cold
+    ]
+
+    # footer-stats pruning still works from cached plans: k is 0..1199,
+    # a filter above the global max prunes every file
+    monkeypatch.undo()
+    src = DwrfDataSource({"path": str(tmp_path)})
+    r = src.reader(src.schema())
+    list(r.pushFilters([__import__("pyspark").sql.datasource.GreaterThan(("k",), 10_000_000)]))
+    pruned = r.partitions()
+    assert len(pruned) == 1 and pruned[0].path == ""  # empty sentinel
+
+
+def test_fs_seam_routes_reads(tmp_path):
+    """Every reader open goes through the injectable filesystem: a
+    counting wrapper sees the opens, and reads still decode correctly."""
+    import pyarrow as pa
+
+    from hive_dwrf_spark.format import write_arrow_table
+    from hive_dwrf_spark.format.fs import LocalFileSystem, get_fs, set_fs
+    from hive_dwrf_spark.format.reader import DwrfFile
+
+    path = str(tmp_path / "seam.dwrf")
+    write_arrow_table(path, pa.table({"k": list(range(100))}))
+
+    class CountingFS(LocalFileSystem):
+        def __init__(self):
+            self.opens = 0
+
+        def open(self, p, mode="rb"):
+            self.opens += 1
+            return super().open(p, mode)
+
+    prev = get_fs()
+    fs = CountingFS()
+    set_fs(fs)
+    try:
+        with DwrfFile(path) as f:
+            assert f.read().column("k").to_pylist() == list(range(100))
+        assert fs.opens >= 1
+        # write path routes through the seam too
+        out = str(tmp_path / "seam2.dwrf")
+        write_arrow_table(out, pa.table({"k": [1, 2, 3]}))
+        assert fs.opens >= 2
+        with DwrfFile(out) as f:
+            assert f.read().num_rows == 3
+    finally:
+        set_fs(prev)

@@ -1048,3 +1048,46 @@ def test_cross_block_seeks(tmp_path):
             rr = f.read_rows(off, 3)
             assert rr.column("i").to_pylist() == want_i[off : off + 3], off
             assert rr.column("s").to_pylist() == want_s[off : off + 3], off
+
+
+def test_read_row_every_nth(tmp_path):
+    """Point-lookup parity with the reference's seekToRow test
+    (TestOrcFile.java:1533-1694): read every Nth row for N in
+    {1, 7, 100, 10000} via read_row and compare to the full decode.
+    Multiple stripes + nulls + nested values so the stripe directory,
+    projection, and null scatter all participate."""
+    n = 25_000
+    table = pa.table(
+        {
+            "i": pa.array(np.arange(n, dtype=np.int64)),
+            "s": pa.array([f"row-{i % 97}" for i in range(n)]),
+            "ns": pa.array(
+                [None if i % 7 == 0 else i for i in range(n)],
+                type=pa.int64(),
+            ),
+            "arr": pa.array(
+                [[i, i + 1] for i in range(n)], type=pa.list_(pa.int64())
+            ),
+        }
+    )
+    path = str(tmp_path / "seek.dwrf")
+    write_arrow_table(path, table, stripe_rows=8_000, row_index_stride=1_000)
+    with DwrfFile(path) as f:
+        for step in (10_000, 100, 7):
+            for r in range(0, n, step):
+                got = f.read_row(r)
+                assert got["i"] == r
+                assert got["s"] == f"row-{r % 97}"
+                assert got["ns"] == (None if r % 7 == 0 else r)
+                assert got["arr"] == [r, r + 1]
+        # step 1 over a stripe boundary window (full sweep is O(n^2) decode)
+        for r in range(7_995, 8_005):
+            assert f.read_row(r, columns=["i"]) == {"i": r}
+        # projected lookup returns only asked columns
+        assert f.read_row(12_345, columns=["s"]) == {"s": f"row-{12_345 % 97}"}
+        import pytest as _pytest
+
+        with _pytest.raises(IndexError):
+            f.read_row(n)
+        with _pytest.raises(IndexError):
+            f.read_row(-1)

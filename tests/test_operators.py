@@ -1363,3 +1363,67 @@ def test_cusum_changepoint_finds_level_shift(spark):
     r = got[0]
     # S_5=500, S_n=3000, n=10 -> |10*500 - 5*3000| = 10000 is the max
     assert (r.cp_index, r.d_stat) == (5, 10000)
+
+
+def test_text_novelty_hot_gram_no_window(spark, tmp_path):
+    """Skew safety for text_novelty: 1000 docs all sharing ONE boilerplate
+    8-gram. The plan must have NO gram-partitioned Window (which would pin
+    every hot-gram row to one task) and a partial aggregate before the gram
+    shuffle; the answer stays exact — the min-doc_id owns the gram."""
+    boiler = "the quick brown fox jumps over the lazy"
+    rows = [(i, f"{boiler} dog{i} " + " ".join(f"w{i}x{j}" for j in range(8)))
+            for i in range(1000)]
+    import pandas as pd
+
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    from hive_dwrf_spark.queries.analytics import text_novelty
+
+    out = text_novelty(spark, str(tmp_path))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "gram-partitioned window reintroduced"
+    assert "partial_" in plan or "partial" in plan.lower()
+    got = {r.doc_id: (r.n_grams, r.n_novel) for r in out.collect()}
+    # each doc: 17 words -> 10 8-grams; only doc 0 owns the boiler gram
+    assert got[0] == (10, 10)
+    assert got[1] == (10, 9)
+    assert got[999] == (10, 9)
+
+
+def test_dataset_diff_null_payloads(spark):
+    """Rows differing only in WHICH payload column is NULL must classify
+    as 'changed', not 'same' (concat_ws silently skips NULLs without the
+    null sentinel)."""
+    from hive_dwrf_spark.operators.curation import dataset_diff
+
+    v1 = spark.createDataFrame(
+        [(1, "a", None), (2, "x", "y")], ["id", "c1", "c2"]
+    )
+    v2 = spark.createDataFrame(
+        [(1, None, "a"), (2, "x", "y")], ["id", "c1", "c2"]
+    )
+    got = {r.status: r.n_rows
+           for r in dataset_diff(v1, v2, "id", ["c1", "c2"]).collect()}
+    assert got == {"changed": 1, "same": 1}
+
+
+def test_cusum_statistic_no_int64_wrap(spark):
+    """d_stat is computed in decimal(38,0): with group sums near 2^62 the
+    bigint cross-product n*s_i would silently wrap; the decimal path keeps
+    the argmax exact."""
+    import datetime as dt
+
+    from hive_dwrf_spark.operators.events import cusum_changepoint
+
+    t0 = dt.datetime(2026, 5, 1)
+    # 40 rows of ~9.2e15 cents each: prefix sums ~3.7e17, n*s_i ~1.5e19 > 2^63
+    big = 92_233_720_368_547.0  # -> 9223372036854700 cents
+    rows = [("a", t0 + dt.timedelta(minutes=i), i,
+             big if i >= 20 else 1.0) for i in range(40)]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "event_id", "value"])
+    got = cusum_changepoint(df).collect()
+    assert len(got) == 1
+    # level shift at i=20 -> argmax of |n*S_i - i*S_n| at the last low index
+    assert got[0].cp_index == 20
+    assert got[0].d_stat > 0
