@@ -17,8 +17,11 @@ from . import query
 
 @query(
     "dedup_exact",
+    # value displayed in fixed-point e4 units: floor(x*1e4+0.5) is the same
+    # IEEE-754 expression in both engines (no rounding-tie divergence)
     oracle="""
-    SELECT user_id, event_type, event_id, round(value, 4) AS value
+    SELECT user_id, event_type, event_id,
+           CAST(floor(value * 10000 + 0.5) AS BIGINT) AS value_e4
     FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
                                        ORDER BY event_id) AS rn
           FROM events) t
@@ -30,7 +33,10 @@ def dedup_exact(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     deduped = dedup.exact_dedup(e, keys=["user_id", "event_type"], order_by="event_id")
     return deduped.select(
-        "user_id", "event_type", "event_id", F.round("value", 4).alias("value")
+        "user_id",
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 10000 + 0.5).alias("value_e4"),
     ).orderBy("user_id", "event_type")
 
 
