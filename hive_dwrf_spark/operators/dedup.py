@@ -611,13 +611,6 @@ def embedding_cosine_pairs(
 
     At 100 TB the all-pairs join is replaced by LSH bucketing
     (similarity.lsh_buckets) — this exact form is the in-bucket verifier."""
-    v = df.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
-    a = v.select(F.col(id_col).alias("id1"), F.col("v").alias("v1"))
-    b = v.select(F.col(id_col).alias("id2"), F.col("v").alias("v2"))
-
     def dot(x, y):
         return F.aggregate(
             F.zip_with(x, y, lambda p, q: p * q),
@@ -625,15 +618,26 @@ def embedding_cosine_pairs(
             lambda acc, z: acc + z,
         )
 
+    v = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    # norm projected ONCE per row before the pair fan-out — else each
+    # vector's sqrt(dot(v,v)) re-evaluates |df| - 1 times inside the join
+    v = v.select(
+        F.col(id_col), "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("n")
+    )
+    a = v.select(
+        F.col(id_col).alias("id1"), F.col("v").alias("v1"), F.col("n").alias("n1")
+    )
+    b = v.select(
+        F.col(id_col).alias("id2"), F.col("v").alias("v2"), F.col("n").alias("n2")
+    )
     return (
         a.join(b, F.col("id1") < F.col("id2"))
         .withColumn(
             "cosine",
-            F.round(
-                dot("v1", "v2")
-                / (F.sqrt(dot("v1", "v1")) * F.sqrt(dot("v2", "v2"))),
-                6,
-            ),
+            F.round(dot("v1", "v2") / (F.col("n1") * F.col("n2")), 6),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")

@@ -313,10 +313,13 @@ def knn_join(
         F.col(id_col).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
     )
-    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-    sim = _dot(F.col("cv"), F.col("qv")) / (
-        F.sqrt(_dot(F.col("cv"), F.col("cv"))) * F.col("qnorm")
+    # corpus norm projected ONCE per row before the query fan-out — else
+    # sqrt(dot(cv,cv)) re-evaluates for every (corpus, query) pair
+    c = c.select(
+        "neighbor_id", "cv", F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cn")
     )
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    sim = _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qnorm"))
     scored = pairs.select(
         "query_id", "neighbor_id", F.round(sim, 6).alias("cosine")
     )
@@ -365,23 +368,34 @@ def ann_knn_join(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
         F.col("lsh_bucket").alias("bucket"),
     )
+    # norms projected ONCE per side before the probe fan-out / candidate
+    # join — never recomputed per candidate pair
+    cb = cb.select(
+        "neighbor_id",
+        "cv",
+        "bucket",
+        F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cn"),
+    )
     qb = lsh_buckets(queries, vec_col, id_col, n_planes).select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
         F.col("lsh_bucket").alias("qb"),
     )
+    qb = qb.select(
+        "query_id",
+        "qv",
+        "qb",
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))).alias("qn"),
+    )
     probed = (
         qb.withColumn("_mask", F.explode(F.array(*[F.lit(m) for m in masks])))
         .withColumn("bucket", F.col("qb").bitwiseXOR(F.col("_mask")))
-        .select("query_id", "qv", "bucket")
+        .select("query_id", "qv", "qn", "bucket")
     )
     cand = cb.join(F.broadcast(probed), "bucket").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    sim = _dot(F.col("cv"), F.col("qv")) / (
-        F.sqrt(_dot(F.col("cv"), F.col("cv")))
-        * F.sqrt(_dot(F.col("qv"), F.col("qv")))
-    )
+    sim = _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn"))
     scored = cand.select(
         "query_id", "neighbor_id", F.round(sim, 6).alias("cosine")
     )
