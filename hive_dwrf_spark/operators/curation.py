@@ -97,7 +97,9 @@ def source_cap(
 
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """Data-quality profile of numeric columns: one row per column with
-    row/null counts and min/max/sum.
+    row/null counts, min/max, and a fixed-point sum: `sum_v_e4` is
+    sum(floor(x*1e4 + 0.5)) in BIGINT units of 1e-4 (ties toward +inf),
+    NOT a plain double sum — divide by 1e4 for display.
 
     The whole profile is ONE global aggregate over one scan — every
     per-column stat is just another aggregate expression, and the 1-row
@@ -126,7 +128,7 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     )
     return one.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS "
-        "(col_name, n, n_nulls, min_v, max_v, sum_v)"
+        "(col_name, n, n_nulls, min_v, max_v, sum_v_e4)"
     )
 
 

@@ -218,7 +218,8 @@ def lsh_candidate_pairs(
     # and no join-key dup-row blowup that the self-join's distinct had to
     # clean up afterward. Fat buckets are LSH's known caveat either way
     # (a bucket of k docs emits k*(k-1)/2 pairs); the sorted list keeps
-    # id1 < id2 without a filter.
+    # id1 < id2 for unique ids, and the explicit id1 != id2 filter below
+    # drops the self-pairs that duplicate id values would otherwise emit.
     grp = (
         banded.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
@@ -235,6 +236,7 @@ def lsh_candidate_pairs(
             ).alias("p")
         )
         .select("p.id1", "p.id2")
+        .filter(F.col("id1") != F.col("id2"))
         .distinct()
     )
     return pairs
@@ -309,8 +311,12 @@ def cosine_pairs_lsh(
     - per-side norms projected ONCE before the verify join — never
       recomputed per pair (|bucket| redundant dot products per vector
       otherwise).
-    The projected (id, v, norm, bands) table is persisted: it feeds the
-    banding pass and both verify-join sides, ~600 B/vector at dim 64."""
+    The projected (id, v, norm, bands) table is persisted while the
+    verify join runs (it feeds the banding pass and both join sides,
+    ~600 B/vector at dim 64), then RELEASED: the returned pair list is
+    materialized eagerly via localCheckpoint and the base cache
+    unpersisted, so repeated calls in one session don't accumulate
+    pinned vector caches (same lifecycle as pagerank_fixed_point)."""
     from pyspark import StorageLevel
 
     from .similarity import _dot, lsh_band_buckets
@@ -348,6 +354,11 @@ def cosine_pairs_lsh(
             ).alias("p")
         )
         .select("p.id1", "p.id2")
+        # sorted ids give id1 < id2 only when ids are unique; duplicate id
+        # values in a bucket would otherwise emit id1 == id2 self-pairs
+        # (cosine 1.0) that a strict `<` oracle excludes — drop them here
+        # so dirty input degrades loudly-equal instead of diverging
+        .filter(F.col("id1") != F.col("id2"))
         .distinct()
     )
     s1 = base.select(
@@ -360,7 +371,7 @@ def cosine_pairs_lsh(
         F.col("v").alias("v2"),
         F.col("norm").alias("n2"),
     )
-    return (
+    out = (
         pairs.join(s1, "id1")
         .join(s2, "id2")
         .withColumn(
@@ -369,7 +380,10 @@ def cosine_pairs_lsh(
         )
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
+        .localCheckpoint(eager=True)
     )
+    base.unpersist()
+    return out
 
 
 def resolve_duplicates(

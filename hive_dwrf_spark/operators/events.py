@@ -30,6 +30,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _cents(value_col: str):
+    """Fixed-point cents: floor(x*100 + 0.5) in BIGINT.
+
+    Rounding convention is ties-toward-+inf, NOT HALF_UP: -0.505 yields
+    -50 (HALF_UP would give -51). Chosen because this exact IEEE-754
+    expression evaluates identically in Spark and DuckDB (F.round's
+    HALF_UP has no DuckDB twin), so integer-cent sums are order- and
+    engine-stable. All cent-summing operators in this module share it."""
+    return F.floor(F.col(value_col) * 100 + 0.5).cast("bigint")
+
+
 def funnel(
     df: DataFrame,
     steps: list[str],
@@ -112,7 +123,7 @@ def value_histogram(
     engines and between partitionings). Single map-side-combinable
     aggregate; output is bounded by the value domain."""
     bucket = F.floor(F.col(value_col) / F.lit(width)).cast("bigint")
-    cents = F.floor(F.col(value_col) * 100 + 0.5).cast("bigint")
+    cents = _cents(value_col)
     return (
         df.groupBy(bucket.alias("bucket"))
         .agg(
@@ -140,7 +151,7 @@ def zscore_outliers(
     (2) broadcast the tiny stats back and flag |z| > threshold as a pure
     projection. No window over the fact table — per-group sort is what
     kills a naive implementation at scale. Population std (divide by n)."""
-    cents = F.floor(F.col(value_col) * 100 + 0.5).cast("bigint")
+    cents = _cents(value_col)
     stats = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(cents).alias("__s"),
@@ -193,7 +204,7 @@ def sliding_time_aggregate(
         .orderBy(micros)
         .rangeBetween(-window_seconds * 1_000_000, 0)
     )
-    cents = F.floor(F.col(value_col) * 100 + 0.5).cast("bigint")
+    cents = _cents(value_col)
     return df.withColumn("n_window", F.count(F.lit(1)).over(w)).withColumn(
         "sum_cents_window", F.sum(cents).over(w)
     )
@@ -289,7 +300,7 @@ def gap_fill_daily(
     integer cents so the fill is float-order independent.
     """
     day = F.date_trunc("day", F.col(ts_col)).cast("date")
-    cents = F.floor(F.col(value_col) * 100 + 0.5).cast("bigint")
+    cents = _cents(value_col)
     observed = (
         events.select(F.col(user_col).alias("u"), day.alias("day"), cents.alias("c"))
         .groupBy("u", "day")
@@ -333,7 +344,7 @@ def gap_fill_interpolate(
     combinable daily aggregate — plus two window passes per user (one
     forward for the previous observation, one backward for the next)."""
     day = F.date_trunc("day", F.col(ts_col)).cast("date")
-    cents = F.floor(F.col(value_col) * 100 + 0.5).cast("bigint")
+    cents = _cents(value_col)
     observed = (
         events.select(F.col(user_col).alias("u"), day.alias("day"), cents.alias("c"))
         .groupBy("u", "day")
@@ -391,7 +402,7 @@ def cusum_changepoint(
     One window sort per group computes the prefix sums; the argmax is a
     rank-1 filter. State per group is O(1); ties break on the earliest
     index so the answer is deterministic."""
-    cents = F.floor(F.col(value_col) * 100 + 0.5).cast("bigint")
+    cents = _cents(value_col)
     w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
     wall = Window.partitionBy(key_col)
     scored = events.select(

@@ -569,15 +569,17 @@ _CURATE_THRESHOLD = int(0.5 * float(1 << 64))
     # AND engine rounding-tie behavior can never drift from the oracle
     oracle="""
     SELECT 'l_quantity' AS col_name, count(*) AS n,
-           sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nulls,
            min(CAST(l_quantity AS DOUBLE)) AS min_v,
            max(CAST(l_quantity AS DOUBLE)) AS max_v,
            CAST(sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT))
-                AS BIGINT) AS sum_v
+                AS BIGINT) AS sum_v_e4
     FROM lineitem
     UNION ALL
     SELECT 'l_extendedprice', count(*),
-           sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
            min(CAST(l_extendedprice AS DOUBLE)),
            max(CAST(l_extendedprice AS DOUBLE)),
            CAST(sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT))
@@ -585,7 +587,8 @@ _CURATE_THRESHOLD = int(0.5 * float(1 << 64))
     FROM lineitem
     UNION ALL
     SELECT 'l_discount', count(*),
-           sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
            min(CAST(l_discount AS DOUBLE)),
            max(CAST(l_discount AS DOUBLE)),
            CAST(sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT))
@@ -996,11 +999,11 @@ def text_quality(spark, sf_dir):
       FROM toks
     )
     SELECT doc_id, n_toks,
-           end_tok - n_toks AS start_tok,
-           end_tok,
-           (end_tok - n_toks) // 512 AS first_chunk,
-           greatest((end_tok - n_toks) // 512,
-                    (end_tok - 1) // 512) AS last_chunk
+           CAST(end_tok - n_toks AS BIGINT) AS start_tok,
+           CAST(end_tok AS BIGINT) AS end_tok,
+           CAST((end_tok - n_toks) // 512 AS BIGINT) AS first_chunk,
+           CAST(greatest((end_tok - n_toks) // 512,
+                         (end_tok - 1) // 512) AS BIGINT) AS last_chunk
     FROM cum
     ORDER BY doc_id
     """,
@@ -1047,7 +1050,8 @@ def text_pack(spark, sf_dir):
     )
     SELECT vec_id,
            round(scale, 6) AS scale_r,
-           list_aggregate(list_transform(q, x -> abs(x)), 'sum') AS q_l1,
+           CAST(list_aggregate(list_transform(q, x -> abs(x)), 'sum')
+                AS BIGINT) AS q_l1,
            list_aggregate(q, 'min') AS q_min,
            list_aggregate(q, 'max') AS q_max
     FROM quant
@@ -1463,7 +1467,7 @@ def range_join_q(spark, sf_dir):
     # GROUP BY (integer measures, so partial/final composition is exact)
     oracle="""
     SELECT l_returnflag, count(*) AS cnt,
-           sum(CAST(l_quantity AS BIGINT)) AS total_qty
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag

@@ -27,6 +27,7 @@ the file listing itself.
 from __future__ import annotations
 
 import os
+import threading
 import uuid
 from dataclasses import dataclass
 
@@ -88,6 +89,10 @@ def _list_dwrf_files(path: str) -> list[str]:
 
 _PLAN_CACHE: "OrderedDict[tuple, _FilePlan]" = None  # type: ignore[assignment]
 _PLAN_CACHE_MAX = 8192
+# Spark drivers plan queries from concurrent threads; OrderedDict LRU
+# mutation (move_to_end/popitem) is not thread-safe, so every cache
+# touch holds this lock (footer parsing itself stays outside it).
+_PLAN_CACHE_LOCK = threading.Lock()
 _PLAN_POOL_WORKERS = 16
 
 
@@ -124,19 +129,20 @@ def _file_plans(paths: list[str]) -> dict[str, _FilePlan]:
 
     from ..format.fs import get_fs
 
-    if _PLAN_CACHE is None:
-        _PLAN_CACHE = OrderedDict()
     fs = get_fs()
     plans: dict[str, _FilePlan] = {}
     missing: list[tuple[str, tuple]] = []
-    for p in paths:
-        key = (p, fs.stat_key(p))
-        hit = _PLAN_CACHE.get(key)
-        if hit is not None:
-            _PLAN_CACHE.move_to_end(key)
-            plans[p] = hit
-        else:
-            missing.append((p, key))
+    with _PLAN_CACHE_LOCK:
+        if _PLAN_CACHE is None:
+            _PLAN_CACHE = OrderedDict()
+        for p in paths:
+            key = (p, fs.stat_key(p))
+            hit = _PLAN_CACHE.get(key)
+            if hit is not None:
+                _PLAN_CACHE.move_to_end(key)
+                plans[p] = hit
+            else:
+                missing.append((p, key))
     if missing:
         if len(missing) == 1:
             computed = [_compute_file_plan(missing[0][0])]
@@ -148,11 +154,12 @@ def _file_plans(paths: list[str]) -> dict[str, _FilePlan]:
                 computed = list(
                     ex.map(_compute_file_plan, [p for p, _ in missing])
                 )
-        for (p, key), plan in zip(missing, computed):
-            plans[p] = plan
-            _PLAN_CACHE[key] = plan
-        while len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
-            _PLAN_CACHE.popitem(last=False)
+        with _PLAN_CACHE_LOCK:
+            for (p, key), plan in zip(missing, computed):
+                plans[p] = plan
+                _PLAN_CACHE[key] = plan
+            while len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
+                _PLAN_CACHE.popitem(last=False)
     return plans
 
 

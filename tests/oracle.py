@@ -1,24 +1,63 @@
 """Self-check comparator mirroring the driver's DuckDB oracle gate:
 row-count + column-name set + order-insensitive value comparison
-(columns sorted by name, rows sorted, values canonicalized)."""
+(columns sorted by name, rows sorted, values canonicalized).
+
+Driver-faithful since round 5: BOTH sides are fetched through pandas
+(Spark `toPandas()`, DuckDB `res.df()`) so engine type-widening is
+visible locally — DuckDB types `sum()` over integers as HUGEINT, which
+pandas materializes as float64, while Spark returns bigint.  The old
+`fetchall()` path collapsed both to Python int and reported green while
+the driver's value-hash saw `0.0` vs `0` (missed pipeline_profile in
+rounds 3 and 4).  Numeric canon is therefore TYPE-TAGGED: ints render
+as `0`, floats as `0.0` — an int-vs-float divergence now fails here
+exactly as it does at the driver.
+"""
 
 from __future__ import annotations
 
+import decimal
 import math
-from datetime import date, datetime
+import re
+from datetime import date, datetime, timedelta
+
+import numpy as np
+import pandas as pd
+
+_INTLIKE = re.compile(r"-?\d+")
 
 
 def _canon(v):
-    if v is None:
+    # pandas NULL sentinels first (pd.NaT is a datetime subclass)
+    if v is None or v is pd.NaT:
         return "<NULL>"
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, bool):
+        return str(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
+        s = f"{v:.10g}"
+        # keep floats distinguishable from ints: 0.0 -> "0.0", not "0"
+        if _INTLIKE.fullmatch(s):
+            s += ".0"
+        return s
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat(timespec="microseconds")
+        v = v.replace(tzinfo=None)
+        # DuckDB's pandas path renders DATE as midnight Timestamp; fold
+        # zero-time datetimes onto the date canon so date columns compare
+        # equal across the two fetch paths (both engines agree on value).
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
+        return v.isoformat(timespec="microseconds")
     if isinstance(v, date):
         return v.isoformat()
+    if isinstance(v, timedelta):
+        return f"interval:{v.total_seconds():.6f}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon(x) for x in v) + "]"
     if isinstance(v, dict):
@@ -33,13 +72,19 @@ def canonical_rows(columns, rows):
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
+def _pdf_rows(pdf: pd.DataFrame):
+    return [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+
+
 def compare_spark_duck(sdf, duck_con, sql: str):
     """Return (ok, message) comparing a Spark DataFrame to a DuckDB result."""
-    spark_cols = list(sdf.columns)
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_pdf = sdf.toPandas()
+    spark_cols = list(spark_pdf.columns)
+    spark_rows = _pdf_rows(spark_pdf)
     res = duck_con.sql(sql)
-    duck_cols = list(res.columns)
-    duck_rows = [tuple(r) for r in res.fetchall()]
+    duck_pdf = res.df()
+    duck_cols = list(duck_pdf.columns)
+    duck_rows = _pdf_rows(duck_pdf)
 
     if sorted(spark_cols) != sorted(duck_cols):
         return False, f"columns differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
