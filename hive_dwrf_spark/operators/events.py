@@ -400,8 +400,10 @@ def cusum_changepoint(
     no mean, no floats, bit-exact in any engine).
 
     One window sort per group computes the prefix sums; the argmax is a
-    rank-1 filter. State per group is O(1); ties break on the earliest
-    index so the answer is deterministic."""
+    max_by aggregate over (d_stat, -i) — it reuses the window's hash
+    partitioning (no second per-group sort of the full series, which is
+    what a rank-1 window filter would cost) and ties break on the
+    earliest index so the answer is deterministic."""
     cents = _cents(value_col)
     w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
     wall = Window.partitionBy(key_col)
@@ -426,11 +428,17 @@ def cusum_changepoint(
             - F.col("i").cast("decimal(38,0)") * F.col("s_n").cast("decimal(38,0)")
         ).alias("d_stat"),
     )
-    pick = Window.partitionBy(key_col).orderBy(
-        F.desc("d_stat"), F.asc("i")
-    )
     return (
-        scored.withColumn("rn", F.row_number().over(pick))
-        .where(F.col("rn") == 1)
-        .select(key_col, F.col("i").alias("cp_index"), "cp_ts", "d_stat")
+        scored.groupBy(key_col)
+        .agg(
+            F.expr(
+                "max_by(struct(i, cp_ts, d_stat), struct(d_stat, -i))"
+            ).alias("best")
+        )
+        .select(
+            key_col,
+            F.col("best.i").alias("cp_index"),
+            F.col("best.cp_ts").alias("cp_ts"),
+            F.col("best.d_stat").alias("d_stat"),
+        )
     )

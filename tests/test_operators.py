@@ -405,6 +405,29 @@ def test_connected_components_known_graph(spark):
     }
 
 
+def test_connected_components_long_chain_both_paths(spark):
+    """A 120-node path graph has diameter 119: plain hash-min would need
+    119 rounds, so this pins (a) the pointer-doubling loop converging
+    within max_iter on the DISTRIBUTED path (local_threshold=0) and
+    (b) the driver-local union-find path returning the identical labels."""
+    from hive_dwrf_spark.operators.dedup import connected_components
+
+    n = 120
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id1 long, id2 long"
+    )
+    want = {(i, 0) for i in range(n)}
+    local = {
+        (r.node, r.component) for r in connected_components(pairs).collect()
+    }
+    assert local == want
+    dist = {
+        (r.node, r.component)
+        for r in connected_components(pairs, local_threshold=0).collect()
+    }
+    assert dist == want
+
+
 def test_deterministic_sample_stable_under_partitioning(spark):
     from pyspark.sql import functions as F
 
