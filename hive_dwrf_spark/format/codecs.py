@@ -802,3 +802,182 @@ def decompress_stream(data: bytes, kind: CompressionKind) -> bytes:
         for i in todo:
             parts[i] = _decompress_block(parts[i], kind)
     return b"".join(parts)
+
+
+# --- seek-position tables (ROW_INDEX stride positions) ----------------------------
+#
+# The reference records, per stride, each stream's "current position" via
+# PositionRecorder (WriterImpl.java:317-328,617-621; consumed by
+# InStream.seek InStream.java:112-132 and the RLE readers'
+# RunLengthIntegerReader.java:94-126 skip path). Its recorded byte offset
+# is always a GROUP boundary (the pending-value buffer flushes as the
+# group(s) starting at that offset) plus a value-skip count. These helpers
+# recover the identical (group_start_byte, values_to_skip) pairs from the
+# already-encoded stream bytes — a post-hoc walk over group headers, so
+# the encoders (numpy or native, byte-identical output) stay untouched.
+
+
+def int_rle_positions(
+    buf: np.ndarray, targets: np.ndarray
+) -> list[tuple[int, int]]:
+    """For each value index in sorted `targets`, the (byte offset of the
+    RLE v1 group containing it, values to skip after seeking there)."""
+    targets = np.asarray(targets, dtype=np.int64)
+    if len(targets) == 0:
+        return []
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    n_bytes = len(buf)
+    bufp = np.empty(n_bytes + 2, dtype=np.uint8)
+    bufp[:n_bytes] = buf
+    bufp[n_bytes:] = 0
+    term = np.flatnonzero(bufp[:n_bytes] < 0x80)
+    n_term = len(term)
+    # candidate group starts: byte 0 or one past any terminator (same
+    # closed-form chain as decode_int_rle's candidate machinery)
+    C = np.empty(n_term + 1, dtype=np.int64)
+    C[0] = 0
+    np.add(term, 1, out=C[1:])
+    h = bufp[C]
+    is_rep = h < 0x80
+    cnt_all = np.where(is_rep, h + np.uint8(MIN_REPEAT_SIZE), -h).astype(
+        np.int64
+    )
+    i_range = np.arange(n_term + 1, dtype=np.int64)
+    delta_raw = bufp[C + 1]
+    next_idx = np.where(
+        is_rep, i_range + 2 + (delta_raw < 0x80), i_range + cnt_all
+    )
+    limit = n_term + 1
+    need = int(targets[-1]) + 1
+    starts_byte: list[int] = []
+    starts_val: list[int] = []
+    got = 0
+    i = 0
+    while got < need:
+        if i >= limit:
+            raise ValueError("RLE stream truncated")
+        starts_byte.append(int(C[i]))
+        starts_val.append(got)
+        got += int(cnt_all[i])
+        i = int(next_idx[i])
+    sv = np.asarray(starts_val, dtype=np.int64)
+    sb = np.asarray(starts_byte, dtype=np.int64)
+    gi = np.searchsorted(sv, targets, side="right") - 1
+    return [(int(sb[g]), int(t - sv[g])) for g, t in zip(gi, targets)]
+
+
+def byte_rle_positions(
+    buf: np.ndarray, targets: np.ndarray
+) -> list[tuple[int, int]]:
+    """(group_start_byte, values_to_skip) per sorted byte-RLE value index."""
+    targets = np.asarray(targets, dtype=np.int64)
+    if len(targets) == 0:
+        return []
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    n = len(buf)
+    need = int(targets[-1]) + 1
+    starts_byte: list[int] = []
+    starts_val: list[int] = []
+    got = 0
+    p = 0
+    while got < need:
+        if p >= n:
+            raise ValueError("byte RLE stream truncated")
+        starts_byte.append(p)
+        starts_val.append(got)
+        h = int(buf[p])
+        if h < 0x80:
+            got += h + MIN_REPEAT_SIZE
+            p += 2
+        else:
+            cnt = 256 - h
+            got += cnt
+            p += 1 + cnt
+    sv = np.asarray(starts_val, dtype=np.int64)
+    sb = np.asarray(starts_byte, dtype=np.int64)
+    gi = np.searchsorted(sv, targets, side="right") - 1
+    return [(int(sb[g]), int(t - sv[g])) for g, t in zip(gi, targets)]
+
+
+def bit_positions(
+    buf: np.ndarray, targets: np.ndarray
+) -> list[tuple[int, int, int]]:
+    """(group_start_byte, bytes_to_skip, bit_offset) per sorted bit index —
+    the bitfield layer is byte RLE over MSB-first packed bytes, so the
+    position is the containing byte's RLE position plus the in-byte bit
+    (BitFieldReader.getPosition parity)."""
+    targets = np.asarray(targets, dtype=np.int64)
+    byte_pos = byte_rle_positions(buf, targets // 8)
+    return [
+        (off, skip, int(t & 7)) for (off, skip), t in zip(byte_pos, targets)
+    ]
+
+
+def compressed_block_starts(comp: bytes) -> np.ndarray:
+    """Compressed-stream offset of each block's 3-byte header, in order.
+    Block j holds uncompressed bytes [j*block_size, (j+1)*block_size), so
+    an uncompressed offset U maps to position
+    (starts[U // block_size], U % block_size) — the two-value InStream
+    seek coordinate the reference records under compression."""
+    starts = []
+    pos = 0
+    n = len(comp)
+    while pos < n:
+        starts.append(pos)
+        header = int.from_bytes(comp[pos : pos + 3], "little")
+        pos += 3 + (header >> 1)
+    return np.asarray(starts, dtype=np.int64)
+
+
+def int_rle_aligned_count(buf: np.ndarray, count: int) -> int:
+    """Smallest group-aligned value count >= `count` from the start of
+    `buf` — RLE decode can only stop on group boundaries, so a seek-then-
+    decode of a stride tail must round its request up to this."""
+    if count <= 0:
+        return 0
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    n = len(buf)
+    got = 0
+    p = 0
+    while got < count:
+        if p >= n:
+            raise ValueError("RLE stream truncated")
+        h = int(buf[p])
+        if h < 0x80:
+            got += h + MIN_REPEAT_SIZE
+            p += 2
+            # skip the base varint
+            while p < n and buf[p] >= 0x80:
+                p += 1
+            p += 1
+        else:
+            cnt = 256 - h
+            p += 1
+            for _ in range(cnt):
+                while p < n and buf[p] >= 0x80:
+                    p += 1
+                p += 1
+            got += cnt
+    return got
+
+
+def byte_rle_aligned_count(buf: np.ndarray, count: int) -> int:
+    """byte-RLE twin of int_rle_aligned_count."""
+    if count <= 0:
+        return 0
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    n = len(buf)
+    got = 0
+    p = 0
+    while got < count:
+        if p >= n:
+            raise ValueError("byte RLE stream truncated")
+        h = int(buf[p])
+        if h < 0x80:
+            got += h + MIN_REPEAT_SIZE
+            p += 2
+        else:
+            cnt = 256 - h
+            got += cnt
+            p += 1 + cnt
+    return got

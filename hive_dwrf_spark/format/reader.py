@@ -58,6 +58,52 @@ def _validity_buffer(present: np.ndarray | None):
     return pa.py_buffer(np.packbits(present, bitorder="little").tobytes())
 
 
+class NoStridePositions(Exception):
+    """Raised when a column carries no usable ROW_INDEX seek positions
+    (nested type, stride-dictionary column, binary, or a legacy file) —
+    the caller falls back to whole-stripe decode."""
+
+
+#: type kinds the stride-bounded decoder handles (matches the writer's
+#: position-spec coverage; everything else falls back to full decode)
+_STRIDE_DECODABLE = {
+    TypeKind.BOOLEAN,
+    TypeKind.BYTE,
+    TypeKind.SHORT,
+    TypeKind.INT,
+    TypeKind.LONG,
+    TypeKind.FLOAT,
+    TypeKind.DOUBLE,
+    TypeKind.STRING,
+    TypeKind.TIMESTAMP,
+}
+
+
+class _PosCursor:
+    """Sequential consumer of a RowIndexEntry's positions list (the
+    stream-by-stream layout DwrfWriter._resolve_positions writes)."""
+
+    def __init__(self, vals: list, compressed: bool):
+        self.vals = vals
+        self.i = 0
+        self.compressed = compressed
+
+    def take(self, k: int) -> list:
+        if self.i + k > len(self.vals):
+            raise NoStridePositions("positions exhausted")
+        out = self.vals[self.i : self.i + k]
+        self.i += k
+        return out
+
+    def instream(self):
+        """(block offset | None, uncompressed offset)."""
+        if self.compressed:
+            blk, off = self.take(2)
+            return blk, off
+        (off,) = self.take(1)
+        return None, off
+
+
 class _StripeDecoder:
     """Decodes one stripe's streams.
 
@@ -181,6 +227,192 @@ class _StripeDecoder:
         return proto.decode_message(
             proto.RowIndex, memoryview(self.stream(column, StreamKind.ROW_INDEX).tobytes())
         )
+
+    # -- stride-bounded decode (ROW_INDEX seek positions) ----------------------
+    # Consumes the per-stride positions the writer records
+    # (WriterImpl.java:317-328 PositionRecorder parity; see
+    # DwrfWriter._resolve_positions for the layout): only the compressed
+    # blocks covering the stride are decompressed and only the stride's
+    # RLE groups are decoded — RecordReaderImpl.java:494-543 seekToRow +
+    # RunLengthIntegerReader.java:94-126 skip semantics.
+
+    def _buf_at(self, col: int, kind: StreamKind, blk: int | None, off: int, need: int):
+        """(byte buffer, start pos) for reading `need` bytes of the
+        DECOMPRESSED stream starting at uncompressed offset `off` —
+        compressed files decompress only blocks from `blk` until covered."""
+        if self.r.compression == CompressionKind.NONE:
+            return self.stream(col, kind), int(off)
+        rng_off, rng_len = self._ranges[(col, int(kind))]
+        comp = self._raw_slice(rng_off, rng_len)
+        p = int(blk)
+        have = 0
+        need_total = int(off) + int(need)
+        parts: list[np.ndarray] = []
+        while p < rng_len and have < need_total:
+            header = int(comp[p]) | (int(comp[p + 1]) << 8) | (int(comp[p + 2]) << 16)
+            bl = header >> 1
+            body = comp[p + 3 : p + 3 + bl]
+            if header & 1:
+                part = body
+            else:
+                part = np.frombuffer(
+                    codecs._decompress_block(body.tobytes(), self.r.compression),
+                    dtype=np.uint8,
+                )
+            parts.append(part)
+            have += len(part)
+            p += 3 + bl
+        if not parts:
+            return np.zeros(0, dtype=np.uint8), int(off)
+        buf = parts[0] if len(parts) == 1 else np.concatenate(parts)
+        return buf, int(off)
+
+    def _ints_window(self, col, kind, cur, count, signed):
+        blk, off = cur.instream()
+        (skip,) = cur.take(1)
+        total = skip + count
+        # RLE v1 worst case ~11 B/value (10-byte varint + headers), plus a
+        # group-alignment tail of at most 129 further values
+        buf, pos = self._buf_at(col, kind, blk, off, total * 11 + 1600)
+        ac = codecs.int_rle_aligned_count(buf[pos:], total)
+        vals, _ = codecs.decode_int_rle(buf, ac, signed, pos)
+        return vals[skip : skip + count]
+
+    def _bytes_window(self, col, kind, cur, count):
+        blk, off = cur.instream()
+        (skip,) = cur.take(1)
+        total = skip + count
+        buf, pos = self._buf_at(col, kind, blk, off, total + total // 64 + 256)
+        ac = codecs.byte_rle_aligned_count(buf[pos:], total)
+        vals, _ = codecs.decode_byte_rle(buf, ac, pos)
+        return vals[skip : skip + count]
+
+    def _bits_window(self, col, kind, cur, count):
+        blk, off = cur.instream()
+        skip, bit = cur.take(2)
+        nbytes = (bit + count + 7) // 8
+        total = skip + nbytes
+        buf, pos = self._buf_at(col, kind, blk, off, total + total // 64 + 256)
+        ac = codecs.byte_rle_aligned_count(buf[pos:], total)
+        raw, _ = codecs.decode_byte_rle(buf, ac, pos)
+        return np.unpackbits(raw[skip : skip + nbytes])[bit : bit + count].astype(bool)
+
+    def _raw_window(self, col, kind, cur, need):
+        blk, off = cur.instream()
+        buf, pos = self._buf_at(col, kind, blk, off, need)
+        return buf[pos : pos + need]
+
+    def decode_stride_column(
+        self, type_id: int, s_idx: int, stride: int, n_rows: int
+    ) -> pa.Array:
+        """Decode rows [s_idx*stride, min((s_idx+1)*stride, n_rows)) of a
+        top-level column using its recorded seek positions. Raises
+        NoStridePositions when the column has none (nested types,
+        stride-dictionary columns, binary, legacy files) — callers fall
+        back to the whole-stripe decode."""
+        t = self.r.types[type_id]
+        kind = TypeKind(t.kind)
+        if kind not in _STRIDE_DECODABLE:
+            raise NoStridePositions(type_id)
+        if self.has_stream(type_id, StreamKind.IN_DICTIONARY):
+            raise NoStridePositions(type_id)
+        ri = self.row_index(type_id)
+        if ri is None or s_idx >= len(ri.entry):
+            raise NoStridePositions(type_id)
+        pos_vals = [int(v) for v in ri.entry[s_idx].positions]
+        rows = min(stride, n_rows - s_idx * stride)
+        cur = _PosCursor(pos_vals, self.r.compression != CompressionKind.NONE)
+        if self.has_stream(type_id, StreamKind.PRESENT):
+            present = self._bits_window(type_id, StreamKind.PRESENT, cur, rows)
+            nd = int(present.sum())
+        else:
+            present = None
+            nd = rows
+        enc = self.encodings[type_id]
+        if nd == 0:
+            dense = pa.array(
+                [], type=_arrow_type_of(self.r.types, type_id, self.r.type_overrides)
+            )
+        elif kind == TypeKind.BOOLEAN:
+            dense = pa.array(
+                self._bits_window(type_id, StreamKind.DATA, cur, nd), type=pa.bool_()
+            )
+        elif kind == TypeKind.BYTE:
+            dense = pa.array(
+                self._bytes_window(type_id, StreamKind.DATA, cur, nd).view(np.int8),
+                type=pa.int8(),
+            )
+        elif kind in (TypeKind.SHORT, TypeKind.INT, TypeKind.LONG):
+            if enc.kind == int(ColumnEncodingKind.DICTIONARY):
+                dict_vals, _ = codecs.decode_int_rle(
+                    self.stream(type_id, StreamKind.DICTIONARY_DATA),
+                    enc.dictionarySize,
+                    signed=True,
+                )
+                ids = self._ints_window(type_id, StreamKind.DATA, cur, nd, signed=False)
+                vals = dict_vals[ids]
+            else:
+                vals = self._ints_window(type_id, StreamKind.DATA, cur, nd, signed=True)
+            pa_type = {
+                TypeKind.SHORT: pa.int16(),
+                TypeKind.INT: pa.int32(),
+                TypeKind.LONG: pa.int64(),
+            }[kind]
+            dense = pa.array(vals.astype(pa_type.to_pandas_dtype()), type=pa_type)
+        elif kind in (TypeKind.FLOAT, TypeKind.DOUBLE):
+            np_t = np.dtype("<f4") if kind == TypeKind.FLOAT else np.dtype("<f8")
+            raw = self._raw_window(type_id, StreamKind.DATA, cur, nd * np_t.itemsize)
+            dense = pa.array(
+                np.frombuffer(raw.tobytes(), dtype=np_t, count=nd),
+                type=pa.float32() if kind == TypeKind.FLOAT else pa.float64(),
+            )
+        elif kind == TypeKind.STRING:
+            if enc.kind == int(ColumnEncodingKind.DICTIONARY):
+                n_dict = enc.dictionarySize
+                key_lengths, _ = codecs.decode_int_rle(
+                    self.stream(type_id, StreamKind.LENGTH), n_dict, signed=False
+                )
+                key_data = self.stream(type_id, StreamKind.DICTIONARY_DATA).tobytes()
+                ids = self._ints_window(type_id, StreamKind.DATA, cur, nd, signed=False)
+                key_offsets = np.concatenate(
+                    [np.zeros(1, dtype=np.int64), np.cumsum(key_lengths)]
+                )
+                dict_arr = pa.Array.from_buffers(
+                    pa.large_utf8(),
+                    n_dict,
+                    [None, pa.py_buffer(key_offsets.tobytes()), pa.py_buffer(key_data)],
+                )
+                dense = dict_arr.take(pa.array(ids, type=pa.int64())).cast(pa.string())
+            else:
+                lengths = self._ints_window(
+                    type_id, StreamKind.LENGTH, cur, nd, signed=False
+                )
+                need = int(lengths.sum())
+                data = self._raw_window(type_id, StreamKind.DATA, cur, need)
+                offsets = np.concatenate(
+                    [np.zeros(1, dtype=np.int64), np.cumsum(lengths)]
+                )
+                dense = pa.Array.from_buffers(
+                    pa.large_utf8(),
+                    nd,
+                    [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
+                ).cast(pa.string())
+        else:  # TIMESTAMP
+            secs = self._ints_window(type_id, StreamKind.DATA, cur, nd, signed=True)
+            packed = self._ints_window(
+                type_id, StreamKind.NANO_DATA, cur, nd, signed=False
+            )
+            nanos = _unpack_nanos(packed.view(np.uint64))
+            if type_id in self.r.ns_timestamp_ids:
+                ns = (secs + TIMESTAMP_BASE_SECONDS) * 1_000_000_000 + nanos
+                dense = pa.array(ns.view("datetime64[ns]"), type=pa.timestamp("ns"))
+            else:
+                us = (secs + TIMESTAMP_BASE_SECONDS) * 1_000_000 + nanos // 1000
+                dense = pa.array(us.view("datetime64[us]"), type=pa.timestamp("us"))
+        out = dense if present is None else _scatter(dense, present)
+        if type_id in self.r.date_ids:
+            out = out.cast(pa.date32())
+        return out
 
     # -- column decode ---------------------------------------------------------
 
@@ -886,21 +1118,56 @@ class DwrfFile:
         granularity): return row `row_number` as a {column: value} dict.
 
         Cost model: the stripe directory locates the containing stripe in
-        O(stripes) without touching data; only that stripe's projected
-        columns are read (lazy IO skips unprojected streams) and decoded.
-        The reference seeks WITHIN a stripe via per-stream positions in
-        the ROW_INDEX; this writer deliberately records no stream
-        positions (SURVEY §7 — Spark's scan model reads stride-aligned
-        batches, so positions would be dead weight on every file), which
-        makes one stripe of the needed columns the seek quantum. For a
-        point-lookup service keep stripes small (stripe_rows option) —
-        cost scales with stripe size, not file size."""
+        O(stripes) without touching data; within the stripe, each
+        projected column seeks via the per-stride stream positions in its
+        ROW_INDEX (WriterImpl.java:317-328 records, InStream.java:112-132 /
+        RunLengthIntegerReader.java:94-126 consume) — only the compressed
+        blocks covering the containing stride are decompressed and only
+        that stride's RLE groups are decoded, so the seek quantum is one
+        row-index stride (default 10k rows), not the stripe. Columns
+        without positions (nested types, stride-dictionary columns,
+        legacy files) fall back per-column to whole-stripe decode."""
         if row_number < 0 or row_number >= self.num_rows:
             raise IndexError(
                 f"row {row_number} out of range [0, {self.num_rows})"
             )
-        t = self.read_rows(row_number, 1, columns=columns)
-        return {name: t.column(i)[0].as_py() for i, name in enumerate(t.schema.names)}
+        stride = self.footer.rowIndexStride
+        first_row = 0
+        for i, s in enumerate(self.footer.stripes):
+            if first_row + s.numberOfRows > row_number:
+                break
+            first_row += s.numberOfRows
+        r_in_stripe = row_number - first_row
+        if columns is not None:
+            tops, include_ids = self._parse_projection(columns)
+        else:
+            root = self.types[0]
+            tops = list(zip(root.fieldNames, root.subtypes))
+            include_ids = None
+        if not stride:
+            t = self.read_rows(row_number, 1, columns=columns)
+            return {
+                name: t.column(j)[0].as_py()
+                for j, name in enumerate(t.schema.names)
+            }
+        dec = _StripeDecoder(
+            self,
+            self.footer.stripes[i],
+            include_ids,
+            index_ids={tid for _, tid in tops},
+        )
+        s_idx = r_in_stripe // stride
+        r_in_stride = r_in_stripe % stride
+        n_rows = self.footer.stripes[i].numberOfRows
+        out = {}
+        for name, tid in tops:
+            try:
+                arr = dec.decode_stride_column(tid, s_idx, stride, n_rows)
+                out[name] = arr[r_in_stride].as_py()
+            except NoStridePositions:
+                col = dec.decode_column(tid, n_rows)
+                out[name] = col[r_in_stripe].as_py()
+        return out
 
     def __enter__(self):
         return self

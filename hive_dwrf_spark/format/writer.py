@@ -18,10 +18,14 @@ TreeWriter fan-out). Encoding policy per column per stripe:
   nanos (unsigned RLE), WriterImpl.java:1736-1798; we use floor-division
   semantics so sub-second values round-trip exactly for any sign
 - ROW_INDEX per column every `row_index_stride` rows with stride-level
-  statistics (stream positions are not recorded — our reader prunes at
-  stride/stripe granularity and never mid-stream seeks, sidestepping the
-  reference's seek machinery LazyTreeReader.java:300-365; the one exception
-  is stride dictionaries, whose per-stride sizes ride in the positions)
+  statistics AND per-stream seek positions (WriterImpl.java:317-328,617-621
+  PositionRecorder parity, resolved post-hoc from the encoded bytes in
+  _resolve_positions): [compressed block offset, in-block offset] per
+  stream when compressed, plus RLE value-skip / bitfield bit-offset
+  coordinates, so a point lookup decodes one stride, not one stripe
+  (reader.decode_stride_column). Stride-dictionary columns keep their
+  side-dictionary size as positions[0] and skip seek positions; nested
+  and binary columns record none (whole-stripe fallback).
 """
 
 from __future__ import annotations
@@ -149,6 +153,13 @@ class _StripeEncoder:
         self.encodings: dict[int, proto.ColumnEncoding] = {}
         self.stats: dict[int, ColumnStats] = {}
         self.row_indexes: dict[int, proto.RowIndex] = {}
+        # per-stride seek positions (WriterImpl.java:317-328,617-621
+        # PositionRecorder parity): column -> [(stream kind, codec tag,
+        # per-stride target indices)]; resolved to byte positions against
+        # the encoded stream bytes at stripe assembly, so the vectorized
+        # encoders stay untouched. Codec tags: int_rle/byte_rle -> value
+        # index, bits -> bit index, raw -> byte offset.
+        self.pos_specs: dict[int, list[tuple[StreamKind, str, np.ndarray]]] = {}
         self.raw_size = 0
 
     def _add(self, column: int, kind: StreamKind, data: bytes) -> None:
@@ -162,6 +173,35 @@ class _StripeEncoder:
 
     def _stride_entries(self, column: int, entries: list[proto.RowIndexEntry]):
         self.row_indexes[column] = proto.RowIndex(entry=entries)
+
+    def _pos_spec(
+        self, type_id: int, kind: StreamKind, codec: str, targets: np.ndarray
+    ) -> None:
+        self.pos_specs.setdefault(type_id, []).append(
+            (kind, codec, np.asarray(targets, dtype=np.int64))
+        )
+
+    def _dense_starts(self, present: np.ndarray) -> np.ndarray:
+        """Dense-value index at each stride start (same reduceat shape as
+        _stride_stats), clamped into the dense range so trailing all-null
+        strides still get a resolvable (and unused) position."""
+        stride = self.opts["row_index_stride"]
+        n = len(present)
+        starts = np.arange(0, n, stride, dtype=np.int64)
+        per = np.add.reduceat(present.astype(np.int64), starts)
+        los = np.empty(len(starts), dtype=np.int64)
+        los[0] = 0
+        np.cumsum(per[:-1], out=los[1:])
+        n_dense = int(per.sum())
+        return np.minimum(los, max(n_dense - 1, 0))
+
+    def _want_positions(self, present) -> bool:
+        return (
+            present is not None
+            and bool(self.opts["row_index_stride"])
+            and len(present) > 0
+            and bool(present.any())
+        )
 
     # -- encode dispatch ---------------------------------------------------
 
@@ -196,6 +236,14 @@ class _StripeEncoder:
         has_nulls = not present.all()
         if has_nulls:
             self._add(type_id, StreamKind.PRESENT, codecs.encode_bits(present))
+            if top_level and self.opts["row_index_stride"] and len(present):
+                stride = self.opts["row_index_stride"]
+                self._pos_spec(
+                    type_id,
+                    StreamKind.PRESENT,
+                    "bits",
+                    np.arange(0, len(present), stride, dtype=np.int64),
+                )
             dense = arr.drop_null()
         else:
             dense = arr
@@ -256,6 +304,10 @@ class _StripeEncoder:
     def _encode_boolean(self, type_id, dense, present):
         vals = dense.to_numpy(zero_copy_only=False).astype(bool)
         self._add(type_id, StreamKind.DATA, codecs.encode_bits(vals))
+        if self._want_positions(present):
+            self._pos_spec(
+                type_id, StreamKind.DATA, "bits", self._dense_starts(present)
+            )
         self._stat(type_id, TypeKind.BOOLEAN).update_bools(vals)
         self.raw_size += len(vals)
         self._stride_stats(
@@ -268,6 +320,10 @@ class _StripeEncoder:
     def _encode_byte(self, type_id, dense, present):
         vals = dense.to_numpy(zero_copy_only=False).astype(np.int8)
         self._add(type_id, StreamKind.DATA, codecs.encode_byte_rle(vals.view(np.uint8)))
+        if self._want_positions(present):
+            self._pos_spec(
+                type_id, StreamKind.DATA, "byte_rle", self._dense_starts(present)
+            )
         self._stat(type_id, TypeKind.BYTE).update_ints(vals.astype(np.int64))
         self.raw_size += len(vals)
         self._stride_stats(
@@ -306,6 +362,12 @@ class _StripeEncoder:
             )
         else:
             self._add(type_id, StreamKind.DATA, codecs.encode_int_rle(vals, signed=True))
+        if n and self._want_positions(present):
+            # DATA carries dictionary ids or direct values — either way one
+            # int-RLE stream indexed by dense position
+            self._pos_spec(
+                type_id, StreamKind.DATA, "int_rle", self._dense_starts(present)
+            )
         self._stat(type_id, kind).update_ints(vals)
         self.raw_size += n * 8
         self._stride_stats(
@@ -320,6 +382,13 @@ class _StripeEncoder:
         np_t = np.float32 if kind == TypeKind.FLOAT else np.float64
         vals = dense.to_numpy(zero_copy_only=False).astype(np_t)
         self._add(type_id, StreamKind.DATA, vals.astype(f"<{vals.dtype.char}").tobytes())
+        if len(vals) and self._want_positions(present):
+            self._pos_spec(
+                type_id,
+                StreamKind.DATA,
+                "raw",
+                self._dense_starts(present) * vals.dtype.itemsize,
+            )
         st = self._stat(type_id, kind)
         st.update_doubles(vals.astype(np.float64))
         self.raw_size += len(vals) * vals.dtype.itemsize
@@ -454,11 +523,27 @@ class _StripeEncoder:
             self._add(
                 type_id, StreamKind.DATA, codecs.encode_int_rle(data_ids, signed=False)
             )
+            # stride-dictionary columns keep positions[0] = side-dict size
+            # (existing reader contract) and skip seek positions this round
+            if n and not use_stride and self._want_positions(present):
+                self._pos_spec(
+                    type_id,
+                    StreamKind.DATA,
+                    "int_rle",
+                    self._dense_starts(present),
+                )
         else:
             self._add(type_id, StreamKind.DATA, data.tobytes())
             self._add(
                 type_id, StreamKind.LENGTH, codecs.encode_int_rle(lengths, signed=False)
             )
+            if n and self._want_positions(present):
+                ds = self._dense_starts(present)
+                byte_cum = np.concatenate(
+                    [np.zeros(1, dtype=np.int64), np.cumsum(lengths)]
+                )
+                self._pos_spec(type_id, StreamKind.LENGTH, "int_rle", ds)
+                self._pos_spec(type_id, StreamKind.DATA, "raw", byte_cum[ds])
             if n:
                 mm = pc.min_max(dense)
                 lo_s, hi_s = mm["min"].as_py(), mm["max"].as_py()
@@ -519,6 +604,10 @@ class _StripeEncoder:
             StreamKind.NANO_DATA,
             codecs.encode_int_rle(_pack_nanos(nanos).view(np.int64), signed=False),
         )
+        if len(secs) and self._want_positions(present):
+            ds = self._dense_starts(present)
+            self._pos_spec(type_id, StreamKind.DATA, "int_rle", ds)
+            self._pos_spec(type_id, StreamKind.NANO_DATA, "int_rle", ds)
         st = self._stat(type_id, TypeKind.TIMESTAMP)
         st.update_ints(us)  # min/max in microseconds for pruning
         self.raw_size += len(us) * 12
@@ -660,6 +749,84 @@ class DwrfWriter:
                 data, self.compression, self.block_size, self.zlib_level
             )
 
+    def _resolve_positions(
+        self, enc: "_StripeEncoder", comp_cache: dict[tuple[int, int], bytes]
+    ) -> None:
+        """Turn the encoder's per-stride position specs into RowIndexEntry
+        positions (WriterImpl.java:317-328,617-621 PositionRecorder parity).
+
+        Layout per entry, appended after any stride-dictionary size already
+        present: for each positioned stream of the column in PRESENT,
+        LENGTH, DATA, NANO_DATA order —
+          InStream part: [compressed_block_offset, offset_in_block] when
+          the file is compressed (InStream.java:112-132's two-value seek
+          coordinate), else [byte_offset];
+          codec part: int/byte RLE append [values_to_skip]
+          (RunLengthIntegerReader.java:94-126), the bitfield layer appends
+          [bytes_to_skip, bit_offset] (byte RLE + BitFieldReader parity);
+          raw fixed-width/concatenated-bytes streams append nothing.
+        """
+        if not enc.pos_specs:
+            return
+        stream_bytes = {(c, int(k)): d for c, k, d in enc.streams}
+        pos_kind_order = {
+            StreamKind.PRESENT: 0,
+            StreamKind.LENGTH: 1,
+            StreamKind.DATA: 2,
+            StreamKind.NANO_DATA: 3,
+        }
+        compressed = self.compression != CompressionKind.NONE
+        for col, specs in enc.pos_specs.items():
+            ri = enc.row_indexes.get(col)
+            if ri is None:
+                continue
+            n_entries = len(ri.entry)
+            per_entry: list[list[int]] = [[] for _ in range(n_entries)]
+            for kind, codec, targets in sorted(
+                specs, key=lambda s: pos_kind_order.get(s[0], 9)
+            ):
+                data = stream_bytes.get((col, int(kind)))
+                if data is None or len(targets) != n_entries:
+                    continue
+                buf = np.frombuffer(data, dtype=np.uint8)
+                if codec == "int_rle":
+                    resolved = [
+                        (off, (skip,))
+                        for off, skip in codecs.int_rle_positions(buf, targets)
+                    ]
+                elif codec == "byte_rle":
+                    resolved = [
+                        (off, (skip,))
+                        for off, skip in codecs.byte_rle_positions(buf, targets)
+                    ]
+                elif codec == "bits":
+                    resolved = [
+                        (off, (skip, bit))
+                        for off, skip, bit in codecs.bit_positions(buf, targets)
+                    ]
+                else:  # raw
+                    resolved = [(int(t), ()) for t in targets]
+                if compressed:
+                    starts = codecs.compressed_block_starts(
+                        comp_cache[(col, int(kind))]
+                    )
+                    bs = self.block_size
+                    for i, (off, extra) in enumerate(resolved):
+                        # a clamped tail target can land exactly at stream
+                        # end (empty trailing strings); pin to the last block
+                        b = min(off // bs, len(starts) - 1)
+                        per_entry[i] += [
+                            int(starts[b]),
+                            int(off - b * bs),
+                            *extra,
+                        ]
+                else:
+                    for i, (off, extra) in enumerate(resolved):
+                        per_entry[i] += [int(off), *extra]
+            for entry, plist in zip(ri.entry, per_entry):
+                if plist:
+                    entry.positions = list(entry.positions) + plist
+
     # -- public API -----------------------------------------------------------
 
     def write_batch(self, batch: pa.RecordBatch) -> None:
@@ -707,7 +874,6 @@ class DwrfWriter:
             enc.encode_root(table)
 
         # area ordering: INDEX, then (LENGTH, DICTIONARY_DATA) pairs, then DATA
-        index_streams: list[tuple[int, StreamKind, bytes]] = []
         dict_streams: list[tuple[int, StreamKind, bytes]] = []
         data_streams: list[tuple[int, StreamKind, bytes]] = []
         dict_cols = {
@@ -715,9 +881,6 @@ class DwrfWriter:
             for c, e in enc.encodings.items()
             if e.kind == int(ColumnEncodingKind.DICTIONARY)
         }
-        for col in sorted(enc.row_indexes):
-            body = proto.encode_message(enc.row_indexes[col])
-            index_streams.append((col, StreamKind.ROW_INDEX, body))
         kind_order = {
             StreamKind.PRESENT: 0,
             StreamKind.LENGTH: 1,
@@ -741,12 +904,27 @@ class DwrfWriter:
             key=lambda s: (s[0], 0 if s[1] == StreamKind.LENGTH else 1)
         )
 
+        # compress dict/data streams BEFORE serializing the ROW_INDEX: the
+        # stride seek positions reference compressed block boundaries, and
+        # the index area precedes the data area in the file
+        comp_cache: dict[tuple[int, int], bytes] = {}
+        for col, kind, data in dict_streams + data_streams:
+            comp_cache[(col, int(kind))] = self._compress(data)
+        self._resolve_positions(enc, comp_cache)
+
+        index_streams: list[tuple[int, StreamKind, bytes]] = []
+        for col in sorted(enc.row_indexes):
+            body = proto.encode_message(enc.row_indexes[col])
+            index_streams.append((col, StreamKind.ROW_INDEX, body))
+
         start = self._pos
         footer = proto.StripeFooter()
         index_end = start
         for area in (index_streams, dict_streams, data_streams):
             for col, kind, data in area:
-                comp = self._compress(data)
+                comp = comp_cache.get((col, int(kind)))
+                if comp is None:
+                    comp = self._compress(data)
                 self._write(comp)
                 footer.streams.append(
                     proto.Stream(kind=int(kind), column=col, length=len(comp), useVInts=1)

@@ -1091,3 +1091,80 @@ def test_read_row_every_nth(tmp_path):
             f.read_row(n)
         with _pytest.raises(IndexError):
             f.read_row(-1)
+
+
+def test_row_index_records_seek_positions(tmp_path):
+    """The writer records per-stride stream positions in the ROW_INDEX
+    (WriterImpl.java:317-328,617-621 PositionRecorder parity): every
+    stride entry of a positioned scalar column must carry a non-empty
+    positions list whose stride-0 entry is all zeros, and whose layout
+    round-trips through the stride decoder."""
+    from hive_dwrf_spark.format.reader import _StripeDecoder
+
+    n = 6_000
+    table = pa.table(
+        {
+            "i": pa.array(np.arange(n, dtype=np.int64)),
+            "f": pa.array(np.arange(n, dtype=np.float64) / 3),
+            "s": pa.array([f"val-{i % 977}-{i}" for i in range(n)]),
+        }
+    )
+    path = str(tmp_path / "pos.dwrf")
+    write_arrow_table(path, table, row_index_stride=1_000)
+    with DwrfFile(path) as f:
+        dec = _StripeDecoder(f, f.footer.stripes[0])
+        for col in (1, 2, 3):
+            ri = dec.row_index(col)
+            assert ri is not None and len(ri.entry) == 6
+            for e in ri.entry:
+                assert list(e.positions), f"column {col}: empty positions"
+            assert all(v == 0 for v in ri.entry[0].positions), col
+
+
+def test_read_row_decodes_stride_bounded_bytes(tmp_path):
+    """A positions-aware point lookup must decompress only the blocks
+    covering the containing stride, not the stripe: compared to a full
+    stripe decode, a single read_row on a 200k-row single-stripe file
+    must touch well under a tenth of the compressed blocks
+    (RecordReaderImpl.java:494-543 seek + InStream.java:112-132 skip)."""
+    from hive_dwrf_spark.format import codecs as _codecs
+
+    n = 200_000
+    rng = np.random.RandomState(11)
+    table = pa.table(
+        {
+            "i": pa.array(rng.randint(0, 1 << 40, n).astype(np.int64)),
+            "s": pa.array([f"text-{i}-{'x' * (i % 23)}" for i in range(n)]),
+        }
+    )
+    path = str(tmp_path / "big.dwrf")
+    write_arrow_table(
+        path,
+        table,
+        stripe_rows=n,
+        row_index_stride=10_000,
+        compression_block_size=8_192,
+    )
+
+    counted = {"n": 0}
+    orig = _codecs._decompress_block
+
+    def counting(block, kind):
+        counted["n"] += 1
+        return orig(block, kind)
+
+    _codecs._decompress_block = counting
+    try:
+        with DwrfFile(path) as f:
+            f.read()
+        full_blocks = counted["n"]
+        counted["n"] = 0
+        with DwrfFile(path) as f:
+            got = f.read_row(155_555)
+        seek_blocks = counted["n"]
+    finally:
+        _codecs._decompress_block = orig
+    assert got["i"] == table.column("i")[155_555].as_py()
+    assert got["s"] == table.column("s")[155_555].as_py()
+    assert full_blocks > 50, full_blocks  # the file really is multi-block
+    assert seek_blocks * 10 < full_blocks, (seek_blocks, full_blocks)
