@@ -38,6 +38,19 @@ except ImportError:
     _HAVE_SNAPPY = False
 
 try:
+    # optional python-lzo (raw LZO1X blocks — the codec the reference
+    # loads reflectively, WriterImpl.java:184-196; kind enumerated in
+    # orc_proto.proto:124-129). Absent in most environments; the reader
+    # names the kind at open instead of failing deep in block decode.
+    import lzo as _lzo
+except ImportError:
+    _lzo = None
+
+
+def lzo_available() -> bool:
+    return _lzo is not None
+
+try:
     # pyarrow bundles C++ snappy (raw format, same bytes as python-snappy);
     # ~100x faster than the pure-python fallback and always present in a
     # pyspark environment. decompress needs the exact output size, which the
@@ -697,6 +710,12 @@ def _compress_block(block: bytes, kind: CompressionKind, level: int) -> bytes:
         if _HAVE_SNAPPY:
             return snappy.compress(block)
         return _snappy_compress_py(block)
+    if kind == CompressionKind.LZO:
+        if _lzo is None:
+            raise ValueError("LZO codec unavailable (install python-lzo)")
+        # header=False -> raw LZO1X bytes, the in-block format the
+        # reference's reflectively-loaded codec produces
+        return _lzo.compress(block, min(max(level, 1), 9), False)
     raise ValueError(f"unsupported compression {kind}")
 
 
@@ -711,7 +730,20 @@ def _decompress_block(block: bytes, kind: CompressionKind) -> bytes:
         if _HAVE_SNAPPY:
             return snappy.decompress(block)
         return _snappy_decompress_py(block)
-    raise ValueError(f"unsupported compression {kind}")
+    if kind == CompressionKind.LZO:
+        if _lzo is None:
+            raise ValueError("LZO codec unavailable (install python-lzo)")
+        # raw LZO1X carries no length preamble; grow the output bound
+        # until the codec accepts (framing caps blocks at block_size, so
+        # this converges in one or two tries)
+        bound = max(len(block) * 8, 1 << 18)
+        while True:
+            try:
+                return _lzo.decompress(block, False, bound)
+            except _lzo.error:
+                if bound >= 1 << 30:
+                    raise
+                bound *= 8
 
 
 _COMPRESS_POOL = None

@@ -738,14 +738,17 @@ class DwrfFile:
             proto.PostScript, memoryview(bytes(tail[-1 - ps_len : -1]))
         )
         self.compression = CompressionKind(ps.compression or 0)
-        if self.compression == CompressionKind.LZO:
+        if self.compression == CompressionKind.LZO and not codecs.lzo_available():
             # declared proto kind (orc_proto.proto:124-129) that the
-            # reference loads reflectively (WriterImpl.java:184-196); no
-            # LZO codec ships in this environment, so fail at open with
-            # the kind named instead of deep in block decode
+            # reference loads reflectively (WriterImpl.java:184-196). The
+            # decode path exists (codecs._decompress_block LZO branch,
+            # raw LZO1X via optional python-lzo); when the codec is not
+            # installed, fail at open with the kind named instead of
+            # deep in block decode
             raise ValueError(
-                f"{path}: compression kind LZO is not supported by this "
-                "reader (supported: NONE, ZLIB, SNAPPY)"
+                f"{path}: compression kind LZO requires the optional "
+                "python-lzo codec (install python-lzo; supported without "
+                "it: NONE, ZLIB, SNAPPY)"
             )
         self.block_size = ps.compressionBlockSize
         flen = ps.footerLength

@@ -663,7 +663,7 @@ def connected_components(
     id1: str = "id1",
     id2: str = "id2",
     max_iter: int = 50,
-    local_threshold: int = 2_000_000,
+    local_threshold: int | None = None,
 ) -> DataFrame:
     """Near-dup clusters from a pair list: each node -> min id reachable
     (the SURVEY §2.D "union-find via iterative join", as min-label
@@ -695,15 +695,23 @@ def connected_components(
     one collect. Near-dup edge lists are output-bounded and usually tiny
     relative to the corpus; at 100 TB an over-threshold edge list takes
     the distributed loop below. Pass local_threshold=0 to force the
-    distributed path (the stress harness does, so scale evidence always
-    measures the loop).
+    distributed path; the default (None) reads the
+    SPARK_GRAFT_CC_LOCAL_THRESHOLD env var (fallback 2,000,000), which
+    the stress harness sets to 0 so scale evidence always measures the
+    loop.
 
     Returns (node, component) with component = min node id of the cluster.
     Nodes only appear if they occur in `pairs` — callers union in
     singletons if every document needs a label.
     """
+    import os
+
     from pyspark import StorageLevel
 
+    if local_threshold is None:
+        local_threshold = int(
+            os.environ.get("SPARK_GRAFT_CC_LOCAL_THRESHOLD", 2_000_000)
+        )
     edges = (
         pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
         .union(pairs.select(F.col(id2).alias("a"), F.col(id1).alias("b")))

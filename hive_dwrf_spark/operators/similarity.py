@@ -426,8 +426,9 @@ def semantic_decontaminate(
     broadcast probes and reduced per-row (max cosine via a groupBy on the
     corpus id that AQE keeps local-ish — the only exchanged rows are
     (id, flag) pairs). Zero corpus shuffle of vectors. For probe sets too
-    large to broadcast, pre-bucket both sides with lsh_buckets and run
-    per-bucket, same as the ANN path."""
+    large to broadcast, use semantic_decontaminate_lsh — the coded
+    LSH-bucketed fallback with the same output contract (approximate:
+    leakage is caught when corpus and probe collide in any band)."""
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("pv"),
@@ -449,4 +450,89 @@ def semantic_decontaminate(
         .select(id_col)
         .distinct()
     )
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
+def semantic_decontaminate_lsh(
+    corpus: DataFrame,
+    probes: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    bands: int = 4,
+    planes_per_band: int = 8,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """semantic_decontaminate's scale path for probe sets too large to
+    broadcast: pre-bucket BOTH sides with the banded hyperplane LSH
+    (lsh_band_buckets) and verify cosine only on (corpus, probe) pairs
+    that collide in some band — O(colliding candidates), never
+    O(corpus x probes), with no broadcast of either side.
+
+    Same three guards as cosine_pairs_lsh: banded amplification (a pair
+    is a candidate if ANY of `bands` independent 2^planes_per_band-bucket
+    hashes collide), a `max_bucket` cap on the PROBE side of each
+    (band, bucket) group (a pathological probe bucket cannot go
+    quadratic; its probes still pair through their other bands), and
+    norms projected once per side before the verify join. Candidates are
+    deduped on (corpus_id, probe_id) BEFORE the dot product, so verify
+    cost is distinct candidates, not collisions. Approximate by design:
+    a leaked vector is caught when it collides with its probe in at
+    least one band (recall 1-(1-p^k)^B); the broadcast path is exact.
+
+    Both projected sides are persisted for the candidate and verify
+    passes, then released after an eager materialization of the decision
+    (same lifecycle as cosine_pairs_lsh)."""
+    from pyspark import StorageLevel
+
+    def project(df, out_id):
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        base = lsh_band_buckets(
+            df.select(F.col(id_col).alias(out_id), v.alias("v")),
+            "v",
+            bands=bands,
+            planes_per_band=planes_per_band,
+        )
+        return base.withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+
+    cb = project(corpus, "cid").persist(StorageLevel.MEMORY_AND_DISK)
+    pb = project(probes, "pid").persist(StorageLevel.MEMORY_AND_DISK)
+    c_banded = cb.select(
+        "cid", F.posexplode("lsh_bands").alias("band", "bucket")
+    )
+    p_banded = pb.select(
+        "pid", F.posexplode("lsh_bands").alias("band", "bucket")
+    )
+    sized = (
+        p_banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("band", "bucket")
+    )
+    cand = (
+        c_banded.join(p_banded.join(sized, ["band", "bucket"]), ["band", "bucket"])
+        .select("cid", "pid")
+        .distinct()
+    )
+    sim = _dot(F.col("cv"), F.col("pv")) / (F.col("cn") * F.col("pn"))
+    contaminated = (
+        cand.join(
+            cb.select(
+                F.col("cid"), F.col("v").alias("cv"), F.col("norm").alias("cn")
+            ),
+            "cid",
+        )
+        .join(
+            pb.select(
+                F.col("pid"), F.col("v").alias("pv"), F.col("norm").alias("pn")
+            ),
+            "pid",
+        )
+        .where(F.round(sim, 6) >= threshold)
+        .select(F.col("cid").alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cb.unpersist()
+    pb.unpersist()
     return corpus.join(contaminated, id_col, "left_anti")

@@ -2360,3 +2360,68 @@ def sim_decontaminate(spark, sf_dir):
         .select("vec_id")
         .orderBy("vec_id")
     )
+
+
+def _decontaminate_lsh_oracle(max_bucket: int = 10_000) -> str:
+    """Replay semantic_decontaminate_lsh: banded buckets on both sides,
+    probe-side bucket cap, distinct (corpus, probe) candidates, exact
+    cosine verify, anti-join."""
+    bexprs = _banded_bucket_sql()
+    selects = ",\n             ".join(
+        f"{e} AS b{i}" for i, e in enumerate(bexprs)
+    )
+    banded = "\n      UNION ALL ".join(
+        f"SELECT vec_id, label, {i} AS band, b{i} AS bucket FROM bucketed"
+        for i in range(4)
+    )
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             {selects}
+      FROM embeddings
+    ), banded AS (
+      {banded}
+    ), cband AS (
+      SELECT vec_id, band, bucket FROM banded WHERE label <> 0
+    ), pband AS (
+      SELECT vec_id, band, bucket FROM banded WHERE label = 0
+    ), sized AS (
+      SELECT band, bucket, count(*) AS n FROM pband GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT c.vec_id AS cid, p.vec_id AS pid
+      FROM cband c
+      JOIN pband p ON c.band = p.band AND c.bucket = p.bucket
+      JOIN sized s ON s.band = c.band AND s.bucket = c.bucket
+      WHERE s.n <= {max_bucket}
+    ), bad AS (
+      SELECT DISTINCT cand.cid AS vec_id
+      FROM cand
+      JOIN bucketed a ON a.vec_id = cand.cid
+      JOIN bucketed b ON b.vec_id = cand.pid
+      WHERE round(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+    )
+    SELECT vec_id FROM embeddings
+    WHERE label <> 0 AND vec_id NOT IN (SELECT vec_id FROM bad)
+    ORDER BY vec_id
+    """
+
+
+@query("sim_decontaminate_lsh", oracle=_decontaminate_lsh_oracle())
+def sim_decontaminate_lsh(spark, sf_dir):
+    """The unbroadcastable-probe-set path of sim_decontaminate
+    (operators/similarity.py::semantic_decontaminate_lsh): both sides
+    banded-LSH bucketed, probe-side bucket cap, cosine verify only on
+    colliding candidates — no broadcast, no corpus x probes product. The
+    oracle replays buckets, cap, candidates, and verify exactly."""
+    e = load(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("label") == 0)
+    corpus = e.where(F.col("label") != 0)
+    return (
+        similarity.semantic_decontaminate_lsh(
+            corpus, probes, "embedding", "vec_id", threshold=0.3
+        )
+        .select("vec_id")
+        .orderBy("vec_id")
+    )

@@ -59,6 +59,8 @@ QUERIES = [
     "dedup_exact",    # one-shuffle dedup
     "dedup_minhash",  # LSH banding (the dedup scale path)
     "dedup_cosine_lsh",  # LSH-bucketed cosine (the embedding scale path)
+    "sim_decontaminate_lsh",  # unbroadcastable-probe decontamination (both
+                              # sides scale 10x: corpus AND probe count)
     "sim_ann",        # LSH ANN probe
     "text_quality",   # pure-JVM text features
     "text_chunk",     # scan-stage explode
@@ -81,6 +83,8 @@ QUERIES = [
     "text_quality_calibrated",  # per-source window rank cut
     "entity_fuzzy_match",  # distinct-first token blocking + levenshtein
     "graph_pagerank",  # pregel iterations, integer fixed-point
+    "dedup_semantic",  # LSH pairs -> pointer-doubling components -> anti-join
+    "dedup_components",  # distributed min-label + pointer doubling alone
 ]
 
 
@@ -143,6 +147,9 @@ def main() -> int:
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         REPO, "STRESS_r03.json"
     )
+    # stress always measures the DISTRIBUTED connected-components loop —
+    # the driver-local union-find gate would otherwise hide its scaling
+    os.environ["SPARK_GRAFT_CC_LOCAL_THRESHOLD"] = "0"
     print("synthesizing 10x dataset ...", flush=True)
     t0 = time.perf_counter()
     synthesize()

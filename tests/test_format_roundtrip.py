@@ -233,6 +233,45 @@ class TestFileFeatures:
         with pytest.raises(ValueError, match="LZO"):
             DwrfFile(p)
 
+    def test_lzo_code_path_with_codec_installed(self, tmp_path, monkeypatch):
+        """The LZO decode path is real code, not a stub: with a codec
+        module present (a zlib stand-in here, the python-lzo API shape),
+        an LZO-kind file writes and reads end to end and the open-time
+        rejection lifts. When genuine python-lzo is importable, the same
+        test exercises the real LZO1X bytes."""
+        import types
+        import zlib
+
+        from hive_dwrf_spark.format import codecs as _codecs
+        from hive_dwrf_spark.format import write_arrow_table
+
+        if not _codecs.lzo_available():
+            fake = types.SimpleNamespace(
+                compress=lambda data, level=1, header=True: zlib.compress(
+                    data, 6
+                ),
+                decompress=lambda data, header=True, buflen=0: zlib.decompress(
+                    data
+                ),
+                error=zlib.error,
+            )
+            monkeypatch.setattr(_codecs, "_lzo", fake)
+        table = pa.table(
+            {
+                "a": pa.array(np.arange(20_000, dtype=np.int64)),
+                "s": pa.array([f"lzo-{i % 400}" for i in range(20_000)]),
+            }
+        )
+        p = str(tmp_path / "real_lzo.dwrf")
+        write_arrow_table(p, table, compression="lzo", row_index_stride=1000)
+        with DwrfFile(p) as f:
+            assert f.compression.name == "LZO"
+            got = f.read()
+            assert got.column("a").to_pylist() == table.column("a").to_pylist()
+            assert got.column("s").to_pylist() == table.column("s").to_pylist()
+            # stride seek positions work through the LZO block framing too
+            assert f.read_row(15_432) == {"a": 15_432, "s": f"lzo-{15_432 % 400}"}
+
 
 class TestSeededRandom:
     """Seeded randomized round-trip, analog of TestOrcFile random tests."""
