@@ -1110,10 +1110,10 @@ class DwrfFile:
         for i, s in enumerate(self.footer.stripes):
             n = s.numberOfRows
             if first_row + n > row_offset and first_row < end:
-                t = self.read_stripe(i, columns=columns)
                 lo = max(0, row_offset - first_row)
                 hi = min(n, end - first_row)
-                tables.append(t.slice(lo, hi - lo))
+                t = self._read_stripe_rows(i, lo, hi, columns)
+                tables.append(t)
             first_row += n
             if first_row >= end:
                 break
@@ -1123,6 +1123,48 @@ class DwrfFile:
             )
             return schema.empty_table()
         return pa.concat_tables(tables)
+
+    def _read_stripe_rows(
+        self, stripe_index: int, lo: int, hi: int, columns: list[str] | None
+    ) -> pa.Table:
+        """Rows [lo, hi) of one stripe. Small ranges (≤ 2 strides) whose
+        projected columns are all stride-decodable scalars ride the
+        ROW_INDEX seek positions — only the covering strides decode; any
+        other shape falls back to the whole-stripe decode + slice."""
+        stripe = self.footer.stripes[stripe_index]
+        n = stripe.numberOfRows
+        stride = self.footer.rowIndexStride
+        if stride and (hi - lo) <= 2 * stride:
+            if columns is not None:
+                tops, include_ids = self._parse_projection(columns)
+            else:
+                root = self.types[0]
+                tops = list(zip(root.fieldNames, root.subtypes))
+                include_ids = None
+            if all(
+                TypeKind(self.types[tid].kind) in _STRIDE_DECODABLE
+                for _, tid in tops
+            ):
+                dec = _StripeDecoder(
+                    self, stripe, include_ids, index_ids={tid for _, tid in tops}
+                )
+                s0, s1 = lo // stride, max(lo // stride, (hi - 1) // stride)
+                try:
+                    cols = {}
+                    for name, tid in tops:
+                        parts = [
+                            dec.decode_stride_column(tid, s, stride, n)
+                            for s in range(s0, s1 + 1)
+                        ]
+                        arr = (
+                            pa.concat_arrays(parts) if len(parts) > 1 else parts[0]
+                        )
+                        cols[name] = arr.slice(lo - s0 * stride, hi - lo)
+                    return pa.table(cols)
+                except NoStridePositions:
+                    pass  # legacy file / stride-dict column: full decode
+        t = self.read_stripe(stripe_index, columns=columns)
+        return t.slice(lo, hi - lo)
 
     def read_row(
         self, row_number: int, columns: list[str] | None = None
