@@ -280,3 +280,108 @@ def test_foreign_file_through_spark_datasource(tmp_path, spark):
     assert [r.i for r in rows] == ROWS_I
     assert [r.s for r in rows] == ROWS_S
     assert rows[0].l == ROW_L
+
+
+def _build_file_with_positions() -> bytes:
+    """A second foreign file that carries a ROW_INDEX with per-stride seek
+    positions (WriterImpl.java:317-328 PositionRecorder layout as this
+    repo's writer emits it for an UNCOMPRESSED file: one in-stream byte
+    offset, plus RLE value-skip for RLE streams): rowIndexStride=4 over 10
+    rows of (i INT, s STRING-direct). The positions deliberately point
+    MID-GROUP (all three strides share the single RLE repeat group of the
+    int column, skips 0/4/8) to pin the skip-within-group semantics."""
+    # int column 100..109: one RLE repeat group (header 7, delta 1)
+    data_i = bytes([0x07, 0x01]) + _uv(_zz(100))
+    data_s = "".join(ROWS_S).encode()
+    len_s = bytes([256 - 10]) + b"".join(_uv(len(x)) for x in ROWS_S)
+
+    # ROW_INDEX entries: stride starts at rows 0, 4, 8
+    # i (int rle, uncompressed): [group_byte_off, skip]
+    # s: LENGTH [group_byte_off, skip] then DATA raw [byte_off]
+    s_byte_offs = [0, len("".join(ROWS_S[:4])), len("".join(ROWS_S[:8]))]
+
+    def _entry(positions):
+        body = bytearray()
+        for v in positions:
+            body += _uv(v)
+        return _ldf(1, _uv((1 << 3) | 2) + _uv(len(body)) + bytes(body))
+
+    ri_i = b"".join(_entry([0, skip]) for skip in (0, 4, 8))
+    ri_s = b"".join(
+        _entry([0, skip, off]) for skip, off in zip((0, 4, 8), s_byte_offs)
+    )
+
+    streams = [  # (kind, column, bytes); ROW_INDEX=6 first (index area)
+        (6, 1, ri_i),
+        (6, 2, ri_s),
+        (1, 1, data_i),
+        (1, 2, data_s),
+        (2, 2, len_s),
+    ]
+    body = b"".join(s[2] for s in streams)
+    index_len = len(ri_i) + len(ri_s)
+
+    stream_msgs = b"".join(
+        _ldf(1, _field(1, kind) + _field(2, col) + _field(3, len(raw)))
+        for kind, col, raw in streams
+    )
+    enc_msgs = b"".join(_ldf(2, _field(1, 0)) for _ in range(3))
+    stripe_footer = stream_msgs + enc_msgs
+
+    t_root = (
+        _field(1, 12)
+        + _field(2, 1) + _field(2, 2)
+        + _ldf(3, b"i") + _ldf(3, b"s")
+    )
+    t_i, t_s = _field(1, 3), _field(1, 7)
+
+    magic = b"ORC"
+    stripe_offset = len(magic)
+    stripe_info = (
+        _field(1, stripe_offset)
+        + _field(2, index_len)
+        + _field(3, len(body) - index_len)
+        + _field(4, len(stripe_footer))
+        + _field(5, 10)
+    )
+    footer = (
+        _field(1, len(magic))
+        + _field(2, len(magic) + len(body) + len(stripe_footer))
+        + _ldf(3, stripe_info)
+        + _ldf(4, t_root) + _ldf(4, t_i) + _ldf(4, t_s)
+        + _field(6, 10)
+        + _field(8, 4)  # rowIndexStride
+    )
+    postscript = _field(1, len(footer)) + _field(2, 0)
+    return (
+        magic + body + stripe_footer + footer + postscript
+        + bytes([len(postscript)])
+    )
+
+
+def test_foreign_row_index_positions_consumed(tmp_path):
+    """The stride-seek reader consumes a FOREIGN file's ROW_INDEX
+    positions: every row of every stride resolves through
+    decode_stride_column (mid-group skips included), and the parsed
+    positions are non-empty for every entry."""
+    from hive_dwrf_spark.format import DwrfFile
+    from hive_dwrf_spark.format.reader import _StripeDecoder
+
+    p = str(tmp_path / "foreign_pos.dwrf")
+    with open(p, "wb") as f:
+        f.write(_build_file_with_positions())
+    with DwrfFile(p) as f:
+        assert f.footer.rowIndexStride == 4
+        dec = _StripeDecoder(f, f.footer.stripes[0])
+        for col in (1, 2):
+            ri = dec.row_index(col)
+            assert ri is not None and len(ri.entry) == 3
+            assert all(list(e.positions) for e in ri.entry), col
+        for s_idx, lo in ((0, 0), (1, 4), (2, 8)):
+            n = min(4, 10 - lo)
+            ints = dec.decode_stride_column(1, s_idx, 4, 10)
+            assert ints.to_pylist() == ROWS_I[lo : lo + n]
+            strs = dec.decode_stride_column(2, s_idx, 4, 10)
+            assert strs.to_pylist() == ROWS_S[lo : lo + n]
+        for r in range(10):
+            assert f.read_row(r) == {"i": ROWS_I[r], "s": ROWS_S[r]}
