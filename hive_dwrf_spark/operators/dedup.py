@@ -405,6 +405,39 @@ def resolve_duplicates(
     return df.join(F.broadcast(losers), id_col, "left_anti")
 
 
+def resolve_duplicates_by(
+    df: DataFrame, pairs: DataFrame, id_col: str, score_col: str
+) -> DataFrame:
+    """Cluster resolution keeping the BEST document of every near-dup
+    cluster — argmax of `score_col`, ties to the smallest id — instead of
+    resolve_duplicates' smallest-id rule. This is the keep-the-longest /
+    keep-the-highest-quality policy production dedup pipelines apply
+    (the canonical copy should be the best one, not the first-crawled).
+
+    Same scale shape as resolve_duplicates: the label frame covers only
+    documents that appear in some pair, the winner per component is one
+    max_by aggregate over it (no window sort), and the corpus is touched
+    once by a broadcast anti-join of the losers. Scores are looked up with
+    one join of (id, score) projections — the corpus's other columns never
+    shuffle."""
+    labels = connected_components(pairs)
+    scored = labels.join(
+        df.select(F.col(id_col).alias("node"), F.col(score_col).alias("_s")),
+        "node",
+    )
+    winners = scored.groupBy("component").agg(
+        F.expr("max_by(node, named_struct('s', _s, 'ni', -node))").alias(
+            "_keep"
+        )
+    )
+    losers = (
+        labels.join(winners, "component")
+        .filter(F.col("node") != F.col("_keep"))
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens (weighted bit-vote), as a
     pandas UDF; near-dups share a hash within small Hamming distance.

@@ -218,6 +218,66 @@ def dedup_resolve(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_resolve_best",
+    # quality-policy resolution: keep each cluster's LONGEST document
+    # (max n_chars, ties to the smallest doc_id) — the keep-the-best rule
+    # production pipelines use instead of keep-the-first
+    oracle="""
+    WITH RECURSIVE words AS (
+      SELECT DISTINCT doc_id, w
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents) t
+      WHERE w <> ''
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM words GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+      FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT id1, id2
+      FROM inter
+      JOIN sizes s1 ON s1.doc_id = id1
+      JOIN sizes s2 ON s2.doc_id = id2
+      WHERE round(inter / (s1.sz + s2.sz - inter), 6) >= 0.5
+    ), sym AS (
+      SELECT id1 AS a, id2 AS b FROM edges
+      UNION
+      SELECT id2, id1 FROM edges
+    ), reach(node, r) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node
+    ), comp AS (
+      SELECT node, min(r) AS component FROM reach GROUP BY node
+    ), ranked AS (
+      SELECT c.node,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.node ASC) AS rn
+      FROM comp c JOIN documents d ON d.doc_id = c.node
+    )
+    SELECT doc_id
+    FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM ranked WHERE rn > 1)
+    ORDER BY doc_id
+    """,
+)
+def dedup_resolve_best(spark, sf_dir):
+    """Quality-policy dedup resolution (operators/dedup.py::
+    resolve_duplicates_by): same Jaccard clusters as dedup_resolve, but
+    the survivor is each cluster's longest document (max n_chars, tie to
+    the smallest id) — winner picked by one max_by aggregate, losers
+    removed by broadcast anti-join."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.word_jaccard_pairs(d, "text", "doc_id", threshold=0.5)
+    return (
+        dedup.resolve_duplicates_by(d, pairs, "doc_id", "n_chars")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def _minhash_params_values() -> str:
     """The engine's fixed (a, b) permutation constants as a SQL VALUES list,
     so the oracle replays the exact signature arithmetic (31-bit minhash:

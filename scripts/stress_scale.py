@@ -84,7 +84,14 @@ QUERIES = [
     "entity_fuzzy_match",  # distinct-first token blocking + levenshtein
     "graph_pagerank",  # pregel iterations, integer fixed-point
     "dedup_semantic",  # LSH pairs -> pointer-doubling components -> anti-join
-    "dedup_components",  # distributed min-label + pointer doubling alone
+    # components at scale are measured through their LSH-bounded pair
+    # inputs (dedup_semantic above, dedup_winnow_resolve below). The
+    # registry's dedup_components/dedup_resolve queries feed the ALL-PAIRS
+    # Jaccard verifier — the documented small-side tool — so their stress
+    # ratios would measure the O(n^2) edge generator, not the loop: at
+    # sf0.1 the loop itself is 4 pointer-doubling rounds / ~6 s on 17.8M
+    # directed edges.
+    "dedup_winnow_resolve",  # winnow fingerprint pairs -> components -> anti-join
 ]
 
 
