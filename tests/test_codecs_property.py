@@ -155,3 +155,74 @@ def test_native_rle_encode_matches_numpy(vals, signed):
             np.frombuffer(native, dtype=np.uint8), len(arr), signed
         )
         assert np.array_equal(dec, arr)
+
+
+@settings(max_examples=100, deadline=None)
+@given(int_arrays(), st.booleans(), st.data())
+def test_int_rle_seek_positions(arr, signed, data):
+    """Seek-table property (RunLengthIntegerReader.java:94-126 skip
+    semantics): for ANY value index, (group offset, skip) recovered from
+    the encoded bytes must let a group-aligned decode starting at that
+    offset reproduce exactly the value at that index."""
+    if len(arr) == 0:
+        return
+    buf = np.frombuffer(codecs.encode_int_rle(arr, signed), dtype=np.uint8)
+    k = data.draw(st.integers(1, min(5, len(arr))))
+    targets = np.array(
+        sorted(
+            data.draw(
+                st.sets(
+                    st.integers(0, len(arr) - 1), min_size=k, max_size=k
+                )
+            )
+        ),
+        dtype=np.int64,
+    )
+    for (off, skip), t in zip(codecs.int_rle_positions(buf, targets), targets):
+        sub = buf[off:]
+        ac = codecs.int_rle_aligned_count(sub, skip + 1)
+        dec, _ = codecs.decode_int_rle(sub, ac, signed)
+        assert dec[skip] == arr[t], (t, off, skip)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(0, 255), min_size=1, max_size=2000), st.data())
+def test_byte_rle_seek_positions(vals, data):
+    arr = np.array(vals, dtype=np.uint8)
+    buf = np.frombuffer(codecs.encode_byte_rle(arr), dtype=np.uint8)
+    k = data.draw(st.integers(1, min(5, len(arr))))
+    targets = np.array(
+        sorted(
+            data.draw(
+                st.sets(st.integers(0, len(arr) - 1), min_size=k, max_size=k)
+            )
+        ),
+        dtype=np.int64,
+    )
+    for (off, skip), t in zip(codecs.byte_rle_positions(buf, targets), targets):
+        sub = buf[off:]
+        ac = codecs.byte_rle_aligned_count(sub, skip + 1)
+        dec, _ = codecs.decode_byte_rle(sub, ac)
+        assert dec[skip] == arr[t], (t, off, skip)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.booleans(), min_size=1, max_size=4000), st.data())
+def test_bit_seek_positions(vals, data):
+    bits = np.array(vals, dtype=bool)
+    buf = np.frombuffer(codecs.encode_bits(bits), dtype=np.uint8)
+    k = data.draw(st.integers(1, min(5, len(bits))))
+    targets = np.array(
+        sorted(
+            data.draw(
+                st.sets(st.integers(0, len(bits) - 1), min_size=k, max_size=k)
+            )
+        ),
+        dtype=np.int64,
+    )
+    for (off, skip, bit), t in zip(codecs.bit_positions(buf, targets), targets):
+        sub = buf[off:]
+        ac = codecs.byte_rle_aligned_count(sub, skip + 1)
+        dec, _ = codecs.decode_byte_rle(sub, ac)
+        got = bool((int(dec[skip]) >> (7 - bit)) & 1)
+        assert got == bits[t], (t, off, skip, bit)
