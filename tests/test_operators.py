@@ -493,6 +493,24 @@ def test_connected_components_known_graph(spark):
     }
 
 
+def test_resolve_duplicates_by_keeps_best(spark):
+    """Quality-policy resolution: the survivor of each cluster is the
+    max-score doc (ties to the smallest id); unpaired docs pass through."""
+    from hive_dwrf_spark.operators.dedup import resolve_duplicates_by
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (4, 7), (9, 1)],
+        "doc_id long, score long",
+    )
+    # cluster {1,2,3} (winner: 2 — score 50, smaller id than 3), {4}, {9} unpaired
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id1 long, id2 long")
+    got = sorted(
+        r.doc_id
+        for r in resolve_duplicates_by(docs, pairs, "doc_id", "score").collect()
+    )
+    assert got == [2, 4, 9]
+
+
 def test_connected_components_long_chain_both_paths(spark):
     """A 120-node path graph has diameter 119: plain hash-min would need
     119 rounds, so this pins (a) the pointer-doubling loop converging
