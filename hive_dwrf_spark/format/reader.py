@@ -60,8 +60,8 @@ def _validity_buffer(present: np.ndarray | None):
 
 class NoStridePositions(Exception):
     """Raised when a column carries no usable ROW_INDEX seek positions
-    (nested type, stride-dictionary column, binary, or a legacy file) —
-    the caller falls back to whole-stripe decode."""
+    (nested type, stride-dictionary column, or a legacy file) — the
+    caller falls back to whole-stripe decode."""
 
 
 #: type kinds the stride-bounded decoder handles (matches the writer's
@@ -75,6 +75,7 @@ _STRIDE_DECODABLE = {
     TypeKind.FLOAT,
     TypeKind.DOUBLE,
     TypeKind.STRING,
+    TypeKind.BINARY,
     TypeKind.TIMESTAMP,
 }
 
@@ -308,7 +309,7 @@ class _StripeDecoder:
         """Decode rows [s_idx*stride, min((s_idx+1)*stride, n_rows)) of a
         top-level column using its recorded seek positions. Raises
         NoStridePositions when the column has none (nested types,
-        stride-dictionary columns, binary, legacy files) — callers fall
+        stride-dictionary columns, legacy files) — callers fall
         back to the whole-stripe decode."""
         t = self.r.types[type_id]
         kind = TypeKind(t.kind)
@@ -366,7 +367,7 @@ class _StripeDecoder:
                 np.frombuffer(raw.tobytes(), dtype=np_t, count=nd),
                 type=pa.float32() if kind == TypeKind.FLOAT else pa.float64(),
             )
-        elif kind == TypeKind.STRING:
+        elif kind in (TypeKind.STRING, TypeKind.BINARY):
             if enc.kind == int(ColumnEncodingKind.DICTIONARY):
                 n_dict = enc.dictionarySize
                 key_lengths, _ = codecs.decode_int_rle(
@@ -392,11 +393,12 @@ class _StripeDecoder:
                 offsets = np.concatenate(
                     [np.zeros(1, dtype=np.int64), np.cumsum(lengths)]
                 )
+                is_str = kind == TypeKind.STRING
                 dense = pa.Array.from_buffers(
-                    pa.large_utf8(),
+                    pa.large_utf8() if is_str else pa.large_binary(),
                     nd,
                     [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
-                ).cast(pa.string())
+                ).cast(pa.string() if is_str else pa.binary())
         else:  # TIMESTAMP
             secs = self._ints_window(type_id, StreamKind.DATA, cur, nd, signed=True)
             packed = self._ints_window(

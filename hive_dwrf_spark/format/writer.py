@@ -25,7 +25,7 @@ TreeWriter fan-out). Encoding policy per column per stripe:
   coordinates, so a point lookup decodes one stride, not one stripe
   (reader.decode_stride_column). Stride-dictionary columns keep their
   side-dictionary size as positions[0] and skip seek positions; nested
-  and binary columns record none (whole-stripe fallback).
+  columns record none (whole-stripe fallback).
 """
 
 from __future__ import annotations
@@ -575,6 +575,22 @@ class _StripeEncoder:
         self._add(type_id, StreamKind.LENGTH, codecs.encode_int_rle(lengths, signed=False))
         self._stat(type_id, TypeKind.BINARY).update_count_only(len(dense))
         self.raw_size += int(lengths.sum())
+        # count-only stride stats (like strings) so seek positions have
+        # entries to ride on; LENGTH/DATA positions = string-direct shape
+        if present is not None and self.opts["row_index_stride"]:
+            self._stride_stats(
+                type_id,
+                present,
+                TypeKind.BINARY,
+                lambda st, lo, hi: st.update_count_only(hi - lo),
+            )
+        if len(dense) and self._want_positions(present):
+            ds = self._dense_starts(present)
+            byte_cum = np.concatenate(
+                [np.zeros(1, dtype=np.int64), np.cumsum(lengths)]
+            )
+            self._pos_spec(type_id, StreamKind.LENGTH, "int_rle", ds)
+            self._pos_spec(type_id, StreamKind.DATA, "raw", byte_cum[ds])
 
     def _encode_timestamp(self, type_id, dense, present):
         # DWRF stores seconds + nanos: full nanosecond fidelity. Encode from

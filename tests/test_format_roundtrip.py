@@ -1207,3 +1207,39 @@ def test_read_row_decodes_stride_bounded_bytes(tmp_path):
     assert got["s"] == table.column("s")[155_555].as_py()
     assert full_blocks > 50, full_blocks  # the file really is multi-block
     assert seek_blocks * 10 < full_blocks, (seek_blocks, full_blocks)
+
+
+def test_binary_stride_seek(tmp_path):
+    """BINARY columns carry seek positions too (string-direct shape:
+    LENGTH int-RLE + DATA raw-byte offsets) — point lookups on payload
+    tables decode one stride."""
+    rng = np.random.RandomState(9)
+    n = 12_000
+    payloads = [
+        bytes(rng.randint(0, 256, rng.randint(0, 40)).astype(np.uint8))
+        for _ in range(n)
+    ]
+    mask = rng.rand(n) < 0.07
+    table = pa.table(
+        {
+            "b": pa.array(
+                [None if m else p for m, p in zip(mask, payloads)],
+                type=pa.binary(),
+            ),
+            "i": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    path = str(tmp_path / "bin.dwrf")
+    write_arrow_table(path, table, row_index_stride=1_000, stripe_rows=7_000)
+    with DwrfFile(path) as f:
+        from hive_dwrf_spark.format.reader import _StripeDecoder
+
+        dec = _StripeDecoder(f, f.footer.stripes[0])
+        ri = dec.row_index(1)
+        assert ri is not None and all(list(e.positions) for e in ri.entry)
+        full = f.read()
+        for r in (0, 999, 1_000, 3_500, 6_999, 7_000, 8_001, 11_999):
+            got = f.read_row(r)
+            assert got == {
+                c: full.column(c)[r].as_py() for c in full.schema.names
+            }, r
