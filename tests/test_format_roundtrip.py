@@ -1132,6 +1132,29 @@ def test_read_row_every_nth(tmp_path):
             f.read_row(-1)
 
 
+def test_read_row_all_null_column(tmp_path):
+    """Stride-bounded point lookup on a column that is entirely null:
+    no data stream exists, so the seek path must come from the PRESENT
+    stream alone (RecordReaderImpl.java seeks every planned stream;
+    an absent one has an empty position list)."""
+    n = 25_000
+    table = pa.table(
+        {
+            "a": pa.array([None] * n, type=pa.int64()),
+            "b": pa.array([None if i % 3 == 0 else f"s{i}" for i in range(n)]),
+            "c": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    path = str(tmp_path / "allnull.dwrf")
+    write_arrow_table(path, table, stripe_rows=12_000, row_index_stride=1_000)
+    with DwrfFile(path) as f:
+        for r in (0, 999, 1_000, 5_001, 11_999, 12_000, 13_500, n - 1):
+            row = f.read_row(r)
+            assert row["a"] is None
+            assert row["b"] == (None if r % 3 == 0 else f"s{r}")
+            assert row["c"] == r
+
+
 def test_row_index_records_seek_positions(tmp_path):
     """The writer records per-stride stream positions in the ROW_INDEX
     (WriterImpl.java:317-328,617-621 PositionRecorder parity): every
