@@ -15,7 +15,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators import curation, events, graph, layout, sampling, text
-from ..tables import load
+from ..tables import fan_out, load
 from . import query
 
 
@@ -1103,7 +1103,10 @@ def text_novelty(spark, sf_dir):
     meet in an equi-join on gram that AQE's skew-join splits if a gram is
     hot. Every aggregate here has a partial stage; no key ever pins a
     whole task."""
-    d = load(spark, sf_dir, "documents")
+    # the 8-gram tokenize/explode is the dominant cost and the subtree is
+    # evaluated twice (first-occurrence table + join side); fan the docs
+    # across cores when the scan arrives as a single unsplittable file
+    d = fan_out(load(spark, sf_dir, "documents"), "doc_id")
     g = text.word_ngrams(d, "text", "doc_id", n=8)
     per_doc = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
     first = per_doc.groupBy("gram").agg(F.min("doc_id").alias("first_id"))

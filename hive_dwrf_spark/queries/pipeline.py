@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, sampling, similarity, text
-from ..tables import load
+from ..tables import fan_out, load
 from . import query
 
 # --- deduplication -----------------------------------------------------------
@@ -2412,7 +2412,9 @@ def sim_decontaminate(spark, sf_dir):
     corpus shuffles nothing but (id) flags."""
     e = load(spark, sf_dir, "embeddings")
     probes = e.where(F.col("label") == 0)
-    corpus = e.where(F.col("label") != 0)
+    # the broadcast verify does |probes| dot products per corpus row; fan
+    # the corpus across cores when the scan arrives as one unsplittable file
+    corpus = fan_out(e.where(F.col("label") != 0), "vec_id")
     return (
         similarity.semantic_decontaminate(
             corpus, probes, "embedding", "vec_id", threshold=0.3

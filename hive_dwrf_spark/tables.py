@@ -47,6 +47,30 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition `df` to the default parallelism when it arrives in
+    fewer partitions than half the cores — the single-file/single-row-group
+    case where an unsplittable parquet scan pins a CPU-heavy map stage
+    (tokenization, per-probe dot products) to ONE task regardless of
+    cluster size.
+
+    No-op when the input is already parallel, which is the production
+    case (multi-GB inputs arrive as many files/row groups and are split by
+    the scan), so this never adds a shuffle at 100 TB — same size-gated
+    runtime-adaptation spirit as AQE and the broadcast threshold. Hash
+    partitioning on `keys` rather than round-robin: repartition(n) without
+    keys local-sorts EVERY column first for determinism (SPARK-23207),
+    which is expensive on wide text/array rows, while a hash exchange
+    ships rows as-is. Only worth applying in front of operators whose
+    per-row map cost dwarfs one extra small exchange — blanket use at
+    load() measurably regressed the overall bench."""
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= par:
+        return df.repartition(par, *keys) if keys else df.repartition(par)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLE_NAMES}
 
