@@ -1556,3 +1556,22 @@ def test_cusum_statistic_no_int64_wrap(spark):
     # level shift at i=20 -> argmax of |n*S_i - i*S_n| at the last low index
     assert got[0].cp_index == 20
     assert got[0].d_stat > 0
+
+
+def test_fan_out_gates_on_partition_count(spark):
+    """fan_out repartitions a single-split input to the default parallelism
+    and is a NO-OP (same plan, no added exchange) when the input already
+    arrives in enough partitions — the production case at scale."""
+    from hive_dwrf_spark.tables import fan_out
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1000, 1, 1).withColumnRenamed("id", "k")
+    wide = spark.range(0, 1000, 1, par).withColumnRenamed("id", "k")
+
+    fanned = fan_out(narrow, "k")
+    assert fanned.rdd.getNumPartitions() == par
+    # values survive the hash exchange
+    assert sorted(r.k for r in fanned.collect()) == list(range(1000))
+
+    untouched = fan_out(wide, "k")
+    assert untouched is wide  # no-op: not even a new plan node
