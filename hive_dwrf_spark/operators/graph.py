@@ -71,13 +71,17 @@ def pagerank_fixed_point(
     consumer, so nothing recomputes).
     """
     base = (100 - damping_pct) * scale // 100
-    # the edge list is read every iteration (plus once for degrees):
-    # hash-partition it on src ONCE and persist — the cached partitioning
-    # satisfies both the degree aggregate and every per-iteration join's
-    # distribution requirement, so each round shuffles only the (small)
-    # rank state, never the edges. ~16 B per directed edge,
-    # MEMORY_AND_DISK so a 100 TB-derived graph spills instead of
-    # recomputing
+    # the edge list is read every iteration: hash-partition it on src ONCE,
+    # attach the sender's degree to each directed edge (a co-partitioned
+    # self-aggregate join — no extra exchange), and persist THAT. The rank
+    # state then carries only (node, r), and each iteration is exactly one
+    # join of the cached edge+deg list with the small state plus one
+    # message aggregate keyed by destination — no per-round re-join with a
+    # degree table. ~24 B per directed edge, MEMORY_AND_DISK so a
+    # 100 TB-derived graph spills instead of recomputing
+    # sym feeds both the degree aggregate and the join that builds
+    # sym_deg: persist it so the edge derivation (often a join+distinct
+    # upstream) runs once, released together with sym_deg below
     sym = (
         edges.select("src", "dst")
         .union(
@@ -86,36 +90,38 @@ def pagerank_fixed_point(
         .repartition("src")
         .persist()
     )
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    sym_deg = sym.join(deg, "src").persist()
     state = deg.select(
-        F.col("src").alias("node"),
-        "deg",
-        F.lit(scale).cast("bigint").alias("r"),
+        F.col("src").alias("node"), F.lit(scale).cast("bigint").alias("r")
     )
     for it in range(iterations):
-        msgs = sym.join(state, sym["src"] == state["node"]).select(
-            F.col("dst"), F.expr("r DIV deg").alias("contrib")
-        )
-        incoming = msgs.groupBy("dst").agg(F.sum("contrib").alias("s"))
-        state = (
-            incoming.select(
-                F.col("dst").alias("node"),
-                (
-                    F.lit(base)
-                    + F.expr(f"({damping_pct} * s) DIV 100")
-                ).cast("bigint").alias("r"),
+        if it == 0:
+            # round 1's rank is the constant `scale` for every node: the
+            # contribution is computable from the edge list alone — no
+            # state join at all for the first iteration
+            msgs = sym_deg.select(
+                F.col("dst"), F.expr(f"{scale} DIV deg").alias("contrib")
             )
-            .join(deg.withColumnRenamed("src", "node"), "node")
-            .select("node", "deg", "r")
+        else:
+            msgs = sym_deg.join(
+                state, sym_deg["src"] == state["node"]
+            ).select(F.col("dst"), F.expr("r DIV deg").alias("contrib"))
+        incoming = msgs.groupBy("dst").agg(F.sum("contrib").alias("s"))
+        state = incoming.select(
+            F.col("dst").alias("node"),
+            (F.lit(base) + F.expr(f"({damping_pct} * s) DIV 100"))
+            .cast("bigint")
+            .alias("r"),
         )
         if (it + 1) % checkpoint_interval == 0 and it + 1 < iterations:
             state = state.localCheckpoint(eager=True)
     # materialize the (small) final state eagerly so the cached edge list
-    # and degree table can be released here — repeated calls in one session
-    # must not accumulate MEMORY_AND_DISK partitions with no release path
+    # can be released here — repeated calls in one session must not
+    # accumulate MEMORY_AND_DISK partitions with no release path
     result = state.select("node", F.col("r").alias("rank_fp")).localCheckpoint(
         eager=True
     )
+    sym_deg.unpersist()
     sym.unpersist()
-    deg.unpersist()
     return result
