@@ -1780,14 +1780,14 @@ def sketch_cms(spark, sf_dir):
     all — exactly."""
     from ..operators import sketch
 
-    d = load(spark, sf_dir, "documents")
+    # fan the DOCUMENTS out before the explode: the tokenize + per-cell md5
+    # work then parallelizes while the exchange moves doc rows, not the
+    # exploded token stream (depth x tokens tiny rows); no-op on an
+    # already-split multi-file table
+    d = fan_out(load(spark, sf_dir, "documents"), "doc_id")
     toks = d.select(
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    # spread the hash work: locally the table is one file (one scan
-    # partition); a token is ~10 B so this exchange is trivial, and on a
-    # real multi-file table it's a no-op-sized rebalance
-    toks = toks.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
     cms = sketch.cms_build(toks, "tok", _CMS_DEPTH, _CMS_WIDTH)
     return sketch.cms_estimate(cms, _CMS_KEYS, _CMS_DEPTH, _CMS_WIDTH).orderBy(
         "key"
