@@ -44,6 +44,23 @@ int64_t rle_walk(const int64_t *packed, int64_t limit, int64_t count,
     return (got == count) ? n : -2;
 }
 
+/* Same walk, but overshoot-tolerant: stops at the first group whose end
+   reaches `count` (a seek target may land mid-group). Returns groups
+   written, -1 on truncation. Used by the writer's seek-position tables
+   where the target is mid-stream, not the stream's value count. */
+int64_t rle_walk_over(const int64_t *packed, int64_t limit, int64_t count,
+                      int64_t *starts_out) {
+    int64_t got = 0, i = 0, n = 0;
+    while (got < count) {
+        if (i >= limit) return -1;
+        starts_out[n++] = i;
+        int64_t v = packed[i];
+        got += v & 0x1FF;
+        i = v >> 9;
+    }
+    return n;
+}
+
 /* Full RLE v1 integer decode (RunLengthIntegerReader.java:100-163
    semantics): LEB128 varints, zigzag when signed, repeat groups
    (header h < 0x80 -> h+3 values, signed byte delta, one base varint)
@@ -190,6 +207,7 @@ int64_t byte_rle_decode(const uint8_t *buf, int64_t n, int64_t pos,
 """
 
 rle_walk = None  # callable(packed_int64, limit, count, out_int64) -> int64
+rle_walk_over = None  # same, overshoot-tolerant (seek-position tables)
 rle_decode = None  # callable(buf_u8, pos, count, signed, out_i64) -> (n, pos)
 byte_rle_decode = None  # callable(buf_u8, pos, count, out_u8) -> (n, pos)
 rle_encode = None  # callable(values_i64, signed) -> bytes
@@ -233,7 +251,7 @@ def _build() -> str | None:
 
 
 def _load() -> None:
-    global rle_walk, rle_decode, byte_rle_decode, rle_encode
+    global rle_walk, rle_walk_over, rle_decode, byte_rle_decode, rle_encode
     if os.environ.get("DWRF_NO_NATIVE"):
         return
     so = _build()
@@ -259,6 +277,20 @@ def _load() -> None:
             )
 
         rle_walk = walk
+
+        ofn = lib.rle_walk_over
+        ofn.restype = ctypes.c_int64
+        ofn.argtypes = fn.argtypes
+
+        def walk_over(packed, limit, count, out):
+            return ofn(
+                packed.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                limit,
+                count,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+
+        rle_walk_over = walk_over
 
         dfn = lib.rle_decode
         dfn.restype = ctypes.c_int64
@@ -339,6 +371,7 @@ def _load() -> None:
         rle_encode = encode
     except Exception:
         rle_walk = None
+        rle_walk_over = None
         rle_decode = None
         byte_rle_decode = None
         rle_encode = None

@@ -881,19 +881,37 @@ def int_rle_positions(
     )
     limit = n_term + 1
     need = int(targets[-1]) + 1
-    starts_byte: list[int] = []
-    starts_val: list[int] = []
-    got = 0
-    i = 0
-    while got < need:
-        if i >= limit:
+    # group walk: same native chase as decode_int_rle (the walk visits
+    # EVERY group up to the last stride target, so pure Python here was
+    # >half the total write cost on big int columns)
+    packed = (next_idx << np.int64(9)) | cnt_all  # cnt <= 130 < 2^9
+    from ._native import rle_walk_over
+
+    if rle_walk_over is not None:
+        out = np.empty(limit, dtype=np.int64)
+        n_groups = rle_walk_over(packed, limit, need, out)
+        if n_groups == -1:
             raise ValueError("RLE stream truncated")
-        starts_byte.append(int(C[i]))
-        starts_val.append(got)
-        got += int(cnt_all[i])
-        i = int(next_idx[i])
-    sv = np.asarray(starts_val, dtype=np.int64)
-    sb = np.asarray(starts_byte, dtype=np.int64)
+        idx = out[:n_groups]
+    else:
+        mv = packed.data
+        starts: list[int] = []
+        append = starts.append
+        got = 0
+        i = 0
+        while got < need:
+            if i >= limit:
+                raise ValueError("RLE stream truncated")
+            append(i)
+            v = mv[i]
+            got += v & 0x1FF
+            i = v >> 9
+        idx = np.asarray(starts, dtype=np.int64)
+    sb = C[idx]
+    cnts = cnt_all[idx]
+    sv = np.empty(len(idx), dtype=np.int64)
+    sv[0] = 0
+    np.cumsum(cnts[:-1], out=sv[1:])
     gi = np.searchsorted(sv, targets, side="right") - 1
     return [(int(sb[g]), int(t - sv[g])) for g, t in zip(gi, targets)]
 
