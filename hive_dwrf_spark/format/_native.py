@@ -61,6 +61,45 @@ int64_t rle_walk_over(const int64_t *packed, int64_t limit, int64_t count,
     return n;
 }
 
+/* Seek-position table in one pass over the raw stream: hop RLE v1 group
+   headers (payload varints are skipped by terminator scan, never
+   decoded) and report, for each sorted target value index, the byte
+   offset of its containing group and the values to skip after seeking
+   there. Returns 0 on success, -1 on truncation. */
+int64_t rle_positions(const uint8_t *buf, int64_t n,
+                      const int64_t *targets, int64_t n_targets,
+                      int64_t *out_byte, int64_t *out_skip) {
+    int64_t got = 0, pos = 0, t = 0;
+    while (t < n_targets) {
+        if (pos >= n) return -1;
+        int64_t gstart = pos;
+        uint8_t h = buf[pos++];
+        int64_t cnt;
+        if (h < 0x80) {  /* repeat: delta byte + one base varint */
+            cnt = (int64_t)h + 3;
+            if (pos >= n) return -1;
+            pos++;
+            while (pos < n && buf[pos] >= 0x80) pos++;
+            if (pos >= n) return -1;
+            pos++;
+        } else {         /* literal: cnt varints */
+            cnt = 256 - (int64_t)h;
+            for (int64_t j = 0; j < cnt; j++) {
+                while (pos < n && buf[pos] >= 0x80) pos++;
+                if (pos >= n) return -1;
+                pos++;
+            }
+        }
+        while (t < n_targets && targets[t] < got + cnt) {
+            out_byte[t] = gstart;
+            out_skip[t] = targets[t] - got;
+            t++;
+        }
+        got += cnt;
+    }
+    return 0;
+}
+
 /* Full RLE v1 integer decode (RunLengthIntegerReader.java:100-163
    semantics): LEB128 varints, zigzag when signed, repeat groups
    (header h < 0x80 -> h+3 values, signed byte delta, one base varint)
@@ -208,6 +247,7 @@ int64_t byte_rle_decode(const uint8_t *buf, int64_t n, int64_t pos,
 
 rle_walk = None  # callable(packed_int64, limit, count, out_int64) -> int64
 rle_walk_over = None  # same, overshoot-tolerant (seek-position tables)
+rle_positions = None  # callable(buf_u8, targets_i64, out_byte, out_skip) -> int64
 rle_decode = None  # callable(buf_u8, pos, count, signed, out_i64) -> (n, pos)
 byte_rle_decode = None  # callable(buf_u8, pos, count, out_u8) -> (n, pos)
 rle_encode = None  # callable(values_i64, signed) -> bytes
@@ -251,7 +291,8 @@ def _build() -> str | None:
 
 
 def _load() -> None:
-    global rle_walk, rle_walk_over, rle_decode, byte_rle_decode, rle_encode
+    global rle_walk, rle_walk_over, rle_positions
+    global rle_decode, byte_rle_decode, rle_encode
     if os.environ.get("DWRF_NO_NATIVE"):
         return
     so = _build()
@@ -291,6 +332,29 @@ def _load() -> None:
             )
 
         rle_walk_over = walk_over
+
+        pfn = lib.rle_positions
+        pfn.restype = ctypes.c_int64
+        pfn.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+
+        def positions(buf, targets, out_byte, out_skip):
+            return pfn(
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                len(buf),
+                targets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(targets),
+                out_byte.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                out_skip.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+
+        rle_positions = positions
 
         dfn = lib.rle_decode
         dfn.restype = ctypes.c_int64
@@ -372,6 +436,7 @@ def _load() -> None:
     except Exception:
         rle_walk = None
         rle_walk_over = None
+        rle_positions = None
         rle_decode = None
         byte_rle_decode = None
         rle_encode = None

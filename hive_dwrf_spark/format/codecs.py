@@ -858,6 +858,18 @@ def int_rle_positions(
     if len(targets) == 0:
         return []
     buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    from ._native import rle_positions as _nat_positions
+
+    if _nat_positions is not None:
+        # one linear C pass over the raw bytes: group headers hop by
+        # terminator scan, payload varints never decode — replaces the
+        # whole numpy candidate-table prep below (which re-derives the
+        # group structure with several full-stream passes per call)
+        out_byte = np.empty(len(targets), dtype=np.int64)
+        out_skip = np.empty(len(targets), dtype=np.int64)
+        if _nat_positions(buf, targets, out_byte, out_skip) == -1:
+            raise ValueError("RLE stream truncated")
+        return [(int(b), int(s)) for b, s in zip(out_byte, out_skip)]
     n_bytes = len(buf)
     bufp = np.empty(n_bytes + 2, dtype=np.uint8)
     bufp[:n_bytes] = buf
