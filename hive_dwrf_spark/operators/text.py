@@ -624,12 +624,19 @@ def bpe_train_merges(df: DataFrame, text_col: str, k: int = 3) -> DataFrame:
             .groupBy("pair")
             .agg(F.sum("freq").alias("cnt"))
         )
+        # one row; eagerly materialized so (a) the two consumers (output
+        # union + next round's broadcast) don't each re-run the pair
+        # count, and (b) each round's lineage is cut — without this,
+        # round r re-executed ALL r-1 earlier rounds' transforms
         best = (
             pc.orderBy(F.desc("cnt"), F.asc("pair"))
             .limit(1)
             .select(F.lit(r + 1).alias("merge_rank"), "pair", "cnt")
+            .localCheckpoint(eager=True)
         )
         merges.append(best)
+        if r + 1 == k:
+            break  # the last merge is never applied to the vocabulary
         # apply the merge: double every separator so matches can't
         # overlap, wrap in sentinels so 'a b' can't match inside 'xa b',
         # then collapse spacing back. Left-to-right non-overlapping ==
@@ -650,9 +657,17 @@ def bpe_train_merges(df: DataFrame, text_col: str, k: int = 3) -> DataFrame:
         merged = F.trim(
             F.regexp_replace(F.replace(doubled, pat, rep), " +", " ")
         )
-        syms = syms.crossJoin(F.broadcast(best.select("pair"))).select(
-            merged.alias("s"), "freq"
+        # eager checkpoint: materializes the merged vocabulary NOW (so the
+        # next round reads a table, not a growing transform chain) and
+        # cuts lineage; blocks release via the context cleaner when the
+        # round's RDD goes out of scope
+        syms = (
+            syms.crossJoin(F.broadcast(best.select("pair")))
+            .select(merged.alias("s"), "freq")
+            .localCheckpoint(eager=True)
         )
+    # every merge row is checkpointed, so the cached word table can go
+    wf.unpersist()
     return reduce(lambda a, b: a.unionByName(b), merges)
 
 
