@@ -94,6 +94,82 @@ def cms_estimate(
     )
 
 
+def bloom_build(
+    df: DataFrame, key_col, m_bits: int = 65536, k: int = 4
+) -> DataFrame:
+    """Build a Bloom filter over `key_col` as a SPARSE (word_idx, bits)
+    table: each key sets `k` bit positions (the CMS keyed-md5 bucket
+    function with width = m_bits), positions pack into 32-bit words, and
+    the words merge with one map-side-combinable ``bit_or`` aggregate —
+    the same one-shuffle-bounded-output shape as cms_build, with
+    bit-presence replacing counts.
+
+    The 100 TB use: a membership gate for incremental ingest. The
+    yesterday-corpus filter at 10 bits/key is ~1.2 GB per 10^9 keys —
+    orders of magnitude under the signature store (~512 B/doc) that
+    dedup_incremental loads — and "bit missing" is EXACT (no false
+    negatives), so the expensive signature path only ever runs on the
+    maybe-present sliver. The sparse word form needs no broadcast budget:
+    membership checks are an equi-join on word_idx, so the filter can
+    exceed executor memory and still work; densify + broadcast is the
+    small-filter fast path, not a requirement.
+
+    Hash-deterministic end to end (no RNG, no UDFs): a SQL oracle replays
+    the filter — false positives included — bit-for-bit.
+    """
+    rows = F.array(*[F.lit(i) for i in range(k)])
+    keyed = df.select(
+        F.col(key_col).alias("_k") if isinstance(key_col, str) else key_col.alias("_k")
+    ).select("_k", F.explode(rows).alias("row_i"))
+    pos = keyed.select(
+        _bucket(F.col("row_i"), F.col("_k"), m_bits).alias("pos")
+    )
+    words = pos.select(
+        (F.col("pos") / 32).cast("int").alias("word_idx"),
+        # shiftleft's python wrapper takes only literal shift counts; the
+        # SQL form accepts a column
+        F.expr("shiftleft(CAST(1 AS BIGINT), pmod(pos, 32))").alias("bit"),
+    )
+    return words.groupBy("word_idx").agg(F.bit_or("bit").alias("bits"))
+
+
+def bloom_check(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    m_bits: int = 65536,
+    k: int = 4,
+) -> DataFrame:
+    """Membership-test `probes[key_col]` against a built sparse filter:
+    `maybe_present` = 1 iff ALL `k` probe bits are set. A 0 is definitive
+    (the key was NOT in the build stream); a 1 is "present or false
+    positive" at the standard (1 - e^{-kn/m})^k rate.
+
+    Plan shape: probes explode into k (word_idx, bit) lookups, equi-join
+    the filter on word_idx (<= m_bits/32 rows — broadcast at this size;
+    at giant m the join is a plain shuffle join and still never touches
+    the build corpus), then one all-bits-set aggregate per probe key.
+    """
+    rows = F.array(*[F.lit(i) for i in range(k)])
+    p = probes.select(F.col(key_col).alias("_k")).select(
+        "_k", F.explode(rows).alias("row_i")
+    )
+    p = p.select(
+        "_k", _bucket(F.col("row_i"), F.col("_k"), m_bits).alias("pos")
+    ).select(
+        "_k",
+        (F.col("pos") / 32).cast("int").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), pmod(pos, 32))").alias("bit"),
+    )
+    joined = p.join(F.broadcast(bloom), "word_idx", "left")
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit")) != 0
+    ).cast("int")
+    return joined.groupBy(F.col("_k").alias(key_col)).agg(
+        F.min(hit).alias("maybe_present")
+    )
+
+
 def hll_partial_sketches(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     """Per-group HyperLogLog sketches of distinct `key_col` values — the
     MERGEABLE half of distinct counting at 100 TB: build one sketch per

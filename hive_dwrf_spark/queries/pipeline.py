@@ -1794,6 +1794,75 @@ def sketch_cms(spark, sf_dir):
     )
 
 
+_BLOOM_M, _BLOOM_K = 65536, 4
+
+
+@query(
+    "sketch_bloom",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             array_to_string(
+               list_slice(
+                 string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+                 1, 5), ' ') AS fp
+      FROM documents
+    ), rows_ AS (
+      SELECT CAST(r.range AS INTEGER) AS row_i FROM range(0, {_BLOOM_K}) r
+    ), bloom AS (
+      SELECT pos // 32 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << (pos % 32)) AS bits
+      FROM (SELECT CAST(md5_number_upper(CAST(row_i AS VARCHAR) || '|' || fp)
+                        % {_BLOOM_M} AS INTEGER) AS pos
+            FROM f, rows_ WHERE doc_id % 4 != 0)
+      GROUP BY 1
+    ), probes AS (
+      SELECT doc_id,
+             CAST(md5_number_upper(CAST(row_i AS VARCHAR) || '|' || fp)
+                  % {_BLOOM_M} AS INTEGER) AS pos
+      FROM f, rows_ WHERE doc_id % 4 = 0
+    )
+    SELECT doc_id,
+           CAST(min(CASE WHEN coalesce(bits, 0)
+                              & (CAST(1 AS BIGINT) << (pos % 32)) != 0
+                     THEN 1 ELSE 0 END) AS INTEGER) AS maybe_present
+    FROM probes LEFT JOIN bloom ON probes.pos // 32 = bloom.word_idx
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def sketch_bloom(spark, sf_dir):
+    """Bloom-filter ingest gate (operators/sketch.py::bloom_build/_check):
+    the existing corpus (3/4 of documents) builds a sparse 65536-bit / 4-hash
+    membership filter over a 5-token prefix fingerprint; the new batch (the
+    other 1/4) probes it. maybe_present=0 is EXACT (definitely new — skip
+    the signature path entirely); =1 routes to the full dedup_incremental
+    machinery. Same keyed-md5 bucket function as sketch_cms, so the oracle
+    replays the filter — false positives included — bit-for-bit."""
+    from ..operators import sketch
+
+    d = load(spark, sf_dir, "documents")
+    fp = F.concat_ws(
+        " ",
+        F.slice(
+            F.split(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")), " "),
+            1,
+            5,
+        ),
+    )
+    f = d.select("doc_id", fp.alias("fp"))
+    corpus = f.filter(F.col("doc_id") % 4 != 0)
+    batch = f.filter(F.col("doc_id") % 4 == 0)
+    bloom = sketch.bloom_build(corpus, "fp", _BLOOM_M, _BLOOM_K)
+    checked = sketch.bloom_check(
+        bloom, batch.select("fp").distinct(), "fp", _BLOOM_M, _BLOOM_K
+    )
+    return (
+        batch.join(checked, "fp")
+        .select("doc_id", F.col("maybe_present").cast("int").alias("maybe_present"))
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "text_tfidf",
     oracle="""

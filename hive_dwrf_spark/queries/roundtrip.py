@@ -396,6 +396,88 @@ def streaming_window_topk(spark, sf_dir):
 
 
 @query(
+    "streaming_sessionize",
+    # same gap-based replay as the batch q35_sessionize oracle: lag +
+    # running-sum session ids with a strict 30-minute gap
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), flags AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flags
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def streaming_sessionize(spark, sf_dir):
+    """STREAMING gap-based sessionization: the events stream (DWRF stream
+    source) through Spark's native session_window stateful aggregate —
+    session state merges inside the aggregation and, in production, evicts
+    by watermark (state is one open session per active user, bounded by
+    gap + lateness, never by stream length). Complete-mode emission makes
+    the availableNow run exactly the batch q35_sessionize aggregation, so
+    the whole stateful session-merge path is oracle-checked, not
+    eyeballed."""
+    import shutil
+
+    from ..sources import register
+    from ..streaming import stream_dwrf_dir
+
+    register(spark)
+    base = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    src = f"/tmp/hive_dwrf_spark_sess_src_{base}"
+    ckpt = f"/tmp/hive_dwrf_spark_sess_ckpt_{base}"
+    for p in (src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    e = load(spark, sf_dir, "events")
+    e.write.format("dwrf").option("path", src).option(
+        "stripe_rows", "12500"
+    ).mode("overwrite").save()
+    # ts is TIMESTAMP_NTZ in the format; session_window + watermark need
+    # TIMESTAMP, and under the UTC session timezone the cast preserves values
+    stream = stream_dwrf_dir(spark, src).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    sess = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(f"sessions_{base}")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q)
+    back = spark.table(f"sessions_{base}")
+    return back.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
+@query(
     "q43_deep_nested",
     oracle="""
     SELECT l_orderkey AS k, l_linenumber AS ln,

