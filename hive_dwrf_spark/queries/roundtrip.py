@@ -396,6 +396,63 @@ def streaming_window_topk(spark, sf_dir):
 
 
 @query(
+    "format_evolve",
+    # gen-1 files predate o_orderpriority; mergeSchema must union-by-name
+    # and null-fill, so the per-priority aggregate sees NULL for every
+    # even-key order — replayed by the CASE projection
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS cnt,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_price_c
+    FROM (SELECT o_totalprice,
+                 CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+                 END AS o_orderpriority
+          FROM orders) t
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority NULLS FIRST
+    """,
+)
+def format_evolve(spark, sf_dir):
+    """Schema evolution end-to-end (mergeSchema): gen-1 DWRF files carry
+    (o_orderkey, o_totalprice); a later ingest appends gen-2 files with a
+    new o_orderpriority column. One mergeSchema read unions by name and
+    null-fills the column the old files predate — adding a column never
+    rewrites data (planning stays O(footers); old files null-fill at
+    decode). The aggregate proves both generations read as one table."""
+    import shutil
+
+    from ..sources import register
+
+    register(spark)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/hive_dwrf_spark_evolve_{base}"
+    shutil.rmtree(out, ignore_errors=True)
+    o = load(spark, sf_dir, "orders")
+    gen1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    gen2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    gen1.write.format("dwrf").option("path", out).mode("overwrite").save()
+    gen2.write.format("dwrf").option("path", out).mode("append").save()
+    back = (
+        spark.read.format("dwrf").option("mergeSchema", "true").load(out)
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)).alias(
+                "sum_price_c"
+            ),
+        )
+        .orderBy(F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+@query(
     "streaming_sessionize",
     # same gap-based replay as the batch q35_sessionize oracle: lag +
     # running-sum session ids with a strict 30-minute gap
