@@ -580,12 +580,62 @@ def bigram_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def bpe_train_merges(df: DataFrame, text_col: str, k: int = 3) -> DataFrame:
+def _bpe_local_rounds(spark, vocab: list, k: int) -> DataFrame:
+    """Driver-local BPE merge rounds over a collected (sym_string, freq)
+    vocabulary — value-identical to the distributed loop: same pair
+    weighting, same (cnt DESC, pair ASC) winner (Python str comparison is
+    code-point order == Spark's UTF-8 binary order), and the same
+    double-space literal replace (both engines' replace() is
+    left-to-right non-overlapping over all occurrences)."""
+    import re
+    from collections import Counter
+
+    merges: list[tuple[int, str, int]] = []
+    for r in range(k):
+        pc: Counter = Counter()
+        for s, f in vocab:
+            toks = s.split(" ")
+            for a, b in zip(toks, toks[1:]):
+                pc[a + " " + b] += f
+        if not pc:
+            break  # no adjacent pairs left: remaining rounds emit nothing
+        pair, cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r + 1, pair, cnt))
+        if r + 1 == k:
+            break
+        pat = " " + pair.replace(" ", "  ") + " "
+        rep = " " + pair.replace(" ", "") + " "
+        vocab = [
+            (
+                re.sub(
+                    " +", " ", (" " + s.replace(" ", "  ") + " ").replace(pat, rep)
+                ).strip(" "),
+                f,
+            )
+            for s, f in vocab
+        ]
+    return spark.createDataFrame(
+        merges, "merge_rank INT, pair STRING, cnt BIGINT"
+    )
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str, k: int = 3, local_threshold: int = 2_000_000
+) -> DataFrame:
     """Train the first `k` BPE tokenizer merges on the corpus: round r
     counts adjacent symbol pairs weighted by word frequency, picks the
     most frequent pair (count DESC, then lexicographic — a total order),
     and applies it left-to-right non-overlapping to every word, exactly
     the Sennrich et al. BPE procedure.
+
+    Adaptive small-vocab path (the connected_components discipline): the
+    corpus-scale word-frequency aggregate always runs distributed, but a
+    vocabulary at or below `local_threshold` rows (a few million words =
+    tens of MB — web-corpus vocabularies land here; the CORPUS never
+    does) collects once and runs the k merge rounds driver-local with
+    zero per-round Spark jobs. Above the gate — or with
+    `local_threshold=0`, which tests use to pin parity — the distributed
+    per-round loop runs.
 
     100 TB shape: ONE corpus-scale aggregate (word frequencies); every
     merge round then operates on the vocabulary table — typically a few
@@ -610,6 +660,10 @@ def bpe_train_merges(df: DataFrame, text_col: str, k: int = 3) -> DataFrame:
     syms = wf.select(
         F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("s"), "freq"
     )
+    if local_threshold and wf.count() <= local_threshold:
+        vocab = [(r.s, r.freq) for r in syms.collect()]
+        wf.unpersist()
+        return _bpe_local_rounds(df.sparkSession, vocab, k)
     merges = []
     for r in range(k):
         ws = F.split(F.col("s"), " ")

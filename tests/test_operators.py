@@ -1125,6 +1125,32 @@ def test_bpe_merge_left_to_right_non_overlapping(spark):
     assert got == [(1, "a a", 6), (2, "aa aa", 2)]
 
 
+def test_bpe_local_path_matches_distributed(spark):
+    """The adaptive driver-local merge rounds must be value-identical to
+    the distributed loop — ties, multi-char merges, repeated symbols."""
+    from hive_dwrf_spark.operators.text import bpe_train_merges
+
+    df = spark.createDataFrame(
+        [
+            (1, "low low low lower newest newest widest"),
+            (2, "aaaa aaab ab ab ab ba"),
+            (3, "zz zz zz yy"),
+        ],
+        ["doc_id", "text"],
+    )
+    dist = [
+        (r.merge_rank, r.pair, r.cnt)
+        for r in bpe_train_merges(df, "text", 4, local_threshold=0)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    local = [
+        (r.merge_rank, r.pair, r.cnt)
+        for r in bpe_train_merges(df, "text", 4).orderBy("merge_rank").collect()
+    ]
+    assert dist == local and len(dist) == 4
+
+
 def test_mixture_sample_budget_and_determinism(spark):
     from hive_dwrf_spark.operators.sampling import mixture_sample
 
