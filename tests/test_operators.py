@@ -1468,6 +1468,30 @@ def test_pagerank_fixed_point_star_graph(spark):
     # iter2: center gets 150000 + 85%*(575000+575000) = 1127500;
     #        leaves get 150000 + 85%*(1850000 DIV 2) = 936250
     assert got == {1: 1127500, 2: 936250, 3: 936250}
+    # the distributed loop (local_threshold=0 forces past the small-graph
+    # gate) must produce the identical fixed point
+    dist = {
+        r.node: r.rank_fp
+        for r in pagerank_fixed_point(
+            edges, iterations=2, local_threshold=0
+        ).collect()
+    }
+    assert dist == got
+
+
+def test_pagerank_local_matches_distributed_random_graph(spark):
+    """Path parity on a denser random-ish graph: duplicate-free edge list
+    with skewed degrees, 3 iterations, both paths bit-equal."""
+    from hive_dwrf_spark.operators.graph import pagerank_fixed_point
+
+    rows = [(i % 23, (i * 7 + 3) % 41 + 100) for i in range(300)]
+    edges = spark.createDataFrame(sorted(set(rows)), ["src", "dst"])
+    a = {r.node: r.rank_fp
+         for r in pagerank_fixed_point(edges, iterations=3).collect()}
+    b = {r.node: r.rank_fp
+         for r in pagerank_fixed_point(
+             edges, iterations=3, local_threshold=0).collect()}
+    assert a == b and len(a) > 50
 
 
 def test_dataset_diff_classifies_all_four(spark):
