@@ -650,6 +650,147 @@ def word_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    max_df: int = 1000,
+    gram_len: int | None = None,
+) -> DataFrame:
+    """Directed CONTAINMENT pairs: (src, dst) where
+    |src ∩ dst| / |src| >= threshold over the doc's distinct token set —
+    the asymmetric near-dup signal word_jaccard_pairs structurally misses
+    (a short doc quoted inside a long one has high containment but low
+    Jaccard; the RealNews/C4 "contained duplicate" removal is this test).
+    With `gram_len` set, tokens are the Broder shingle form — distinct
+    md5s of every `gram_len`-char window (built JVM-side in the scan
+    stage, the repeated_span_coverage shape) — which detects verbatim
+    copying independent of a corpus's word vocabulary; otherwise
+    whitespace words.
+
+    Candidate generation is the AllPairs prefix principle adapted to the
+    one-sided bound: if |src ∩ dst| >= ceil(t*|src|), the minimal common
+    token under the global (df, token) order sits inside src's prefix of
+    size |src| - ceil(t*|src|) + 1 (pigeonhole) — but anywhere in dst, so
+    the dst side joins its FULL token set. The hot-token hazard that
+    full side reintroduces is capped by `max_df` (the dedup_winnow
+    remedy): tokens in more than max_df docs never form join groups, so
+    group cost is bounded by max_df x prefix occurrences, never corpus².
+    Completeness is lost only for a src whose ENTIRE prefix is hotter
+    than max_df — a doc made of boilerplate stop-words, which pairs with
+    everything and means nothing. Verify is the exact intersection count
+    over surviving candidates only.
+
+    Both directions emit independently (src-in-dst and dst-in-src are
+    different facts); self-pairs are excluded."""
+    from .util import spread
+
+    if gram_len is not None:
+        n_pos = F.length(text_col) - gram_len + 1
+        pos = F.explode(
+            F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("p")
+        # widen a single-split input BEFORE the ~chars-per-doc explode:
+        # one task otherwise holds the whole corpus's gram distinct map.
+        # Gram identity is the shared 64-bit keyed md5 (= DuckDB
+        # md5_number_upper, a 16-byte fixed-width decimal) instead of the
+        # 32-char hex string: every downstream sort/shuffle carries the
+        # gram key ~4x smaller (measured ~2x end-to-end). 64-bit collisions
+        # merge a gram corpus-wide in BOTH engines identically (the oracle
+        # replays them); the containment error is < 1/|src| per collision,
+        # negligible against a 0-1 threshold.
+        from .sampling import _hash64
+
+        words = (
+            spread(df.select(F.col(id_col), F.col(text_col)))
+            .select(F.col(id_col), F.col(text_col), pos)
+            .select(
+                id_col,
+                _hash64(
+                    F.substring(F.col(text_col), F.col("p"), gram_len)
+                ).alias("w"),
+            )
+            .distinct()
+        )
+    else:
+        words = (
+            df.select(
+                F.col(id_col),
+                F.explode(
+                    F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+                ).alias("w"),
+            )
+            .filter(F.col("w") != "")
+            .distinct()
+        )
+    # five consumers read the token set (sizes, df, prefix, both verify
+    # sides): persist it so the explode+distinct runs once — and so join
+    # planning sees the MATERIALIZED size. Without this, every derived
+    # frame inherits the tiny source file's size estimate and the planner
+    # broadcasts a corpus-scale gram table (driver OOM at sf0.1 already).
+    from pyspark import StorageLevel
+
+    words = words.persist(StorageLevel.MEMORY_AND_DISK)
+    # Annotate df/sz/rank with TWO window passes over the persisted token
+    # set instead of three corpus-scale aggregate+join-back rounds: one
+    # sort by token (df), one sort by doc (sz and the prefix rank share
+    # it). prefix/live are then pure filters — no join materializes an
+    # annotated copy. The remaining joins carry explicit merge hints:
+    # every derived frame inherits the SOURCE FILE's tiny size estimate
+    # (explodes don't fix logical stats), so the planner would otherwise
+    # broadcast a multi-GB gram table (observed driver OOM at sf0.1);
+    # sort-merge is the strategy that is correct at every scale, and AQE
+    # still converts to broadcast when a side is genuinely small and
+    # splits skewed keys.
+    annot = (
+        words.withColumn("df", F.count("*").over(Window.partitionBy("w")))
+        .withColumn("sz", F.count("*").over(Window.partitionBy(id_col)))
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.partitionBy(id_col).orderBy("df", "w")),
+        )
+        .filter(F.col("df") <= max_df)
+    )
+    live = annot.select(F.col(id_col).alias("dst_id"), "w")
+    prefix = annot.filter(
+        F.col("rnk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select(F.col(id_col).alias("src_id"), "w")
+    cand = (
+        prefix.join(live.hint("merge"), "w")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select("src_id", "dst_id")
+        .distinct()
+    )
+    wa = words.select(F.col(id_col).alias("src_id"), "w")
+    wb = words.select(F.col(id_col).alias("dst_id"), "w")
+    inter = (
+        cand.join(wa.hint("merge"), "src_id")
+        .join(wb.hint("merge"), ["dst_id", "w"])
+        .groupBy("src_id", "dst_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = words.groupBy(id_col).agg(F.count("*").alias("src_sz")).select(
+        F.col(id_col).alias("src_id"), "src_sz"
+    )
+    result = (
+        inter.join(s1.hint("merge"), "src_id")
+        .withColumn(
+            "containment", F.round(F.col("inter") / F.col("src_sz"), 6)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("src_id", "dst_id", "containment")
+        # eager: the pair list materializes now (it is the small output of
+        # the pass), letting the gram cache release before return —
+        # repeated calls in one session must not accumulate storage
+        .localCheckpoint(eager=True)
+    )
+    words.unpersist()
+    return result
+
+
 def embedding_cosine_pairs(
     df: DataFrame, vec_col: str, id_col: str, threshold: float
 ) -> DataFrame:

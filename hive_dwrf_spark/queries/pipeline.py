@@ -92,6 +92,56 @@ def dedup_jaccard(spark, sf_dir):
 
 
 @query(
+    "dedup_containment",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, md5_number_upper(substr(text, CAST(p AS INTEGER), 20)) AS w
+      FROM documents,
+           LATERAL unnest(generate_series(1, greatest(length(text) - 19, 0)))
+             AS t(p)
+    ), words AS (SELECT DISTINCT doc_id, w FROM g),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM words GROUP BY 1),
+    dfreq AS (SELECT w, count(*) AS df FROM words GROUP BY 1),
+    pref AS (
+      SELECT doc_id, w FROM (
+        SELECT words.doc_id, words.w, dfreq.df, sizes.sz,
+               row_number() OVER (PARTITION BY words.doc_id
+                                  ORDER BY dfreq.df, words.w) AS rnk
+        FROM words JOIN dfreq USING (w) JOIN sizes USING (doc_id)) x
+      WHERE rnk <= sz - ceil(0.5 * sz) + 1 AND df <= 1000
+    ), live AS (
+      SELECT doc_id, w FROM words JOIN dfreq USING (w) WHERE df <= 1000
+    ), cand AS (
+      SELECT DISTINCT p.doc_id AS src_id, b.doc_id AS dst_id
+      FROM pref p JOIN live b USING (w) WHERE p.doc_id <> b.doc_id
+    ), inter AS (
+      SELECT c.src_id, c.dst_id, count(*) AS i
+      FROM cand c
+      JOIN words a ON a.doc_id = c.src_id
+      JOIN words b ON b.doc_id = c.dst_id AND b.w = a.w
+      GROUP BY 1, 2
+    )
+    SELECT src_id, dst_id, round(i * 1.0 / sizes.sz, 6) AS containment
+    FROM inter JOIN sizes ON sizes.doc_id = inter.src_id
+    WHERE round(i * 1.0 / sizes.sz, 6) >= 0.5
+    ORDER BY src_id, dst_id
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Directed shingle-containment pairs (operators/dedup.py::
+    containment_pairs): |src ∩ dst| / |src| >= 0.5 over distinct 20-char
+    gram md5s — the asymmetric quote/superset signal Jaccard misses. The
+    prefix filter bounds src-side candidates, the df cap (dedup_winnow's
+    remedy) bounds the dst-side hot-gram groups, and the exact
+    intersection verifies candidates only; the oracle replays prefix, cap,
+    candidates, and verify."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        d, "text", "doc_id", threshold=0.5, max_df=1000, gram_len=20
+    ).orderBy("src_id", "dst_id")
+
+
+@query(
     "dedup_cosine",
     oracle="""
     SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -74,6 +74,7 @@ QUERIES = [
     "pipeline_source_cap",  # two-phase skew-safe per-group top-n
     "sample_epoch_shuffle",  # range exchange + prefix offsets
     "sketch_cms",     # fixed-size sketch aggregate
+    "sketch_bloom",   # sparse bit_or membership filter + probe join
     "text_clf_score",  # projection + hash agg inference
     "sample_mixture",  # broadcast rates + projection expansion
     "dedup_incremental",  # batch-touching-only LSH pairing
@@ -82,7 +83,11 @@ QUERIES = [
     "text_line_dedup",  # count-distinct chunk df + doc-keyed reassembly
     "text_quality_calibrated",  # per-source window rank cut
     "entity_fuzzy_match",  # distinct-first token blocking + levenshtein
-    "graph_pagerank",  # pregel iterations, integer fixed-point
+    "graph_pagerank",  # pregel iterations, integer fixed-point; the x10
+                       # side exceeds the small-graph gate (11.7M directed
+                       # edges > 2M), so the ratio measures local-vs-
+                       # DISTRIBUTED — a conservative (inflated) ratio that
+                       # still stresses the loop where it matters
     "dedup_semantic",  # LSH pairs -> pointer-doubling components -> anti-join
     # components at scale are measured through their LSH-bounded pair
     # inputs (dedup_semantic above, dedup_winnow_resolve below). The

@@ -998,6 +998,38 @@ def test_cms_estimate_bounds(spark):
     assert est2["a"] >= 50 and est2["b"] >= 7
 
 
+def test_containment_detects_quote_jaccard_misses(spark):
+    """A short doc verbatim inside a long one: containment(src=short)=1.0
+    while Jaccard is low — the asymmetric signal the operator exists for.
+    The reverse direction (long in short) must NOT fire."""
+    from hive_dwrf_spark.operators.dedup import (
+        containment_pairs,
+        word_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog near the river bank"
+    long_doc = (
+        "unrelated opening words here " + quote + " and then a very long "
+        "tail of completely different material continues for a while with "
+        "many extra unique tokens that dilute the union considerably"
+    )
+    df = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, "totally different text about ships")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.src_id, r.dst_id): r.containment
+        for r in containment_pairs(
+            df, "text", "doc_id", threshold=0.9, gram_len=10
+        ).collect()
+    }
+    assert got.get((1, 2)) == 1.0
+    assert (2, 1) not in got and (1, 3) not in got
+    # word-level Jaccard at the same bar misses the pair entirely
+    jac = word_jaccard_pairs(df, "text", "doc_id", threshold=0.9).collect()
+    assert not any({r.id1, r.id2} == {1, 2} for r in jac)
+
+
 def test_bloom_no_false_negatives_and_absent_mostly_zero(spark):
     from hive_dwrf_spark.operators import sketch
 
