@@ -207,3 +207,42 @@ def dataset_diff(
     return joined.select(status.alias("status")).groupBy("status").agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+
+
+def validate_rules(
+    df: DataFrame, rules: list[tuple[str, "F.Column"]], id_col: str
+) -> DataFrame:
+    """Data-quality gate: evaluate named boolean rules over every row in
+    ONE scan and report, per rule, the violation count plus the smallest
+    violating id (a deterministic reproducer a human can actually fetch).
+
+    Shape at 100 TB: each rule is a pure column expression fused into the
+    scan; the per-rule (count, min-id) pairs come out of a single
+    map-side-combinable aggregate — no per-rule pass, no shuffle of the
+    fact table, output is |rules| rows regardless of corpus size. Rules
+    that pass everywhere still appear (n_violations = 0), so a silent
+    all-green report and a missing rule are distinguishable."""
+    aggs = []
+    for name, cond in rules:
+        viol = ~F.coalesce(cond, F.lit(False))
+        aggs.append(
+            F.sum(viol.cast("bigint")).alias(f"__n_{name}")
+        )
+        aggs.append(
+            F.min(F.when(viol, F.col(id_col))).alias(f"__id_{name}")
+        )
+    row = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"__n_{name}").alias("n_violations"),
+                F.col(f"__id_{name}").alias("sample_id"),
+            )
+            for name, _ in rules
+        ]
+    )
+    return (
+        row.select(F.explode(pairs).alias("r"))
+        .select("r.rule", "r.n_violations", "r.sample_id")
+    )

@@ -725,6 +725,49 @@ def bpe_train_merges(
     return reduce(lambda a, b: a.unionByName(b), merges)
 
 
+def bpe_apply_token_counts(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """END-TO-END tokenizer application: train the first `k` BPE merges on
+    the corpus (bpe_train_merges), apply them to the VOCABULARY, and
+    count each document's post-merge tokens — the "how many tokens will
+    this corpus cost" question every training-data budget starts with.
+
+    Scale shape: merges are k tiny rows (collected once — they are the
+    tokenizer, not data); the merge application runs over the vocabulary
+    table, never the corpus; per-word token lengths broadcast back over
+    one corpus scan whose only shuffle is the per-doc sum. Applying a
+    trained tokenizer to 100 TB is therefore ONE scan + ONE broadcast
+    join + ONE combinable aggregate."""
+    merges = [
+        r.pair
+        for r in bpe_train_merges(df, text_col, k)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
+    vocab = (
+        df.select(F.explode(words).alias("word")).distinct()
+    )
+    s = F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 "))
+    for pair in merges:
+        doubled = F.concat(
+            F.lit(" "), F.replace(s, F.lit(" "), F.lit("  ")), F.lit(" ")
+        )
+        pat = F.lit(" " + pair.replace(" ", "  ") + " ")
+        rep = F.lit(" " + pair.replace(" ", "") + " ")
+        s = F.trim(F.regexp_replace(F.replace(doubled, pat, rep), " +", " "))
+    vocab_tok = vocab.select(
+        "word", F.size(F.split(s, " ")).alias("ntok")
+    )
+    docw = df.select(F.col(id_col), F.explode(words).alias("word"))
+    return (
+        docw.join(F.broadcast(vocab_tok), "word")
+        .groupBy(id_col)
+        .agg(F.sum("ntok").alias("n_tokens"))
+    )
+
+
 def hashed_linear_score(
     df: DataFrame,
     text_col: str,

@@ -1844,6 +1844,69 @@ def sketch_cms(spark, sf_dir):
     )
 
 
+@query(
+    "pipeline_validate",
+    oracle="""
+    SELECT rule, n_violations, sample_id FROM (
+      SELECT 'event_type_known' AS rule,
+             CAST(sum(CASE WHEN NOT coalesce(
+               event_type IN ('click','view','purchase','signup','error'),
+               false) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+             min(CASE WHEN NOT coalesce(
+               event_type IN ('click','view','purchase','signup','error'),
+               false) THEN event_id END) AS sample_id
+      FROM events
+      UNION ALL
+      SELECT 'interaction_only',
+             CAST(sum(CASE WHEN NOT coalesce(
+               event_type IN ('click','view','purchase'), false)
+               THEN 1 ELSE 0 END) AS BIGINT),
+             min(CASE WHEN NOT coalesce(
+               event_type IN ('click','view','purchase'), false)
+               THEN event_id END)
+      FROM events
+      UNION ALL
+      SELECT 'value_non_negative',
+             CAST(sum(CASE WHEN NOT coalesce(value >= 0, false)
+               THEN 1 ELSE 0 END) AS BIGINT),
+             min(CASE WHEN NOT coalesce(value >= 0, false) THEN event_id END)
+      FROM events
+      UNION ALL
+      SELECT 'value_under_100',
+             CAST(sum(CASE WHEN NOT coalesce(value < 100, false)
+               THEN 1 ELSE 0 END) AS BIGINT),
+             min(CASE WHEN NOT coalesce(value < 100, false) THEN event_id END)
+      FROM events
+    ) t ORDER BY rule
+    """,
+)
+def pipeline_validate(spark, sf_dir):
+    """Data-quality gate (operators/curation.py::validate_rules): four
+    named rules — two that hold, two that genuinely fail on this data —
+    evaluated in ONE scan + ONE combinable aggregate; each reports its
+    violation count and the smallest violating event_id as a
+    deterministic reproducer. NULL rule results count as violations (a
+    rule must evaluate TRUE to pass)."""
+    from ..operators.curation import validate_rules
+
+    e = load(spark, sf_dir, "events")
+    rules = [
+        (
+            "event_type_known",
+            F.col("event_type").isin(
+                "click", "view", "purchase", "signup", "error"
+            ),
+        ),
+        (
+            "interaction_only",
+            F.col("event_type").isin("click", "view", "purchase"),
+        ),
+        ("value_non_negative", F.col("value") >= 0),
+        ("value_under_100", F.col("value") < 100),
+    ]
+    return validate_rules(e, rules, "event_id").orderBy("rule")
+
+
 _BLOOM_M, _BLOOM_K = 65536, 4
 
 
@@ -2053,6 +2116,72 @@ def _bpe_oracle(k: int) -> str:
         + f"""
     SELECT merge_rank, pair, cnt FROM ({union}) ORDER BY merge_rank
     """
+    )
+
+
+def _bpe_apply_oracle(k: int) -> str:
+    """Train-then-APPLY replay: the same unrolled merge rounds as
+    _bpe_oracle but carrying the word through the chain, ending with
+    per-document post-merge token counts."""
+
+    def round_ctes(r: int) -> str:
+        prev = f"s{r - 1}"
+        return f""",
+    pc{r} AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT ws[i] || ' ' || ws[i+1] AS pair, freq FROM (
+          SELECT string_split(s, ' ') AS ws, freq,
+                 unnest(generate_series(1, len(string_split(s, ' ')) - 1)) AS i
+          FROM {prev}) t) u
+      GROUP BY pair
+    ), best{r} AS (
+      SELECT pair FROM pc{r} ORDER BY cnt DESC, pair LIMIT 1
+    ), s{r} AS (
+      SELECT word, trim(regexp_replace(
+               replace(' ' || replace(s, ' ', '  ') || ' ',
+                       ' ' || replace(b.pair, ' ', '  ') || ' ',
+                       ' ' || replace(b.pair, ' ', '') || ' '),
+               ' +', ' ', 'g')) AS s, freq
+      FROM {prev}, best{r} b
+    )"""
+
+    return (
+        """
+    WITH wf AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS word
+        FROM documents) t
+      WHERE word <> '' GROUP BY word
+    ), s0 AS (
+      SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s, freq
+      FROM wf
+    )"""
+        + "".join(round_ctes(r) for r in range(1, k + 1))
+        + f"""
+    , vtok AS (
+      SELECT word, len(string_split(s, ' ')) AS ntok FROM s{k}
+    ), docw AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    )
+    SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n_tokens
+    FROM docw JOIN vtok USING (word)
+    WHERE word <> ''
+    GROUP BY doc_id ORDER BY doc_id
+    """
+    )
+
+
+@query("text_bpe_apply", oracle=_bpe_apply_oracle(3))
+def text_bpe_apply(spark, sf_dir):
+    """Train 3 BPE merges, apply them, count per-document tokens
+    (operators/text.py::bpe_apply_token_counts) — the end-to-end tokenizer
+    path: merges train on the vocab, apply to the vocab, and the corpus
+    pays one scan + one broadcast join + one combinable sum. The oracle
+    replays training AND application in unrolled SQL."""
+    d = load(spark, sf_dir, "documents")
+    return text.bpe_apply_token_counts(d, "text", "doc_id", 3).orderBy(
+        "doc_id"
     )
 
 

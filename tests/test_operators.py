@@ -998,6 +998,32 @@ def test_cms_estimate_bounds(spark):
     assert est2["a"] >= 50 and est2["b"] >= 7
 
 
+def test_validate_rules_null_condition_is_violation(spark):
+    """A rule must evaluate TRUE to pass: NULL results (e.g. comparisons
+    on NULL values) count as violations, and the sample id is the
+    smallest violating id. Rules with zero violations still appear."""
+    from pyspark.sql import functions as F
+
+    from hive_dwrf_spark.operators.curation import validate_rules
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, -1.0), (4, 7.0)], ["id", "v"]
+    )
+    got = {
+        r.rule: (r.n_violations, r.sample_id)
+        for r in validate_rules(
+            df,
+            [
+                ("v_positive", F.col("v") > 0),  # NULL at id=2 violates
+                ("id_positive", F.col("id") > 0),  # holds everywhere
+            ],
+            "id",
+        ).collect()
+    }
+    assert got["v_positive"] == (2, 2)  # ids 2 (NULL) and 3 (-1)
+    assert got["id_positive"] == (0, None)
+
+
 def test_containment_detects_quote_jaccard_misses(spark):
     """A short doc verbatim inside a long one: containment(src=short)=1.0
     while Jaccard is low — the asymmetric signal the operator exists for.
