@@ -80,7 +80,7 @@ def pagerank_fixed_point(
     scale: int = 1_000_000,
     damping_pct: int = 85,
     checkpoint_interval: int = 4,
-    local_threshold: int = 2_000_000,
+    local_threshold: int | None = None,
 ) -> DataFrame:
     """Undirected PageRank in exact integer fixed-point.
 
@@ -110,6 +110,15 @@ def pagerank_fixed_point(
     # local_threshold=0, which tests and the stress harness use — the
     # distributed loop runs. The persisted edge list serves both paths, so
     # the (often expensive) upstream join+distinct runs exactly once.
+    # default gate from the same env convention as connected_components:
+    # the stress harness sets it to 0 so scale evidence always measures
+    # the distributed loop; local_threshold=0 forces it explicitly
+    if local_threshold is None:
+        import os
+
+        local_threshold = int(
+            os.environ.get("SPARK_GRAFT_CC_LOCAL_THRESHOLD", 2_000_000)
+        )
     pinned = None
     if local_threshold:
         e = edges.select("src", "dst").persist()

@@ -83,11 +83,10 @@ QUERIES = [
     "text_line_dedup",  # count-distinct chunk df + doc-keyed reassembly
     "text_quality_calibrated",  # per-source window rank cut
     "entity_fuzzy_match",  # distinct-first token blocking + levenshtein
-    "graph_pagerank",  # pregel iterations, integer fixed-point; the x10
-                       # side exceeds the small-graph gate (11.7M directed
-                       # edges > 2M), so the ratio measures local-vs-
-                       # DISTRIBUTED — a conservative (inflated) ratio that
-                       # still stresses the loop where it matters
+    "graph_pagerank",  # pregel iterations, integer fixed-point; the
+                       # CC_LOCAL_THRESHOLD=0 env below also forces
+                       # pagerank past its small-graph gate, so both
+                       # scales measure the distributed loop
     "dedup_semantic",  # LSH pairs -> pointer-doubling components -> anti-join
     # components at scale are measured through their LSH-bounded pair
     # inputs (dedup_semantic above, dedup_winnow_resolve below). The
