@@ -226,7 +226,10 @@ def validate_rules(
     for name, cond in rules:
         viol = ~F.coalesce(cond, F.lit(False))
         aggs.append(
-            F.sum(viol.cast("bigint")).alias(f"__n_{name}")
+            # coalesce: an EMPTY input must report 0 violations, not NULL
+            F.coalesce(F.sum(viol.cast("bigint")), F.lit(0)).alias(
+                f"__n_{name}"
+            )
         )
         aggs.append(
             F.min(F.when(viol, F.col(id_col))).alias(f"__id_{name}")
