@@ -856,6 +856,104 @@ def orders_itemsets(spark, sf_dir):
 
 
 @query(
+    "orders_rules",
+    # association rules over the >= 3-support 2-itemsets, both directions;
+    # confidence and lift in exact integer ppm (lift cross-multiplied in
+    # HUGEINT/decimal so 100 TB-scale counts cannot wrap)
+    oracle="""
+    WITH ab AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(DISTINCT a.l_orderkey) AS s_ab
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT a.l_orderkey) >= 3
+    ), items AS (
+      SELECT l_partkey AS part, count(DISTINCT l_orderkey) AS sup
+      FROM lineitem GROUP BY 1
+    ), total AS (
+      SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem
+    ), sym AS (
+      SELECT part_a AS ant, part_b AS cons, s_ab FROM ab
+      UNION ALL
+      SELECT part_b, part_a, s_ab FROM ab
+    )
+    SELECT ant, cons, s_ab,
+           CAST((s_ab * 1000000) // ia.sup AS BIGINT) AS conf_ppm,
+           CAST((CAST(s_ab AS HUGEINT) * n_orders * 1000000)
+                // (CAST(ia.sup AS HUGEINT) * ic.sup) AS BIGINT) AS lift_ppm
+    FROM sym
+    JOIN items ia ON ia.part = sym.ant
+    JOIN items ic ON ic.part = sym.cons, total
+    ORDER BY conf_ppm DESC, ant, cons
+    """,
+)
+def orders_rules(spark, sf_dir):
+    """Association rules from the frequent 2-itemsets (a -> b AND b -> a):
+    confidence = s(ab)/s(a) and lift = s(ab)·N / (s(a)·s(b)), both as
+    exact integer ppm — the recommendation/affinity primitive on top of
+    orders_itemsets. Same one-shuffle basket assembly; item supports are
+    one combinable aggregate over the exploded sets (each order counts
+    once by construction); the two support lookups join on the part key
+    (AQE broadcasts the item table when it is small); the lift
+    cross-product runs in decimal(38,0) so 10^10-order corpora cannot
+    wrap int64."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    ).persist()
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps)),"
+                " y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    ab = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .where(F.col("s_ab") >= 3)
+    )
+    items = (
+        sets.select(F.explode("ps").alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("sup"))
+    )
+    n_orders = sets.agg(F.count(F.lit(1)).alias("n_orders"))
+    sym = ab.select(
+        F.col("part_a").alias("ant"), F.col("part_b").alias("cons"), "s_ab"
+    ).unionByName(
+        ab.select(
+            F.col("part_b").alias("ant"), F.col("part_a").alias("cons"), "s_ab"
+        )
+    )
+    ia = items.select(F.col("part").alias("ant"), F.col("sup").alias("sup_a"))
+    ic = items.select(F.col("part").alias("cons"), F.col("sup").alias("sup_c"))
+    result = (
+        sym.join(ia, "ant")
+        .join(ic, "cons")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "ant",
+            "cons",
+            "s_ab",
+            F.expr("(s_ab * 1000000) DIV sup_a").alias("conf_ppm"),
+            F.expr(
+                "CAST((CAST(s_ab AS DECIMAL(38,0)) * n_orders * 1000000)"
+                " DIV (CAST(sup_a AS DECIMAL(38,0)) * sup_c) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("conf_ppm"), "ant", "cons")
+        .localCheckpoint(eager=True)
+    )
+    sets.unpersist()
+    return result
+
+
+@query(
     "events_markov",
     # first-order transition matrix over each user's time-ordered event
     # types; probability in exact parts-per-million via integer DIV
