@@ -856,6 +856,68 @@ def orders_itemsets(spark, sf_dir):
 
 
 @query(
+    "events_forecast",
+    # seasonal-naive baseline (prediction = same hour yesterday) evaluated
+    # as exact integer MAE-ppm per event type — the forecast-eval shape:
+    # hourly counts are one combinable aggregate; the 24h-lag lookup is an
+    # equi-join on (type, hour) carrying |types x hours| rows (bounded by
+    # calendar span, never event volume)
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           count(*) AS n_hours,
+           CAST(sum(abs(a.c - b.c)) AS BIGINT) AS sum_abs_err,
+           CAST((sum(abs(a.c - b.c)) * 1000000) // count(*) AS BIGINT)
+             AS mae_ppm
+    FROM h a JOIN h b
+      ON a.event_type = b.event_type AND b.hr = a.hr - INTERVAL 24 HOUR
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_forecast(spark, sf_dir):
+    """Seasonal-naive forecast baseline evaluation: predict each hour's
+    event count with the same hour 24h earlier and score per-type MAE in
+    exact integer ppm — the sanity bar every real forecasting model must
+    beat, computable at any scale because everything after the hourly
+    pre-aggregate is calendar-bounded."""
+    e = load(spark, sf_dir, "events")
+    h = (
+        e.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = h.alias("a")
+    b = h.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.hr") == F.col("a.hr") - F.expr("INTERVAL 24 HOURS")),
+    )
+    err = F.abs(F.col("a.c") - F.col("b.c"))
+    return (
+        joined.groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(err).alias("sum_abs_err"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            "sum_abs_err",
+            F.expr("(sum_abs_err * 1000000) DIV n_hours").alias("mae_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "orders_rules",
     # association rules over the >= 3-support 2-itemsets, both directions;
     # confidence and lift in exact integer ppm (lift cross-multiplied in
