@@ -734,23 +734,25 @@ def containment_pairs(
     from pyspark import StorageLevel
 
     words = words.persist(StorageLevel.MEMORY_AND_DISK)
-    # Annotate df/sz/rank with TWO window passes over the persisted token
-    # set instead of three corpus-scale aggregate+join-back rounds: one
-    # sort by token (df), one sort by doc (sz and the prefix rank share
-    # it). prefix/live are then pure filters — no join materializes an
-    # annotated copy. The remaining joins carry explicit merge hints:
-    # every derived frame inherits the SOURCE FILE's tiny size estimate
-    # (explodes don't fix logical stats), so the planner would otherwise
-    # broadcast a multi-GB gram table (observed driver OOM at sf0.1);
-    # sort-merge is the strategy that is correct at every scale, and AQE
-    # still converts to broadcast when a side is genuinely small and
-    # splits skewed keys.
+    # Annotation strategy, skew-audited: document frequency is a
+    # COMBINABLE aggregate joined back (map-side partial + an
+    # AQE-splittable equi-join — a boilerplate gram in 10^9 docs must
+    # never become one window task, the text_novelty lesson), while sz
+    # and the prefix rank share ONE doc-partitioned sort (bounded by
+    # document length, safe at any scale). prefix/live are then pure
+    # filters. The joins carry explicit merge hints: every derived frame
+    # inherits the SOURCE FILE's tiny size estimate (explodes don't fix
+    # logical stats), so the planner would otherwise broadcast a multi-GB
+    # gram table (observed driver OOM at sf0.1); sort-merge is correct at
+    # every scale, and AQE still converts genuinely-small sides to
+    # broadcast and splits skewed keys.
+    dfreq = words.groupBy("w").agg(F.count("*").alias("df"))
+    doc_w = Window.partitionBy(id_col)
     annot = (
-        words.withColumn("df", F.count("*").over(Window.partitionBy("w")))
-        .withColumn("sz", F.count("*").over(Window.partitionBy(id_col)))
+        words.join(dfreq.hint("merge"), "w")
+        .withColumn("sz", F.count("*").over(doc_w))
         .withColumn(
-            "rnk",
-            F.row_number().over(Window.partitionBy(id_col).orderBy("df", "w")),
+            "rnk", F.row_number().over(doc_w.orderBy("df", "w"))
         )
         .filter(F.col("df") <= max_df)
     )
