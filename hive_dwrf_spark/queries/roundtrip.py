@@ -396,6 +396,59 @@ def streaming_window_topk(spark, sf_dir):
 
 
 @query(
+    "streaming_running_counts",
+    # the final state of the custom stateful counter must equal the batch
+    # aggregate, whatever micro-batch slicing availableNow chose
+    oracle="""
+    SELECT event_type, count(*) AS running_total
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def streaming_running_counts(spark, sf_dir):
+    """CUSTOM stateful streaming operator end-to-end
+    (streaming/dwrf_stream.py::stateful_running_counts,
+    applyInPandasWithState): a per-key running counter whose state store
+    entry survives across micro-batches. Update-mode emissions accumulate
+    in the sink; the LAST update per key (max of a monotone counter) must
+    equal the batch count regardless of how availableNow sliced the files
+    — which makes the arbitrary-state path hash-checked, not eyeballed.
+    State is one row per key, so memory scales with key cardinality,
+    never stream length."""
+    import shutil
+
+    from ..sources import register
+    from ..streaming import stateful_running_counts, stream_dwrf_dir
+
+    register(spark)
+    base = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    src = f"/tmp/hive_dwrf_spark_runcnt_src_{base}"
+    ckpt = f"/tmp/hive_dwrf_spark_runcnt_ckpt_{base}"
+    for p in (src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    e = load(spark, sf_dir, "events")
+    # several part files so availableNow has real micro-batch boundaries
+    e.repartition(4).write.format("dwrf").option("path", src).option(
+        "stripe_rows", "12500"
+    ).mode("overwrite").save()
+    counts = stateful_running_counts(stream_dwrf_dir(spark, src))
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(f"runcnt_{base}")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q)
+    return (
+        spark.table(f"runcnt_{base}")
+        .groupBy("event_type")
+        .agg(F.max("running_total").alias("running_total"))
+        .orderBy("event_type")
+    )
+
+
+@query(
     "format_evolve",
     # gen-1 files predate o_orderpriority; mergeSchema must union-by-name
     # and null-fill, so the per-priority aggregate sees NULL for every
