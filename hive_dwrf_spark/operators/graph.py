@@ -185,3 +185,60 @@ def pagerank_fixed_point(
     if pinned is not None:
         pinned.unpersist()
     return result
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact triangle count of an undirected simple graph, degree-ordered
+    (the compact-forward / node-iterator algorithm): orient every edge
+    from its lower-(degree, id) endpoint to the higher one, build wedges
+    by joining out-edges on their source, and close each wedge against
+    the oriented edge list.
+
+    Why the orientation matters at scale: an unoriented wedge join costs
+    Σ deg(v)² — a 10^7-degree hub alone yields 10^14 wedges. Ordering by
+    degree bounds every out-degree by O(sqrt(|E|)) on any graph, so wedge
+    volume is O(|E|^{3/2}) — the provable optimum for exact counting.
+    Three equi-joins, all AQE-splittable; the total is orientation-
+    invariant, so a SQL oracle may count with plain id-ordering and still
+    match exactly.
+
+    Input: (src, dst) rows, one per undirected edge (any per-edge order,
+    duplicates tolerated); self-loops are dropped."""
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("db"))
+    ed = e.join(da, "a").join(db, "b")
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("da")).otherwise(F.col("db")).alias("ud"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("vd"),
+    )
+    e1 = o.select(
+        F.col("u"), F.col("v").alias("x"), F.col("vd").alias("xd")
+    )
+    e2 = o.select(
+        F.col("u"), F.col("v").alias("y"), F.col("vd").alias("yd")
+    )
+    wedges = e1.join(e2, "u").filter(
+        F.struct(F.col("xd"), F.col("x")) < F.struct(F.col("yd"), F.col("y"))
+    )
+    closing = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    return wedges.join(closing, ["x", "y"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

@@ -1537,6 +1537,20 @@ def test_pagerank_fixed_point_star_graph(spark):
     assert dist == got
 
 
+def test_triangle_count_known_graphs(spark):
+    """Hand-countable graphs: K4 has 4 triangles; adding a pendant edge
+    changes nothing; duplicate/reversed edges and self-loops are
+    normalized away; a star has none."""
+    from hive_dwrf_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(b, a) for a, b in k4] + [(2, 2), (3, 9)]
+    df = spark.createDataFrame(noisy, ["src", "dst"])
+    assert triangle_count(df).collect()[0].n_triangles == 4
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], ["src", "dst"])
+    assert triangle_count(star).collect()[0].n_triangles == 0
+
+
 def test_pagerank_local_matches_distributed_random_graph(spark):
     """Path parity on a denser random-ish graph: duplicate-free edge list
     with skewed degrees, 3 iterations, both paths bit-equal."""
