@@ -96,6 +96,9 @@ QUERIES = [
     # sf0.1 the loop itself is 4 pointer-doubling rounds / ~6 s on 17.8M
     # directed edges.
     "dedup_winnow_resolve",  # winnow fingerprint pairs -> components -> anti-join
+    "graph_triangles",  # degree-ordered wedge join: work bounded by
+                        # sum(min-degree) edge orientation, not deg^2
+    "orders_itemsets",  # basket-array pair expansion (bounded by basket size)
 ]
 
 
@@ -155,9 +158,19 @@ def synthesize() -> None:
 
 
 def main() -> int:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        REPO, "STRESS_r03.json"
-    )
+    argv = [a for a in sys.argv[1:] if not a.startswith("--only")]
+    only: list[str] | None = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = a.split("=", 1)[1].split(",")
+    out_path = argv[0] if argv else os.path.join(REPO, "STRESS_r03.json")
+    run_queries = only if only is not None else QUERIES
+    # --only merges the named shapes into an existing out JSON (the rest
+    # of the file is preserved) and skips the format-core step
+    prior: dict[str, dict] = {}
+    if only is not None and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
     # stress always measures the DISTRIBUTED connected-components loop —
     # the driver-local union-find gate would otherwise hide its scaling
     os.environ["SPARK_GRAFT_CC_LOCAL_THRESHOLD"] = "0"
@@ -183,8 +196,8 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     queries, _ = load_registry()
 
-    results: dict[str, dict] = {}
-    for name in QUERIES:
+    results: dict[str, dict] = dict(prior)
+    for name in run_queries:
         fn = queries[name]
         fn(spark, BASE).collect()  # warm (JIT + python workers)
         t0 = time.perf_counter()
@@ -212,6 +225,11 @@ def main() -> int:
         )
 
     # format core: write + read the 10x lineitem as DWRF, single thread
+    if only is not None:
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+        print(f"-> {out_path} (merged {len(run_queries)} shapes)")
+        return _gate(results)
     try:
         import pyarrow.parquet as pq
 
@@ -245,13 +263,17 @@ def main() -> int:
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)
     print(f"-> {out_path}")
+    return _gate(results)
+
+
+def _gate(results: dict[str, dict]) -> int:
     # superlinear gate, normalized by output growth: a fixed-threshold
     # similarity query over 10x more vectors legitimately has ~100x more
     # true pairs (pair count is quadratic in n by geometry); the algorithm
     # is healthy as long as runtime doesn't outgrow max(data, output)
     bad = []
     for n, v in results.items():
-        if n.startswith("_"):
+        if n.startswith("_") or "ratio" not in v:
             continue
         out_growth = v["rows_x10"] / max(v["rows_base"], 1)
         allowed = max(25.0, 2.5 * out_growth)
