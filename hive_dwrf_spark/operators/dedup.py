@@ -583,10 +583,23 @@ def word_jaccard_pairs(
     Candidates then get the exact intersection count, restricted to pairs
     that passed, plus the |y| >= t|x| length filter both ways.
 
+    Verification is an ARRAY-ZIP, not an explode-join: each doc's distinct
+    token set is collected once into an array (bounded by document length)
+    and candidate pairs fetch the two arrays by two equi-joins, with the
+    intersection size computed JVM-side by array_intersect. The explode
+    form this replaced shuffled |pairs| x |tokens-per-doc| skinny rows
+    twice (253M rows at sf0.1's 11M candidates) and was ~10x the cost of
+    candidate generation; the array form shuffles one row per pair, with
+    per-row work linear in the two array lengths. A hot doc paired with
+    many partners is an AQE-splittable skew key on the pair side — the
+    array side stays one row per doc.
+
     Cost at scale: one df aggregation over tokens, one per-doc rank, a
     join on prefix tokens (rare by construction), and a verify join that
     touches candidate pairs only. Every shuffle key is a token or doc id;
     no step holds a hot group in memory."""
+    from pyspark import StorageLevel
+
     words = (
         df.select(
             F.col(id_col),
@@ -596,6 +609,13 @@ def word_jaccard_pairs(
         )
         .filter(F.col("w") != "")
         .distinct()
+        # four consumers read the token set (sizes, dfreq, prefix, the
+        # verify arrays): persist so the explode+distinct runs once and
+        # join planning sees the MATERIALIZED size instead of the source
+        # file's estimate (the containment_pairs lesson — groupBys with
+        # different keys can't share one exchange, so without this every
+        # consumer replays the scan+explode+distinct)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = words.groupBy(id_col).agg(F.count("*").alias("sz"))
     dfreq = words.groupBy("w").agg(F.count("*").alias("df"))
@@ -609,6 +629,12 @@ def word_jaccard_pairs(
             <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
         )
         .select(id_col, "w", "sz")
+        # the prefix is read by BOTH sides of the candidate self-join:
+        # persisting it (a) runs the dfreq-join + rank window once, and
+        # (b) hands the planner its true (tiny — ~|docs| x prefix-length)
+        # size so the self-join broadcasts instead of sort-merging on
+        # estimates inherited from the window plan (59s -> 9s at sf0.1)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     p1 = prefix.select(
         F.col(id_col).alias("id1"), "w", F.col("sz").alias("sz1")
@@ -626,20 +652,22 @@ def word_jaccard_pairs(
         .select("id1", "id2")
         .distinct()
     )
-    w1 = words.select(F.col(id_col).alias("id1"), "w")
-    w2 = words.select(F.col(id_col).alias("id2"), "w")
+    arrays = words.groupBy(id_col).agg(F.collect_list("w").alias("ws"))
+    a1 = arrays.select(F.col(id_col).alias("id1"), F.col("ws").alias("ws1"))
+    a2 = arrays.select(F.col(id_col).alias("id2"), F.col("ws").alias("ws2"))
     inter = (
-        cand.join(w1, "id1")
-        .join(w2, ["id2", "w"])
-        .groupBy("id1", "id2")
-        .agg(F.count("*").alias("inter"))
+        cand.join(a1, "id1")
+        .join(a2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.size(F.array_intersect("ws1", "ws2")).alias("inter"),
+            F.size("ws1").alias("sz1"),
+            F.size("ws2").alias("sz2"),
+        )
     )
-    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("sz").alias("sz2"))
     return (
-        inter.join(s1, "id1")
-        .join(s2, "id2")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 6
@@ -923,64 +951,146 @@ def connected_components(
             )
             data = [(n, find(n)) for n in parent]
             return spark.createDataFrame(data, out_schema)
-    labels = (
+    # STAR-CONTRACTION loop: each round (1) hash-min labels every live
+    # node with the min of itself and its neighbours, (2) pointer-doubles
+    # the label table TO FIXPOINT (label <- label(label) squares the
+    # pointer depth each step, so a depth-d hash-min forest flattens in
+    # ceil(log2 d) node-table self-joins — the inner table is |live
+    # nodes| rows, tiny next to the edge list), then (3) CONTRACTS the
+    # edge list by relabeling both endpoints to their forest ROOT and
+    # dropping self-loops. Contraction preserves connectivity among the
+    # roots, so — unlike plain label propagation (which re-shuffles the
+    # FULL edge list every round) — the live edge list SHRINKS every
+    # round: a dense near-dup cluster (sf0.1's jaccard graph: 5k nodes,
+    # 22M directed edges) collapses to nothing after one contraction,
+    # where the old loop paid 22M-row joins per round to converge; a
+    # 120-node path graph flattens in ~7 inner doublings and ONE outer
+    # round (a single doubling per round would advance a chain's labels
+    # by only 2/round — linear rounds, the exact failure the long-chain
+    # test pins). Labels decrease monotonically toward the component
+    # minimum, so the final root is min(node id).
+    #
+    # localCheckpoint after every round: an iterative join's lineage
+    # otherwise grows by one join per round, so round k would replay
+    # rounds 1..k-1 (and the returned frame would replay everything).
+    # On a multi-executor cluster swap for reliable checkpointing if
+    # executor loss during the loop matters.
+    mapping = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        # localCheckpoint after every round: an iterative join's lineage
-        # otherwise grows by one join per round, so round k would replay
-        # rounds 1..k-1 (and the returned frame would replay everything).
-        # Materializing each round keeps every job one-round deep. On a
-        # multi-executor cluster swap for reliable checkpointing if
-        # executor loss during the loop matters.
         .localCheckpoint(eager=True)
     )
+    cur = edges
     for _ in range(max_iter):
-        # candidate labels: own label plus each neighbour's label
-        neighbour_labels = (
-            edges.join(labels, edges["b"] == labels["node"])
-            .select(F.col("a").alias("node"), "component")
-        )
-        propagated = (
-            labels.select("node", "component")
-            .union(neighbour_labels)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            # materialized once: consumed by both sides of the pointer
-            # jump below (and the jump's lookup side must see THIS round's
-            # labels, not last round's, for true doubling)
+        lab = (
+            cur.groupBy("a")
+            .agg(F.least(F.col("a"), F.min("b")).alias("lbl"))
             .localCheckpoint(eager=True)
         )
-        # pointer doubling: label(v) <- min(label(v), label(label(v)))
-        lookup = propagated.select(
-            F.col("node").alias("component"),
-            F.col("component").alias("_root"),
+        # pointer doubling to fixpoint: lbl <- min(lbl, lbl(lbl)).
+        # Labels are non-increasing, so "no row changed" is a valid
+        # fixpoint test; it is fused into the join that materializes the
+        # lazy checkpoint (no separate job). 64 iterations covers depth
+        # 2^64 — effectively unbounded.
+        for _ in range(64):
+            hop = lab.select(
+                F.col("a").alias("lbl"), F.col("lbl").alias("_root")
+            )
+            doubled = (
+                lab.join(hop, "lbl", "left")
+                .select(
+                    "a",
+                    F.least(
+                        F.col("lbl"),
+                        F.coalesce(F.col("_root"), F.col("lbl")),
+                    ).alias("lbl"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            changed = (
+                doubled.alias("n")
+                .join(lab.alias("o"), "a")
+                .filter(F.col("n.lbl") != F.col("o.lbl"))
+                .limit(1)
+                .count()
+            )
+            lab = doubled
+            if changed == 0:
+                break
+        # contract: relabel endpoints, drop self-loops, dedupe
+        la = lab.select(F.col("a"), F.col("lbl").alias("_la"))
+        lb = lab.select(F.col("a").alias("b"), F.col("lbl").alias("_lb"))
+        nxt = (
+            cur.join(la, "a")
+            .join(lb, "b")
+            .filter(F.col("_la") != F.col("_lb"))
+            .select(F.col("_la").alias("a"), F.col("_lb").alias("b"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        new_labels = (
-            propagated.join(lookup, "component", "left")
+        n_live = nxt.count()
+        cur.unpersist()
+        cur = nxt
+        # fold this round's labels into the node mapping (left join: a
+        # root that became isolated keeps its label — it has no live
+        # edges, so `lab` no longer covers it)
+        mapping = (
+            mapping.join(
+                lab.select(
+                    F.col("a").alias("component"), F.col("lbl").alias("_l")
+                ),
+                "component",
+                "left",
+            )
             .select(
                 "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("_root"), F.col("component")),
-                ).alias("component"),
+                F.coalesce(F.col("_l"), F.col("component")).alias(
+                    "component"
+                ),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
-        # one action closes the round: it materializes the lazy checkpoint
-        # AND evaluates the fixed-point test (no separate changed job)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        if n_live == 0:
             break
-    edges.unpersist()
-    return labels
+        if local_threshold and n_live <= local_threshold:
+            # the contracted remainder fits the driver: finish with a
+            # local union-find over SUPER-node edges and compose
+            rows = cur.collect()
+            cur.unpersist()
+            parent: dict = {}
+
+            def find(x):
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in rows:
+                ra, rb = find(r["a"]), find(r["b"])
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            spark = pairs.sparkSession
+            fin = spark.createDataFrame(
+                [(n, find(n)) for n in parent],
+                mapping.select(
+                    F.col("node").alias("component"),
+                    F.col("node").alias("_l"),
+                ).schema,
+            )
+            return (
+                mapping.join(F.broadcast(fin), "component", "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("_l"), F.col("component")).alias(
+                        "component"
+                    ),
+                )
+            )
+    cur.unpersist()
+    return mapping
 
 
 def incremental_minhash_pairs(
