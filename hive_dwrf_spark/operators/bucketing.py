@@ -29,7 +29,11 @@ def write_bucketed(
     """Write df as a DWRF table bucketed on `key` into n_buckets dirs."""
     bucketed = df.withColumn(BUCKET_COL, F.pmod(F.hash(F.col(key)), F.lit(n_buckets)))
     (
-        bucketed.repartition(BUCKET_COL)
+        # exactly n_buckets shuffle partitions: repartition(col) alone uses
+        # spark.sql.shuffle.partitions tasks, leaving (partitions -
+        # n_buckets) EMPTY write tasks that each still pay a Python
+        # datasource-writer round trip
+        bucketed.repartition(n_buckets, BUCKET_COL)
         .write.format("dwrf")
         .option("path", path)
         .option("partition_by", BUCKET_COL)
@@ -38,11 +42,16 @@ def write_bucketed(
     )
 
 
-def read_bucket(spark: SparkSession, path: str, bucket: int) -> DataFrame:
-    return (
-        spark.read.format("dwrf")
-        .load(f"{path}/{BUCKET_COL}={bucket}")
-    )
+def read_bucket(
+    spark: SparkSession, path: str, bucket: int, schema=None
+) -> DataFrame:
+    reader = spark.read.format("dwrf")
+    if schema is not None:
+        # schema handed down from one footer read of bucket 0: without it
+        # every per-bucket relation re-parses a footer on the driver
+        # (2 tables x n_buckets parses for one bucketed join)
+        reader = reader.schema(schema)
+    return reader.load(f"{path}/{BUCKET_COL}={bucket}")
 
 
 def bucketed_join(
@@ -57,10 +66,23 @@ def bucketed_join(
 
     Equal keys hash to equal buckets, so bucket i of the left can only
     match bucket i of the right; the plan is a union of n_buckets small
-    joins over co-located slices instead of one table-wide shuffle."""
+    joins over co-located slices instead of one table-wide shuffle.
+
+    Each per-bucket join broadcasts the RIGHT slice explicitly (callers
+    put the smaller table on the right): a bucket slice is 1/n_buckets of
+    its table by construction, so the build side stays small even when the
+    whole right table would not broadcast — and the explicit hint keeps
+    the shuffle-free property without waiting for AQE to re-plan each of
+    the n_buckets joins from runtime stats. A per-bucket shuffle join
+    would be wrong here: summed over buckets it re-shuffles the full
+    table, which is exactly what bucketing paid the write to avoid."""
+    left_schema = read_bucket(spark, left_path, 0).schema
+    right_schema = read_bucket(spark, right_path, 0).schema
     joins = [
-        read_bucket(spark, left_path, i).join(
-            read_bucket(spark, right_path, i), key, how
+        read_bucket(spark, left_path, i, left_schema).join(
+            F.broadcast(read_bucket(spark, right_path, i, right_schema)),
+            key,
+            how,
         )
         for i in range(n_buckets)
     ]
