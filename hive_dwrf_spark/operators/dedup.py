@@ -597,7 +597,14 @@ def word_jaccard_pairs(
     Cost at scale: one df aggregation over tokens, one per-doc rank, a
     join on prefix tokens (rare by construction), and a verify join that
     touches candidate pairs only. Every shuffle key is a token or doc id;
-    no step holds a hot group in memory."""
+    no step holds a hot group in memory.
+
+    Storage note: the token-set and prefix frames stay persisted in the
+    returned plan's lineage (the result is lazy, so an in-operator
+    unpersist would re-run the explode per consumer — the cosine_pairs_lsh
+    convention). Callers running many dedup passes in one session should
+    release them via spark.catalog.clearCache() or materialize the pair
+    list and unpersist."""
     from pyspark import StorageLevel
 
     words = (
