@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -126,3 +126,40 @@ def write_zordered(
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def compaction_plan(
+    inventory: DataFrame,
+    size_col: str,
+    target_bytes: int,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Group small files into compaction jobs of ~target_bytes each.
+
+    Input is a file INVENTORY (one row per file with its size) — catalog
+    metadata, not data, so even a 100 TB table yields only O(file-count)
+    rows and the single-partition planning window below is free; the
+    expensive part of compaction is the rewrite this plan drives, never
+    the planning. The assignment is sequential fill over the
+    size-descending order: each file lands in the group its cumulative
+    start offset falls in (grp = floor((cum - size) / target)). Descending
+    order keeps big files alone in their groups and packs the small-file
+    tail densely — the next-fit-decreasing heuristic — while staying a
+    pure window expression: deterministic, re-runnable, and replayable in
+    ANSI SQL (no driver loop, unlike a best-fit heap).
+
+    Output: the inventory plus `grp` (compaction job id); callers feed
+    each group to format/merge.py's stripe-level merge_files, which
+    concatenates stripes without re-encoding.
+    """
+    tiebreak = [F.col(c) for c in (id_cols or [])]
+    w = Window.orderBy(F.col(size_col).desc(), *tiebreak).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = inventory.withColumn("__cum", F.sum(size_col).over(w))
+    return cum.withColumn(
+        "grp",
+        F.floor((F.col("__cum") - F.col(size_col)) / F.lit(target_bytes)).cast(
+            "bigint"
+        ),
+    ).drop("__cum")

@@ -128,6 +128,24 @@ def stratified_take(
     )
 
 
+def reservoir_take(df: DataFrame, k: int, key_cols: list[str]) -> DataFrame:
+    """Exactly min(k, N) rows globally — the k smallest keyed hashes, the
+    deterministic twin of a distributed reservoir sample. Spark plans
+    orderBy+limit as TakeOrderedAndProject: each partition keeps only its
+    local top-k heap (O(k) state, no shuffle of the data), and the driver
+    merges P·k candidates — for a training-data sample (k in the
+    thousands) that is a few MB from even a 100 TB scan. Hash-ordering
+    makes the pick a pure function of the data: re-runs, repartitions, and
+    backfills return the SAME sample, and the decision replays in ANSI SQL
+    (ORDER BY md5 LIMIT k)."""
+    return (
+        df.withColumn("__h", _hash64(*key_cols))
+        .orderBy(F.col("__h").asc(), *key_cols)
+        .limit(k)
+        .drop("__h")
+    )
+
+
 def epoch_shuffle(
     df: DataFrame, key_cols: list[str], seed: str = "epoch0"
 ) -> DataFrame:

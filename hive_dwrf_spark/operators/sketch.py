@@ -27,7 +27,7 @@ machinery; this extends SURVEY §2.D (pipeline analytics over documents).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .sampling import _hash64
@@ -167,6 +167,59 @@ def bloom_check(
     ).cast("int")
     return joined.groupBy(F.col("_k").alias(key_col)).agg(
         F.min(hit).alias("maybe_present")
+    )
+
+
+def quantile_bin_sketch(
+    df: DataFrame, value_col: str, width: int
+) -> DataFrame:
+    """The mergeable half of quantile estimation: fixed-width bin counts
+    ``(bin, cnt)`` with bin = floor(value / width). ONE map-side-combinable
+    hash aggregate over the scan — the shuffle carries at most
+    (value-range / width) cells per map partition regardless of corpus
+    size, and two sketches merge by summing counts per bin. Unlike
+    rank-based sketches (GK/KLL/t-digest) the cell set is value-determined,
+    so the sketch is deterministic, order-independent, and replayable in
+    ANSI SQL; the price is a value-range-dependent (not rank-dependent)
+    error bound of one bin width."""
+    return (
+        df.select(
+            F.floor(F.col(value_col) / F.lit(width)).cast("bigint").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def quantile_from_bins(
+    bins: DataFrame, width: int, q_ppms: list[int]
+) -> DataFrame:
+    """Finish quantiles from a bin sketch: for each q (in exact integer
+    ppm) return the upper edge of the first bin whose cumulative count
+    reaches q*N/1e6 — estimate error <= one bin width. Runs on the SKETCH
+    (one row per occupied bin — bounded by value range, independent of the
+    corpus), so the single-partition cumulative window and the tiny cross
+    join cost nothing at any scale. All arithmetic is integer
+    (cum * 1e6 >= q_ppm * N), so the pick has no float-rounding seam and a
+    SQL oracle replays it exactly. Output: (q_ppm, n, est) with est in
+    value units (bin upper edge = (bin+1) * width)."""
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy())
+    )
+    qs = bins.sparkSession.createDataFrame(
+        [(int(q),) for q in q_ppms], "q_ppm bigint"
+    )
+    return (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") * F.lit(1_000_000) >= F.col("q_ppm") * F.col("n"))
+        .groupBy("q_ppm")
+        .agg(F.max("n").alias("n"), F.min("bin").alias("__b"))
+        .select(
+            "q_ppm",
+            "n",
+            ((F.col("__b") + 1) * F.lit(width)).cast("bigint").alias("est"),
+        )
     )
 
 

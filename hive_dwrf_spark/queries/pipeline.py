@@ -2735,3 +2735,161 @@ def sim_decontaminate_lsh(spark, sf_dir):
         .select("vec_id")
         .orderBy("vec_id")
     )
+
+
+# --- round-5 additions: reservoir sample, quantile sketch, compaction plan,
+# --- salted skew join ---------------------------------------------------------
+
+
+@query(
+    "sample_reservoir",
+    # the k smallest keyed md5 hashes == a deterministic reservoir sample;
+    # the oracle replays the ORDER BY hash LIMIT k pick exactly
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source
+      FROM documents
+      ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR)), doc_id
+      LIMIT 120
+    ) t
+    ORDER BY doc_id
+    """,
+)
+def sample_reservoir(spark, sf_dir):
+    """Fixed-size global sample (operators/sampling.py::reservoir_take):
+    exactly k rows by smallest keyed hash. Spark plans the orderBy+limit
+    as TakeOrderedAndProject — per-partition O(k) heaps, no data shuffle —
+    so the cost at 100 TB is the scan, and the pick is a pure function of
+    the data (stable under re-runs and repartitioning)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        sampling.reservoir_take(d, 120, ["doc_id"])
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "sketch_quantile",
+    # bins, cumulative pick, and (bin+1)*width finish are all integer
+    # arithmetic; floor(value/width) is the same IEEE-754 expression in
+    # both engines, so the sketch — including its one-bin-width error —
+    # replays exactly
+    oracle="""
+    WITH bins AS (
+      SELECT CAST(floor(value / 20) AS BIGINT) AS bin, count(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin,
+             sum(cnt) OVER (ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(cnt) OVER () AS n
+      FROM bins
+    ),
+    q(q_ppm) AS (VALUES (500000), (900000), (990000))
+    SELECT CAST(q_ppm AS BIGINT) AS q_ppm,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST((min(bin) + 1) * 20 AS BIGINT) AS est
+    FROM cum CROSS JOIN q
+    WHERE cum * 1000000 >= q_ppm * n
+    GROUP BY q_ppm
+    ORDER BY q_ppm
+    """,
+)
+def sketch_quantile(spark, sf_dir):
+    """Mergeable quantile estimation (operators/sketch.py): ONE
+    map-side-combinable bin-count aggregate over the scan (the sketch),
+    then the quantile pick runs on the catalog-sized bin table. p50/p90/p99
+    of events.value with error <= one bin width; all finishing arithmetic
+    is integer ppm, so the estimate is deterministic and SQL-replayable —
+    unlike rank-based sketches whose cells depend on arrival order."""
+    from ..operators import sketch
+
+    e = load(spark, sf_dir, "events")
+    bins = sketch.quantile_bin_sketch(e, "value", 20)
+    return sketch.quantile_from_bins(
+        bins, 20, [500_000, 900_000, 990_000]
+    ).orderBy("q_ppm")
+
+
+@query(
+    "pipeline_compact_plan",
+    # sequential fill over the size-descending order: grp = which
+    # target-sized slot the file's cumulative start offset lands in
+    oracle="""
+    WITH inv AS (
+      SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS bytes
+      FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, bytes,
+           CAST(floor((sum(bytes) OVER (ORDER BY bytes DESC, source, lang
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - bytes) / 10000) AS BIGINT) AS grp
+    FROM inv
+    ORDER BY source, lang
+    """,
+)
+def pipeline_compact_plan(spark, sf_dir):
+    """Small-file compaction planner (operators/layout.py::compaction_plan):
+    bin-pack a file inventory into ~target-byte rewrite jobs by
+    next-fit-decreasing, expressed as one window over CATALOG metadata (a
+    row per file), so planning cost is independent of data size. The
+    inventory here is documents grouped by (source, lang) standing in for
+    a file listing; each grp feeds format/merge.py's stripe concatenation."""
+    from ..operators import layout
+
+    d = load(spark, sf_dir, "documents")
+    inv = d.groupBy("source", "lang").agg(
+        F.sum("n_chars").cast("bigint").alias("bytes")
+    )
+    plan = layout.compaction_plan(
+        inv, "bytes", 10_000, id_cols=["source", "lang"]
+    )
+    return plan.select("source", "lang", "bytes", "grp").orderBy(
+        "source", "lang"
+    )
+
+
+@query(
+    "skew_join",
+    # salting must never change results: the oracle is the PLAIN join +
+    # group-by (the dim join is an identity enrichment on event_type)
+    oracle="""
+    SELECT e.event_type, CAST(length(e.event_type) AS INTEGER) AS w,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_e4
+    FROM events e
+    JOIN (SELECT DISTINCT event_type FROM events) d USING (event_type)
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+)
+def skew_join_q(spark, sf_dir):
+    """Salted broadcast join (operators/skew.py::salted_broadcast_left)
+    against a hot-keyed stream side: the tiny dim is exploded
+    salt_buckets-fold and each fact row draws a salt, so one hot key's
+    rows spread over many tasks instead of hammering one. The per-key
+    aggregate on top is value-identical to the unsalted plan (fixed-point
+    e4 sums, so composition is exact integer arithmetic)."""
+    from ..operators.skew import salted_broadcast_left
+
+    e = load(spark, sf_dir, "events")
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .withColumn("w", F.length("event_type"))
+    )
+    joined = salted_broadcast_left(e, dim, "event_type", salt_buckets=8)
+    return (
+        joined.groupBy("event_type", "w")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(
+                F.floor(F.col("value") * 10000 + 0.5).cast("bigint")
+            ).alias("sum_e4"),
+        )
+        .orderBy("event_type")
+    )

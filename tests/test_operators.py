@@ -1729,3 +1729,74 @@ def test_fan_out_gates_on_partition_count(spark):
 
     untouched = fan_out(wide, "k")
     assert untouched is wide  # no-op: not even a new plan node
+
+
+def test_reservoir_take_exact_k_and_stable(spark):
+    """Exactly min(k, N) rows, identical pick under repartitioning — the
+    determinism contract that makes the sample replayable after a backfill."""
+    from hive_dwrf_spark.operators.sampling import reservoir_take
+
+    df = spark.range(0, 500, 1, 4).withColumnRenamed("id", "k")
+    a = sorted(r.k for r in reservoir_take(df, 50, ["k"]).collect())
+    b = sorted(r.k for r in reservoir_take(df.repartition(13), 50, ["k"]).collect())
+    assert len(a) == 50
+    assert a == b
+    # k > N clamps to N
+    tiny = spark.range(0, 7).withColumnRenamed("id", "k")
+    assert reservoir_take(tiny, 50, ["k"]).count() == 7
+
+
+def test_quantile_sketch_error_within_one_bin(spark):
+    """Estimates from the bin sketch land within one bin width of the exact
+    quantile, and two shard sketches merged by summing equal the whole-data
+    sketch (the mergeability contract)."""
+    from hive_dwrf_spark.operators.sketch import (
+        quantile_bin_sketch,
+        quantile_from_bins,
+    )
+
+    vals = list(range(1000))  # uniform 0..999
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    width = 16
+    bins = quantile_bin_sketch(df, "v", width)
+    est = {
+        r.q_ppm: r.est
+        for r in quantile_from_bins(bins, width, [500_000, 990_000]).collect()
+    }
+    import math
+
+    for q_ppm, exact in [(500_000, 499), (990_000, 989)]:
+        assert abs(est[q_ppm] - exact) <= width, (q_ppm, est[q_ppm], exact)
+
+    # mergeability: shard sketches summed per-bin == whole-data sketch
+    left = quantile_bin_sketch(df.filter("v % 2 = 0"), "v", width)
+    right = quantile_bin_sketch(df.filter("v % 2 = 1"), "v", width)
+    merged = (
+        left.unionByName(right)
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r.bin, r.cnt) for r in bins.collect()}
+    assert {(r.bin, r.cnt) for r in merged.collect()} == whole
+
+
+def test_compaction_plan_groups_near_target(spark):
+    """Every file appears exactly once; group ids are dense from 0; no group
+    except possibly those holding a single oversized file exceeds
+    target + max_small_file (the next-fit-decreasing bound)."""
+    from hive_dwrf_spark.operators.layout import compaction_plan
+
+    sizes = [900, 700, 400, 300, 250, 200, 120, 80, 60, 40, 30, 10]
+    inv = spark.createDataFrame(
+        [(f"f{i}", s) for i, s in enumerate(sizes)], "path string, bytes long"
+    )
+    plan = compaction_plan(inv, "bytes", 1000, id_cols=["path"]).collect()
+    assert sorted(r.path for r in plan) == sorted(f"f{i}" for i in range(len(sizes)))
+    groups: dict[int, list[int]] = {}
+    for r in plan:
+        groups.setdefault(r.grp, []).append(r.bytes)
+    assert min(groups) == 0
+    for g, members in groups.items():
+        # sequential fill: a group only exceeds target by the overhang of
+        # its last file, so total < target + max(member)
+        assert sum(members) < 1000 + max(members), (g, members)

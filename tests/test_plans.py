@@ -222,3 +222,18 @@ def test_tfidf_no_second_corpus_scan_for_df(spark):
     # document frequency aggregates the persisted tf frame, not the text
     plan = _plan(_queries()["text_tfidf"](spark, SF_SMOKE))
     assert "InMemoryTableScan" in plan
+
+
+def test_reservoir_sample_is_topk_not_global_sort(spark):
+    # orderBy+limit must plan as TakeOrderedAndProject: per-partition O(k)
+    # heaps merged on the driver, never a full sort shuffle of the corpus
+    plan = _plan(_queries()["sample_reservoir"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_quantile_sketch_single_combinable_aggregate(spark):
+    # the corpus-side work is ONE hash aggregate (map-side partials over
+    # the scan); everything after runs on the bin table
+    plan = _plan(_queries()["sketch_quantile"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # map-side combine on the scan side
