@@ -249,3 +249,60 @@ def validate_rules(
         row.select(F.explode(pairs).alias("r"))
         .select("r.rule", "r.n_violations", "r.sample_id")
     )
+
+
+def budget_select(
+    df: DataFrame,
+    score_col: str,
+    token_col: str,
+    budget: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Fill a token budget with the highest-scoring rows — the dataset-
+    selection step of a pre-training run ("take the best 500B tokens"),
+    done WITHOUT a global sort of the corpus.
+
+    Two-pass histogram-threshold shape:
+      1. histogram: one map-side-combinable aggregate (score -> token sum);
+         the result is catalog-sized (bounded by score cardinality, never
+         by corpus size).
+      2. cumulative tokens over the histogram in score-descending order (a
+         window over the tiny bin table) picks the threshold: bins whose
+         cumulative total fits the budget are selected WHOLE via a
+         broadcast semi-join — a shuffle-free filter on the corpus.
+      3. only the single BOUNDARY bin (cum crosses the budget) needs
+         per-row ordering: its rows are ranked by keyed md5 and taken
+         while the running token sum fits the remainder. The window is
+         partitioned by the (constant) boundary score, so its cost is one
+         bin's rows — bounded by bin width, not corpus size; a finer score
+         quantization shrinks it arbitrarily.
+
+    Every decision is integer arithmetic on hash order, so the selection
+    is deterministic under re-runs/repartitioning and replays in ANSI SQL.
+    Returns the selected rows of `df` unchanged.
+    """
+    b = F.lit(int(budget)).cast("bigint")
+    hist = df.groupBy(score_col).agg(
+        F.sum(token_col).cast("bigint").alias("__btok")
+    )
+    w = Window.orderBy(F.col(score_col).desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.withColumn("__cum", F.sum("__btok").over(w)).withColumn(
+        "__prev", F.col("__cum") - F.col("__btok")
+    )
+    full_bins = cum.filter(F.col("__cum") <= b).select(score_col)
+    boundary = cum.filter((F.col("__prev") < b) & (F.col("__cum") > b)).select(
+        score_col, (b - F.col("__prev")).alias("__rem")
+    )
+    whole = df.join(F.broadcast(full_bins), score_col, "left_semi")
+    wb = Window.partitionBy(score_col).orderBy(
+        _hash64(*key_cols).asc(), *[F.col(c) for c in key_cols]
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    part = (
+        df.join(F.broadcast(boundary), score_col)
+        .withColumn("__run", F.sum(token_col).over(wb))
+        .filter(F.col("__run") <= F.col("__rem"))
+        .drop("__run", "__rem")
+    )
+    return whole.unionByName(part.select(*whole.columns))

@@ -536,3 +536,62 @@ def semantic_decontaminate_lsh(
     cb.unpersist()
     pb.unpersist()
     return corpus.join(contaminated, id_col, "left_anti")
+
+
+def gram_pairs(df: DataFrame, vec_col: str, scale: int = 10_000) -> DataFrame:
+    """Exact Gram (second-moment) matrix of an embedding column as MERGEABLE
+    integer partials — the distributed half of PCA/whitening at 100 TB.
+
+    Each Arrow batch quantizes its vectors to fixed-point e4
+    (floor(x*scale + 0.5), ties toward +inf — the repo-wide convention) and
+    computes one d x d int64 matmul in numpy; the emitted partial is the
+    upper triangle, d*(d+1)/2 rows PER BATCH regardless of batch row count,
+    so the shuffle carries O(partitions * d^2) cells, never O(rows). Partials
+    combine by plain summation (the mergeability contract), and all
+    arithmetic is integer, so the result is deterministic under any
+    partitioning and replays exactly in ANSI SQL.
+
+    int64 headroom: |x_e4| <= scale * max|x|; with unit-normish embeddings a
+    product is <= 1e8, so a single partition overflows only past ~9e10 rows
+    — repartition finer long before that. Output: (i, j, n, s_e8) with
+    1-based i <= j; eigen-decomposition of the d x d result is driver-side
+    numpy (d is small; the data-sized work is all here).
+    """
+    from pyspark.sql.types import (
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("i", IntegerType()),
+            StructField("j", IntegerType()),
+            StructField("n", LongType()),
+            StructField("s_e8", LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q = np.floor(x * scale + 0.5).astype(np.int64)
+            g = q.T @ q
+            iu = np.triu_indices(g.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": (iu[0] + 1).astype(np.int32),
+                    "j": (iu[1] + 1).astype(np.int32),
+                    "n": np.int64(len(pdf)),
+                    "s_e8": g[iu],
+                }
+            )
+
+    return (
+        df.select(vec_col)
+        .mapInPandas(run, out_schema)
+        .groupBy("i", "j")
+        .agg(F.sum("n").alias("n"), F.sum("s_e8").alias("s_e8"))
+    )

@@ -1002,3 +1002,49 @@ def fuzzy_match_names(
     return cand.select(
         "name_a", "name_b", dist.cast("int").alias("dist")
     ).where(F.col("dist") <= max_distance)
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_df: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k posting list per term — the build side of a corpus search
+    index, restricted to terms appearing in >= min_df documents.
+
+    Shapes at 100 TB: term frequency is ONE (token, doc) hash aggregate
+    with map-side combine; document frequency re-aggregates the persisted
+    tf frame (no second corpus scan — the text_tfidf pattern); the df gate
+    is a token-keyed join that reuses tf's hash partitioning, and the
+    final ranking window is also token-keyed with an O(k) per-group heap
+    (WindowGroupLimit rank pushdown), so one token partitioning carries
+    the whole tail of the plan. Hot tokens (stopwords) bound the window
+    per-group cost at docs-per-token, mitigated by the min_df gate running
+    BEFORE the window.
+
+    Ties rank deterministically ((tf desc, doc_id asc)), so the index is
+    reproducible and SQL-replayable. Output: (token, rnk, doc, n_tf).
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
+    tok = df.select(F.col(id_col), F.explode(words).alias("token"))
+    tf = tok.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("n_tf"))
+    from pyspark import StorageLevel
+
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    dfreq = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("token")
+    )
+    w = Window.partitionBy("token").orderBy(
+        F.desc("n_tf"), F.asc(id_col)
+    )
+    return (
+        tf.join(dfreq, "token")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("token", F.col("rnk").cast("int").alias("rnk"), id_col, "n_tf")
+    )

@@ -2893,3 +2893,138 @@ def skew_join_q(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "pipeline_budget_select",
+    # two-pass histogram threshold: whole bins in by cumulative fit, the
+    # single boundary bin ranked by keyed md5 until the remainder fills —
+    # all integer arithmetic, replayed bin-for-bin here
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST((len(list_filter(string_split(lower(text), ' '),
+                                   w -> w <> '')) * 10000)
+                  // greatest(n_chars, 1) AS BIGINT) AS s,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  w -> w <> '')) AS BIGINT) AS tok
+      FROM documents
+    ),
+    hist AS (SELECT s, sum(tok) AS btok FROM scored GROUP BY s),
+    cum AS (
+      SELECT s, btok,
+             sum(btok) OVER (ORDER BY s DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM hist
+    ),
+    b AS (
+      SELECT s, 12000 - (cum - btok) AS rem
+      FROM cum WHERE cum - btok < 12000 AND cum > 12000
+    ),
+    whole AS (
+      SELECT d.doc_id, d.s, d.tok FROM scored d
+      JOIN cum c USING (s) WHERE c.cum <= 12000
+    ),
+    part AS (
+      SELECT doc_id, s, tok FROM (
+        SELECT d.doc_id, d.s, d.tok, b.rem,
+               sum(d.tok) OVER (
+                 ORDER BY md5_number_upper(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        FROM scored d JOIN b USING (s)
+      ) WHERE run <= rem
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(s AS BIGINT) AS s, CAST(tok AS BIGINT) AS tok
+    FROM (SELECT * FROM whole UNION ALL SELECT * FROM part)
+    ORDER BY doc_id
+    """,
+)
+def pipeline_budget_select(spark, sf_dir):
+    """Token-budget dataset selection (operators/curation.py::budget_select):
+    fill a 12k-word budget with the densest documents (integer word-density
+    e4 score) WITHOUT a global sort — whole score bins selected via a
+    broadcast semi-join, only the boundary bin pays a per-row window. The
+    shape a "best N tokens" pre-training selection runs at 100 TB."""
+    from ..operators import curation
+
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
+    n_words = F.size(words).cast("bigint")
+    scored = d.select(
+        "doc_id",
+        F.expr(
+            "CAST((size(filter(split(lower(text), ' '), w -> w != '')) * 10000)"
+            " div greatest(n_chars, 1) AS BIGINT)"
+        ).alias("s"),
+        n_words.alias("tok"),
+    )
+    sel = curation.budget_select(scored, "s", "tok", 12_000, ["doc_id"])
+    return sel.select("doc_id", "s", "tok").orderBy("doc_id")
+
+
+@query(
+    "embedding_gram",
+    # e4 quantization (floor(x*1e4+0.5), ties toward +inf — repo convention)
+    # makes every product an exact int64; the oracle replays the quantized
+    # outer-product sums pair-for-pair. generate_subscripts is 1-based, as
+    # is the operator's output
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS i,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
+                  AS BIGINT) AS x
+      FROM embeddings
+    )
+    SELECT CAST(a.i AS INTEGER) AS i, CAST(b.i AS INTEGER) AS j,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(a.x * b.x) AS BIGINT) AS s_e8
+    FROM v a JOIN v b ON a.vec_id = b.vec_id AND b.i >= a.i
+    GROUP BY a.i, b.i
+    ORDER BY i, j
+    """,
+)
+def embedding_gram(spark, sf_dir):
+    """Exact mergeable Gram matrix (operators/similarity.py::gram_pairs):
+    per-batch int64 numpy matmuls emit d*(d+1)/2-row partials (independent
+    of batch row count), combined by one tiny-key aggregate — the
+    distributed half of PCA/whitening; the d x d eigensolve is driver-side.
+    The shuffle carries O(partitions * d^2) cells at any corpus size."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.gram_pairs(e, "embedding").orderBy("i", "j")
+
+
+@query(
+    "text_inverted_index",
+    oracle="""
+    WITH tf AS (
+      SELECT token, doc_id, count(*) AS n_tf FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents) t
+      WHERE token <> ''
+      GROUP BY token, doc_id
+    ),
+    gate AS (SELECT token FROM tf GROUP BY token HAVING count(*) >= 200)
+    SELECT token, rnk, doc_id, n_tf FROM (
+      SELECT tf.token,
+             CAST(row_number() OVER (PARTITION BY tf.token
+                                     ORDER BY n_tf DESC, doc_id) AS INTEGER)
+               AS rnk,
+             doc_id, n_tf
+      FROM tf JOIN gate USING (token)
+    ) WHERE rnk <= 3
+    ORDER BY token, rnk
+    """,
+)
+def text_inverted_index(spark, sf_dir):
+    """Top-3 posting lists for terms in >= 200 documents
+    (operators/text.py::inverted_index): tf from one (token, doc) hash
+    aggregate, document frequency re-aggregated from the persisted tf frame
+    (no second corpus scan), and a token-keyed rank-pushdown window — one
+    token partitioning carries the whole plan tail."""
+    d = load(spark, sf_dir, "documents")
+    return text.inverted_index(d, "text", "doc_id", min_df=200, k=3).orderBy(
+        "token", "rnk"
+    )

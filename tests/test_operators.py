@@ -1800,3 +1800,85 @@ def test_compaction_plan_groups_near_target(spark):
         # sequential fill: a group only exceeds target by the overhang of
         # its last file, so total < target + max(member)
         assert sum(members) < 1000 + max(members), (g, members)
+
+
+def test_budget_select_fills_budget_exactly_by_score(spark):
+    """Whole high-score bins in, boundary bin partially by hash order, total
+    tokens <= budget, and nothing lower-scored than an excluded row is in."""
+    from hive_dwrf_spark.operators.curation import budget_select
+
+    rows = [(i, 10 - (i % 5), 100) for i in range(50)]  # 5 score bins x 10 docs
+    df = spark.createDataFrame(rows, "doc_id long, s long, tok long")
+    # bins: s=10,9,8,7,6 each 1000 tokens. budget 2500 -> bins 10,9 whole,
+    # bin 8 contributes 5 docs (500 tokens)
+    sel = budget_select(df, "s", "tok", 2500, ["doc_id"]).collect()
+    assert sum(r.tok for r in sel) == 2500
+    by_s = {}
+    for r in sel:
+        by_s.setdefault(r.s, []).append(r.doc_id)
+    assert len(by_s[10]) == 10 and len(by_s[9]) == 10
+    assert len(by_s[8]) == 5
+    assert 7 not in by_s and 6 not in by_s
+    # determinism under repartitioning
+    sel2 = budget_select(df.repartition(7), "s", "tok", 2500, ["doc_id"]).collect()
+    assert sorted(r.doc_id for r in sel2) == sorted(r.doc_id for r in sel)
+
+
+def test_budget_select_no_boundary_when_exact_fit(spark):
+    from hive_dwrf_spark.operators.curation import budget_select
+
+    df = spark.createDataFrame(
+        [(1, 2, 100), (2, 1, 100)], "doc_id long, s long, tok long"
+    )
+    got = sorted(r.doc_id for r in budget_select(df, "s", "tok", 100, ["doc_id"]).collect())
+    assert got == [1]
+
+
+def test_gram_pairs_matches_numpy_and_merges(spark):
+    import numpy as np
+
+    from hive_dwrf_spark.operators.similarity import gram_pairs
+
+    rng = np.random.default_rng(7)
+    vecs = rng.uniform(-1, 1, size=(40, 5)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.i, r.j): (r.n, r.s_e8)
+        for r in gram_pairs(df, "embedding").collect()
+    }
+    q = np.floor(vecs.astype(np.float64) * 10000 + 0.5).astype(np.int64)
+    g = q.T @ q
+    for i in range(5):
+        for j in range(i, 5):
+            assert got[(i + 1, j + 1)] == (40, g[i, j])
+    # mergeable: partials of any partitioning sum to the same matrix
+    got2 = {
+        (r.i, r.j): (r.n, r.s_e8)
+        for r in gram_pairs(df.repartition(9), "embedding").collect()
+    }
+    assert got2 == got
+
+
+def test_inverted_index_gate_and_tie_order(spark):
+    from hive_dwrf_spark.operators.text import inverted_index
+
+    rows = [
+        (1, "apple apple banana"),
+        (2, "apple banana banana"),
+        (3, "apple cherry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.token, r.rnk, r.doc_id, r.n_tf)
+        for r in inverted_index(df, "text", "doc_id", min_df=2, k=2)
+        .orderBy("token", "rnk")
+        .collect()
+    ]
+    # cherry (df=1) gated out; apple tie at tf=1 breaks by doc_id asc
+    assert got == [
+        ("apple", 1, 1, 2),
+        ("apple", 2, 2, 1),
+        ("banana", 1, 2, 2),
+        ("banana", 2, 1, 1),
+    ]

@@ -237,3 +237,28 @@ def test_quantile_sketch_single_combinable_aggregate(spark):
     plan = _plan(_queries()["sketch_quantile"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan  # map-side combine on the scan side
+
+
+def test_budget_select_broadcasts_bins_no_global_sort(spark):
+    # whole-bin selection must be a broadcast semi-join on the tiny
+    # histogram, and no corpus-wide sort exchange may appear (the only
+    # windows run over the histogram and the single boundary bin)
+    plan = _plan(_queries()["pipeline_budget_select"](spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_gram_shuffles_partials_not_rows(spark):
+    # the only aggregate input is the mapInPandas partial frame (d^2 rows
+    # per batch); the vector column itself never enters an exchange
+    plan = _plan(_queries()["embedding_gram"](spark, SF_SMOKE))
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    assert "embedding" not in plan.split("Exchange", 1)[-1].split("\n")[0]
+
+
+def test_inverted_index_rank_pushdown(spark):
+    # the token window must keep only O(k) rows per group before the
+    # filter (WindowGroupLimit), and df re-aggregates the persisted tf
+    plan = _plan(_queries()["text_inverted_index"](spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
+    assert "InMemoryTableScan" in plan
