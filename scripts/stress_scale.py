@@ -99,6 +99,12 @@ QUERIES = [
     "graph_triangles",  # degree-ordered wedge join: work bounded by
                         # sum(min-degree) edge orientation, not deg^2
     "orders_itemsets",  # basket-array pair expansion (bounded by basket size)
+    "sample_reservoir",  # TakeOrderedAndProject: per-partition O(k) heaps
+    "sketch_quantile",  # one combinable bin aggregate + catalog-side finish
+    "skew_join",        # salted broadcast join on a hot-keyed fact side
+    "pipeline_budget_select",  # histogram threshold + boundary-bin window
+    "embedding_gram",   # batch-count-independent d^2 partials
+    "text_inverted_index",  # tf agg + df gate + rank-pushdown window
 ]
 
 
