@@ -58,3 +58,61 @@ def point_in_interval_join(
         F.col(lo_col), F.col(hi_col)
     )
     return p.join(i, cond, how).drop("__pbucket", "__ibucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval x interval overlap join: every (l, r) pair with
+    l.lo <= r.hi AND r.lo <= l.hi — the genomics/session-overlap shape
+    Spark would otherwise plan as a nested loop.
+
+    Both sides explode to the coarse buckets they cover and meet in an
+    equi-join on bucket id with the overlap residual in the join
+    condition. A pair overlapping across several buckets would collide in
+    each of them, so the join keeps ONLY the collision in the bucket
+    containing max(l.lo, r.lo) — the first bucket where both intervals
+    are present. Each pair emits exactly once with no distinct (a
+    distinct would shuffle the output a second time).
+
+    Cost: O(|L| + |R|) x avg buckets-per-interval shuffled once; pick
+    bucket_width near the median interval length (~2x blow-up). Right
+    columns are suffixed. Same caveat as point_in_interval_join: an
+    interval spanning everything floods its buckets — split outliers or
+    raise bucket_width.
+    """
+    bw = float(bucket_width)
+
+    def burst(df: DataFrame, tag: str, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            f"__bkt{tag}",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / bw).cast("long"),
+                    F.floor(F.col(hi) / bw).cast("long"),
+                )
+            ),
+        )
+
+    r = right
+    for c in right.columns:
+        r = r.withColumnRenamed(c, c + suffix)
+    lb = burst(left, "", lo_col, hi_col)
+    rb = burst(r, "_r", lo_col + suffix, hi_col + suffix)
+    lo_r, hi_r = lo_col + suffix, hi_col + suffix
+    cond = (
+        (F.col("__bkt") == F.col("__bkt_r"))
+        & (F.col(lo_col) <= F.col(hi_r))
+        & (F.col(lo_r) <= F.col(hi_col))
+        # dedup: keep only the collision in the bucket holding the later lo
+        & (
+            F.col("__bkt")
+            == F.floor(F.greatest(F.col(lo_col), F.col(lo_r)) / bw).cast("long")
+        )
+    )
+    return lb.join(rb, cond).drop("__bkt", "__bkt_r")

@@ -207,11 +207,11 @@ def quantile_from_bins(
     cum = bins.withColumn("cum", F.sum("cnt").over(w)).withColumn(
         "n", F.sum("cnt").over(Window.partitionBy())
     )
-    qs = bins.sparkSession.createDataFrame(
-        [(int(q),) for q in q_ppms], "q_ppm bigint"
-    )
+    # the q list rides as an exploded literal array — a pure projection on
+    # the bin table, no join node of any kind
+    qs_arr = F.array(*[F.lit(int(q)).cast("bigint") for q in q_ppms])
     return (
-        cum.crossJoin(F.broadcast(qs))
+        cum.withColumn("q_ppm", F.explode(qs_arr))
         .filter(F.col("cum") * F.lit(1_000_000) >= F.col("q_ppm") * F.col("n"))
         .groupBy("q_ppm")
         .agg(F.max("n").alias("n"), F.min("bin").alias("__b"))

@@ -1402,3 +1402,54 @@ def events_cohort_ltv(spark, sf_dir):
         F.col("wk").alias("week_offset"),
         F.sum("cents").over(w).alias("cum_cents"),
     ).orderBy("cohort_week", "week_offset")
+
+
+@query(
+    "interval_join",
+    # the bucketed equi-join + dedup condition must equal the PLAIN overlap
+    # join — bucketing is an execution strategy, never a semantics change
+    oracle="""
+    WITH a AS (
+      SELECT event_id AS a_id, epoch_us(ts) // 1000000 AS lo,
+             epoch_us(ts) // 1000000 + 300 AS hi
+      FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT event_id AS b_id, epoch_us(ts) // 1000000 AS lo,
+             epoch_us(ts) // 1000000 + 300 AS hi
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.a_id, b.b_id,
+           CAST(least(a.hi, b.hi) - greatest(a.lo, b.lo) AS BIGINT) AS ovl_s
+    FROM a JOIN b ON a.lo <= b.hi AND b.lo <= a.hi
+    ORDER BY a_id, b_id
+    """,
+)
+def interval_join(spark, sf_dir):
+    """Interval-overlap join (operators/rangejoin.py::interval_overlap_join):
+    click attention windows [ts, ts+300s] joined to purchase windows that
+    overlap them. Both sides burst to 600s buckets and meet in an EQUI-join
+    (never a nested loop); the max(lo)-bucket condition emits each pair
+    exactly once with no distinct. Oracle is the plain quadratic join —
+    bucketing must be invisible in the result."""
+    from ..operators.rangejoin import interval_overlap_join
+
+    e = load(spark, sf_dir, "events")
+    sec = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ).cast("bigint")
+    a = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("a_id"), sec.alias("lo"), (sec + 300).alias("hi")
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("b_id"), sec.alias("lo"), (sec + 300).alias("hi")
+    )
+    j = interval_overlap_join(a, b, "lo", "hi", 600)
+    return j.select(
+        "a_id",
+        F.col("b_id_r").alias("b_id"),
+        (
+            F.least(F.col("hi"), F.col("hi_r"))
+            - F.greatest(F.col("lo"), F.col("lo_r"))
+        ).cast("bigint").alias("ovl_s"),
+    ).orderBy("a_id", "b_id")

@@ -767,3 +767,63 @@ def format_compact(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "format_prune",
+    # filtered read over OUR format must equal the same filter over the
+    # parquet source — proving pushed predicates prune without losing rows
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS cnt,
+           CAST(sum(l_orderkey) AS BIGINT) AS sum_key,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_price_c
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 1000 AND 2000
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def format_prune(spark, sf_dir):
+    """Predicate pushdown through the DWRF DataSource end-to-end
+    (reference A20 row-index consumption, RecordReaderImpl.java
+    pickRowGroups): lineitem is written ORDER-CLUSTERED on l_orderkey with
+    small strides, so the range filter below prunes most strides via the
+    writer's row-index stats before any decode. The aggregate over the
+    pruned read must equal the same filter on the parquet source — pruning
+    may never change results, only skip IO. At 100 TB this is the
+    difference between scanning a table and scanning the 0.1% a point
+    query touches."""
+    import shutil
+
+    from ..sources import register
+
+    register(spark)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/hive_dwrf_spark_prune_{base}"
+    shutil.rmtree(path, ignore_errors=True)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    # cluster on the filter key: range-partitioned + sorted files, so file
+    # footers prune whole files and stride min/max ranges are disjoint
+    # within each — the BETWEEN keeps only a few strides of one file
+    li.repartitionByRange(4, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    ).write.format("dwrf").option("path", path).option(
+        "row_index_stride", "2000"
+    ).mode("overwrite").save()
+    back = spark.read.format("dwrf").load(path)
+    return (
+        back.filter(F.col("l_orderkey").between(1000, 2000))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("l_orderkey").cast("bigint").alias("sum_key"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5))
+            .cast("bigint")
+            .alias("sum_price_c"),
+        )
+        .orderBy("l_returnflag")
+    )

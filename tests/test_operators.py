@@ -1882,3 +1882,35 @@ def test_inverted_index_gate_and_tie_order(spark):
         ("banana", 1, 2, 2),
         ("banana", 2, 1, 1),
     ]
+
+
+def test_interval_overlap_join_matches_plain_and_no_dupes(spark):
+    """The bucketed equi-join must equal the plain quadratic overlap join
+    pair-for-pair (no dupes from multi-bucket overlaps, no losses at bucket
+    boundaries), across bucket widths smaller and larger than intervals."""
+    import random
+
+    from hive_dwrf_spark.operators.rangejoin import interval_overlap_join
+
+    rng = random.Random(11)
+    a_rows = []
+    b_rows = []
+    for i in range(120):
+        lo = rng.randrange(0, 5000)
+        a_rows.append((i, lo, lo + rng.randrange(0, 400)))
+        lo = rng.randrange(0, 5000)
+        b_rows.append((1000 + i, lo, lo + rng.randrange(0, 400)))
+    a = spark.createDataFrame(a_rows, "id long, lo long, hi long")
+    b = spark.createDataFrame(b_rows, "id long, lo long, hi long")
+    plain = sorted(
+        (x[0], y[0])
+        for x in a_rows
+        for y in b_rows
+        if x[1] <= y[2] and y[1] <= x[2]
+    )
+    for bw in (100, 350, 10_000):
+        got = sorted(
+            (r.id, r.id_r)
+            for r in interval_overlap_join(a, b, "lo", "hi", bw).collect()
+        )
+        assert got == plain, f"bw={bw}: {len(got)} vs {len(plain)}"

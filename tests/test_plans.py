@@ -262,3 +262,10 @@ def test_inverted_index_rank_pushdown(spark):
     plan = _plan(_queries()["text_inverted_index"](spark, SF_SMOKE))
     assert "WindowGroupLimit" in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark):
+    # the whole point of bucket bursting: overlap meets as a hash equi-join
+    plan = _plan(_queries()["interval_join"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
