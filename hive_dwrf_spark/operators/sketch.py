@@ -171,7 +171,10 @@ def bloom_check(
 
 
 def quantile_bin_sketch(
-    df: DataFrame, value_col: str, width: int
+    df: DataFrame,
+    value_col: str,
+    width: int,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """The mergeable half of quantile estimation: fixed-width bin counts
     ``(bin, cnt)`` with bin = floor(value / width). ONE map-side-combinable
@@ -181,31 +184,47 @@ def quantile_bin_sketch(
     rank-based sketches (GK/KLL/t-digest) the cell set is value-determined,
     so the sketch is deterministic, order-independent, and replayable in
     ANSI SQL; the price is a value-range-dependent (not rank-dependent)
-    error bound of one bin width."""
+    error bound of one bin width.
+
+    With `group_cols` the sketch is per-group ((groups..., bin, cnt)) —
+    same one aggregate, and the downstream finish stays bounded by
+    groups x bins, never corpus rows."""
+    gcols = list(group_cols or [])
     return (
         df.select(
-            F.floor(F.col(value_col) / F.lit(width)).cast("bigint").alias("bin")
+            *gcols,
+            F.floor(F.col(value_col) / F.lit(width)).cast("bigint").alias("bin"),
         )
-        .groupBy("bin")
+        .groupBy(*gcols, "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
 def quantile_from_bins(
-    bins: DataFrame, width: int, q_ppms: list[int]
+    bins: DataFrame,
+    width: int,
+    q_ppms: list[int],
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Finish quantiles from a bin sketch: for each q (in exact integer
     ppm) return the upper edge of the first bin whose cumulative count
     reaches q*N/1e6 — estimate error <= one bin width. Runs on the SKETCH
-    (one row per occupied bin — bounded by value range, independent of the
-    corpus), so the single-partition cumulative window and the tiny cross
-    join cost nothing at any scale. All arithmetic is integer
-    (cum * 1e6 >= q_ppm * N), so the pick has no float-rounding seam and a
-    SQL oracle replays it exactly. Output: (q_ppm, n, est) with est in
-    value units (bin upper edge = (bin+1) * width)."""
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    (one row per occupied bin — bounded by value range x groups,
+    independent of the corpus), so the cumulative window costs nothing at
+    any scale; with `group_cols` the window partitions by group, so no
+    single task ever sees more than one group's bins. All arithmetic is
+    integer (cum * 1e6 >= q_ppm * N), so the pick has no float-rounding
+    seam and a SQL oracle replays it exactly. Output:
+    (groups..., q_ppm, n, est) with est in value units
+    (bin upper edge = (bin+1) * width)."""
+    gcols = list(group_cols or [])
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     cum = bins.withColumn("cum", F.sum("cnt").over(w)).withColumn(
-        "n", F.sum("cnt").over(Window.partitionBy())
+        "n", F.sum("cnt").over(Window.partitionBy(*gcols))
     )
     # the q list rides as an exploded literal array — a pure projection on
     # the bin table, no join node of any kind
@@ -213,9 +232,10 @@ def quantile_from_bins(
     return (
         cum.withColumn("q_ppm", F.explode(qs_arr))
         .filter(F.col("cum") * F.lit(1_000_000) >= F.col("q_ppm") * F.col("n"))
-        .groupBy("q_ppm")
+        .groupBy(*gcols, "q_ppm")
         .agg(F.max("n").alias("n"), F.min("bin").alias("__b"))
         .select(
+            *gcols,
             "q_ppm",
             "n",
             ((F.col("__b") + 1) * F.lit(width)).cast("bigint").alias("est"),

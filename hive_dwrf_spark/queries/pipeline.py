@@ -3028,3 +3028,44 @@ def text_inverted_index(spark, sf_dir):
     return text.inverted_index(d, "text", "doc_id", min_df=200, k=3).orderBy(
         "token", "rnk"
     )
+
+
+@query(
+    "sketch_quantile_grouped",
+    oracle="""
+    WITH bins AS (
+      SELECT event_type, CAST(floor(value / 20) AS BIGINT) AS bin,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bin,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM bins
+    ),
+    q(q_ppm) AS (VALUES (500000), (990000))
+    SELECT event_type, CAST(q_ppm AS BIGINT) AS q_ppm,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST((min(bin) + 1) * 20 AS BIGINT) AS est
+    FROM cum CROSS JOIN q
+    WHERE cum * 1000000 >= q_ppm * n
+    GROUP BY event_type, q_ppm
+    ORDER BY event_type, q_ppm
+    """,
+)
+def sketch_quantile_grouped(spark, sf_dir):
+    """Per-group quantiles from the SAME mergeable bin sketch
+    (operators/sketch.py): one (group, bin) combinable aggregate over the
+    scan, then a group-partitioned finish on the groups x bins table — the
+    per-source/per-day percentile report a pipeline dashboard runs, still
+    one corpus pass and integer-exact."""
+    from ..operators import sketch
+
+    e = load(spark, sf_dir, "events")
+    bins = sketch.quantile_bin_sketch(e, "value", 20, group_cols=["event_type"])
+    return sketch.quantile_from_bins(
+        bins, 20, [500_000, 990_000], group_cols=["event_type"]
+    ).orderBy("event_type", "q_ppm")

@@ -105,6 +105,7 @@ QUERIES = [
     "pipeline_budget_select",  # histogram threshold + boundary-bin window
     "embedding_gram",   # batch-count-independent d^2 partials
     "text_inverted_index",  # tf agg + df gate + rank-pushdown window
+    "interval_join",    # bucket-burst overlap equi-join (output-bound)
 ]
 
 

@@ -1914,3 +1914,28 @@ def test_interval_overlap_join_matches_plain_and_no_dupes(spark):
             for r in interval_overlap_join(a, b, "lo", "hi", bw).collect()
         )
         assert got == plain, f"bw={bw}: {len(got)} vs {len(plain)}"
+
+
+def test_quantile_sketch_grouped_partitions_independently(spark):
+    """Per-group estimates equal running the scalar sketch per group."""
+    from hive_dwrf_spark.operators.sketch import (
+        quantile_bin_sketch,
+        quantile_from_bins,
+    )
+
+    rows = [("a", v) for v in range(100)] + [("b", v) for v in range(0, 1000, 10)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    got = {
+        (r.g, r.q_ppm): r.est
+        for r in quantile_from_bins(
+            quantile_bin_sketch(df, "v", 8, group_cols=["g"]),
+            8,
+            [500_000],
+            group_cols=["g"],
+        ).collect()
+    }
+    for g in ("a", "b"):
+        solo = quantile_from_bins(
+            quantile_bin_sketch(df.filter(F.col("g") == g), "v", 8), 8, [500_000]
+        ).collect()[0]
+        assert got[(g, 500_000)] == solo.est
