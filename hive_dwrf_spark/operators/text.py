@@ -1026,6 +1026,11 @@ def inverted_index(
 
     Ties rank deterministically ((tf desc, doc_id asc)), so the index is
     reproducible and SQL-replayable. Output: (token, rnk, doc, n_tf).
+
+    The tf frame stays persisted for the caller's action (same convention
+    as tfidf_topk / word_jaccard_pairs): release via
+    spark.catalog.clearCache() or df.unpersist() on the source lineage
+    when building many indexes in one session.
     """
     words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
     tok = df.select(F.col(id_col), F.explode(words).alias("token"))
