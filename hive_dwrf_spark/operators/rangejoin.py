@@ -99,9 +99,9 @@ def interval_overlap_join(
             ),
         )
 
-    r = right
-    for c in right.columns:
-        r = r.withColumnRenamed(c, c + suffix)
+    # single projection (not a withColumnRenamed loop — that nests one
+    # plan node per column on wide frames)
+    r = right.toDF(*[c + suffix for c in right.columns])
     lb = burst(left, "", lo_col, hi_col)
     rb = burst(r, "_r", lo_col + suffix, hi_col + suffix)
     lo_r, hi_r = lo_col + suffix, hi_col + suffix

@@ -188,10 +188,15 @@ def quantile_bin_sketch(
 
     With `group_cols` the sketch is per-group ((groups..., bin, cnt)) —
     same one aggregate, and the downstream finish stays bounded by
-    groups x bins, never corpus rows."""
+    groups x bins, never corpus rows.
+
+    NULL values are excluded (the SQL percentile convention): a NULL bin
+    would sort first in Spark's window but last in an ANSI replay, and
+    NULL rows can never be selected by a quantile anyway."""
     gcols = list(group_cols or [])
     return (
-        df.select(
+        df.filter(F.col(value_col).isNotNull())
+        .select(
             *gcols,
             F.floor(F.col(value_col) / F.lit(width)).cast("bigint").alias("bin"),
         )
@@ -229,9 +234,15 @@ def quantile_from_bins(
     # the q list rides as an exploded literal array — a pure projection on
     # the bin table, no join node of any kind
     qs_arr = F.array(*[F.lit(int(q)).cast("bigint") for q in q_ppms])
+    # decimal(38,0) cross-multiply: cum * 1e6 would wrap int64 past ~9.2e12
+    # rows — exactly the 100 TB regime this sketch exists for
+    dec = "decimal(38,0)"
     return (
         cum.withColumn("q_ppm", F.explode(qs_arr))
-        .filter(F.col("cum") * F.lit(1_000_000) >= F.col("q_ppm") * F.col("n"))
+        .filter(
+            F.col("cum").cast(dec) * F.lit(1_000_000)
+            >= F.col("q_ppm").cast(dec) * F.col("n")
+        )
         .groupBy(*gcols, "q_ppm")
         .agg(F.max("n").alias("n"), F.min("bin").alias("__b"))
         .select(

@@ -496,6 +496,22 @@ def chunk_documents(
     )
 
 
+def _tf_frame(
+    df: DataFrame, text_col: str, id_col: str, tf_alias: str = "tf"
+) -> DataFrame:
+    """Shared persisted (token, doc, tf) frame: whitespace-lowercase
+    tokenize in the scan stage, ONE (token, doc) hash aggregate, persisted
+    because every consumer (tfidf_topk, inverted_index) re-aggregates it
+    for document frequency — the 'no second corpus scan' contract lives
+    here so tokenization can never drift between the operators."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
+    tok = df.select(F.col(id_col), F.explode(words).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias(tf_alias))
+    from pyspark import StorageLevel
+
+    return tf.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def tfidf_topk(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
     """Per-document top-k terms by TF-IDF (smooth idf: ln((N+1)/(df+1))+1).
 
@@ -509,12 +525,7 @@ def tfidf_topk(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFra
     Ranking compares the ROUNDED score (6 dp) with the token as
     tie-break, so Spark and any SQL replayer rank identically even when
     two raw doubles differ in the last ulp."""
-    words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
-    tok = df.select(F.col(id_col), F.explode(words).alias("token"))
-    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    from pyspark import StorageLevel
-
-    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    tf = _tf_frame(df, text_col, id_col, "tf")
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(
@@ -1032,12 +1043,7 @@ def inverted_index(
     spark.catalog.clearCache() or df.unpersist() on the source lineage
     when building many indexes in one session.
     """
-    words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
-    tok = df.select(F.col(id_col), F.explode(words).alias("token"))
-    tf = tok.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("n_tf"))
-    from pyspark import StorageLevel
-
-    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    tf = _tf_frame(df, text_col, id_col, "n_tf")
     dfreq = (
         tf.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -2950,15 +2950,17 @@ def pipeline_budget_select(spark, sf_dir):
     from ..operators import curation
 
     d = load(spark, sf_dir, "documents")
+    # tokenize ONCE; the density score derives from tok so the two can
+    # never drift apart
     words = F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
-    n_words = F.size(words).cast("bigint")
     scored = d.select(
+        "doc_id", "n_chars", F.size(words).cast("bigint").alias("tok")
+    ).select(
         "doc_id",
-        F.expr(
-            "CAST((size(filter(split(lower(text), ' '), w -> w != '')) * 10000)"
-            " div greatest(n_chars, 1) AS BIGINT)"
-        ).alias("s"),
-        n_words.alias("tok"),
+        F.expr("(tok * 10000) div greatest(n_chars, 1)")
+        .cast("bigint")
+        .alias("s"),
+        "tok",
     )
     sel = curation.budget_select(scored, "s", "tok", 12_000, ["doc_id"])
     return sel.select("doc_id", "s", "tok").orderBy("doc_id")

@@ -1763,8 +1763,6 @@ def test_quantile_sketch_error_within_one_bin(spark):
         r.q_ppm: r.est
         for r in quantile_from_bins(bins, width, [500_000, 990_000]).collect()
     }
-    import math
-
     for q_ppm, exact in [(500_000, 499), (990_000, 989)]:
         assert abs(est[q_ppm] - exact) <= width, (q_ppm, est[q_ppm], exact)
 
