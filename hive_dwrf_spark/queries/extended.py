@@ -814,3 +814,38 @@ def q43_explode_outer(spark, sf_dir):
         .orderBy("o_orderkey", F.col("elem").asc_nulls_first())
         .limit(300)
     )
+
+
+@query(
+    "q45_correlated_scalar",
+    oracle="""
+    SELECT c_custkey,
+           (SELECT count(*) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS n_orders,
+           (SELECT CAST(max(floor(o_totalprice * 100 + 0.5)) AS BIGINT)
+            FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_price_c
+    FROM customer c
+    ORDER BY c_custkey
+    LIMIT 200
+    """,
+)
+def q45_correlated_scalar(spark, sf_dir):
+    """Correlated SCALAR subqueries in the projection — Catalyst
+    decorrelates BOTH into one left-outer aggregate join (the executed
+    plan is a single BroadcastHashJoin, never a per-row re-execution), so
+    the 'subquery per row' surface costs one join at any scale. Customers
+    with no orders surface count 0 / max NULL in both engines."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT count(*) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders,
+               (SELECT CAST(max(floor(o_totalprice * 100 + 0.5)) AS BIGINT)
+                FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_price_c
+        FROM customer c
+        ORDER BY c_custkey
+        LIMIT 200
+        """
+    )

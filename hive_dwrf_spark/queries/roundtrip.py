@@ -827,3 +827,81 @@ def format_prune(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "format_stats",
+    # footer statistics must equal the real aggregates: count/min/max/sum
+    # per column, computed WITHOUT scanning data (footer-only reads).
+    # Integer sums are exact in the writer; double sums are order-dependent
+    # so the stats surface min/max only for value (sum_int NULL)
+    oracle="""
+    SELECT 'event_id' AS col_name, count(event_id) AS n,
+           CAST(min(event_id) AS DOUBLE) AS min_num,
+           CAST(max(event_id) AS DOUBLE) AS max_num,
+           CAST(sum(event_id) AS BIGINT) AS sum_int
+    FROM events
+    UNION ALL
+    SELECT 'user_id', count(user_id), CAST(min(user_id) AS DOUBLE),
+           CAST(max(user_id) AS DOUBLE), CAST(sum(user_id) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'value', count(value), CAST(min(value) AS DOUBLE),
+           CAST(max(value) AS DOUBLE), CAST(NULL AS BIGINT)
+    FROM events
+    ORDER BY col_name
+    """,
+)
+def format_stats(spark, sf_dir):
+    """File-footer statistics as a system-catalog table (reference A19,
+    ColumnStatisticsImpl consumed by OrcFileTail readers): events written
+    as multi-part DWRF, then per-column count/min/max/sum assembled by
+    MERGING each part file's footer stats — zero data bytes read, the
+    footer-only planning cost every stats-driven optimizer (CBO row
+    counts, pruning, NDV hints) depends on. The oracle recomputes the same
+    aggregates from the source, pinning that footer stats are exact.
+    Integer sums are exact in the writer; double sums are accumulation-
+    order-dependent so only min/max surface for float columns."""
+    import glob
+    import shutil
+
+    from ..format.reader import DwrfFile
+    from ..sources import register
+
+    register(spark)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/hive_dwrf_spark_stats_{base}"
+    shutil.rmtree(path, ignore_errors=True)
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    e.repartition(4).write.format("dwrf").option("path", path).mode(
+        "overwrite"
+    ).save()
+
+    cols = ["event_id", "user_id", "value"]
+    merged = {}
+    for fp in sorted(glob.glob(os.path.join(path, "*.dwrf"))):
+        with DwrfFile(fp) as f:
+            names = [fld.name for fld in f.schema]
+            for i, name in enumerate(names):
+                st = f.file_stats(i + 1)
+                if name in merged:
+                    merged[name].merge(st)
+                else:
+                    merged[name] = st
+    int_cols = {"event_id", "user_id"}
+    rows = [
+        (
+            name,
+            int(merged[name].count),
+            float(merged[name].minimum),
+            float(merged[name].maximum),
+            int(merged[name].sum) if name in int_cols else None,
+        )
+        for name in cols
+    ]
+    out = spark.createDataFrame(
+        rows,
+        "col_name string, n bigint, min_num double, max_num double,"
+        " sum_int bigint",
+    )
+    return out.orderBy("col_name")

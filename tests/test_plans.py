@@ -269,3 +269,12 @@ def test_interval_join_is_equi_join_not_nested_loop(spark):
     plan = _plan(_queries()["interval_join"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q45_correlated_scalars_decorrelate_to_one_join_tree(spark):
+    # both scalar subqueries must decorrelate into aggregate joins — a
+    # per-row subquery re-execution would appear as InSubquery/scalar
+    # subquery nodes in the EXECUTED plan
+    plan = _plan(_queries()["q45_correlated_scalar"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "ScalarSubquery" not in plan
