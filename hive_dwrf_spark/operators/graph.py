@@ -242,3 +242,57 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return wedges.join(closing, ["x", "y"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """Synchronous majority-vote label propagation: every node starts
+    labeled with its own id; each round it adopts the MOST COMMON label
+    among its neighbors (ties -> smallest label; isolated nodes keep
+    theirs). The classic near-linear community detector — a different
+    fixed point than hash-min components (which finds connectivity, not
+    density).
+
+    Determinism: the (count desc, label asc) winner is picked with ONE
+    max(struct(cnt, -label)) aggregate — integer arithmetic, no RNG, no
+    partition-order dependence — so a fixed round count unrolls into SQL
+    CTEs and replays exactly. Cost per round: one edge-state join keyed by
+    node + one (node, label) count + one per-node max — the same
+    co-partitioned pregel shape as pagerank_fixed_point; the edge list is
+    persisted once and reused every round. Hot nodes are AQE-splittable
+    equi-join keys; state is one row per node.
+    """
+    from pyspark import StorageLevel
+
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(rounds):
+        votes = (
+            sym.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        winner = (
+            votes.groupBy("node")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("w"))
+            .select("node", (-F.col("w.nl")).alias("new_label"))
+        )
+        labels = (
+            labels.join(winner, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+        )
+    return labels

@@ -1453,3 +1453,64 @@ def interval_join(spark, sf_dir):
             - F.greatest(F.col("lo"), F.col("lo_r"))
         ).cast("bigint").alias("ovl_s"),
     ).orderBy("a_id", "b_id")
+
+
+@query(
+    "graph_communities",
+    # synchronous majority-vote label propagation, 2 rounds, unrolled:
+    # (count desc, label asc) winner per node each round — the same
+    # integer tie-break the operator's max(struct(cnt, -label)) computes
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS src,
+             l_suppkey + 1000000000 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    sym AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+    v1 AS (
+      SELECT s.src AS node, l.label, count(*) AS c
+      FROM sym s JOIN l0 l ON l.node = s.dst GROUP BY 1, 2
+    ),
+    w1 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM v1) t WHERE rn = 1
+    ),
+    l1 AS (
+      SELECT l.node, coalesce(w.label, l.label) AS label
+      FROM l0 l LEFT JOIN w1 w USING (node)
+    ),
+    v2 AS (
+      SELECT s.src AS node, l.label, count(*) AS c
+      FROM sym s JOIN l1 l ON l.node = s.dst GROUP BY 1, 2
+    ),
+    w2 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM v2) t WHERE rn = 1
+    ),
+    l2 AS (
+      SELECT l.node, coalesce(w.label, l.label) AS label
+      FROM l1 l LEFT JOIN w2 w USING (node)
+    )
+    SELECT node, label FROM l2 ORDER BY node
+    """,
+)
+def graph_communities(spark, sf_dir):
+    """Majority-vote label propagation (operators/graph.py::
+    label_propagation), 2 synchronous rounds over the customer<->supplier
+    graph — the density-based community detector, a different fixed point
+    than connectivity components. Every round is one co-partitioned
+    edge-state join + one (node, label) count + one integer-tie-break max,
+    so the oracle replays it exactly with unrolled CTEs."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    edges = graph.bipartite_edges(o, l)
+    return graph.label_propagation(edges, rounds=2).orderBy("node")

@@ -1937,3 +1937,24 @@ def test_quantile_sketch_grouped_partitions_independently(spark):
             quantile_bin_sketch(df.filter(F.col("g") == g), "v", 8), 8, [500_000]
         ).collect()[0]
         assert got[(g, 500_000)] == solo.est
+
+
+def test_label_propagation_two_triangles_with_bridge(spark):
+    """Synchronous LPA with (count desc, label asc) tie-break, verified
+    against hand-computed rounds on two triangles joined by a bridge."""
+    from hive_dwrf_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)],
+        "src long, dst long",
+    )
+    # round 1: 0->1, 1->0, 2->0, 10->2, 11->10, 12->10
+    # round 2: 0->0, 1->0 (tie 0/1), 2->0, 10->10 (count 2), 11->2, 12->2
+    got = {r.node: r.label for r in label_propagation(edges, rounds=2).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 2, 12: 2}
+    # determinism under repartitioning
+    got2 = {
+        r.node: r.label
+        for r in label_propagation(edges.repartition(5), rounds=2).collect()
+    }
+    assert got2 == got
