@@ -106,6 +106,7 @@ QUERIES = [
     "embedding_gram",   # batch-count-independent d^2 partials
     "text_inverted_index",  # tf agg + df gate + rank-pushdown window
     "interval_join",    # bucket-burst overlap equi-join (output-bound)
+    "graph_communities",  # majority-vote LPA: per-round edge-state join
 ]
 
 
