@@ -1958,3 +1958,73 @@ def test_label_propagation_two_triangles_with_bridge(spark):
         for r in label_propagation(edges.repartition(5), rounds=2).collect()
     }
     assert got2 == got
+
+
+def test_quantile_sketch_property_random(spark):
+    """Property: for random integer data and bin widths, every estimate is
+    within one bin width of the true quantile, and the reported n equals
+    the row count. (Deterministic seeds; a full hypothesis @given would
+    rebuild Spark frames per example — too slow for the suite.)"""
+    import random
+
+    from hive_dwrf_spark.operators.sketch import (
+        quantile_bin_sketch,
+        quantile_from_bins,
+    )
+
+    for seed in (3, 17, 251):
+        rng = random.Random(seed)
+        n = rng.randrange(50, 400)
+        width = rng.choice([1, 3, 16, 97])
+        vals = sorted(rng.randrange(-1000, 1000) for _ in range(n))
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        q_ppms = [250_000, 500_000, 900_000]
+        got = {
+            r.q_ppm: (r.n, r.est)
+            for r in quantile_from_bins(
+                quantile_bin_sketch(df, "v", width), width, q_ppms
+            ).collect()
+        }
+        for q in q_ppms:
+            n_got, est = got[q]
+            assert n_got == n
+            # true quantile: smallest v with rank*1e6 >= q*n
+            import math
+
+            k = math.ceil(q * n / 1_000_000)
+            true_v = vals[k - 1]
+            assert abs(est - true_v) <= width, (seed, q, est, true_v, width)
+
+
+def test_budget_select_property_random(spark):
+    """Property: selection never exceeds the budget; it is maximal w.r.t.
+    the (score desc, hash asc) order — no unselected row could be added
+    without either exceeding the budget or outranking a selected row."""
+    import random
+
+    from hive_dwrf_spark.operators.curation import budget_select
+
+    for seed in (5, 42):
+        rng = random.Random(seed)
+        rows = [
+            (i, rng.randrange(0, 6), rng.randrange(1, 50))
+            for i in range(150)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, s long, tok long")
+        total = sum(t for _, _, t in rows)
+        budget = rng.randrange(total // 4, (3 * total) // 4)
+        sel = budget_select(df, "s", "tok", budget, ["doc_id"]).collect()
+        picked = {r.doc_id for r in sel}
+        assert sum(r.tok for r in sel) <= budget
+        by_id = {i: (s, t) for i, s, t in rows}
+        # every unselected row's score bin is <= the boundary: no row with a
+        # strictly higher score than some unselected-bin row is left out
+        if picked != set(by_id):
+            max_unpicked_s = max(by_id[i][0] for i in by_id if i not in picked)
+            min_picked_s = min(by_id[i][0] for i in picked) if picked else None
+            if min_picked_s is not None:
+                assert min_picked_s >= max_unpicked_s - 0, (
+                    seed,
+                    min_picked_s,
+                    max_unpicked_s,
+                )
