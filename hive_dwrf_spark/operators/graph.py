@@ -247,10 +247,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
     """Synchronous majority-vote label propagation: every node starts
     labeled with its own id; each round it adopts the MOST COMMON label
-    among its neighbors (ties -> smallest label; isolated nodes keep
-    theirs). The classic near-linear community detector — a different
-    fixed point than hash-min components (which finds connectivity, not
-    density).
+    among its neighbors (ties -> smallest label). Nodes are defined by the
+    edge list, so every node has >= 1 neighbor and votes every round. The
+    classic near-linear community detector — a different fixed point than
+    hash-min components (which finds connectivity, not density).
 
     Determinism: the (count desc, label asc) winner is picked with ONE
     max(struct(cnt, -label)) aggregate — integer arithmetic, no RNG, no
@@ -283,16 +283,20 @@ def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
             .groupBy(F.col("src").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        winner = (
-            votes.groupBy("node")
-            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("w"))
-            .select("node", (-F.col("w.nl")).alias("new_label"))
-        )
+        # symmetric edges mean votes covers EVERY node, so the winner
+        # frame IS the next label state — no fallback join needed
         labels = (
-            labels.join(winner, "node", "left")
-            .select(
-                "node",
-                F.coalesce("new_label", "label").alias("label"),
+            votes.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+                ).alias("w")
             )
+            .select("node", (-F.col("w.nl")).alias("label"))
         )
-    return labels
+    # materialize before releasing sym (the pagerank_fixed_point
+    # discipline): repeated calls in one session must not pin the
+    # symmetric edge list in executor cache forever
+    out = labels.localCheckpoint()
+    sym.unpersist()
+    return out

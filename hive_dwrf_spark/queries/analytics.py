@@ -1474,31 +1474,24 @@ def interval_join(spark, sf_dir):
       SELECT s.src AS node, l.label, count(*) AS c
       FROM sym s JOIN l0 l ON l.node = s.dst GROUP BY 1, 2
     ),
-    w1 AS (
+    l1 AS (
+      -- symmetric edges: votes cover every node, the winner IS the state
       SELECT node, label FROM (
         SELECT node, label,
                row_number() OVER (PARTITION BY node
                                   ORDER BY c DESC, label) AS rn
         FROM v1) t WHERE rn = 1
     ),
-    l1 AS (
-      SELECT l.node, coalesce(w.label, l.label) AS label
-      FROM l0 l LEFT JOIN w1 w USING (node)
-    ),
     v2 AS (
       SELECT s.src AS node, l.label, count(*) AS c
       FROM sym s JOIN l1 l ON l.node = s.dst GROUP BY 1, 2
     ),
-    w2 AS (
+    l2 AS (
       SELECT node, label FROM (
         SELECT node, label,
                row_number() OVER (PARTITION BY node
                                   ORDER BY c DESC, label) AS rn
         FROM v2) t WHERE rn = 1
-    ),
-    l2 AS (
-      SELECT l.node, coalesce(w.label, l.label) AS label
-      FROM l1 l LEFT JOIN w2 w USING (node)
     )
     SELECT node, label FROM l2 ORDER BY node
     """,

@@ -881,9 +881,11 @@ def format_stats(spark, sf_dir):
     merged = {}
     for fp in sorted(glob.glob(os.path.join(path, "*.dwrf"))):
         with DwrfFile(fp) as f:
-            names = [fld.name for fld in f.schema]
-            for i, name in enumerate(names):
-                st = f.file_stats(i + 1)
+            for name in cols:
+                # name-based type-id resolution: positional i+1 would grab
+                # the WRONG column's stats if a nested column (which
+                # consumes multiple depth-first type ids) ever preceded it
+                st = f.file_stats(f._top_level_id(name))
                 if name in merged:
                     merged[name].merge(st)
                 else:
@@ -895,7 +897,11 @@ def format_stats(spark, sf_dir):
             int(merged[name].count),
             float(merged[name].minimum),
             float(merged[name].maximum),
-            int(merged[name].sum) if name in int_cols else None,
+            # NULL when any part's int64 sum overflowed (the writer sets
+            # the overflow flag and drops the sum) — never a partial value
+            int(merged[name].sum)
+            if name in int_cols and not merged[name].overflow
+            else None,
         )
         for name in cols
     ]

@@ -1985,12 +1985,12 @@ def test_quantile_sketch_property_random(spark):
                 quantile_bin_sketch(df, "v", width), width, q_ppms
             ).collect()
         }
+        import math
+
         for q in q_ppms:
             n_got, est = got[q]
             assert n_got == n
             # true quantile: smallest v with rank*1e6 >= q*n
-            import math
-
             k = math.ceil(q * n / 1_000_000)
             true_v = vals[k - 1]
             assert abs(est - true_v) <= width, (seed, q, est, true_v, width)
@@ -2023,7 +2023,7 @@ def test_budget_select_property_random(spark):
             max_unpicked_s = max(by_id[i][0] for i in by_id if i not in picked)
             min_picked_s = min(by_id[i][0] for i in picked) if picked else None
             if min_picked_s is not None:
-                assert min_picked_s >= max_unpicked_s - 0, (
+                assert min_picked_s >= max_unpicked_s, (
                     seed,
                     min_picked_s,
                     max_unpicked_s,
