@@ -911,3 +911,79 @@ def format_stats(spark, sf_dir):
         " sum_int bigint",
     )
     return out.orderBy("col_name")
+
+
+@query(
+    "streaming_quantile",
+    # the mergeable bin sketch built INCREMENTALLY over the stream must
+    # finish to the same quantiles as the batch sketch — the oracle is
+    # sketch_quantile's, byte-identical
+    oracle="""
+    WITH bins AS (
+      SELECT CAST(floor(value / 20) AS BIGINT) AS bin, count(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin,
+             sum(cnt) OVER (ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(cnt) OVER () AS n
+      FROM bins
+    ),
+    q(q_ppm) AS (VALUES (500000), (900000), (990000))
+    SELECT CAST(q_ppm AS BIGINT) AS q_ppm,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST((min(bin) + 1) * 20 AS BIGINT) AS est
+    FROM cum CROSS JOIN q
+    WHERE cum * 1000000 >= q_ppm * n
+    GROUP BY q_ppm
+    ORDER BY q_ppm
+    """,
+)
+def streaming_quantile(spark, sf_dir):
+    """The quantile bin sketch computed INCREMENTALLY over a stream: the
+    same fixed-width bin counts (operators/sketch.py) run as a streaming
+    groupBy — state is one row per occupied bin (value-range-bounded,
+    never stream-length-bounded), updated per micro-batch exactly because
+    the sketch is mergeable. Complete-mode emission finishes to the batch
+    quantiles bit-for-bit, whatever micro-batch slicing availableNow
+    chose — the property that lets a 100 TB pipeline keep live p99s
+    without ever rescanning history."""
+    import shutil
+
+    from ..operators.sketch import quantile_from_bins
+    from ..sources import register
+    from ..streaming import stream_dwrf_dir
+
+    register(spark)
+    base = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    src = f"/tmp/hive_dwrf_spark_squant_src_{base}"
+    ckpt = f"/tmp/hive_dwrf_spark_squant_ckpt_{base}"
+    for p in (src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    e = load(spark, sf_dir, "events")
+    # several part files so availableNow has real micro-batch boundaries
+    e.repartition(4).write.format("dwrf").option("path", src).option(
+        "stripe_rows", "12500"
+    ).mode("overwrite").save()
+    bins = (
+        stream_dwrf_dir(spark, src)
+        .select(
+            F.floor(F.col("value") / F.lit(20)).cast("bigint").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        bins.writeStream.format("memory")
+        .queryName(f"squant_{base}")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q)
+    return quantile_from_bins(
+        spark.table(f"squant_{base}"), 20, [500_000, 900_000, 990_000]
+    ).orderBy("q_ppm")
