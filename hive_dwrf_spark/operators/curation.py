@@ -280,7 +280,14 @@ def budget_select(
     Every decision is integer arithmetic on hash order, so the selection
     is deterministic under re-runs/repartitioning and replays in ANSI SQL.
     Returns the selected rows of `df` unchanged.
+
+    Rows with a NULL score are never selected: the semi/inner joins on
+    `score_col` cannot match NULL, so a NULL bin entering the histogram
+    would only distort the cumulative accounting (silently underfilling
+    the budget if it became the boundary bin). They are filtered out
+    before the histogram is built.
     """
+    df = df.filter(F.col(score_col).isNotNull())
     b = F.lit(int(budget)).cast("bigint")
     hist = df.groupBy(score_col).agg(
         F.sum(token_col).cast("bigint").alias("__btok")

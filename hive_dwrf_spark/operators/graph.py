@@ -244,7 +244,9 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
-def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, rounds: int = 2, reliable: bool = False
+) -> DataFrame:
     """Synchronous majority-vote label propagation: every node starts
     labeled with its own id; each round it adopts the MOST COMMON label
     among its neighbors (ties -> smallest label). Nodes are defined by the
@@ -260,6 +262,14 @@ def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
     co-partitioned pregel shape as pagerank_fixed_point; the edge list is
     persisted once and reused every round. Hot nodes are AQE-splittable
     equi-join keys; state is one row per node.
+
+    Fault-tolerance trade: the result is materialized via
+    ``localCheckpoint()``, which truncates lineage but stores blocks
+    UNREPLICATED on executors — on a real cluster an executor loss after
+    this call makes the blocks unrecoverable (local mode is unaffected).
+    For long-lived cluster jobs, either write the result to storage
+    immediately, or set ``spark.sparkContext.setCheckpointDir(...)`` and
+    pass ``reliable=True`` to use replicated ``checkpoint()`` instead.
     """
     from pyspark import StorageLevel
 
@@ -297,6 +307,9 @@ def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
     # materialize before releasing sym (the pagerank_fixed_point
     # discipline): repeated calls in one session must not pin the
     # symmetric edge list in executor cache forever
-    out = labels.localCheckpoint()
+    if reliable:
+        out = labels.checkpoint()
+    else:
+        out = labels.localCheckpoint()
     sym.unpersist()
     return out

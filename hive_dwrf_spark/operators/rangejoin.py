@@ -18,6 +18,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _guard_names(taken: set[str], *names: str) -> None:
+    """Temp/derived column names must not already exist in a caller frame —
+    a silent collision would yield ambiguous or duplicate output columns."""
+    clash = sorted(set(names) & taken)
+    if clash:
+        raise ValueError(
+            f"column name collision with generated columns: {clash}; "
+            "rename the input columns or pass a different suffix"
+        )
+
+
 def point_in_interval_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -42,6 +53,9 @@ def point_in_interval_join(
             f"point_in_interval_join supports how='inner'|'left', got {how!r}"
         )
     bw = float(bucket_width)
+    _guard_names(
+        set(points.columns) | set(intervals.columns), "__pbucket", "__ibucket"
+    )
     p = points.withColumn(
         "__pbucket", F.floor(F.col(point_col) / bw).cast("long")
     )
@@ -87,6 +101,11 @@ def interval_overlap_join(
     raise bucket_width.
     """
     bw = float(bucket_width)
+    # guard both the temp bucket ids and the suffixed right columns: a left
+    # column named e.g. 'lo_r' would silently duplicate the suffixed right lo
+    suffixed = [c + suffix for c in right.columns]
+    _guard_names(set(left.columns) | set(right.columns), "__bkt", "__bkt_r")
+    _guard_names(set(left.columns), *suffixed)
 
     def burst(df: DataFrame, tag: str, lo: str, hi: str) -> DataFrame:
         return df.withColumn(
@@ -101,7 +120,7 @@ def interval_overlap_join(
 
     # single projection (not a withColumnRenamed loop — that nests one
     # plan node per column on wide frames)
-    r = right.toDF(*[c + suffix for c in right.columns])
+    r = right.toDF(*suffixed)
     lb = burst(left, "", lo_col, hi_col)
     rb = burst(r, "_r", lo_col + suffix, hi_col + suffix)
     lo_r, hi_r = lo_col + suffix, hi_col + suffix

@@ -2778,7 +2778,7 @@ def sample_reservoir(spark, sf_dir):
     oracle="""
     WITH bins AS (
       SELECT CAST(floor(value / 20) AS BIGINT) AS bin, count(*) AS cnt
-      FROM events GROUP BY 1
+      FROM events WHERE value IS NOT NULL GROUP BY 1
     ),
     cum AS (
       SELECT bin,
@@ -3038,7 +3038,7 @@ def text_inverted_index(spark, sf_dir):
     WITH bins AS (
       SELECT event_type, CAST(floor(value / 20) AS BIGINT) AS bin,
              count(*) AS cnt
-      FROM events GROUP BY 1, 2
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     ),
     cum AS (
       SELECT event_type, bin,

@@ -921,7 +921,7 @@ def format_stats(spark, sf_dir):
     oracle="""
     WITH bins AS (
       SELECT CAST(floor(value / 20) AS BIGINT) AS bin, count(*) AS cnt
-      FROM events GROUP BY 1
+      FROM events WHERE value IS NOT NULL GROUP BY 1
     ),
     cum AS (
       SELECT bin,
@@ -952,7 +952,7 @@ def streaming_quantile(spark, sf_dir):
     without ever rescanning history."""
     import shutil
 
-    from ..operators.sketch import quantile_from_bins
+    from ..operators.sketch import quantile_bin_sketch, quantile_from_bins
     from ..sources import register
     from ..streaming import stream_dwrf_dir
 
@@ -967,14 +967,10 @@ def streaming_quantile(spark, sf_dir):
     e.repartition(4).write.format("dwrf").option("path", src).option(
         "stripe_rows", "12500"
     ).mode("overwrite").save()
-    bins = (
-        stream_dwrf_dir(spark, src)
-        .select(
-            F.floor(F.col("value") / F.lit(20)).cast("bigint").alias("bin")
-        )
-        .groupBy("bin")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    # reuse the batch sketch builder so streaming and batch share ONE bin
+    # expression — including its value-IS-NOT-NULL convention (a NULL bin
+    # would diverge from the ANSI replay under Spark's NULL-first windows)
+    bins = quantile_bin_sketch(stream_dwrf_dir(spark, src), "value", 20)
     q = (
         bins.writeStream.format("memory")
         .queryName(f"squant_{base}")

@@ -1832,6 +1832,39 @@ def test_budget_select_no_boundary_when_exact_fit(spark):
     assert got == [1]
 
 
+def test_budget_select_null_scores_never_selected(spark):
+    """NULL-scored rows must not enter the histogram (they can never match
+    the semi/inner bin joins, so counting them would underfill the budget
+    if the NULL bin became the boundary bin)."""
+    from hive_dwrf_spark.operators.curation import budget_select
+
+    rows = [(1, 5, 100), (2, None, 100), (3, 4, 100), (4, None, 1000)]
+    df = spark.createDataFrame(rows, "doc_id long, s long, tok long")
+    sel = budget_select(df, "s", "tok", 200, ["doc_id"]).collect()
+    assert sorted(r.doc_id for r in sel) == [1, 3]
+    assert sum(r.tok for r in sel) == 200
+
+
+def test_interval_overlap_join_rejects_colliding_names(spark):
+    import pytest
+
+    from hive_dwrf_spark.operators.rangejoin import interval_overlap_join
+
+    a = spark.createDataFrame([(1, 0, 10)], "id long, lo long, hi long")
+    # a left column that equals a suffixed right column name
+    a_bad = a.withColumn("lo_r", F.lit(0))
+    b = spark.createDataFrame([(2, 5, 15)], "id long, lo long, hi long")
+    with pytest.raises(ValueError, match="collision"):
+        interval_overlap_join(a_bad, b, "lo", "hi", 10)
+    # a caller frame already using the temp bucket name
+    a_bkt = a.withColumn("__bkt", F.lit(0))
+    with pytest.raises(ValueError, match="collision"):
+        interval_overlap_join(a_bkt, b, "lo", "hi", 10)
+    # a different suffix resolves the first collision
+    got = interval_overlap_join(a_bad, b, "lo", "hi", 10, suffix="_b").collect()
+    assert len(got) == 1
+
+
 def test_gram_pairs_matches_numpy_and_merges(spark):
     import numpy as np
 
