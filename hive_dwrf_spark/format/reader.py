@@ -33,13 +33,19 @@ from .types import arrow_type_of as _arrow_type_of
 from .types import type_tree_to_schema
 
 
+#: trailing-zero multiplier LUT for packed nanos: tag 0 -> x1 (no packing),
+#: tag z>=1 -> x10^(z+1) (LazyTimestampTreeReader.java:99-108 decode table)
+_NANO_MULT = np.array(
+    [1] + [10 ** (z + 1) for z in range(1, 8)], dtype=np.int64
+)
+
+
 def _unpack_nanos(packed: np.ndarray) -> np.ndarray:
-    zeros = (packed & np.uint64(7)).astype(np.int64)
-    result = (packed >> np.uint64(3)).astype(np.int64)
-    has = zeros != 0
-    if has.any():
-        result = np.where(has, result * 10 ** (zeros + 1), result)
-    return result
+    # nanos < 1e9 so packed < 2^33: a signed view is safe, and the LUT
+    # gather replaces the elementwise pow + where (was ~25% of a full
+    # lineitem scan) with one gather and one multiply
+    p = packed.view(np.int64)
+    return (p >> 3) * _NANO_MULT[p & 7]
 
 
 def _scatter(dense: pa.Array, present: np.ndarray) -> pa.Array:
@@ -961,16 +967,25 @@ class DwrfFile:
         stripe_index: int,
         columns: list[str] | None = None,
         filters: list[tuple] | None = None,
+        parallel_columns: bool = False,
     ) -> pa.Table | None:
-        """Decode one stripe to an Arrow table (None if pruned by filters)."""
+        """Decode one stripe to an Arrow table (None if pruned by filters).
+
+        parallel_columns decodes top-level columns on a thread pool —
+        profitable only when nothing else parallelizes the work (the
+        whole-file `read()` of a 1-stripe file); the Spark DataSource path
+        keeps it off because Spark already runs one task per stripe."""
         with profiler.phase("read"):
-            return self._read_stripe_impl(stripe_index, columns, filters)
+            return self._read_stripe_impl(
+                stripe_index, columns, filters, parallel_columns
+            )
 
     def _read_stripe_impl(
         self,
         stripe_index: int,
         columns: list[str] | None = None,
         filters: list[tuple] | None = None,
+        parallel_columns: bool = False,
     ) -> pa.Table | None:
         stripe = self.footer.stripes[stripe_index]
         if filters and self._dictionary_disproves(stripe, filters):
@@ -1027,11 +1042,26 @@ class DwrfFile:
             schema = pa.schema([self.schema.field(nm) for nm, _ in selected])
         else:
             schema = self.projected_schema(columns)
-        # columns decode serially within a stripe: a column thread pool was
-        # measured 1.5-10x SLOWER here — the numpy sections between the
-        # GIL-releasing C calls convoy on the GIL. Parallelism lives at the
-        # stripe level (read() below, and one Spark task per stripe).
-        arrays = [dec.decode_column(tid, n) for _, tid in selected]
+        # Column parallelism: OFF by default (Spark runs one task per
+        # stripe; a per-task column pool would oversubscribe). For the
+        # whole-file read() of a single-stripe file it is a measured ~1.6x
+        # win since the r5 native kernels — ctypes RLE decode and zlib both
+        # release the GIL, and the decoder's stream cache / TLS scratch
+        # were built thread-safe. (An earlier all-numpy decoder measured
+        # SLOWER under a column pool; the C kernels changed that.)
+        if parallel_columns and len(selected) > 1 and not profiler.enabled:
+            from concurrent.futures import ThreadPoolExecutor
+
+            workers = min(len(selected), os.cpu_count() or 4, 12)
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                arrays = list(
+                    ex.map(
+                        lambda tid: dec.decode_column(tid, n),
+                        [tid for _, tid in selected],
+                    )
+                )
+        else:
+            arrays = [dec.decode_column(tid, n) for _, tid in selected]
         with profiler.phase("deserialization"):
             table = pa.Table.from_arrays(arrays, schema=schema)
         if stride_alive is not None:
@@ -1066,6 +1096,9 @@ class DwrfFile:
             )
             return schema.empty_table()
         n_stripes = len(self.footer.stripes)
+        # with too few stripes to saturate the pool, parallelize inside the
+        # stripe across columns instead (typical small-file / bench case)
+        par_cols = n_stripes < 4 and not profiler.enabled
         if n_stripes > 1 and not profiler.enabled:
             # Decode stripes on a small thread pool: the hot paths (ctypes
             # RLE decode, zlib, pread) all release the GIL, so this scales
@@ -1080,14 +1113,19 @@ class DwrfFile:
                 maybe = list(
                     ex.map(
                         lambda i: self.read_stripe(
-                            i, columns=columns, filters=filters
+                            i,
+                            columns=columns,
+                            filters=filters,
+                            parallel_columns=par_cols,
                         ),
                         range(n_stripes),
                     )
                 )
         else:
             maybe = [
-                self.read_stripe(i, columns=columns, filters=filters)
+                self.read_stripe(
+                    i, columns=columns, filters=filters, parallel_columns=par_cols
+                )
                 for i in range(n_stripes)
             ]
         tables = [t for t in maybe if t is not None]

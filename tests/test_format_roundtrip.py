@@ -302,6 +302,42 @@ class TestSeededRandom:
             assert got.column(c).to_pylist() == table.column(c).to_pylist(), c
 
 
+def test_parallel_column_decode_matches_serial(tmp_path):
+    """read_stripe(parallel_columns=True) must be value-identical to the
+    serial path on a mixed-type table with nulls, dictionary strings,
+    timestamps, and nested columns (the decoder's stream cache and TLS
+    scratch are shared across the column pool)."""
+    rng = np.random.default_rng(13)
+    n = 20_000
+    words = ["alpha", "beta", "gamma", "delta"]
+    mask = rng.random(n) < 0.15
+    table = pa.table(
+        {
+            "i": pa.array(
+                [None if m else int(v) for v, m in zip(rng.integers(0, 500, n), mask)]
+            ),
+            "l": pa.array(rng.integers(-(10**14), 10**14, n)),
+            "s": pa.array([words[i] for i in rng.integers(0, 4, n)]),
+            "f": pa.array(rng.random(n)),
+            "ts": pa.array(
+                rng.integers(1_500_000_000_000_000, 1_700_000_000_000_000, n),
+                type=pa.timestamp("us"),
+            ),
+            "arr": pa.array(
+                [[int(x) for x in rng.integers(0, 9, int(k))] for k in rng.integers(0, 4, n)]
+            ),
+        }
+    )
+    path = str(tmp_path / "pc.dwrf")
+    write_arrow_table(path, table)
+    with DwrfFile(path) as f:
+        serial = f.read_stripe(0)
+        par = f.read_stripe(0, parallel_columns=True)
+    assert par.equals(serial)
+    for c in table.column_names:
+        assert par.column(c).to_pylist() == table.column(c).to_pylist(), c
+
+
 class TestRandomAccess:
     """seekToRow analog (RecordReaderImpl.java:494-543): ranged reads at
     every boundary shape, mirroring the reference's seek test patterns."""
