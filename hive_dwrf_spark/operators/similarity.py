@@ -118,6 +118,70 @@ def quantize_embeddings(
     )
 
 
+def random_projection(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    out_dim: int,
+    id_cols: list[str],
+    scale: int = 10_000,
+    salt: str = "rp",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a DETERMINISTIC
+    +-1 sign matrix: component k of the projection is
+    sum_j q(x_j) * sign(j, k), where q is the repo's e4 fixed-point
+    quantization (floor(x*scale + 0.5) on DOUBLE) and
+    sign(j, k) = +1 iff md5_le64("salt|j|k") is even. The Achlioptas
+    +-1 scheme preserves pairwise distances within (1 +- eps) for
+    out_dim = O(log n / eps^2) with the same guarantee as Gaussian
+    projections, and the sign matrix is a pure function of (salt, j, k):
+    no basis to broadcast or persist, any executor — and an ANSI-SQL
+    replay via DuckDB's md5_number_upper — reconstructs it exactly.
+
+    Cost at 100 TB: ZERO shuffle. The whole projection is one codegen'd
+    per-row expression (dim x out_dim literal signs folded into the plan),
+    so the operator is scan-bound at any corpus size and the output is
+    deterministic under re-runs and repartitioning. Output is long-form
+    (id_cols..., k, comp_e4) with 1-based k and exact-integer components;
+    the caller divides by (scale * sqrt(out_dim)) for unit-variance
+    floats. int64 headroom: |comp_e4| <= dim * scale * max|x| — overflow
+    needs |x| ~ 1.4e10 at the defaults, far past any embedding norm.
+    """
+    import hashlib
+
+    if dim <= 0 or out_dim <= 0:
+        raise ValueError(f"dim/out_dim must be positive, got {dim}/{out_dim}")
+
+    def sign(j: int, k: int) -> int:
+        h = int.from_bytes(
+            hashlib.md5(f"{salt}|{j}|{k}".encode()).digest()[:8], "little"
+        )
+        return 1 if h % 2 == 0 else -1
+
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)),
+    )
+    df_q = df.select(*[F.col(c) for c in id_cols], q.alias("__q"))
+    comps = []
+    zero = F.lit(0).cast("long")
+    for k in range(out_dim):
+        signs_k = F.array(*[F.lit(sign(j, k)).cast("long") for j in range(dim)])
+        comp = F.aggregate(
+            F.zip_with(F.col("__q"), signs_k, lambda x, s: x * s),
+            zero,
+            lambda a, b: a + b,
+        )
+        comps.append(
+            F.struct(
+                F.lit(k + 1).cast("int").alias("k"), comp.alias("comp_e4")
+            )
+        )
+    return df_q.select(
+        *[F.col(c) for c in id_cols], F.explode(F.array(*comps)).alias("__c")
+    ).select(*id_cols, F.col("__c.k").alias("k"), F.col("__c.comp_e4").alias("comp_e4"))
+
+
 def lsh_buckets(
     df: DataFrame, vec_col: str, id_col: str, n_planes: int = 16, dim: int = 64
 ) -> DataFrame:

@@ -564,6 +564,44 @@ def sample_split(spark, sf_dir):
 
 
 @query(
+    "sample_split_grouped",
+    # keying the hash by (lang, source) instead of doc_id makes the split
+    # LEAKAGE-SAFE: every document of a group lands in the same split by
+    # construction (near-duplicates cluster within sources, so a per-doc
+    # split would put one copy in train and its twin in test). The oracle
+    # replays the group-keyed CASE and pins the no-leakage property: one
+    # row per (group, split), never two splits per group.
+    oracle=f"""
+    SELECT lang, source,
+           CASE WHEN h < {_SPLIT_B1} THEN 'train'
+                WHEN h < {_SPLIT_B2} THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n
+    FROM (SELECT md5_number_upper(
+                   'split|' || lang || '|' || source) AS h,
+                 lang, source
+          FROM documents) t
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def sample_split_grouped(spark, sf_dir):
+    """Leakage-safe train/val/test split
+    (operators/sampling.py::split_assign keyed by the GROUP, not the row):
+    all documents sharing (lang, source) are hashed identically and land
+    in one split — the contamination guard for eval sets when duplicates
+    cluster within a source. Pure per-row expression: no shuffle beyond
+    the count that reports the assignment."""
+    d = load(spark, sf_dir, "documents")
+    assigned = sampling.split_assign(d, ["lang", "source"], dict(_SPLIT_FRACS))
+    return (
+        assigned.groupBy("lang", "source", "split")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "source", "split")
+    )
+
+
+@query(
     "text_repetition",
     oracle="""
     WITH w AS (
@@ -2996,6 +3034,47 @@ def embedding_gram(spark, sf_dir):
     The shuffle carries O(partitions * d^2) cells at any corpus size."""
     e = load(spark, sf_dir, "embeddings")
     return similarity.gram_pairs(e, "embedding").orderBy("i", "j")
+
+
+@query(
+    "sim_random_projection",
+    # the +-1 sign matrix is a pure function of (salt, j, k) via the SAME
+    # md5-le64 both engines compute (md5_number_upper here, hashlib at plan
+    # build); e4 quantization makes each component an exact int64, so the
+    # projection replays bit-for-bit
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS j,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
+                  AS BIGINT) AS x
+      FROM embeddings
+    ),
+    signs AS (
+      SELECT js.range AS j, ks.range AS k,
+             CASE WHEN md5_number_upper(
+                    'rp|' || CAST(js.range AS VARCHAR)
+                          || '|' || CAST(ks.range AS VARCHAR)) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM range(64) js, range(8) ks
+    )
+    SELECT vec_id, CAST(s.k + 1 AS INTEGER) AS k,
+           CAST(sum(v.x * s.sgn) AS BIGINT) AS comp_e4
+    FROM v JOIN signs s USING (j)
+    GROUP BY vec_id, s.k
+    ORDER BY vec_id, k
+    """,
+)
+def sim_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss 64->8 reduction
+    (operators/similarity.py::random_projection): the deterministic +-1
+    sign matrix folds into the plan as literals, so the projection is ONE
+    shuffle-free codegen'd expression per row — scan-bound at 100 TB, no
+    basis to broadcast, and exact-integer output that replays in SQL."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.random_projection(
+        e, "embedding", dim=64, out_dim=8, id_cols=["vec_id"]
+    ).orderBy("vec_id", "k")
 
 
 @query(

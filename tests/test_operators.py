@@ -648,6 +648,77 @@ def test_split_assign_deterministic_and_complete(spark):
         split_assign(df, ["k"], {"train": 0.5, "val": 0.1})
 
 
+def test_grouped_split_no_leakage(spark):
+    """Keying split_assign by a group column must put EVERY row of a group
+    in the same split — the contamination guard for eval sets."""
+    from pyspark.sql import functions as F
+
+    from hive_dwrf_spark.operators.sampling import split_assign
+
+    rows = [(i, f"src{i % 37}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = split_assign(df, ["source"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    spans = (
+        a.groupBy("source")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert spans == 0
+    assert a.count() == 3000
+
+
+def test_random_projection_exact_and_jl_property(spark):
+    """Components must equal the numpy replay of the quantized sign-matrix
+    product exactly, and the projection must roughly preserve pairwise
+    distances (the JL contract that makes it useful)."""
+    import hashlib
+
+    import numpy as np
+
+    from hive_dwrf_spark.operators.similarity import random_projection
+
+    rng = np.random.default_rng(5)
+    n, d, k = 60, 32, 16
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.vec_id, r.k): r.comp_e4
+        for r in random_projection(
+            df, "embedding", dim=d, out_dim=k, id_cols=["vec_id"]
+        ).collect()
+    }
+    assert len(got) == n * k
+    # numpy replay with the same md5 signs and e4 quantization
+    signs = np.empty((d, k), dtype=np.int64)
+    for j in range(d):
+        for kk in range(k):
+            h = int.from_bytes(
+                hashlib.md5(f"rp|{j}|{kk}".encode()).digest()[:8], "little"
+            )
+            signs[j, kk] = 1 if h % 2 == 0 else -1
+    q = np.floor(vecs.astype(np.float64) * 10000 + 0.5).astype(np.int64)
+    expect = q @ signs
+    for i in range(n):
+        for kk in range(k):
+            assert got[(i, kk + 1)] == expect[i, kk], (i, kk)
+    # JL: median pairwise distance ratio within a loose band for k=16
+    proj = expect.astype(np.float64) / (10000.0 * np.sqrt(k))
+    orig = vecs.astype(np.float64)
+    ratios = []
+    for a in range(0, n, 7):
+        for b in range(a + 1, n, 11):
+            do = np.linalg.norm(orig[a] - orig[b])
+            dp = np.linalg.norm(proj[a] - proj[b])
+            if do > 0:
+                ratios.append(dp / do)
+    med = float(np.median(ratios))
+    assert 0.7 < med < 1.3, med
+
+
 def test_embedding_centroids_exact(spark):
     from hive_dwrf_spark.operators.similarity import embedding_centroids
 
