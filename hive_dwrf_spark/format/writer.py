@@ -130,8 +130,8 @@ def _pack_nanos(nanos: np.ndarray) -> np.ndarray:
             more = (r10 * 10 == m) & (tz < 7) & (m != 0)
             if not more.any():
                 break
-            m[more] = r10[more]
-            tz[more] += 1
+            m = np.where(more, r10, m)
+            tz += more
         packed[idx] = (m << 3) | tz
     return packed.astype(np.uint64)
 
