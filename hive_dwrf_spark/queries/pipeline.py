@@ -3037,6 +3037,73 @@ def embedding_gram(spark, sf_dir):
 
 
 @query(
+    "embedding_kmeans",
+    # 2 Lloyd rounds replayed as CTEs: e4 quantization, integer squared
+    # distances, (dist, cid) tie-break via row_number, floor(sum/n)
+    # centroid updates — every step exact integer/floor arithmetic, so the
+    # clustering is deterministic and engine-independent
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
+                  AS BIGINT) AS qx
+      FROM embeddings
+    ),
+    seed AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT 4),
+    c0 AS (SELECT s.cid, q.dim, q.qx AS c FROM seed s
+           JOIN q ON q.vec_id = s.cid),
+    d1 AS (
+      SELECT q.vec_id, c0.cid,
+             sum((q.qx - c0.c) * (q.qx - c0.c)) AS dist
+      FROM q JOIN c0 USING (dim) GROUP BY q.vec_id, c0.cid
+    ),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a1.cid, q.dim,
+             CAST(floor(sum(q.qx) * 1.0 / count(*)) AS BIGINT) AS c
+      FROM q JOIN a1 USING (vec_id) GROUP BY a1.cid, q.dim
+    ),
+    d2 AS (
+      SELECT q.vec_id, c1.cid,
+             sum((q.qx - c1.c) * (q.qx - c1.c)) AS dist
+      FROM q JOIN c1 USING (dim) GROUP BY q.vec_id, c1.cid
+    ),
+    a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d2) WHERE rn = 1
+    )
+    SELECT a2.cid, CAST(count(*) AS BIGINT) AS n,
+           CAST(q.dim AS INTEGER) AS dim,
+           CAST(floor(sum(q.qx) * 1.0 / count(*)) AS BIGINT) AS c_e4
+    FROM q JOIN a2 USING (vec_id)
+    GROUP BY a2.cid, q.dim
+    ORDER BY cid, dim
+    """,
+)
+def embedding_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means, k=4 x 2 rounds
+    (operators/similarity.py::kmeans_lloyd): deterministic smallest-id
+    seeding, broadcast k-row centroids, integer zip_with distances with a
+    min(struct) winner, and map-side-combinable per-(cluster, dim) sums —
+    the shuffle carries k x d rows at any corpus size. All arithmetic is
+    exact integer/floor, so the clustering replays bit-for-bit in SQL —
+    the property no RNG-seeded ML-library k-means has."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.kmeans_lloyd(
+        e, "embedding", "vec_id", k=4, rounds=2
+    ).orderBy("cid", "dim")
+
+
+@query(
     "sim_random_projection",
     # the +-1 sign matrix is a pure function of (salt, j, k) via the SAME
     # md5-le64 both engines compute (md5_number_upper here, hashlib at plan

@@ -107,6 +107,8 @@ QUERIES = [
     "text_inverted_index",  # tf agg + df gate + rank-pushdown window
     "interval_join",    # bucket-burst overlap equi-join (output-bound)
     "graph_communities",  # majority-vote LPA: per-round edge-state join
+    "sim_random_projection",  # shuffle-free codegen'd JL reduction
+    "sample_split_grouped",   # per-row group-keyed hash split + count
 ]
 
 

@@ -719,6 +719,62 @@ def test_random_projection_exact_and_jl_property(spark):
     assert 0.7 < med < 1.3, med
 
 
+def test_kmeans_lloyd_exact_replay_and_separation(spark):
+    """Centroids must equal a numpy replay of integer Lloyd exactly, be
+    invariant under repartitioning, and recover well-separated clusters."""
+    import numpy as np
+
+    from hive_dwrf_spark.operators.similarity import kmeans_lloyd
+
+    rng = np.random.default_rng(9)
+    d, k = 6, 3
+    centers = np.array([[5.0] * d, [-5.0] * d, [0.0] * d])
+    vecs = np.vstack(
+        [centers[i % 3] + rng.normal(0, 0.3, d) for i in range(90)]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(90)],
+        "vec_id long, embedding array<float>",
+    )
+
+    def replay(rounds):
+        q = np.floor(vecs.astype(np.float64) * 10000 + 0.5).astype(np.int64)
+        cents = {i: q[i].copy() for i in range(k)}  # seeds: smallest ids
+        for _ in range(rounds):
+            assign = {}
+            for v in range(len(q)):
+                best = min(
+                    (int(((q[v] - c) ** 2).sum()), cid)
+                    for cid, c in cents.items()
+                )
+                assign[v] = best[1]
+            new = {}
+            for cid in cents:
+                rows = [q[v] for v, c in assign.items() if c == cid]
+                if rows:
+                    s = np.sum(rows, axis=0)
+                    new[cid] = np.floor(s / len(rows)).astype(np.int64)
+            cents = new
+            sizes = {
+                cid: sum(1 for c in assign.values() if c == cid)
+                for cid in cents
+            }
+        return cents, sizes
+
+    cents, sizes = replay(2)
+    got = kmeans_lloyd(df, "embedding", "vec_id", k=k, rounds=2).collect()
+    for r in got:
+        assert r.c_e4 == int(cents[r.cid][r.dim - 1]), (r.cid, r.dim)
+        assert r.n == sizes[r.cid]
+    # three tight blobs of 30 -> all clusters size 30
+    assert sorted(sizes.values()) == [30, 30, 30]
+    # partitioning-invariant
+    got2 = kmeans_lloyd(
+        df.repartition(7), "embedding", "vec_id", k=k, rounds=2
+    ).collect()
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, got))
+
+
 def test_embedding_centroids_exact(spark):
     from hive_dwrf_spark.operators.similarity import embedding_centroids
 
