@@ -208,6 +208,110 @@ def kmeans_lloyd(
     ).select("cid", "n", (F.col("__d0") + 1).alias("dim"), "c_e4")
 
 
+def kmeans_assign(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: DataFrame,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Assign every row to its nearest centroid — the same integer argmin
+    as kmeans_lloyd's assign step (e4 quantization, integer squared
+    distance, min(struct(dist, cid)) winner). `centroids` is the long-form
+    (cid, dim, c_e4) frame kmeans_lloyd returns; it is tiny (k x d rows)
+    and broadcasts. One corpus scan, no shuffle beyond the per-id min.
+    Returns (id_col, cid, dist_e8)."""
+    cent = centroids.groupBy("cid").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "c_e4"))),
+            lambda s: s["c_e4"],
+        ).alias("__cv")
+    )
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)),
+    )
+    a = df.select(F.col(id_col), q.alias("__qv")).crossJoin(F.broadcast(cent))
+    dist = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__cv"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.select(id_col, F.struct(dist.alias("d"), F.col("cid")).alias("__s"))
+        .groupBy(id_col)
+        .agg(F.min("__s").alias("__w"))
+        .select(
+            id_col,
+            F.col("__w.cid").alias("cid"),
+            F.col("__w.d").alias("dist_e8"),
+        )
+    )
+
+
+def ivf_lloyd_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int,
+    n_lists: int = 4,
+    nprobe: int = 2,
+    rounds: int = 2,
+    scale: int = 10_000,
+) -> DataFrame:
+    """IVF approximate nearest-neighbor search that is EXACTLY replayable:
+    the coarse quantizer is kmeans_lloyd (deterministic integer Lloyd, no
+    RNG), assignment/probing/ranking are all integer arithmetic, so the
+    entire index-and-search pipeline hash-checks against an ANSI-SQL
+    replay — unlike float KMeans IVF whose centroids wiggle with summation
+    order and can only be checked via a recall bound.
+
+    Search shape at 100 TB: centroids and the probed-list ids broadcast;
+    the corpus is scanned once for assignment (in practice persisted with
+    the index) and candidates — nprobe/n_lists of the corpus — are ranked
+    by integer squared distance with a (dist, id) tie-break via
+    TakeOrderedAndProject. Returns (id_col, dist_e8) of the top k.
+    """
+    import math
+
+    cents = kmeans_lloyd(
+        df, vec_col, id_col, k=n_lists, rounds=rounds, scale=scale
+    ).select("cid", "dim", "c_e4")
+    assigned = kmeans_assign(df, vec_col, id_col, cents, scale=scale)
+    qv = [int(math.floor(float(x) * scale + 0.5)) for x in query_vec]
+    qx = F.element_at(
+        F.array(*[F.lit(v).cast("long") for v in qv]), F.col("dim")
+    )
+    probe = (
+        cents.select(
+            "cid", ((F.col("c_e4") - qx) * (F.col("c_e4") - qx)).alias("__t")
+        )
+        .groupBy("cid")
+        .agg(F.sum("__t").alias("__qd"))
+        .orderBy("__qd", "cid")
+        .limit(nprobe)
+        .select("cid")
+    )
+    cand = assigned.join(F.broadcast(probe), "cid").select(id_col)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)),
+    )
+    qarr = F.array(*[F.lit(v).cast("long") for v in qv])
+    dist = F.aggregate(
+        F.zip_with(q, qarr, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        df.join(cand, id_col)
+        .select(F.col(id_col), dist.alias("dist_e8"))
+        .orderBy("dist_e8", id_col)
+        .limit(k)
+    )
+
+
 def random_projection(
     df: DataFrame,
     vec_col: str,

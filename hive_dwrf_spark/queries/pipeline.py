@@ -3104,6 +3104,94 @@ def embedding_kmeans(spark, sf_dir):
 
 
 @query(
+    "sim_ivf_lloyd",
+    # the ENTIRE IVF pipeline — integer Lloyd quantizer, assignment,
+    # centroid probing, candidate ranking — replays as SQL CTEs because
+    # every step is integer/floor arithmetic; this is the exactly-checked
+    # counterpart of sim_ivf's recall-gated float-KMeans index
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
+                  AS BIGINT) AS qx
+      FROM embeddings
+    ),
+    seed AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT 4),
+    c0 AS (SELECT s.cid, q.dim, q.qx AS c FROM seed s
+           JOIN q ON q.vec_id = s.cid),
+    d1 AS (
+      SELECT q.vec_id, c0.cid,
+             sum((q.qx - c0.c) * (q.qx - c0.c)) AS dist
+      FROM q JOIN c0 USING (dim) GROUP BY q.vec_id, c0.cid
+    ),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a1.cid, q.dim,
+             CAST(floor(sum(q.qx) * 1.0 / count(*)) AS BIGINT) AS c
+      FROM q JOIN a1 USING (vec_id) GROUP BY a1.cid, q.dim
+    ),
+    d2 AS (
+      SELECT q.vec_id, c1.cid,
+             sum((q.qx - c1.c) * (q.qx - c1.c)) AS dist
+      FROM q JOIN c1 USING (dim) GROUP BY q.vec_id, c1.cid
+    ),
+    a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d2) WHERE rn = 1
+    ),
+    c2 AS (
+      SELECT a2.cid, q.dim,
+             CAST(floor(sum(q.qx) * 1.0 / count(*)) AS BIGINT) AS c
+      FROM q JOIN a2 USING (vec_id) GROUP BY a2.cid, q.dim
+    ),
+    a3 AS (
+      SELECT vec_id, cid FROM (
+        SELECT q.vec_id, c2.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY sum((q.qx - c2.c) * (q.qx - c2.c)),
+                                           c2.cid) AS rn
+        FROM q JOIN c2 USING (dim) GROUP BY q.vec_id, c2.cid) WHERE rn = 1
+    ),
+    qv AS (SELECT dim, qx FROM q WHERE vec_id = 0),
+    probe AS (
+      SELECT c2.cid FROM c2 JOIN qv USING (dim)
+      GROUP BY c2.cid
+      ORDER BY sum((c2.c - qv.qx) * (c2.c - qv.qx)), c2.cid
+      LIMIT 2
+    )
+    SELECT q.vec_id,
+           CAST(sum((q.qx - qv.qx) * (q.qx - qv.qx)) AS BIGINT) AS dist_e8
+    FROM q JOIN qv USING (dim)
+    WHERE q.vec_id IN (SELECT a3.vec_id FROM a3 JOIN probe USING (cid))
+    GROUP BY q.vec_id
+    ORDER BY dist_e8, vec_id
+    LIMIT 10
+    """,
+)
+def sim_ivf_lloyd(spark, sf_dir):
+    """Exactly-replayable IVF ANN search
+    (operators/similarity.py::ivf_lloyd_topk): integer-Lloyd coarse
+    quantizer (4 lists), broadcast centroid probe (nprobe=2), candidate
+    ranking by integer squared distance via TakeOrderedAndProject — the
+    whole index-and-search path hash-checks, where float-KMeans IVF can
+    only promise a recall bound."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_lloyd_topk(
+        e, "embedding", "vec_id", _query_vector(spark, sf_dir), 10,
+        n_lists=4, nprobe=2,
+    ).orderBy("dist_e8", "vec_id")
+
+
+@query(
     "sim_random_projection",
     # the +-1 sign matrix is a pure function of (salt, j, k) via the SAME
     # md5-le64 both engines compute (md5_number_upper here, hashlib at plan

@@ -775,6 +775,44 @@ def test_kmeans_lloyd_exact_replay_and_separation(spark):
     assert sorted(map(tuple, got2)) == sorted(map(tuple, got))
 
 
+def test_ivf_lloyd_topk_matches_exact_when_probing_all(spark):
+    """nprobe == n_lists degenerates to exact search: the top-k must equal
+    the brute-force integer-distance ranking; with nprobe=1 on separated
+    blobs the results stay within the query's own blob."""
+    import numpy as np
+
+    from hive_dwrf_spark.operators.similarity import ivf_lloyd_topk
+
+    rng = np.random.default_rng(3)
+    d = 6
+    centers = np.array([[8.0] * d, [-8.0] * d, [0.0] * d])
+    vecs = np.vstack(
+        [centers[i % 3] + rng.normal(0, 0.4, d) for i in range(60)]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    qvec = [float(x) for x in (centers[0] + 0.1)]
+    q = np.floor(np.asarray(qvec) * 10000 + 0.5).astype(np.int64)
+    allq = np.floor(vecs.astype(np.float64) * 10000 + 0.5).astype(np.int64)
+    dists = ((allq - q) ** 2).sum(axis=1)
+    exact = sorted(range(60), key=lambda i: (dists[i], i))[:5]
+    got_all = [
+        r.vec_id
+        for r in ivf_lloyd_topk(
+            df, "embedding", "vec_id", qvec, 5, n_lists=3, nprobe=3
+        ).collect()
+    ]
+    assert got_all == exact
+    got_one = ivf_lloyd_topk(
+        df, "embedding", "vec_id", qvec, 5, n_lists=3, nprobe=1
+    ).collect()
+    assert len(got_one) == 5
+    # all results come from the query's blob (ids ≡ 0 mod 3)
+    assert all(r.vec_id % 3 == 0 for r in got_one), got_one
+
+
 def test_embedding_centroids_exact(spark):
     from hive_dwrf_spark.operators.similarity import embedding_centroids
 
