@@ -94,6 +94,10 @@ HEADLINE = [
     "events_attribution",
     "events_rolling_median",
     "text_novelty",
+    # round-6 additions
+    "sim_random_projection",
+    "embedding_kmeans",
+    "sim_ivf_lloyd",
 ]
 
 

@@ -53,6 +53,9 @@ CARTESIAN_ALLOWED = {
     "layout_zorder",  # 1-row min/max stats broadcast (operators/layout.py)
     "sketch_hll_merge",  # 1-row merged-estimate + sketch-count broadcasts
     "sim_recall_report",  # exact-kNN side: broadcast probe set (knn_join shape)
+    "embedding_kmeans",  # corpus x BROADCAST k-row centroid frame per
+                         # Lloyd round (kmeans_lloyd assign step)
+    "sim_ivf_lloyd",     # same kmeans assign + nprobe-row probe broadcast
 }
 
 # streaming queries execute via their own harness, not a batch plan

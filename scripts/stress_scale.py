@@ -109,6 +109,8 @@ QUERIES = [
     "graph_communities",  # majority-vote LPA: per-round edge-state join
     "sim_random_projection",  # shuffle-free codegen'd JL reduction
     "sample_split_grouped",   # per-row group-keyed hash split + count
+    "embedding_kmeans",       # broadcast-centroid Lloyd rounds, k*d shuffle
+    "sim_ivf_lloyd",          # Lloyd index + probe + TakeOrdered ranking
 ]
 
 
