@@ -208,6 +208,81 @@ def kmeans_lloyd(
     ).select("cid", "n", (F.col("__d0") + 1).alias("dim"), "c_e4")
 
 
+def pca_basis(
+    df: DataFrame, vec_col: str, p: int, scale: int = 10_000
+):
+    """PCA basis from EXACT mergeable sufficient statistics: the int64
+    Gram matrix (gram_pairs — d(d+1)/2-row partials per Arrow batch) plus
+    per-dim integer sums give the covariance without a second look at any
+    row; the d x d eigensolve is driver-side numpy (d is small — the
+    data-sized work is the one corpus scan, and the fetched statistics
+    are catalog-sized: d(d+1)/2 + d rows, NOT data).
+
+    Because the sufficient statistics are exact integers, the covariance
+    — and therefore the basis — is deterministic under any partitioning;
+    a float covariance accumulated in shuffle order would not be.
+    Returns (eigvals_desc[:p], components[p x d], n_rows) as numpy arrays
+    (float64); components rows are unit-norm eigenvectors.
+    """
+    import numpy as np
+
+    rows = gram_pairs(df, vec_col, scale).collect()
+    if not rows:
+        raise ValueError("pca_basis: empty input")
+    d = max(r.j for r in rows)
+    n = rows[0].n
+    S = np.zeros((d, d), dtype=np.float64)
+    for r in rows:
+        S[r.i - 1, r.j - 1] = r.s_e8
+        S[r.j - 1, r.i - 1] = r.s_e8
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)),
+    )
+    sums = (
+        df.select(F.posexplode(q).alias("dim", "qx"))
+        .groupBy("dim")
+        .agg(F.sum("qx").alias("s"))
+        .collect()
+    )
+    m = np.zeros(d, dtype=np.float64)
+    for r in sums:
+        m[r.dim] = r.s
+    mean = m / (scale * n)
+    cov = S / (float(scale) ** 2 * n) - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:p]
+    return w[order], v[:, order].T.copy(), n
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    components,
+) -> DataFrame:
+    """Project the corpus onto a PCA basis: one shuffle-free codegen'd
+    expression per component (the basis folds into the plan as double
+    literals — same zero-broadcast shape as random_projection). Returns
+    (id_col, k, comp) long-form with 1-based k."""
+    comps = []
+    for ki, row in enumerate(components):
+        carr = F.array(*[F.lit(float(c)) for c in row])
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), carr, lambda x, c: x.cast("double") * c
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        comps.append(
+            F.struct(F.lit(ki + 1).cast("int").alias("k"), proj.alias("comp"))
+        )
+    return df.select(
+        F.col(id_col), F.explode(F.array(*comps)).alias("__c")
+    ).select(id_col, F.col("__c.k").alias("k"), F.col("__c.comp").alias("comp"))
+
+
 def kmeans_assign(
     df: DataFrame,
     vec_col: str,

@@ -274,3 +274,53 @@ def hll_merge_estimate(sketches: DataFrame) -> DataFrame:
     return sketches.agg(
         F.hll_sketch_estimate(F.hll_union_agg("hll_sketch")).alias("est")
     )
+
+
+def drift_psi(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    width: int,
+) -> DataFrame:
+    """Population Stability Index between two dataset snapshots — the
+    training-data drift monitor ("did this week's corpus shift against
+    last week's?"). Both sides reduce to the mergeable fixed-width bin
+    sketch (ONE combinable aggregate per side; the shuffle carries at most
+    value-range/width cells), and everything after runs on the
+    catalog-sized joined bin table: Laplace add-1 smoothed proportions
+    p, q over the union of occupied bins, per-bin contribution
+    (p - q) * ln(p / q), rounded to 6 decimals.
+
+    Determinism: counts are exact integers; p and q are single double
+    divisions of exact integers; ln is the only transcendental and the
+    6-decimal rounding tolerates last-ulp libm differences (the text_bm25
+    precedent). Add-1 smoothing makes empty-on-one-side bins well-defined
+    without an epsilon hyperparameter and is replayable in ANSI SQL.
+    Returns (bin, cnt_a, cnt_b, psi_contrib) — sum(psi_contrib) is the
+    PSI; the per-bin rows localize WHERE the shift happened, which is
+    what a drift alert needs anyway.
+    """
+    bins_a = quantile_bin_sketch(df_a, value_col, width).withColumnRenamed(
+        "cnt", "cnt_a"
+    )
+    bins_b = quantile_bin_sketch(df_b, value_col, width).withColumnRenamed(
+        "cnt", "cnt_b"
+    )
+    j = (
+        bins_a.join(bins_b, "bin", "full_outer")
+        .fillna(0, subset=["cnt_a", "cnt_b"])
+    )
+    totals = j.agg(
+        F.sum("cnt_a").alias("n_a"),
+        F.sum("cnt_b").alias("n_b"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    t = j.crossJoin(F.broadcast(totals))
+    p = (F.col("cnt_a") + 1) / (F.col("n_a") + F.col("n_bins"))
+    q = (F.col("cnt_b") + 1) / (F.col("n_b") + F.col("n_bins"))
+    return t.select(
+        "bin",
+        "cnt_a",
+        "cnt_b",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+    )

@@ -3037,6 +3037,107 @@ def embedding_gram(spark, sf_dir):
 
 
 @query(
+    "embedding_pca",
+    # an eigendecomposition is not SQL-expressible, so (sim_ivf precedent)
+    # the checkable contract is PROPERTIES, including one DISTRIBUTED
+    # check: the corpus-wide variance of the first projected component
+    # must equal the first eigenvalue (Var(v'x) = v'Cov v), computed from
+    # the same quantized values the covariance was built from
+    oracle="""
+    SELECT 8 AS p, true AS orthonormal, true AS eigs_desc,
+           true AS var_matches
+    """,
+)
+def embedding_pca(spark, sf_dir):
+    """PCA over the embedding corpus
+    (operators/similarity.py::pca_basis/pca_project): covariance from
+    EXACT integer sufficient statistics (one gram scan + one sum scan —
+    both mergeable aggregates whose shuffles carry d^2/d cells at any
+    corpus size), d x d eigensolve driver-side, projection as shuffle-free
+    literal-folded expressions. Emits the property verdicts: basis
+    orthonormality, eigenvalue ordering, and the distributed
+    variance-equals-eigenvalue check."""
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings")
+    w, V, n = similarity.pca_basis(e, "embedding", 8)
+    orthonormal = bool(np.max(np.abs(V @ V.T - np.eye(len(V)))) < 1e-8)
+    eigs_desc = bool(np.all(np.diff(w) <= 1e-12))
+    # variance check on the SAME quantized values the covariance used
+    eq = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 10000 + F.lit(0.5)) / 10000,
+        ).alias("embedding"),
+    )
+    pr = similarity.pca_project(eq, "embedding", "vec_id", V[:1])
+    st = pr.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("comp").alias("s"),
+        F.sum(F.col("comp") * F.col("comp")).alias("ss"),
+    ).collect()[0]
+    var = st.ss / st.n - (st.s / st.n) ** 2
+    var_matches = bool(
+        abs(var - w[0]) <= 1e-6 * max(abs(float(w[0])), 1e-9)
+    )
+    return spark.createDataFrame(
+        [(8, orthonormal, eigs_desc, var_matches)],
+        "p INT, orthonormal BOOLEAN, eigs_desc BOOLEAN, var_matches BOOLEAN",
+    )
+
+
+@query(
+    "pipeline_drift_psi",
+    # both snapshots reduce to the mergeable bin sketch; smoothing is
+    # Laplace add-1 (no epsilon hyperparameter), proportions are single
+    # double divisions of exact integers, and the 6-decimal rounding
+    # absorbs last-ulp libm ln differences (text_bm25 precedent)
+    oracle="""
+    WITH a AS (
+      SELECT CAST(floor(value / 20) AS BIGINT) AS bin, count(*) AS cnt_a
+      FROM events WHERE value IS NOT NULL AND event_id % 2 = 0 GROUP BY 1
+    ),
+    b AS (
+      SELECT CAST(floor(value / 20) AS BIGINT) AS bin, count(*) AS cnt_b
+      FROM events WHERE value IS NOT NULL AND event_id % 2 = 1 GROUP BY 1
+    ),
+    j AS (
+      SELECT coalesce(a.bin, b.bin) AS bin,
+             coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+      FROM a FULL OUTER JOIN b USING (bin)
+    ),
+    t AS (SELECT sum(cnt_a) AS n_a, sum(cnt_b) AS n_b,
+                 count(*) AS n_bins FROM j)
+    SELECT bin, CAST(cnt_a AS BIGINT) AS cnt_a,
+           CAST(cnt_b AS BIGINT) AS cnt_b,
+           round(
+             (CAST(cnt_a + 1 AS DOUBLE) / (n_a + n_bins)
+              - CAST(cnt_b + 1 AS DOUBLE) / (n_b + n_bins))
+             * ln((CAST(cnt_a + 1 AS DOUBLE) / (n_a + n_bins))
+                  / (CAST(cnt_b + 1 AS DOUBLE) / (n_b + n_bins))),
+             6) AS psi_contrib
+    FROM j CROSS JOIN t
+    ORDER BY bin
+    """,
+)
+def pipeline_drift_psi(spark, sf_dir):
+    """Population-drift monitor (operators/sketch.py::drift_psi): PSI
+    between two snapshots (even vs odd event ids as stand-ins for
+    week-over-week corpora). Each side is ONE combinable bin-sketch
+    aggregate; the smoothing, proportions, and per-bin (p-q)*ln(p/q)
+    contributions all run on the catalog-sized joined bin table — corpus
+    cost is exactly two scans at any scale, and per-bin rows localize
+    WHERE the distribution moved."""
+    from ..operators import sketch
+
+    e = load(spark, sf_dir, "events")
+    a = e.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    b = e.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+    return sketch.drift_psi(a, b, "value", 20).orderBy("bin")
+
+
+@query(
     "embedding_kmeans",
     # 2 Lloyd rounds replayed as CTEs: e4 quantization, integer squared
     # distances, (dist, cid) tie-break via row_number, floor(sum/n)

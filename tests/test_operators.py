@@ -813,6 +813,69 @@ def test_ivf_lloyd_topk_matches_exact_when_probing_all(spark):
     assert all(r.vec_id % 3 == 0 for r in got_one), got_one
 
 
+def test_pca_basis_matches_numpy_and_projects(spark):
+    """Eigenvalues/subspace must match numpy PCA on the quantized data,
+    and the distributed projection's variance must equal the eigenvalue."""
+    import numpy as np
+
+    from hive_dwrf_spark.operators.similarity import pca_basis, pca_project
+
+    rng = np.random.default_rng(11)
+    # anisotropic cloud: variance concentrated along a known direction
+    base = rng.standard_normal((120, 5)) * np.array([3.0, 1.0, 0.5, 0.2, 0.1])
+    vecs = base.astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    w, V, n = pca_basis(df, "embedding", 3)
+    assert n == 120 and V.shape == (3, 5)
+    q = np.floor(vecs.astype(np.float64) * 10000 + 0.5) / 10000
+    cov = np.cov(q, rowvar=False, bias=True)
+    wref = np.sort(np.linalg.eigvalsh(cov))[::-1][:3]
+    assert np.allclose(w, wref, rtol=1e-9), (w, wref)
+    # subspace agreement: |cos| of each component vs numpy's ~ 1
+    _, vref = np.linalg.eigh(cov)
+    vref = vref[:, ::-1][:, :3].T
+    for i in range(3):
+        assert abs(float(np.dot(V[i], vref[i]))) > 1 - 1e-9
+    # distributed variance of comp 1 == eigenvalue 1
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in q[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    comps = pca_project(qdf, "embedding", "vec_id", V[:1]).collect()
+    vals = np.array([r.comp for r in comps])
+    assert abs(vals.var() - w[0]) < 1e-6 * w[0]
+
+
+def test_drift_psi_hand_case_and_null_safety(spark):
+    """PSI contributions must match a hand replay, identical snapshots give
+    ~zero PSI, and NULL values never enter the bins."""
+    import math
+
+    from hive_dwrf_spark.operators.sketch import drift_psi
+
+    a_rows = [(float(v),) for v in [5, 5, 25, 25, 25, 45]] + [(None,)]
+    b_rows = [(float(v),) for v in [5, 25, 45, 45, 45, 45]] + [(None,)]
+    a = spark.createDataFrame(a_rows, "value double")
+    b = spark.createDataFrame(b_rows, "value double")
+    got = {r.bin: (r.cnt_a, r.cnt_b, r.psi_contrib)
+           for r in drift_psi(a, b, "value", 20).collect()}
+    assert set(got) == {0, 1, 2}
+    n_a = n_b = 6
+    k = 3
+    for bin_, (ca, cb) in {0: (2, 1), 1: (3, 1), 2: (1, 4)}.items():
+        p = (ca + 1) / (n_a + k)
+        q = (cb + 1) / (n_b + k)
+        expect = round((p - q) * math.log(p / q), 6)
+        assert got[bin_] == (ca, cb, expect), bin_
+    same = drift_psi(a, a, "value", 20).agg(
+        F.sum("psi_contrib").alias("s")
+    ).collect()[0].s
+    assert abs(same) < 1e-9
+
+
 def test_embedding_centroids_exact(spark):
     from hive_dwrf_spark.operators.similarity import embedding_centroids
 
