@@ -56,6 +56,7 @@ CARTESIAN_ALLOWED = {
     "embedding_kmeans",  # corpus x BROADCAST k-row centroid frame per
                          # Lloyd round (kmeans_lloyd assign step)
     "sim_ivf_lloyd",     # same kmeans assign + nprobe-row probe broadcast
+    "pipeline_drift_psi",  # 1-row totals broadcast over the bin table
 }
 
 # streaming queries execute via their own harness, not a batch plan

@@ -111,6 +111,8 @@ QUERIES = [
     "sample_split_grouped",   # per-row group-keyed hash split + count
     "embedding_kmeans",       # broadcast-centroid Lloyd rounds, k*d shuffle
     "sim_ivf_lloyd",          # Lloyd index + probe + TakeOrdered ranking
+    "pipeline_drift_psi",     # two bin-sketch scans + catalog-side finish
+    "embedding_pca",          # gram + sum scans, driver d^2 fetch only
 ]
 
 

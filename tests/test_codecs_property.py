@@ -226,3 +226,28 @@ def test_bit_seek_positions(vals, data):
         dec, _ = codecs.decode_byte_rle(sub, ac)
         got = bool((int(dec[skip]) >> (7 - bit)) & 1)
         assert got == bits[t], (t, off, skip, bit)
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=999_999_999),
+            # bias toward trailing-zero shapes (the packed branch)
+            st.integers(min_value=0, max_value=999_999).map(lambda v: v * 1000),
+            st.integers(min_value=0, max_value=9).map(lambda v: v * 100_000_000),
+        ),
+        min_size=0,
+        max_size=300,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_nano_pack_roundtrip(vals):
+    """pack -> unpack is the identity for any sub-second nano value, and
+    the packed tag stays within the reference's 3-bit budget."""
+    from hive_dwrf_spark.format.reader import _unpack_nanos
+    from hive_dwrf_spark.format.writer import _pack_nanos
+
+    arr = np.asarray(vals, dtype=np.int64)
+    packed = _pack_nanos(arr)
+    assert (packed & np.uint64(7) <= np.uint64(7)).all()
+    assert (_unpack_nanos(packed) == arr).all()
