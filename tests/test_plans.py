@@ -278,3 +278,36 @@ def test_q45_correlated_scalars_decorrelate_to_one_join_tree(spark):
     plan = _plan(_queries()["q45_correlated_scalar"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "ScalarSubquery" not in plan
+
+
+def test_random_projection_is_shuffle_free(spark):
+    # the sign matrix folds into the plan as literals: the only exchange is
+    # the presentation ORDER BY; no joins, no broadcasts, no Python
+    from hive_dwrf_spark.operators.similarity import random_projection
+    from hive_dwrf_spark.tables import load
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    plan = _plan(
+        random_projection(e, "embedding", dim=64, out_dim=8, id_cols=["vec_id"])
+    )
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmeans_assign_broadcasts_centroids(spark):
+    # the corpus side must stream against a BROADCAST centroid frame —
+    # never a shuffled join on the corpus
+    plan = _plan(_queries()["embedding_kmeans"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_drift_psi_corpus_cost_is_two_sketch_scans(spark):
+    # everything after the two bin sketches runs on the catalog-sized bin
+    # table: at most the two sketch aggregations + the bin join + final
+    # order exchanges appear — none keyed by corpus rows
+    plan = _plan(_queries()["pipeline_drift_psi"](spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan
+    # both sketch sides partial-aggregate before their exchange
+    assert plan.count("HashAggregate") >= 4
