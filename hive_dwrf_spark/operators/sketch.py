@@ -324,3 +324,61 @@ def drift_psi(
         "cnt_b",
         F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    width: int,
+    k: int = 3,
+) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation, composed
+    entirely from the mergeable bin sketch — the z-score alternative that
+    heavy-tailed pipeline metrics (doc lengths, request latencies) need,
+    since mean/stddev are themselves dragged by the outliers.
+
+    Three combinable passes, each a bin-sketch or count aggregate whose
+    shuffle is value-range-bounded:
+      1. median_est from the value sketch (error <= one bin width);
+      2. mad_est from the sketch of |value - median_est| (the 1-row
+         median broadcasts; the deviation bin is a pure expression);
+      3. n_outliers = count(|value - median_est| > k * mad_est), with the
+         1-row mad broadcast.
+    All thresholds are integer bin edges, so the whole detector is
+    deterministic and replays in ANSI SQL — no percentile_approx
+    (rank-sketch cells depend on arrival order), no float seams.
+    Returns one row: (n, med_est, mad_est, n_outliers).
+    """
+    vals = df.filter(F.col(value_col).isNotNull())
+    med = quantile_from_bins(
+        quantile_bin_sketch(vals, value_col, width), width, [500_000]
+    ).select(F.col("est").alias("med"), F.col("n").alias("n"))
+    withmed = vals.crossJoin(F.broadcast(med))
+    dev = F.abs(F.col(value_col) - F.col("med"))
+    dev_bins = (
+        withmed.select(
+            F.floor(dev / F.lit(width)).cast("bigint").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    mad = quantile_from_bins(dev_bins, width, [500_000]).select(
+        F.col("est").alias("mad")
+    )
+    flagged = (
+        withmed.crossJoin(F.broadcast(mad))
+        .select(
+            "n",
+            "med",
+            "mad",
+            (dev > F.col("mad") * F.lit(k)).cast("bigint").alias("__o"),
+        )
+        .groupBy("n", "med", "mad")
+        .agg(F.sum("__o").alias("n_outliers"))
+    )
+    return flagged.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("med").alias("med_est"),
+        F.col("mad").alias("mad_est"),
+        F.col("n_outliers").cast("bigint").alias("n_outliers"),
+    )

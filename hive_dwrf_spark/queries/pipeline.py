@@ -3088,6 +3088,67 @@ def embedding_pca(spark, sf_dir):
 
 
 @query(
+    "events_outliers_mad",
+    # the detector is three sketch/count aggregates with integer bin-edge
+    # thresholds throughout, so median, MAD, and the outlier count all
+    # replay exactly
+    oracle="""
+    WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+    bins AS (
+      SELECT CAST(floor(value / 20) AS BIGINT) AS bin, count(*) AS cnt
+      FROM v GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin,
+             sum(cnt) OVER (ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(cnt) OVER () AS n
+      FROM bins
+    ),
+    med AS (
+      SELECT CAST(max(n) AS BIGINT) AS n,
+             CAST((min(bin) + 1) * 20 AS BIGINT) AS med
+      FROM cum WHERE cum * 1000000 >= 500000 * n
+    ),
+    dbins AS (
+      SELECT CAST(floor(abs(value - med) / 20) AS BIGINT) AS bin,
+             count(*) AS cnt
+      FROM v CROSS JOIN med GROUP BY 1
+    ),
+    dcum AS (
+      SELECT bin,
+             sum(cnt) OVER (ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(cnt) OVER () AS n
+      FROM dbins
+    ),
+    mad AS (
+      SELECT CAST((min(bin) + 1) * 20 AS BIGINT) AS mad
+      FROM dcum WHERE cum * 1000000 >= 500000 * n
+    )
+    SELECT med.n, med.med AS med_est, mad.mad AS mad_est,
+           CAST(sum(CASE WHEN abs(value - med.med) > 3 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM v CROSS JOIN med CROSS JOIN mad
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_outliers_mad(spark, sf_dir):
+    """Robust outlier count via Median-Absolute-Deviation
+    (operators/sketch.py::mad_outliers): three combinable sketch/count
+    passes with 1-row broadcasts between them — the heavy-tail-safe
+    alternative to z-scores whose mean/stddev the outliers themselves
+    drag. Integer bin-edge thresholds keep the whole detector
+    deterministic and SQL-replayable at any scale."""
+    from ..operators import sketch
+
+    e = load(spark, sf_dir, "events")
+    return sketch.mad_outliers(e, "value", 20, k=3)
+
+
+@query(
     "pipeline_drift_psi",
     # both snapshots reduce to the mergeable bin sketch; smoothing is
     # Laplace add-1 (no epsilon hyperparameter), proportions are single

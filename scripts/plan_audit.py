@@ -57,6 +57,7 @@ CARTESIAN_ALLOWED = {
                          # Lloyd round (kmeans_lloyd assign step)
     "sim_ivf_lloyd",     # same kmeans assign + nprobe-row probe broadcast
     "pipeline_drift_psi",  # 1-row totals broadcast over the bin table
+    "events_outliers_mad",  # 1-row median/MAD broadcasts between passes
 }
 
 # streaming queries execute via their own harness, not a batch plan

@@ -113,6 +113,7 @@ QUERIES = [
     "sim_ivf_lloyd",          # Lloyd index + probe + TakeOrdered ranking
     "pipeline_drift_psi",     # two bin-sketch scans + catalog-side finish
     "embedding_pca",          # gram + sum scans, driver d^2 fetch only
+    "events_outliers_mad",    # three sketch/count passes, 1-row broadcasts
 ]
 
 

@@ -849,6 +849,24 @@ def test_pca_basis_matches_numpy_and_projects(spark):
     assert abs(vals.var() - w[0]) < 1e-6 * w[0]
 
 
+def test_mad_outliers_hand_case(spark):
+    """Median/MAD estimates and the outlier count must match a hand replay
+    on a distribution with one far outlier; NULLs are excluded."""
+    from hive_dwrf_spark.operators.sketch import mad_outliers
+
+    vals = [10.0] * 40 + [30.0] * 30 + [50.0] * 29 + [5000.0] + [None]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    r = mad_outliers(df, "value", 20, k=3).collect()[0]
+    # width-20 bins: cnt(bin0)=40 < 50 <= cnt(bin0..1)=70 -> median bin 1,
+    # est = upper edge 40 (true median 30, within one bin width)
+    assert r.n == 100 and r.med_est == 40
+    # deviations |v-40|: 30 rows of 10 and 29 rows of 10 land in bin 0
+    # (59 >= 50) -> mad est 20
+    assert r.mad_est == 20
+    # outliers: dev > 3*20 -> only the 5000 row
+    assert r.n_outliers == 1
+
+
 def test_drift_psi_hand_case_and_null_safety(spark):
     """PSI contributions must match a hand replay, identical snapshots give
     ~zero PSI, and NULL values never enter the bins."""
