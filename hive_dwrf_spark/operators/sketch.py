@@ -382,3 +382,28 @@ def mad_outliers(
         F.col("mad").alias("mad_est"),
         F.col("n_outliers").cast("bigint").alias("n_outliers"),
     )
+
+
+def cms_inner_product(
+    sketch_a: DataFrame, sketch_b: DataFrame
+) -> DataFrame:
+    """Equi-join cardinality estimation from two Count-Min sketches:
+    |A JOIN B on k| = sum_k a_k * b_k, estimated as min over hash rows of
+    the row-wise sketch inner product sum_b A[r,b] * B[r,b]. The classic
+    AMS/CMS bound applies: the estimate is ALWAYS >= the true size
+    (collisions only inflate) and exceeds it by more than eps*|A|*|B|
+    with probability <= delta at width e/eps, depth ln(1/delta).
+
+    The 100 TB use: size a join BEFORE running it — both sketches build
+    from prior scans (or maintain incrementally as data lands), are
+    depth x width rows each, and the estimate is a join of two
+    catalog-sized tables. Deterministic md5 buckets (shared with
+    cms_build) make the estimate — collisions included — SQL-replayable.
+    Returns one row: (est)."""
+    j = sketch_a.join(
+        sketch_b.withColumnRenamed("cnt", "cnt_b"), ["row_i", "bucket"]
+    )
+    per_row = j.groupBy("row_i").agg(
+        F.sum(F.col("cnt") * F.col("cnt_b")).alias("__ip")
+    )
+    return per_row.agg(F.min("__ip").cast("bigint").alias("est"))

@@ -3088,6 +3088,62 @@ def embedding_pca(spark, sf_dir):
 
 
 @query(
+    "sketch_join_size",
+    # the md5 bucket function is the one cms_build uses (fast 16-bit path
+    # == md5_number_upper % width), so both sketches — and therefore the
+    # inner-product estimate, collisions included — replay exactly; the
+    # exact join count rides along to show the bound held
+    oracle="""
+    WITH rows_ AS (
+      SELECT CAST(r.range AS INTEGER) AS row_i FROM range(0, 4) r
+    ),
+    a AS (
+      SELECT row_i,
+             CAST(md5_number_upper(CAST(row_i AS VARCHAR) || '|'
+                                   || CAST(o_custkey AS VARCHAR))
+                  % 1024 AS INTEGER) AS bucket,
+             count(*) AS cnt
+      FROM orders, rows_ WHERE o_custkey IS NOT NULL GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT row_i,
+             CAST(md5_number_upper(CAST(row_i AS VARCHAR) || '|'
+                                   || CAST(c_custkey AS VARCHAR))
+                  % 1024 AS INTEGER) AS bucket,
+             count(*) AS cnt_b
+      FROM customer, rows_ WHERE c_custkey IS NOT NULL GROUP BY 1, 2
+    ),
+    ip AS (
+      SELECT a.row_i, sum(a.cnt * b.cnt_b) AS p
+      FROM a JOIN b USING (row_i, bucket) GROUP BY a.row_i
+    )
+    SELECT CAST((SELECT min(p) FROM ip) AS BIGINT) AS est,
+           CAST((SELECT count(*) FROM orders JOIN customer
+                 ON o_custkey = c_custkey) AS BIGINT) AS exact_n
+    """,
+)
+def sketch_join_size(spark, sf_dir):
+    """Join-cardinality estimation WITHOUT running the join
+    (operators/sketch.py::cms_inner_product): CMS sketches of both key
+    columns (one combinable aggregate per side, depth x width cells) meet
+    in a catalog-sized inner product whose min-over-rows estimates
+    |orders JOIN customer| from above. At 100 TB this prices a join from
+    previously-maintained sketches at driver-adjacent cost; the exact
+    count rides along to exhibit the one-sided bound."""
+    from ..operators import sketch
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey").isNotNull())
+    sa = sketch.cms_build(o.select(F.col("o_custkey")), "o_custkey", 4, 1024)
+    sb = sketch.cms_build(c.select(F.col("c_custkey")), "c_custkey", 4, 1024)
+    est = sketch.cms_inner_product(sa, sb)
+    exact = o.join(c, o["o_custkey"] == c["c_custkey"]).agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    return est.crossJoin(exact)
+
+
+@query(
     "events_outliers_mad",
     # the detector is three sketch/count aggregates with integer bin-edge
     # thresholds throughout, so median, MAD, and the outlier count all

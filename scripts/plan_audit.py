@@ -58,6 +58,7 @@ CARTESIAN_ALLOWED = {
     "sim_ivf_lloyd",     # same kmeans assign + nprobe-row probe broadcast
     "pipeline_drift_psi",  # 1-row totals broadcast over the bin table
     "events_outliers_mad",  # 1-row median/MAD broadcasts between passes
+    "sketch_join_size",     # 1-row estimate x 1-row exact-count cross
 }
 
 # streaming queries execute via their own harness, not a batch plan

@@ -114,6 +114,7 @@ QUERIES = [
     "pipeline_drift_psi",     # two bin-sketch scans + catalog-side finish
     "embedding_pca",          # gram + sum scans, driver d^2 fetch only
     "events_outliers_mad",    # three sketch/count passes, 1-row broadcasts
+    "sketch_join_size",       # two CMS builds + catalog-sized inner product
 ]
 
 

@@ -849,6 +849,29 @@ def test_pca_basis_matches_numpy_and_projects(spark):
     assert abs(vals.var() - w[0]) < 1e-6 * w[0]
 
 
+def test_cms_inner_product_upper_bounds_join_size(spark):
+    """The sketch estimate must be >= the exact equi-join size, and equal
+    it when the key population is far below the bucket count (no
+    collisions)."""
+    from hive_dwrf_spark.operators.sketch import cms_build, cms_inner_product
+
+    a_rows = [(k,) for k in [1, 1, 1, 2, 2, 3]]
+    b_rows = [(k,) for k in [1, 2, 2, 2, 4]]
+    a = spark.createDataFrame(a_rows, "k long")
+    b = spark.createDataFrame(b_rows, "k long")
+    exact = a.join(b, "k").count()  # 3*1 + 2*3 = 9
+    assert exact == 9
+    est = cms_inner_product(
+        cms_build(a, "k", 4, 1024), cms_build(b, "k", 4, 1024)
+    ).collect()[0].est
+    assert est == 9  # 4 keys in 1024 buckets: no collisions
+    # tight width forces collisions: the estimate may only inflate
+    est_tight = cms_inner_product(
+        cms_build(a, "k", 4, 2), cms_build(b, "k", 4, 2)
+    ).collect()[0].est
+    assert est_tight >= 9
+
+
 def test_mad_outliers_hand_case(spark):
     """Median/MAD estimates and the outlier count must match a hand replay
     on a distribution with one far outlier; NULLs are excluded."""
