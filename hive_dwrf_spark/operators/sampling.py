@@ -224,3 +224,58 @@ def mixture_sample(
         )
         .drop("_rate", "_copies")
     )
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    n_replicas: int = 32,
+    lo_ppm: int = 50_000,
+    hi_ppm: int = 950_000,
+    scale: int = 10_000,
+    salt: str = "boot",
+) -> DataFrame:
+    """Distribution-free error bars on a corpus metric via deterministic
+    subsampling: rows partition into `n_replicas` disjoint replicas by
+    keyed md5 (no RNG, stable under re-runs/repartitioning), each
+    replica's floor-mean of e4-quantized values is an independent
+    estimate, and the (lo, hi)-ppm percentiles of the replica means
+    bracket the metric — the "is this week's quality-score shift real or
+    noise?" primitive a pipeline dashboard needs.
+
+    Cost at 100 TB: ONE combinable aggregate over the scan (B group
+    keys); the percentile pick runs on the B-row replica table. All
+    arithmetic is integer (quantized sums, floor-means, integer rank
+    thresholds), so the interval is deterministic and SQL-replayable.
+    Returns one row: (b, mean_lo_e4, mean_hi_e4).
+    """
+    from pyspark.sql import functions as F
+
+    vals = df.filter(F.col(value_col).isNotNull())
+    rep = F.pmod(_hash64(F.lit(salt), *key_cols), F.lit(n_replicas))
+    q = F.floor(F.col(value_col).cast("double") * F.lit(float(scale)) + F.lit(0.5))
+    means = (
+        vals.select(rep.alias("replica"), q.alias("qx"))
+        .groupBy("replica")
+        .agg(
+            F.floor(F.sum("qx") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("mean_e4")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("mean_e4", "replica")
+    ranked = means.select(
+        "mean_e4",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("b"),
+    )
+    lo = ranked.filter(
+        F.col("rn") * F.lit(1_000_000) >= F.lit(int(lo_ppm)) * F.col("b")
+    ).agg(F.min("mean_e4").alias("mean_lo_e4"), F.max("b").alias("b"))
+    hi = ranked.filter(
+        F.col("rn") * F.lit(1_000_000) >= F.lit(int(hi_ppm)) * F.col("b")
+    ).agg(F.min("mean_e4").alias("mean_hi_e4"))
+    return lo.crossJoin(hi).select("b", "mean_lo_e4", "mean_hi_e4")

@@ -3088,6 +3088,108 @@ def embedding_pca(spark, sf_dir):
 
 
 @query(
+    "sample_bootstrap_ci",
+    # replica assignment is the shared keyed-md5 (md5_number_upper % B),
+    # replica means are integer floor-means of e4-quantized values, and
+    # the percentile pick is an integer rank threshold — the interval
+    # replays exactly
+    oracle="""
+    WITH means AS (
+      SELECT md5_number_upper('boot|' || CAST(event_id AS VARCHAR)) % 32
+               AS replica,
+             CAST(floor(sum(floor(CAST(value AS DOUBLE) * 10000 + 0.5))
+                        * 1.0 / count(*)) AS BIGINT) AS mean_e4
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT mean_e4,
+             row_number() OVER (ORDER BY mean_e4, replica) AS rn,
+             count(*) OVER () AS b
+      FROM means
+    ),
+    lo AS (
+      SELECT min(mean_e4) AS mean_lo_e4, max(b) AS b
+      FROM ranked WHERE rn * 1000000 >= 50000 * b
+    ),
+    hi AS (
+      SELECT min(mean_e4) AS mean_hi_e4
+      FROM ranked WHERE rn * 1000000 >= 950000 * b
+    )
+    SELECT CAST(b AS BIGINT) AS b,
+           CAST(mean_lo_e4 AS BIGINT) AS mean_lo_e4,
+           CAST(mean_hi_e4 AS BIGINT) AS mean_hi_e4
+    FROM lo CROSS JOIN hi
+    """,
+)
+def sample_bootstrap_ci(spark, sf_dir):
+    """Distribution-free confidence interval on the corpus mean
+    (operators/sampling.py::bootstrap_mean_ci): 32 deterministic md5
+    replicas, ONE combinable aggregate over the scan, percentile pick on
+    the 32-row replica table — error bars for "is this metric shift real?"
+    at the cost of a count, with no RNG and no distributional
+    assumptions."""
+    e = load(spark, sf_dir, "events")
+    return sampling.bootstrap_mean_ci(
+        e, "value", ["event_id"], n_replicas=32
+    )
+
+
+@query(
+    "sketch_quantile_merge",
+    # the merged-sketch quantiles must equal the single-pass sketch
+    # BIT-FOR-BIT (merge = per-bin count sum), so the oracle is
+    # sketch_quantile's whole-corpus replay, unchanged — passing proves
+    # the mergeability contract end-to-end, not approximately
+    oracle="""
+    WITH bins AS (
+      SELECT CAST(floor(value / 20) AS BIGINT) AS bin, count(*) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin,
+             sum(cnt) OVER (ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(cnt) OVER () AS n
+      FROM bins
+    ),
+    q(q_ppm) AS (VALUES (500000), (900000), (990000))
+    SELECT CAST(q_ppm AS BIGINT) AS q_ppm,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST((min(bin) + 1) * 20 AS BIGINT) AS est
+    FROM cum CROSS JOIN q
+    WHERE cum * 1000000 >= q_ppm * n
+    GROUP BY q_ppm
+    ORDER BY q_ppm
+    """,
+)
+def sketch_quantile_merge(spark, sf_dir):
+    """The mergeability contract, demonstrated end-to-end: two bin
+    sketches built INDEPENDENTLY over disjoint halves of the corpus
+    (even/odd event ids — per-day/per-partition sketches in production)
+    merge by one per-bin count sum, and the finished quantiles equal the
+    single-pass sketch exactly — the oracle is sketch_quantile's
+    whole-corpus replay, unchanged. This is what lets a 100 TB pipeline
+    keep per-partition sketches and answer global quantiles without ever
+    rescanning: merge cost is bins x partitions rows, zero data."""
+    from ..operators import sketch
+
+    e = load(spark, sf_dir, "events")
+    a = e.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    b = e.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+    merged = (
+        sketch.quantile_bin_sketch(a, "value", 20)
+        .unionByName(sketch.quantile_bin_sketch(b, "value", 20))
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return sketch.quantile_from_bins(
+        merged, 20, [500_000, 900_000, 990_000]
+    ).orderBy("q_ppm")
+
+
+@query(
     "sketch_join_size",
     # the md5 bucket function is the one cms_build uses (fast 16-bit path
     # == md5_number_upper % width), so both sketches — and therefore the

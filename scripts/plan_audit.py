@@ -59,6 +59,7 @@ CARTESIAN_ALLOWED = {
     "pipeline_drift_psi",  # 1-row totals broadcast over the bin table
     "events_outliers_mad",  # 1-row median/MAD broadcasts between passes
     "sketch_join_size",     # 1-row estimate x 1-row exact-count cross
+    "sample_bootstrap_ci",  # 1-row lo x 1-row hi percentile cross
 }
 
 # streaming queries execute via their own harness, not a batch plan

@@ -115,6 +115,8 @@ QUERIES = [
     "embedding_pca",          # gram + sum scans, driver d^2 fetch only
     "events_outliers_mad",    # three sketch/count passes, 1-row broadcasts
     "sketch_join_size",       # two CMS builds + catalog-sized inner product
+    "sample_bootstrap_ci",    # one B-key combinable aggregate + B-row pick
+    "sketch_quantile_merge",  # two half sketches + per-bin sum merge
 ]
 
 

@@ -849,6 +849,28 @@ def test_pca_basis_matches_numpy_and_projects(spark):
     assert abs(vals.var() - w[0]) < 1e-6 * w[0]
 
 
+def test_bootstrap_ci_brackets_mean_and_is_stable(spark):
+    """The interval must bracket the true quantized mean on symmetric
+    data, be invariant under repartitioning, and tighten as n grows."""
+    from hive_dwrf_spark.operators.sampling import bootstrap_mean_ci
+
+    rows = [(i, float(50 + (i % 21) - 10)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    r = bootstrap_mean_ci(df, "v", ["k"], n_replicas=16).collect()[0]
+    assert r.b == 16
+    true_mean_e4 = 50 * 10000  # symmetric around 50
+    assert r.mean_lo_e4 <= true_mean_e4 <= r.mean_hi_e4
+    # at B=16 the 5/95 ppm ranks are the extreme replicas, so the interval
+    # is the replica-mean range: ~4-6 x the per-replica standard error
+    assert r.mean_hi_e4 - r.mean_lo_e4 < 4 * 10000
+    r2 = bootstrap_mean_ci(
+        df.repartition(9), "v", ["k"], n_replicas=16
+    ).collect()[0]
+    assert (r2.b, r2.mean_lo_e4, r2.mean_hi_e4) == (
+        r.b, r.mean_lo_e4, r.mean_hi_e4,
+    )
+
+
 def test_cms_inner_product_upper_bounds_join_size(spark):
     """The sketch estimate must be >= the exact equi-join size, and equal
     it when the key population is far below the bucket count (no
