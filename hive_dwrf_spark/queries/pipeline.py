@@ -3088,6 +3088,77 @@ def embedding_pca(spark, sf_dir):
 
 
 @query(
+    "pipeline_fk_check",
+    oracle="""
+    SELECT 'orders.o_custkey->customer' AS fk,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_orphans,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE l.l_orderkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE l.l_partkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    ORDER BY fk
+    """,
+)
+def pipeline_fk_check(spark, sf_dir):
+    """Referential-integrity audit across the warehouse: orphan counts
+    for three foreign keys as LEFT-ANTI joins (each one shuffle, or a
+    broadcast when the parent's key column fits — Catalyst picks), plus
+    the row totals for rate context. The cross-table half of data-quality
+    validation that pipeline_validate's single-table rules can't express;
+    at 100 TB each check is join-shaped, never a collect."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+
+    def check(child, key, parent, pkey, name):
+        orphans = (
+            child.filter(F.col(key).isNotNull())
+            .join(parent.select(pkey), child[key] == parent[pkey], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        total = child.agg(F.count(F.lit(1)).alias("n_rows"))
+        return (
+            orphans.crossJoin(total)
+            .select(
+                F.lit(name).alias("fk"),
+                F.col("n_orphans").cast("bigint"),
+                F.col("n_rows").cast("bigint"),
+            )
+        )
+
+    out = (
+        check(o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer")
+        .unionByName(
+            check(li, "l_orderkey", o, "o_orderkey",
+                  "lineitem.l_orderkey->orders")
+        )
+        .unionByName(
+            check(li, "l_partkey", p, "p_partkey",
+                  "lineitem.l_partkey->part")
+        )
+    )
+    return out.orderBy("fk")
+
+
+@query(
     "sample_bootstrap_ci",
     # replica assignment is the shared keyed-md5 (md5_number_upper % B),
     # replica means are integer floor-means of e4-quantized values, and

@@ -60,6 +60,7 @@ CARTESIAN_ALLOWED = {
     "events_outliers_mad",  # 1-row median/MAD broadcasts between passes
     "sketch_join_size",     # 1-row estimate x 1-row exact-count cross
     "sample_bootstrap_ci",  # 1-row lo x 1-row hi percentile cross
+    "pipeline_fk_check",    # 1-row orphan x 1-row total crosses
 }
 
 # streaming queries execute via their own harness, not a batch plan

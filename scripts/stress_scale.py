@@ -117,6 +117,7 @@ QUERIES = [
     "sketch_join_size",       # two CMS builds + catalog-sized inner product
     "sample_bootstrap_ci",    # one B-key combinable aggregate + B-row pick
     "sketch_quantile_merge",  # two half sketches + per-bin sum merge
+    "pipeline_fk_check",      # three anti-joins + row totals
 ]
 
 
