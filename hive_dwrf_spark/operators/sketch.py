@@ -300,14 +300,19 @@ def drift_psi(
     PSI; the per-bin rows localize WHERE the shift happened, which is
     what a drift alert needs anyway.
     """
-    bins_a = quantile_bin_sketch(df_a, value_col, width).withColumnRenamed(
-        "cnt", "cnt_a"
-    )
-    bins_b = quantile_bin_sketch(df_b, value_col, width).withColumnRenamed(
-        "cnt", "cnt_b"
-    )
+    bins_a = quantile_bin_sketch(df_a, value_col, width)
+    bins_b = quantile_bin_sketch(df_b, value_col, width)
+    return drift_psi_from_bins(bins_a, bins_b)
+
+
+def drift_psi_from_bins(bins_a: DataFrame, bins_b: DataFrame) -> DataFrame:
+    """The catalog-sized finish of drift_psi, taking PREBUILT (bin, cnt)
+    sketches — the entry point when one side is a maintained/streamed
+    sketch rather than a scannable snapshot (see streaming_drift_psi)."""
+    a = bins_a.withColumnRenamed("cnt", "cnt_a")
+    b = bins_b.withColumnRenamed("cnt", "cnt_b")
     j = (
-        bins_a.join(bins_b, "bin", "full_outer")
+        a.join(b, "bin", "full_outer")
         .fillna(0, subset=["cnt_a", "cnt_b"])
     )
     totals = j.agg(

@@ -983,3 +983,82 @@ def streaming_quantile(spark, sf_dir):
     return quantile_from_bins(
         spark.table(f"squant_{base}"), 20, [500_000, 900_000, 990_000]
     ).orderBy("q_ppm")
+
+
+@query(
+    "streaming_drift_psi",
+    # the streamed side's bin sketch must converge to the batch sketch
+    # (mergeable state, one row per occupied bin), so the finished PSI
+    # equals the all-batch replay — the oracle is pipeline_drift_psi's,
+    # byte-identical
+    oracle="""
+    WITH a AS (
+      SELECT CAST(floor(value / 20) AS BIGINT) AS bin, count(*) AS cnt_a
+      FROM events WHERE value IS NOT NULL AND event_id % 2 = 0 GROUP BY 1
+    ),
+    b AS (
+      SELECT CAST(floor(value / 20) AS BIGINT) AS bin, count(*) AS cnt_b
+      FROM events WHERE value IS NOT NULL AND event_id % 2 = 1 GROUP BY 1
+    ),
+    j AS (
+      SELECT coalesce(a.bin, b.bin) AS bin,
+             coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+      FROM a FULL OUTER JOIN b USING (bin)
+    ),
+    t AS (SELECT sum(cnt_a) AS n_a, sum(cnt_b) AS n_b,
+                 count(*) AS n_bins FROM j)
+    SELECT bin, CAST(cnt_a AS BIGINT) AS cnt_a,
+           CAST(cnt_b AS BIGINT) AS cnt_b,
+           round(
+             (CAST(cnt_a + 1 AS DOUBLE) / (n_a + n_bins)
+              - CAST(cnt_b + 1 AS DOUBLE) / (n_b + n_bins))
+             * ln((CAST(cnt_a + 1 AS DOUBLE) / (n_a + n_bins))
+                  / (CAST(cnt_b + 1 AS DOUBLE) / (n_b + n_bins))),
+             6) AS psi_contrib
+    FROM j CROSS JOIN t
+    ORDER BY bin
+    """,
+)
+def streaming_drift_psi(spark, sf_dir):
+    """LIVE drift monitoring: the reference distribution (even event ids)
+    is a static bin sketch; the incoming stream (odd ids, via the DWRF
+    stream source) maintains ITS sketch as streaming state — one row per
+    occupied bin, value-range-bounded — and any emission joins the two
+    catalog-sized sketches into the PSI. Because the bin sketch is
+    mergeable, the streamed sketch equals the batch sketch whatever
+    micro-batch slicing availableNow chose, so the live PSI is exactly
+    the batch PSI — drift alerts on a 100 TB/day feed with no history
+    rescans and state independent of stream length."""
+    import shutil
+
+    from ..operators.sketch import drift_psi_from_bins, quantile_bin_sketch
+    from ..sources import register
+    from ..streaming import stream_dwrf_dir
+
+    register(spark)
+    base = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    src = f"/tmp/hive_dwrf_spark_sdrift_src_{base}"
+    ckpt = f"/tmp/hive_dwrf_spark_sdrift_ckpt_{base}"
+    for p in (src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    e = load(spark, sf_dir, "events")
+    odd = e.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+    odd.repartition(4).write.format("dwrf").option("path", src).option(
+        "stripe_rows", "12500"
+    ).mode("overwrite").save()
+    stream_bins = quantile_bin_sketch(stream_dwrf_dir(spark, src), "value", 20)
+    q = (
+        stream_bins.writeStream.format("memory")
+        .queryName(f"sdrift_{base}")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q)
+    ref_bins = quantile_bin_sketch(
+        e.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0), "value", 20
+    )
+    return drift_psi_from_bins(ref_bins, spark.table(f"sdrift_{base}")).orderBy(
+        "bin"
+    )
