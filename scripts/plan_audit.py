@@ -61,6 +61,7 @@ CARTESIAN_ALLOWED = {
     "sketch_join_size",     # 1-row estimate x 1-row exact-count cross
     "sample_bootstrap_ci",  # 1-row lo x 1-row hi percentile cross
     "pipeline_fk_check",    # 1-row orphan x 1-row total crosses
+    "streaming_drift_psi",  # 1-row totals broadcast (drift_psi_from_bins)
 }
 
 # streaming queries execute via their own harness, not a batch plan

@@ -118,6 +118,7 @@ QUERIES = [
     "sample_bootstrap_ci",    # one B-key combinable aggregate + B-row pick
     "sketch_quantile_merge",  # two half sketches + per-bin sum merge
     "pipeline_fk_check",      # three anti-joins + row totals
+    "streaming_drift_psi",    # streamed bin-sketch state + PSI finish
 ]
 
 
