@@ -160,8 +160,12 @@ def kmeans_lloyd(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)),
     )
-    qdf = df.select(F.col(id_col).alias("__id"), q.alias("__qv")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # NULL vectors are excluded (a NULL distance struct would otherwise
+    # poison the min(struct) winner; the SQL replay's unnest skips them)
+    qdf = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), q.alias("__qv"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cent = (
         qdf.orderBy("__id")
@@ -306,7 +310,12 @@ def kmeans_assign(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)),
     )
-    a = df.select(F.col(id_col), q.alias("__qv")).crossJoin(F.broadcast(cent))
+    # NULL vectors have no nearest centroid: excluded, as in kmeans_lloyd
+    a = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), q.alias("__qv"))
+        .crossJoin(F.broadcast(cent))
+    )
     dist = F.aggregate(
         F.zip_with(F.col("__qv"), F.col("__cv"), lambda x, c: (x - c) * (x - c)),
         F.lit(0).cast("long"),
@@ -431,7 +440,11 @@ def random_projection(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)),
     )
-    df_q = df.select(*[F.col(c) for c in id_cols], q.alias("__q"))
+    # NULL vectors are excluded (every component would be NULL; the SQL
+    # replay's unnest() skips the row identically)
+    df_q = df.filter(F.col(vec_col).isNotNull()).select(
+        *[F.col(c) for c in id_cols], q.alias("__q")
+    )
     comps = []
     zero = F.lit(0).cast("long")
     for k in range(out_dim):
@@ -922,8 +935,11 @@ def gram_pairs(df: DataFrame, vec_col: str, scale: int = 10_000) -> DataFrame:
                 }
             )
 
+    # NULL vectors are excluded (np.stack cannot hold them, and the SQL
+    # replay's unnest() skips them identically): n counts non-null rows
     return (
         df.select(vec_col)
+        .filter(F.col(vec_col).isNotNull())
         .mapInPandas(run, out_schema)
         .groupBy("i", "j")
         .agg(F.sum("n").alias("n"), F.sum("s_e8").alias("s_e8"))

@@ -580,7 +580,8 @@ def sample_split(spark, sf_dir):
     FROM (SELECT md5_number_upper(
                    'split|' || lang || '|' || source) AS h,
                  lang, source
-          FROM documents) t
+          FROM documents
+          WHERE lang IS NOT NULL AND source IS NOT NULL) t
     GROUP BY 1, 2, 3
     ORDER BY 1, 2, 3
     """,
@@ -591,8 +592,15 @@ def sample_split_grouped(spark, sf_dir):
     all documents sharing (lang, source) are hashed identically and land
     in one split — the contamination guard for eval sets when duplicates
     cluster within a source. Pure per-row expression: no shuffle beyond
-    the count that reports the assignment."""
-    d = load(spark, sf_dir, "documents")
+    the count that reports the assignment.
+
+    NULL group keys are excluded up front: concat_ws (Spark) silently
+    DROPS a NULL key part while ANSI `||` nulls the whole hash, so a
+    NULL-keyed row would split differently between the engines — and a
+    group key you can't trust is a leakage hole anyway."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
     assigned = sampling.split_assign(d, ["lang", "source"], dict(_SPLIT_FRACS))
     return (
         assigned.groupBy("lang", "source", "split")
