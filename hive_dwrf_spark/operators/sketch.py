@@ -390,7 +390,7 @@ def mad_outliers(
 
 
 def cms_inner_product(
-    sketch_a: DataFrame, sketch_b: DataFrame
+    sketch_a: DataFrame, sketch_b: DataFrame, depth: int = 4
 ) -> DataFrame:
     """Equi-join cardinality estimation from two Count-Min sketches:
     |A JOIN B on k| = sum_k a_k * b_k, estimated as min over hash rows of
@@ -411,4 +411,12 @@ def cms_inner_product(
     per_row = j.groupBy("row_i").agg(
         F.sum(F.col("cnt") * F.col("cnt_b")).alias("__ip")
     )
-    return per_row.agg(F.min("__ip").cast("bigint").alias("est"))
+    # a hash row with NO overlapping buckets has inner product 0 and must
+    # participate in the min (it proves the join is empty); rows absent
+    # from the aggregate are reinstated as explicit zeros
+    spark = sketch_a.sparkSession
+    rows = spark.range(depth).select(F.col("id").cast("int").alias("row_i"))
+    filled = rows.join(per_row, "row_i", "left").select(
+        F.coalesce(F.col("__ip"), F.lit(0)).alias("__ip")
+    )
+    return filled.agg(F.min("__ip").cast("bigint").alias("est"))

@@ -3294,9 +3294,13 @@ def sketch_quantile_merge(spark, sf_dir):
              count(*) AS cnt_b
       FROM customer, rows_ WHERE c_custkey IS NOT NULL GROUP BY 1, 2
     ),
-    ip AS (
+    ov AS (
       SELECT a.row_i, sum(a.cnt * b.cnt_b) AS p
       FROM a JOIN b USING (row_i, bucket) GROUP BY a.row_i
+    ),
+    ip AS (
+      SELECT r.row_i, coalesce(ov.p, 0) AS p
+      FROM rows_ r LEFT JOIN ov USING (row_i)
     )
     SELECT CAST((SELECT min(p) FROM ip) AS BIGINT) AS est,
            CAST((SELECT count(*) FROM orders JOIN customer

@@ -892,6 +892,14 @@ def test_cms_inner_product_upper_bounds_join_size(spark):
         cms_build(a, "k", 4, 2), cms_build(b, "k", 4, 2)
     ).collect()[0].est
     assert est_tight >= 9
+    # disjoint key sets: if ANY hash row has zero overlapping buckets the
+    # min must see it as 0 (rows absent from the overlap join reinstated)
+    d = spark.createDataFrame([(100,)], "k long")
+    e = spark.createDataFrame([(200,)], "k long")
+    est_disjoint = cms_inner_product(
+        cms_build(d, "k", 4, 1024), cms_build(e, "k", 4, 1024)
+    ).collect()[0].est
+    assert est_disjoint == 0
 
 
 def test_mad_outliers_hand_case(spark):
