@@ -420,3 +420,47 @@ def cms_inner_product(
         F.coalesce(F.col("__ip"), F.lit(0)).alias("__ip")
     )
     return filled.agg(F.min("__ip").cast("bigint").alias("est"))
+
+
+def drift_psi_grouped(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    width: int,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-group PSI — the actionable form of drift detection ("WHICH
+    segment moved?"): both snapshots reduce to per-group bin sketches
+    (still one combinable aggregate each; the shuffle carries at most
+    groups x value-range/width cells), groups join on (group, bin), and
+    each group's Laplace-smoothed contributions sum to its PSI. The final
+    round(…, 6) happens AFTER the per-group sum, so the ~bins-sized float
+    additions stay far above the libm ulp the rounding absorbs (the
+    text_bm25 precedent). Returns (groups..., n_a, n_b, psi)."""
+    gcols = list(group_cols)
+    a = quantile_bin_sketch(df_a, value_col, width, gcols).withColumnRenamed(
+        "cnt", "cnt_a"
+    )
+    b = quantile_bin_sketch(df_b, value_col, width, gcols).withColumnRenamed(
+        "cnt", "cnt_b"
+    )
+    j = a.join(b, [*gcols, "bin"], "full_outer").fillna(
+        0, subset=["cnt_a", "cnt_b"]
+    )
+    w = Window.partitionBy(*gcols)
+    t = (
+        j.withColumn("n_a", F.sum("cnt_a").over(w))
+        .withColumn("n_b", F.sum("cnt_b").over(w))
+        .withColumn("n_bins", F.count(F.lit(1)).over(w))
+    )
+    p = (F.col("cnt_a") + 1) / (F.col("n_a") + F.col("n_bins"))
+    q = (F.col("cnt_b") + 1) / (F.col("n_b") + F.col("n_bins"))
+    return (
+        t.withColumn("__c", (p - q) * F.log(p / q))
+        .groupBy(*gcols)
+        .agg(
+            F.max("n_a").cast("bigint").alias("n_a"),
+            F.max("n_b").cast("bigint").alias("n_b"),
+            F.round(F.sum("__c"), 6).alias("psi"),
+        )
+    )

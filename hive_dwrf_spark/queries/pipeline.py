@@ -3440,6 +3440,67 @@ def pipeline_drift_psi(spark, sf_dir):
 
 
 @query(
+    "pipeline_drift_by_segment",
+    # per-group replay of pipeline_drift_psi: group-partitioned windows
+    # supply the totals, and each group's PSI rounds AFTER its sum
+    oracle="""
+    WITH a AS (
+      SELECT event_type, CAST(floor(value / 20) AS BIGINT) AS bin,
+             count(*) AS cnt_a
+      FROM events WHERE value IS NOT NULL AND event_id % 2 = 0
+      GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT event_type, CAST(floor(value / 20) AS BIGINT) AS bin,
+             count(*) AS cnt_b
+      FROM events WHERE value IS NOT NULL AND event_id % 2 = 1
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT coalesce(a.event_type, b.event_type) AS event_type,
+             coalesce(a.bin, b.bin) AS bin,
+             coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+      FROM a FULL OUTER JOIN b USING (event_type, bin)
+    ),
+    t AS (
+      SELECT event_type, bin, cnt_a, cnt_b,
+             sum(cnt_a) OVER (PARTITION BY event_type) AS n_a,
+             sum(cnt_b) OVER (PARTITION BY event_type) AS n_b,
+             count(*) OVER (PARTITION BY event_type) AS n_bins
+      FROM j
+    )
+    SELECT event_type,
+           CAST(max(n_a) AS BIGINT) AS n_a,
+           CAST(max(n_b) AS BIGINT) AS n_b,
+           round(sum(
+             (CAST(cnt_a + 1 AS DOUBLE) / (n_a + n_bins)
+              - CAST(cnt_b + 1 AS DOUBLE) / (n_b + n_bins))
+             * ln((CAST(cnt_a + 1 AS DOUBLE) / (n_a + n_bins))
+                  / (CAST(cnt_b + 1 AS DOUBLE) / (n_b + n_bins)))
+           ), 6) AS psi
+    FROM t
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def pipeline_drift_by_segment(spark, sf_dir):
+    """Per-segment drift localization
+    (operators/sketch.py::drift_psi_grouped): PSI of the value
+    distribution per event_type between the even/odd snapshots — the
+    "WHICH segment moved?" answer a drift alert needs. Still exactly two
+    combinable sketch scans; the per-group windows and sums run on the
+    groups x bins table."""
+    from ..operators import sketch
+
+    e = load(spark, sf_dir, "events")
+    a = e.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    b = e.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+    return sketch.drift_psi_grouped(
+        a, b, "value", 20, ["event_type"]
+    ).orderBy("event_type")
+
+
+@query(
     "embedding_kmeans",
     # 2 Lloyd rounds replayed as CTEs: e4 quantization, integer squared
     # distances, (dist, cid) tie-break via row_number, floor(sum/n)

@@ -119,6 +119,7 @@ QUERIES = [
     "sketch_quantile_merge",  # two half sketches + per-bin sum merge
     "pipeline_fk_check",      # three anti-joins + row totals
     "streaming_drift_psi",    # streamed bin-sketch state + PSI finish
+    "pipeline_drift_by_segment",  # grouped sketches + per-group windows
 ]
 
 

@@ -920,6 +920,37 @@ def test_mad_outliers_hand_case(spark):
     assert r.n_outliers == 1
 
 
+def test_drift_psi_grouped_matches_per_group_scalar(spark):
+    """Each group's PSI must equal running scalar drift_psi on that group
+    alone (same bins, same smoothing, same rounding point)."""
+    from hive_dwrf_spark.operators.sketch import drift_psi, drift_psi_grouped
+
+    rows_a = [("g1", float(v)) for v in [5, 5, 25]] + [
+        ("g2", float(v)) for v in [45, 45, 65, 65]
+    ]
+    rows_b = [("g1", float(v)) for v in [5, 25, 25]] + [
+        ("g2", float(v)) for v in [45, 85, 85, 85]
+    ]
+    a = spark.createDataFrame(rows_a, "g string, value double")
+    b = spark.createDataFrame(rows_b, "g string, value double")
+    got = {
+        r.g: (r.n_a, r.n_b, r.psi)
+        for r in drift_psi_grouped(a, b, "value", 20, ["g"]).collect()
+    }
+    for g in ("g1", "g2"):
+        scalar = (
+            drift_psi(a.filter(F.col("g") == g), b.filter(F.col("g") == g),
+                      "value", 20)
+            .agg(F.round(F.sum("psi_contrib"), 6).alias("s"))
+            .collect()[0]
+            .s
+        )
+        # scalar rounds per bin then sums; grouped rounds after the sum —
+        # equal within one ulp of the 6-decimal grid
+        assert abs(got[g][2] - scalar) <= 2e-6, (g, got[g][2], scalar)
+    assert got["g1"][:2] == (3, 3) and got["g2"][:2] == (4, 4)
+
+
 def test_drift_psi_hand_case_and_null_safety(spark):
     """PSI contributions must match a hand replay, identical snapshots give
     ~zero PSI, and NULL values never enter the bins."""
