@@ -1059,3 +1059,28 @@ def inverted_index(
         .filter(F.col("rnk") <= k)
         .select("token", F.col("rnk").cast("int").alias("rnk"), id_col, "n_tf")
     )
+
+
+#: GPT-2-ish pre-tokenizer, restricted to the syntax subset Java's regex
+#: and RE2 execute identically: optional leading space + (letter run |
+#: digit run | punctuation run). The three alternates match DISJOINT
+#: character classes, so leftmost-first vs leftmost-longest alternation
+#: semantics cannot diverge between engines (the full GPT-2 pattern's
+#: \s+(?!\S) lookahead is not RE2-expressible and is dropped — trailing
+#: whitespace simply goes unmatched).
+BPE_PRETOKEN_RE = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def regex_token_counts(
+    df: DataFrame, text_col: str, id_col: str, pattern: str = BPE_PRETOKEN_RE
+) -> DataFrame:
+    """BPE-style token-cost accounting: count pre-tokenizer tokens per
+    document with ONE JVM regexp_extract_all projection — the "how many
+    tokens will this corpus cost to train on" estimate at the granularity
+    real BPE vocabularies split on (word/number/punctuation runs), far
+    closer to true token counts than whitespace words.
+
+    Pure whole-stage-codegen expression: no UDF, no shuffle — at 100 TB
+    this rides the scan. Returns (id_col, n_tokens)."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
+    return df.select(F.col(id_col), F.size(toks).cast("bigint").alias("n_tokens"))

@@ -1321,6 +1321,43 @@ def text_bm25(spark, sf_dir):
 
 
 @query(
+    "text_regex_tokens",
+    # the pattern's three alternates match DISJOINT character classes, so
+    # Java-regex (Spark) and RE2 (DuckDB) tokenize identically; counts are
+    # exact integers
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text,
+                ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+'))) AS BIGINT)
+             AS n_tokens
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_regex_tokens(spark, sf_dir):
+    """BPE-style token-cost accounting per source
+    (operators/text.py::regex_token_counts): GPT-2-ish pre-tokenizer runs
+    as ONE JVM regexp_extract_all projection (no UDF, no extra shuffle
+    beyond the per-source aggregate) — the "tokens this corpus will cost"
+    budget at pre-tokenizer granularity, far closer to real BPE counts
+    than whitespace words."""
+    d = load(spark, sf_dir, "documents")
+    counts = text.regex_token_counts(d, "text", "doc_id")
+    return (
+        d.select("doc_id", "source")
+        .join(counts, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "text_tokens_top",
     oracle="""
     SELECT token, count(*) AS cnt

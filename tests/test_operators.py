@@ -902,6 +902,24 @@ def test_cms_inner_product_upper_bounds_join_size(spark):
     assert est_disjoint == 0
 
 
+def test_regex_token_counts_hand_case(spark):
+    """Pre-tokenizer counts must match hand tokenization: letter runs,
+    digit runs, punctuation runs, optional leading space; whitespace
+    itself never counts."""
+    from hive_dwrf_spark.operators.text import regex_token_counts
+
+    rows = [
+        (1, "hello world"),        # 'hello', ' world'
+        (2, "a1b2!"),              # 'a','1','b','2','!'
+        (3, "  x  "),              # ' x'
+        (4, ""),                   # none
+        (5, "don't stop 123"),     # 'don',"'",'t',' stop',' 123'
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n_tokens for r in regex_token_counts(df, "text", "doc_id").collect()}
+    assert got == {1: 2, 2: 5, 3: 1, 4: 0, 5: 5}, got
+
+
 def test_mad_outliers_hand_case(spark):
     """Median/MAD estimates and the outlier count must match a hand replay
     on a distribution with one far outlier; NULLs are excluded."""
