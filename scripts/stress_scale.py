@@ -120,6 +120,7 @@ QUERIES = [
     "pipeline_fk_check",      # three anti-joins + row totals
     "streaming_drift_psi",    # streamed bin-sketch state + PSI finish
     "pipeline_drift_by_segment",  # grouped sketches + per-group windows
+    "text_regex_tokens",      # one regexp_extract_all projection + agg
 ]
 
 
