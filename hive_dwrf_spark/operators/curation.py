@@ -313,3 +313,46 @@ def budget_select(
         .drop("__run", "__rem")
     )
     return whole.unionByName(part.select(*whole.columns))
+
+
+def rate_wilson_ci(
+    df: DataFrame,
+    cond,
+    group_cols: list[str],
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-group proportion with a Wilson score interval — the error bars
+    for rate metrics ("what share of this source's docs fail the length
+    gate, and is the difference between sources real?"). The Wilson
+    interval stays inside [0, 1] and behaves at k=0/k=n where the normal
+    approximation collapses — the right default for quality-rate
+    dashboards over skewed sources.
+
+    ONE combinable aggregate over the scan (k = sum(cond), n = count per
+    group); the closed-form bounds are pure expressions on the group
+    table. Counts are exact integers; the bounds are single-expression
+    doubles rounded to 6 decimals, so both engines agree (the text_bm25
+    float precedent). Returns (groups..., n, k, rate, lo, hi).
+    """
+    g = df.groupBy(*group_cols).agg(
+        F.sum(cond.cast("bigint")).alias("k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    zc = F.lit(float(z))
+    n = F.col("n").cast("double")
+    p = F.col("k") / n
+    denom = 1 + zc * zc / n
+    center = (p + zc * zc / (2 * n)) / denom
+    half = (
+        zc
+        * F.sqrt(p * (1 - p) / n + zc * zc / (4 * n * n))
+        / denom
+    )
+    return g.select(
+        *group_cols,
+        "n",
+        "k",
+        F.round(p, 6).alias("rate"),
+        F.round(center - half, 6).alias("lo"),
+        F.round(center + half, 6).alias("hi"),
+    )

@@ -3133,6 +3133,48 @@ def embedding_pca(spark, sf_dir):
 
 
 @query(
+    "pipeline_rate_ci",
+    # counts are exact integers; the Wilson bounds are the identical
+    # closed-form double expression tree in both engines, rounded at 6
+    # decimals (text_bm25 float precedent)
+    oracle="""
+    WITH g AS (
+      SELECT source,
+             CAST(sum(CASE WHEN n_chars < 600 THEN 1 ELSE 0 END) AS BIGINT)
+               AS k,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    )
+    SELECT source, n, k,
+           round(k * 1.0 / n, 6) AS rate,
+           round(((k * 1.0 / n) + 1.96 * 1.96 / (2 * (n * 1.0)))
+                   / (1 + 1.96 * 1.96 / (n * 1.0))
+                 - 1.96 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / (n * 1.0)
+                               + 1.96 * 1.96 / (4 * (n * 1.0) * (n * 1.0)))
+                   / (1 + 1.96 * 1.96 / (n * 1.0)), 6) AS lo,
+           round(((k * 1.0 / n) + 1.96 * 1.96 / (2 * (n * 1.0)))
+                   / (1 + 1.96 * 1.96 / (n * 1.0))
+                 + 1.96 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / (n * 1.0)
+                               + 1.96 * 1.96 / (4 * (n * 1.0) * (n * 1.0)))
+                   / (1 + 1.96 * 1.96 / (n * 1.0)), 6) AS hi
+    FROM g ORDER BY source
+    """,
+)
+def pipeline_rate_ci(spark, sf_dir):
+    """Per-source short-document rate with a Wilson 95% interval
+    (operators/curation.py::rate_wilson_ci): ONE combinable aggregate
+    over the scan, closed-form bounds on the group table — the "is this
+    source's failure rate actually higher?" primitive, stable at k=0/k=n
+    where normal intervals collapse."""
+    from ..operators import curation
+
+    d = load(spark, sf_dir, "documents")
+    return curation.rate_wilson_ci(
+        d, F.col("n_chars") < 600, ["source"]
+    ).orderBy("source")
+
+
+@query(
     "pipeline_fk_check",
     oracle="""
     SELECT 'orders.o_custkey->customer' AS fk,

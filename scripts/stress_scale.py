@@ -121,6 +121,7 @@ QUERIES = [
     "streaming_drift_psi",    # streamed bin-sketch state + PSI finish
     "pipeline_drift_by_segment",  # grouped sketches + per-group windows
     "text_regex_tokens",      # one regexp_extract_all projection + agg
+    "pipeline_rate_ci",       # one combinable k/n aggregate + group table
 ]
 
 

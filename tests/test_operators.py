@@ -871,6 +871,36 @@ def test_bootstrap_ci_brackets_mean_and_is_stable(spark):
     )
 
 
+def test_rate_wilson_ci_brackets_and_edges(spark):
+    """Bounds must bracket the rate, match a scipy-free hand formula, and
+    stay inside [0, 1] at the k=0 / k=n edges."""
+    import math
+
+    from hive_dwrf_spark.operators.curation import rate_wilson_ci
+
+    rows = (
+        [("a", 1)] * 30 + [("a", 0)] * 70
+        + [("b", 0)] * 50            # k = 0
+        + [("c", 1)] * 40            # k = n
+    )
+    df = spark.createDataFrame(rows, "g string, bad int")
+    got = {r.g: r for r in rate_wilson_ci(df, F.col("bad") == 1, ["g"]).collect()}
+
+    def wilson(k, n, z=1.96):
+        p = k / n
+        denom = 1 + z * z / n
+        center = (p + z * z / (2 * n)) / denom
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+        return round(center - half, 6), round(center + half, 6)
+
+    for g, (k, n) in {"a": (30, 100), "b": (0, 50), "c": (40, 40)}.items():
+        r = got[g]
+        assert (r.k, r.n) == (k, n)
+        lo, hi = wilson(k, n)
+        assert (r.lo, r.hi) == (lo, hi), (g, r.lo, r.hi, lo, hi)
+        assert 0.0 <= r.lo <= r.rate <= r.hi <= 1.0
+
+
 def test_cms_inner_product_upper_bounds_join_size(spark):
     """The sketch estimate must be >= the exact equi-join size, and equal
     it when the key population is far below the bucket count (no
