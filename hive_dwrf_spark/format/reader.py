@@ -1096,9 +1096,12 @@ class DwrfFile:
             )
             return schema.empty_table()
         n_stripes = len(self.footer.stripes)
-        # with too few stripes to saturate the pool, parallelize inside the
-        # stripe across columns instead (typical small-file / bench case)
-        par_cols = n_stripes < 4 and not profiler.enabled
+        # parallelize across columns ONLY when the stripe pool has nothing
+        # to do (1-stripe file): with 2-3 stripes the stripe pool already
+        # runs, and nesting pools (~3 x 12 threads) oversubscribes the
+        # host for GIL-released decode work that is cache-friendlier done
+        # per-stripe (matches read_stripe's documented policy)
+        par_cols = n_stripes == 1 and not profiler.enabled
         if n_stripes > 1 and not profiler.enabled:
             # Decode stripes on a small thread pool: the hot paths (ctypes
             # RLE decode, zlib, pread) all release the GIL, so this scales

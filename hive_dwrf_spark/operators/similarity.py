@@ -201,10 +201,18 @@ def kmeans_lloyd(
                 F.first("__n").alias("__n"),
             )
         )
-    # qdf stays persisted: every round's assign AND update reference it,
-    # and the whole loop is lazy — the cache populates at first
-    # materialization and serves all later plan references (repo
-    # convention: the session/bench releases caches, not the operator)
+        # k-row frame; eagerly materialized so each round's lineage is
+        # cut (the bpe_train_merges / label_propagation discipline) —
+        # without this, round r's plan nests all r-1 earlier rounds and
+        # rounds=20 would compound analysis depth. localCheckpoint stores
+        # blocks unreplicated; the k-row frame is trivially recomputable,
+        # so the label_propagation reliable= escape hatch isn't needed.
+        cent = cent.localCheckpoint(eager=True)
+    # the final centroids are materialized above, so the quantized-corpus
+    # cache can be released NOW — repeated calls in one session (e.g. via
+    # ivf_lloyd_topk) must not pin corpus-sized caches forever (the
+    # label_propagation unpersist discipline)
+    qdf.unpersist()
     return cent.select(
         "cid",
         F.col("__n").alias("n"),

@@ -352,7 +352,10 @@ def mad_outliers(
     All thresholds are integer bin edges, so the whole detector is
     deterministic and replays in ANSI SQL — no percentile_approx
     (rank-sketch cells depend on arrival order), no float seams.
-    Returns one row: (n, med_est, mad_est, n_outliers).
+    Returns EXACTLY one row: (n, med_est, mad_est, n_outliers); on
+    empty/all-NULL input that row is (0, NULL, NULL, 0) — the sketch
+    passes produce zero rows then, so a 1-row count anchor (one extra
+    column-pruned count scan) left-joins the result back to life.
     """
     vals = df.filter(F.col(value_col).isNotNull())
     med = quantile_from_bins(
@@ -381,23 +384,39 @@ def mad_outliers(
         .groupBy("n", "med", "mad")
         .agg(F.sum("__o").alias("n_outliers"))
     )
-    return flagged.select(
-        F.col("n").cast("bigint").alias("n"),
+    # empty-input contract: flagged has 0 rows when vals is empty (the
+    # median sketch emits nothing); a 1-row anchor left-join restores the
+    # documented single (0, NULL, NULL, 0) row. 1-row x <=1-row nested
+    # loop — broadcast-bounded like the med/mad crosses above.
+    anchor = vals.agg(F.count(F.lit(1)).alias("__n_anchor"))
+    return anchor.join(F.broadcast(flagged), F.lit(True), "left").select(
+        F.col("__n_anchor").cast("bigint").alias("n"),
         F.col("med").alias("med_est"),
         F.col("mad").alias("mad_est"),
-        F.col("n_outliers").cast("bigint").alias("n_outliers"),
+        F.coalesce(F.col("n_outliers"), F.lit(0))
+        .cast("bigint")
+        .alias("n_outliers"),
     )
 
 
-def cms_inner_product(
-    sketch_a: DataFrame, sketch_b: DataFrame, depth: int = 4
-) -> DataFrame:
+def cms_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
     """Equi-join cardinality estimation from two Count-Min sketches:
     |A JOIN B on k| = sum_k a_k * b_k, estimated as min over hash rows of
     the row-wise sketch inner product sum_b A[r,b] * B[r,b]. The classic
     AMS/CMS bound applies: the estimate is ALWAYS >= the true size
     (collisions only inflate) and exceeds it by more than eps*|A|*|B|
     with probability <= delta at width e/eps, depth ln(1/delta).
+
+    The hash-row universe is derived FROM THE SKETCHES (the intersection
+    of each side's distinct row_i) rather than taken as a parameter: a
+    caller-supplied depth larger than the sketches' true build depth
+    would reinstate phantom all-zero rows and collapse the min to 0,
+    silently breaking the one-sided >=-truth guarantee. Each shared hash
+    row is an independent >=-truth estimator, so min over the shared set
+    stays one-sided even if the two sketches were built with different
+    depths (fewer rows only loosens delta). An empty side (empty input
+    -> empty sketch) yields est = 0 — the true size of a join against
+    nothing.
 
     The 100 TB use: size a join BEFORE running it — both sketches build
     from prior scans (or maintain incrementally as data lands), are
@@ -413,13 +432,19 @@ def cms_inner_product(
     )
     # a hash row with NO overlapping buckets has inner product 0 and must
     # participate in the min (it proves the join is empty); rows absent
-    # from the aggregate are reinstated as explicit zeros
-    spark = sketch_a.sparkSession
-    rows = spark.range(depth).select(F.col("id").cast("int").alias("row_i"))
+    # from the overlap aggregate are reinstated as explicit zeros. The
+    # row universe is catalog-sized (<= depth rows after distinct).
+    rows = (
+        sketch_a.select("row_i")
+        .distinct()
+        .join(sketch_b.select("row_i").distinct(), "row_i")
+    )
     filled = rows.join(per_row, "row_i", "left").select(
         F.coalesce(F.col("__ip"), F.lit(0)).alias("__ip")
     )
-    return filled.agg(F.min("__ip").cast("bigint").alias("est"))
+    return filled.agg(
+        F.coalesce(F.min("__ip"), F.lit(0)).cast("bigint").alias("est")
+    )
 
 
 def drift_psi_grouped(

@@ -3592,7 +3592,8 @@ def pipeline_drift_by_segment(spark, sf_dir):
                   AS BIGINT) AS qx
       FROM embeddings
     ),
-    seed AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT 4),
+    seed AS (SELECT vec_id AS cid FROM embeddings
+             WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 4),
     c0 AS (SELECT s.cid, q.dim, q.qx AS c FROM seed s
            JOIN q ON q.vec_id = s.cid),
     d1 AS (
@@ -3659,7 +3660,8 @@ def embedding_kmeans(spark, sf_dir):
                   AS BIGINT) AS qx
       FROM embeddings
     ),
-    seed AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT 4),
+    seed AS (SELECT vec_id AS cid FROM embeddings
+             WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 4),
     c0 AS (SELECT s.cid, q.dim, q.qx AS c FROM seed s
            JOIN q ON q.vec_id = s.cid),
     d1 AS (

@@ -249,5 +249,17 @@ def test_nano_pack_roundtrip(vals):
 
     arr = np.asarray(vals, dtype=np.int64)
     packed = _pack_nanos(arr)
-    assert (packed & np.uint64(7) <= np.uint64(7)).all()
+    # falsifiable 3-bit-tag budget properties (a bare `tag <= 7` is
+    # vacuously true for ANY uint): the tag encodes the stripped
+    # trailing-zero count, so (a) re-applying the tag's multiplier to the
+    # packed magnitude must stay sub-second, and (b) values with no
+    # trailing-zero run of >= 2 must carry tag 0 (stored verbatim).
+    tags = packed & np.uint64(7)
+    mults = np.array(
+        [1, 100, 1_000, 10_000, 100_000, 1_000_000, 10_000_000, 100_000_000],
+        dtype=np.uint64,
+    )
+    assert ((packed >> np.uint64(3)) * mults[tags] < np.uint64(10**9)).all()
+    not_div_100 = arr % 100 != 0
+    assert (tags[not_div_100] == 0).all()
     assert (_unpack_nanos(packed) == arr).all()

@@ -775,6 +775,35 @@ def test_kmeans_lloyd_exact_replay_and_separation(spark):
     assert sorted(map(tuple, got2)) == sorted(map(tuple, got))
 
 
+def test_kmeans_lloyd_cuts_lineage_and_releases_cache(spark):
+    """Each Lloyd round is lineage-cut (bpe/label_propagation
+    discipline): the returned plan scans the checkpointed k-row centroid
+    frame instead of nesting all r rounds, so a high round count does not
+    compound plan depth; and the quantized-corpus persist is released
+    before return (repeated calls must not pin corpus-sized caches)."""
+    from hive_dwrf_spark.operators.similarity import kmeans_lloyd
+
+    # 7 partitions is the corpus cache's signature: persist() preserves
+    # input partitioning, while the k-row checkpoint frames come out of a
+    # 3-row AQE-coalesced shuffle (1..shuffle-partitions, never forced 7)
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 7)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    ).repartition(7)
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    out = kmeans_lloyd(df, "embedding", "vec_id", k=3, rounds=6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the plan starts at the round-6 checkpoint: zero shuffle exchanges
+    # and no per-round join/aggregate chain survive into it
+    assert "Exchange hash" not in plan
+    assert out.count() > 0
+    after = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    new = [after[k2] for k2 in set(after.keys()) - before]
+    # the corpus persist (7 partitions) must have been released before
+    # return; only k-row round checkpoints may remain pinned
+    assert all(r.getNumPartitions() != 7 for r in new)
+
+
 def test_ivf_lloyd_topk_matches_exact_when_probing_all(spark):
     """nprobe == n_lists degenerates to exact search: the top-k must equal
     the brute-force integer-distance ranking; with nprobe=1 on separated
@@ -930,6 +959,43 @@ def test_cms_inner_product_upper_bounds_join_size(spark):
         cms_build(d, "k", 4, 1024), cms_build(e, "k", 4, 1024)
     ).collect()[0].est
     assert est_disjoint == 0
+    # MISMATCHED build depths: the row universe derives from the sketches
+    # (intersection of row_i), so a deeper sketch on one side can no
+    # longer reinstate phantom zero rows and collapse the estimate below
+    # truth — the >= bound must hold with depths 2 vs 6
+    est_mismatch = cms_inner_product(
+        cms_build(a, "k", 2, 1024), cms_build(b, "k", 6, 1024)
+    ).collect()[0].est
+    assert est_mismatch >= 9
+    # an EMPTY side means the true join size is 0 — est must be 0, not
+    # NULL (min over an empty row universe is coalesced)
+    empty = spark.createDataFrame([], "k long")
+    est_empty = cms_inner_product(
+        cms_build(a, "k", 4, 1024), cms_build(empty, "k", 4, 1024)
+    ).collect()[0].est
+    assert est_empty == 0
+
+
+def test_mad_outliers_empty_input_contract(spark):
+    """mad_outliers promises EXACTLY one row; on empty / all-NULL input
+    that row is (0, NULL, NULL, 0) rather than an empty frame."""
+    from hive_dwrf_spark.operators.sketch import mad_outliers
+
+    empty = spark.createDataFrame([], "v double")
+    rows = mad_outliers(empty, "v", 10).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n, r.med_est, r.mad_est, r.n_outliers) == (0, None, None, 0)
+
+    all_null = spark.createDataFrame([(None,), (None,)], "v double")
+    r2 = mad_outliers(all_null, "v", 10).collect()[0]
+    assert (r2.n, r2.med_est, r2.mad_est, r2.n_outliers) == (0, None, None, 0)
+
+    # non-empty input keeps the documented shape and counts
+    vals = spark.createDataFrame([(float(x),) for x in
+                                  [1, 2, 3, 4, 5, 1000]], "v double")
+    r3 = mad_outliers(vals, "v", 1, k=3).collect()[0]
+    assert r3.n == 6 and r3.n_outliers >= 1
 
 
 def test_regex_token_counts_hand_case(spark):
