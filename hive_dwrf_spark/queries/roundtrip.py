@@ -101,6 +101,53 @@ def q17(spark, sf_dir):
 
 
 @query(
+    "format_broadcast_join",
+    oracle="""
+    SELECT n.n_name AS n_name,
+           count(*) AS cnt,
+           CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_bal_c
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n_name
+    """,
+)
+def format_broadcast_join(spark, sf_dir):
+    """Footer-statistics-driven broadcast join over a DWRF-backed
+    dimension (sources/stats.py::broadcast_if_small): the Python
+    DataSource API has no SupportsReportStatistics hook, so a DWRF dim
+    plans with Long.Max size and never auto-broadcasts — the helper reads
+    the footer rawDataSize catalog (reference A27,
+    ReaderImpl.java:204-260 footer exposure) with ZERO data bytes and
+    applies the hint exactly where the session's
+    autoBroadcastJoinThreshold would have. At 100 TB this is the
+    difference between shipping a KB-scale dim to every executor and
+    shuffling the full fact table into a sort-merge. The oracle joins the
+    source parquet directly, pinning that the hint changes strategy,
+    never values; the fixed-point balance sum is engine-identical."""
+    from ..sources import broadcast_if_small
+
+    dim_back = _roundtrip(
+        spark, load(spark, sf_dir, "nation"), "bcast_nation", sf_dir
+    )
+    base = os.path.basename(os.path.normpath(sf_dir))
+    dim_path = f"/tmp/hive_dwrf_spark_rt_bcast_nation_{base}"
+    dim = broadcast_if_small(dim_back, dim_path)
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.join(dim, c["c_nationkey"] == dim["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5))
+            .cast("bigint")
+            .alias("sum_bal_c"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
     "streaming_roundtrip",
     oracle="""
     SELECT event_type,

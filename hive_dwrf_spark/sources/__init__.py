@@ -2,8 +2,14 @@ from __future__ import annotations
 
 from ..shipping import ensure_shipped
 from .dwrf_datasource import DwrfDataSource
+from .stats import broadcast_if_small, dwrf_path_stats
 
-__all__ = ["DwrfDataSource", "register"]
+__all__ = [
+    "DwrfDataSource",
+    "broadcast_if_small",
+    "dwrf_path_stats",
+    "register",
+]
 
 
 def register(spark) -> None:

@@ -480,3 +480,86 @@ def test_fs_seam_routes_reads(tmp_path):
             assert f.read().num_rows == 3
     finally:
         set_fs(prev)
+
+
+def test_broadcast_if_small_fixes_dwrf_join_strategy(dwrf_spark, tmp_path):
+    """The Python DataSource API has no statistics hook, so a DWRF-backed
+    dimension table plans with defaultSizeInBytes (Long.Max) and its
+    joins sort-merge no matter how tiny it is. broadcast_if_small reads
+    the footer raw size (zero data bytes) and applies the hint exactly
+    when the session's own autoBroadcastJoinThreshold would have — and
+    refuses when the table is over threshold or broadcast is disabled."""
+    from pyspark.sql import functions as F
+
+    from hive_dwrf_spark.sources import broadcast_if_small, dwrf_path_stats
+    from hive_dwrf_spark.tables import load
+
+    spark = dwrf_spark
+    dim_path = str(tmp_path / "nation_dwrf")
+    fact_path = str(tmp_path / "customer_dwrf")
+    load(spark, SF_SMOKE, "nation").write.format("dwrf").option(
+        "path", dim_path
+    ).mode("append").save()
+    load(spark, SF_SMOKE, "customer").write.format("dwrf").option(
+        "path", fact_path
+    ).mode("append").save()
+
+    st = dwrf_path_stats(dim_path)
+    assert st["files"] >= 1 and st["rows"] == 25
+    assert 0 < st["raw_bytes"]
+
+    dim = spark.read.format("dwrf").load(dim_path)
+    fact = spark.read.format("dwrf").load(fact_path)
+
+    def initial_plan(d):
+        # the pre-AQE strategy choice IS the statistics decision under
+        # test (AQE may later rescue a sort-merge from observed shuffle
+        # sizes, but only after both sides already shuffled)
+        return d._jdf.queryExecution().sparkPlan().toString()
+
+    # without the hint both Python-source sides report Long.Max: Catalyst
+    # can't broadcast either and sort-merges (the gap this helper closes)
+    base = fact.join(dim, fact.c_nationkey == dim.n_nationkey).groupBy(
+        "n_name"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    assert "SortMergeJoin" in initial_plan(base)
+
+    hinted = fact.join(
+        broadcast_if_small(dim, dim_path),
+        fact.c_nationkey == dim.n_nationkey,
+    ).groupBy("n_name").agg(F.count(F.lit(1)).alias("cnt"))
+    hplan = initial_plan(hinted)
+    assert "BroadcastHashJoin" in hplan and "BuildRight" in hplan
+    # hint changes strategy, never results
+    assert sorted(map(tuple, hinted.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+
+    # over-threshold and disabled-broadcast cases must NOT hint
+    assert "SortMergeJoin" in initial_plan(
+        fact.join(
+            broadcast_if_small(dim, dim_path, threshold_bytes=10),
+            fact.c_nationkey == dim.n_nationkey,
+        )
+    )
+    assert "SortMergeJoin" in initial_plan(
+        fact.join(
+            broadcast_if_small(dim, dim_path, threshold_bytes=-1),
+            fact.c_nationkey == dim.n_nationkey,
+        )
+    )
+
+
+def test_parse_byte_conf_units():
+    from hive_dwrf_spark.sources.stats import _parse_byte_conf
+
+    assert _parse_byte_conf("10485760") == 10 << 20
+    assert _parse_byte_conf("10485760b") == 10 << 20
+    assert _parse_byte_conf("10MB") == 10 << 20
+    assert _parse_byte_conf("10m") == 10 << 20
+    assert _parse_byte_conf("1g") == 1 << 30
+    assert _parse_byte_conf("-1") == -1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _parse_byte_conf("ten megabytes")
