@@ -163,6 +163,113 @@ def _snappy_decompress_py(data: bytes) -> bytes:
         )
     return bytes(out)
 
+
+# --- pure-Python LZO1X decoder ----------------------------------------------------
+# Used when python-lzo is absent, so LZO-kind files are READABLE in every
+# environment (only the write side needs the real codec). Implements the
+# public LZO1X bitstream, as documented in the LZO distribution and the
+# Linux kernel's Documentation/staging/lzo.rst / lzo1x_decompress_safe.c:
+# literal runs, M1 (2-byte/1kB), M2 (3-8 byte/2kB), M3 (16kB LE16),
+# M4 (48kB + end-of-stream marker at distance 16384), the 0-byte
+# run-length extensions, and the trailing-literal state bits carried in
+# each match's low operand bits.
+
+
+def _lzo1x_copy_match(out: bytearray, dist: int, length: int) -> None:
+    if dist <= 0 or dist > len(out):
+        raise ValueError("corrupt LZO1X stream: bad match distance")
+    start = len(out) - dist
+    if dist >= length:
+        out += out[start : start + length]
+    else:  # overlapping copy: byte-at-a-time RLE semantics
+        for i in range(length):
+            out.append(out[start + i])
+
+
+def _lzo1x_decompress_py(data: bytes) -> bytes:
+    out = bytearray()
+    n = len(data)
+    ip = 0
+    state = 0  # literals carried by the previous instruction (0, 1-3, 4+)
+    try:
+        t = data[ip]
+        if t > 17:  # first-byte literal run shortcut
+            ip += 1
+            t -= 17
+            out += data[ip : ip + t]
+            ip += t
+            state = t if t < 4 else 4
+        while True:
+            t = data[ip]
+            ip += 1
+            if t < 16:
+                if state == 0:  # literal run, length 3 + L (0-ext)
+                    if t == 0:
+                        while data[ip] == 0:
+                            t += 255
+                            ip += 1
+                        t += 15 + data[ip]
+                        ip += 1
+                    cnt = t + 3
+                    out += data[ip : ip + cnt]
+                    ip += cnt
+                    state = 4
+                    continue
+                if state == 4:  # 3-byte match, distance 2049..3072
+                    dist = (t >> 2) + (data[ip] << 2) + 2049
+                    ip += 1
+                    _lzo1x_copy_match(out, dist, 3)
+                else:  # state 1..3: 2-byte match, distance 1..1024
+                    dist = (t >> 2) + (data[ip] << 2) + 1
+                    ip += 1
+                    _lzo1x_copy_match(out, dist, 2)
+                state = t & 3
+            elif t >= 64:  # M2: 3-8 bytes within 2kB
+                length = (t >> 5) + 1
+                dist = ((t >> 2) & 7) + (data[ip] << 3) + 1
+                ip += 1
+                _lzo1x_copy_match(out, dist, length)
+                state = t & 3
+            elif t >= 32:  # M3: within 16kB, LE16 operand
+                length = t & 31
+                if length == 0:
+                    while data[ip] == 0:
+                        length += 255
+                        ip += 1
+                    length += 31 + data[ip]
+                    ip += 1
+                length += 2
+                b0, b1 = data[ip], data[ip + 1]
+                ip += 2
+                _lzo1x_copy_match(out, (b0 >> 2) + (b1 << 6) + 1, length)
+                state = b0 & 3
+            else:  # M4: 16..48kB, or end-of-stream at distance 16384
+                length = t & 7
+                if length == 0:
+                    while data[ip] == 0:
+                        length += 255
+                        ip += 1
+                    length += 7 + data[ip]
+                    ip += 1
+                length += 2
+                b0, b1 = data[ip], data[ip + 1]
+                ip += 2
+                dist = 16384 + ((t & 8) << 11) + (b0 >> 2) + (b1 << 6)
+                if dist == 16384:
+                    break  # EOF marker
+                _lzo1x_copy_match(out, dist, length)
+                state = b0 & 3
+            if state and state < 4:  # trailing literals rode on the match
+                out += data[ip : ip + state]
+                ip += state
+    except IndexError as ex:  # ran off the buffer: corrupt stream
+        raise ValueError("corrupt LZO1X stream: truncated input") from ex
+    if ip != n:
+        raise ValueError(
+            f"corrupt LZO1X stream: {n - ip} trailing bytes after EOF"
+        )
+    return bytes(out)
+
 U64 = np.uint64
 _SHIFTS10 = (np.arange(10, dtype=np.uint64) * np.uint64(7))[None, :]
 _IDX10 = np.arange(10)[None, :]
@@ -732,7 +839,11 @@ def _decompress_block(block: bytes, kind: CompressionKind) -> bytes:
         return _snappy_decompress_py(block)
     if kind == CompressionKind.LZO:
         if _lzo is None:
-            raise ValueError("LZO codec unavailable (install python-lzo)")
+            # vendored pure-Python LZO1X decoder: slow but always present,
+            # so LZO-kind files READ everywhere (the reference loads its
+            # codec reflectively, WriterImpl.java:184-196; only the WRITE
+            # side still requires the real lib)
+            return _lzo1x_decompress_py(block)
         # raw LZO1X carries no length preamble; grow the output bound
         # until the codec accepts (framing caps blocks at block_size, so
         # this converges in one or two tries)

@@ -309,6 +309,24 @@ class _StripeDecoder:
         buf, pos = self._buf_at(col, kind, blk, off, need)
         return buf[pos : pos + need]
 
+    def _stride_dict_size_index(self, type_id: int) -> int:
+        """Index of the per-stride side-dictionary SIZE within a
+        stride-dictionary column's RowIndexEntry positions.
+
+        Two layouts exist: our writer's compact [size] (1 position), and
+        the reference's full seek layout, where
+        LazyStringDictionaryTreeReader.loadIndeces (reference :120-139)
+        consumes, in order: PRESENT bitfield (InStream + byte-skip +
+        bit-pos) if nullable, STRIDE_DICTIONARY raw InStream,
+        STRIDE_DICTIONARY_LENGTH int-RLE (InStream + value-skip), THEN the
+        size — an InStream is 1 position uncompressed, 2 compressed
+        (InStream.java:123-131, :212-220)."""
+        ins = 2 if self.r.compression != CompressionKind.NONE else 1
+        idx = ins + (ins + 1)  # STRIDE_DICTIONARY + STRIDE_DICTIONARY_LENGTH
+        if self.has_stream(type_id, StreamKind.PRESENT):
+            idx += ins + 2  # PRESENT bitfield: InStream + byte-skip + bit
+        return idx
+
     def decode_stride_column(
         self, type_id: int, s_idx: int, stride: int, n_rows: int
     ) -> pa.Array:
@@ -546,8 +564,18 @@ class _StripeDecoder:
                     self.stream(type_id, StreamKind.IN_DICTIONARY), n
                 )
                 ri = self.row_index(type_id)
+                sidx = self._stride_dict_size_index(type_id)
                 sizes = np.array(
-                    [e.positions[0] if e.positions else 0 for e in ri.entry],
+                    [
+                        (
+                            e.positions[0]
+                            if len(e.positions) == 1
+                            else e.positions[sidx]
+                        )
+                        if e.positions
+                        else 0
+                        for e in ri.entry
+                    ],
                     dtype=np.int64,
                 )
                 total = int(sizes.sum())
@@ -757,18 +785,10 @@ class DwrfFile:
             proto.PostScript, memoryview(bytes(tail[-1 - ps_len : -1]))
         )
         self.compression = CompressionKind(ps.compression or 0)
-        if self.compression == CompressionKind.LZO and not codecs.lzo_available():
-            # declared proto kind (orc_proto.proto:124-129) that the
-            # reference loads reflectively (WriterImpl.java:184-196). The
-            # decode path exists (codecs._decompress_block LZO branch,
-            # raw LZO1X via optional python-lzo); when the codec is not
-            # installed, fail at open with the kind named instead of
-            # deep in block decode
-            raise ValueError(
-                f"{path}: compression kind LZO requires the optional "
-                "python-lzo codec (install python-lzo; supported without "
-                "it: NONE, ZLIB, SNAPPY)"
-            )
+        # every declared proto kind (orc_proto.proto:124-129) READS without
+        # optional codecs: LZO blocks fall back to the vendored pure-Python
+        # LZO1X decoder when python-lzo is absent (codecs._decompress_block);
+        # only the WRITE side still requires the real codec.
         self.block_size = ps.compressionBlockSize
         flen = ps.footerLength
         if flen + ps_len + 1 > len(tail):  # footer larger than the tail probe

@@ -23,9 +23,11 @@ TreeWriter fan-out). Encoding policy per column per stripe:
   _resolve_positions): [compressed block offset, in-block offset] per
   stream when compressed, plus RLE value-skip / bitfield bit-offset
   coordinates, so a point lookup decodes one stride, not one stripe
-  (reader.decode_stride_column). Stride-dictionary columns keep their
-  side-dictionary size as positions[0] and skip seek positions; nested
-  columns record none (whole-stripe fallback).
+  (reader.decode_stride_column). Stride-dictionary columns write the
+  reference's FULL layout (LazyStringDictionaryTreeReader.loadIndeces
+  order: [PRESENT] STRIDE_DICTIONARY, STRIDE_DICTIONARY_LENGTH, side-dict
+  SIZE, DATA, IN_DICTIONARY); nested columns record none (whole-stripe
+  fallback).
 """
 
 from __future__ import annotations
@@ -57,6 +59,13 @@ from .constants import (
 from .stats import ColumnStats
 from .types import collect_arrow_types, schema_to_type_tree
 from pyarrow import types as patypes
+
+
+# pseudo-stream key for the per-stride side-dictionary SIZE position (a
+# bare value in the RowIndexEntry, not a stream seek — the reference
+# stores it between the STRIDE_DICTIONARY_LENGTH and DATA positions,
+# LazyStringDictionaryTreeReader.java:120-139)
+SIZE_POS_MARKER = "__stride_dict_size__"
 
 
 def _ns_timestamp_ids(
@@ -506,6 +515,35 @@ class _StripeEncoder:
                     StreamKind.STRIDE_DICTIONARY_LENGTH,
                     codecs.encode_int_rle(sd_lengths, signed=False),
                 )
+                # full reference position layout for stride-dict columns
+                # (LazyStringDictionaryTreeReader.loadIndeces consumption
+                # order): [PRESENT] STRIDE_DICTIONARY raw,
+                # STRIDE_DICTIONARY_LENGTH rle, side-dict SIZE, DATA rle,
+                # IN_DICTIONARY bitfield — _resolve_positions interleaves
+                # them by pos_kind_order
+                per_stride_bytes = np.zeros(n_strides, dtype=np.int64)
+                np.add.at(per_stride_bytes, ss_sorted, sd_lengths)
+                sd_byte_starts = np.concatenate(
+                    [np.zeros(1, dtype=np.int64), np.cumsum(per_stride_bytes)[:-1]]
+                )
+                n_sd = len(sk_sorted)
+                self._pos_spec(
+                    type_id, StreamKind.STRIDE_DICTIONARY, "raw", sd_byte_starts
+                )
+                self._pos_spec(
+                    type_id,
+                    StreamKind.STRIDE_DICTIONARY_LENGTH,
+                    "int_rle",
+                    np.minimum(group_start, max(n_sd - 1, 0)),
+                )
+                self._pos_spec(
+                    type_id, SIZE_POS_MARKER, "const", stride_dict_sizes
+                )
+                ds_stride = self._dense_starts(present)
+                self._pos_spec(type_id, StreamKind.DATA, "int_rle", ds_stride)
+                self._pos_spec(
+                    type_id, StreamKind.IN_DICTIONARY, "bits", ds_stride
+                )
                 all_sorted = np.sort(keys)
                 lo_s = all_sorted[0].decode("utf-8", "replace") if len(keys) else None
                 hi_s = all_sorted[-1].decode("utf-8", "replace") if len(keys) else None
@@ -568,14 +606,6 @@ class _StripeEncoder:
                 TypeKind.STRING,
                 lambda st, lo, hi: st.update_strings(None, None, hi - lo),
             )
-        if stride_dict_sizes is not None and type_id in self.row_indexes:
-            # the reader reconstructs each stride's side dictionary from its
-            # size recorded in the ROW_INDEX positions (the reference stores
-            # it the same way: RowIndexEntry positions carry the stride
-            # dictionary stream offsets/size, LazyStringDictionaryTreeReader
-            # loadIndeces)
-            for e, sz in zip(self.row_indexes[type_id].entry, stride_dict_sizes):
-                e.positions = [int(sz)]
 
     def _encode_binary(self, type_id, dense, present):
         lengths, data = _binary_parts(dense)
@@ -779,25 +809,32 @@ class DwrfWriter:
         """Turn the encoder's per-stride position specs into RowIndexEntry
         positions (WriterImpl.java:317-328,617-621 PositionRecorder parity).
 
-        Layout per entry, appended after any stride-dictionary size already
-        present: for each positioned stream of the column in PRESENT,
-        LENGTH, DATA, NANO_DATA order —
+        Layout per entry: for each positioned stream of the column in
+        PRESENT, STRIDE_DICTIONARY, STRIDE_DICTIONARY_LENGTH, [side-dict
+        SIZE], LENGTH, DATA, NANO_DATA, IN_DICTIONARY order (the
+        reference's per-TreeReader loadIndeces consumption order) —
           InStream part: [compressed_block_offset, offset_in_block] when
           the file is compressed (InStream.java:112-132's two-value seek
           coordinate), else [byte_offset];
           codec part: int/byte RLE append [values_to_skip]
           (RunLengthIntegerReader.java:94-126), the bitfield layer appends
           [bytes_to_skip, bit_offset] (byte RLE + BitFieldReader parity);
-          raw fixed-width/concatenated-bytes streams append nothing.
+          raw fixed-width/concatenated-bytes streams append nothing;
+          the "const" pseudo-codec appends its value verbatim (the
+          side-dict SIZE, LazyStringDictionaryTreeReader.java:120-139).
         """
         if not enc.pos_specs:
             return
         stream_bytes = {(c, int(k)): d for c, k, d in enc.streams}
         pos_kind_order = {
             StreamKind.PRESENT: 0,
-            StreamKind.LENGTH: 1,
-            StreamKind.DATA: 2,
-            StreamKind.NANO_DATA: 3,
+            StreamKind.STRIDE_DICTIONARY: 1,
+            StreamKind.STRIDE_DICTIONARY_LENGTH: 2,
+            SIZE_POS_MARKER: 3,
+            StreamKind.LENGTH: 4,
+            StreamKind.DATA: 5,
+            StreamKind.NANO_DATA: 6,
+            StreamKind.IN_DICTIONARY: 7,
         }
         compressed = self.compression != CompressionKind.NONE
         for col, specs in enc.pos_specs.items():
@@ -809,6 +846,11 @@ class DwrfWriter:
             for kind, codec, targets in sorted(
                 specs, key=lambda s: pos_kind_order.get(s[0], 9)
             ):
+                if codec == "const":
+                    if len(targets) == n_entries:
+                        for i, v in enumerate(targets):
+                            per_entry[i].append(int(v))
+                    continue
                 data = stream_bytes.get((col, int(kind)))
                 if data is None or len(targets) != n_entries:
                     continue

@@ -210,28 +210,21 @@ class TestFileFeatures:
         with pytest.raises(ValueError, match="bad magic"):
             DwrfFile(str(p))
 
-    def test_lzo_rejected_by_name(self, tmp_path):
-        """LZO is a declared proto CompressionKind (orc_proto.proto:124-129)
-        with no codec in this environment: the reader must fail at open
-        with the kind named, not deep inside block decode."""
+    def test_lzo_write_rejected_by_name_without_codec(self, tmp_path):
+        """LZO READS everywhere (vendored pure-Python LZO1X decoder
+        fallback — see tests/test_interop.py foreign-LZO fixtures), but
+        COMPRESSING needs the real codec: without python-lzo the writer
+        must fail with the codec named, not deep inside block encode."""
         import pyarrow as pa
 
-        from hive_dwrf_spark.format import proto, write_arrow_table
+        from hive_dwrf_spark.format import codecs as _codecs
+        from hive_dwrf_spark.format import write_arrow_table
 
+        if _codecs.lzo_available():
+            pytest.skip("python-lzo installed: write path exercised below")
         p = str(tmp_path / "lzo.dwrf")
-        write_arrow_table(p, pa.table({"a": [1, 2, 3]}), compression="none")
-        data = open(p, "rb").read()
-        ps_len = data[-1]
-        ps = proto.decode_message(
-            proto.PostScript, memoryview(data[-1 - ps_len : -1])
-        )
-        ps.compression = 3  # CompressionKind.LZO
-        new_ps = proto.encode_message(ps)
-        open(p, "wb").write(
-            data[: -1 - ps_len] + new_ps + bytes([len(new_ps)])
-        )
         with pytest.raises(ValueError, match="LZO"):
-            DwrfFile(p)
+            write_arrow_table(p, pa.table({"a": [1, 2, 3]}), compression="lzo")
 
     def test_lzo_code_path_with_codec_installed(self, tmp_path, monkeypatch):
         """The LZO decode path is real code, not a stub: with a codec
@@ -789,8 +782,15 @@ class TestStrideDictionaries:
                     assert dec.has_stream(1, StreamKind.STRIDE_DICTIONARY_LENGTH)
                     # stripe dictionary holds only the repeated keys
                     assert enc.dictionarySize == 20
+                    # side-dict sizes sit at the reference loadIndeces
+                    # position (after PRESENT + STRIDE_DICTIONARY +
+                    # STRIDE_DICTIONARY_LENGTH seek coordinates)
                     ri = dec.row_index(1)
-                    sizes = [e.positions[0] if e.positions else 0 for e in ri.entry]
+                    sidx = dec._stride_dict_size_index(1)
+                    sizes = [
+                        e.positions[sidx] if e.positions else 0
+                        for e in ri.entry
+                    ]
                     assert sum(sizes) == n_singletons
                 else:
                     assert not dec.has_stream(1, StreamKind.IN_DICTIONARY)

@@ -385,3 +385,536 @@ def test_foreign_row_index_positions_consumed(tmp_path):
             assert strs.to_pylist() == ROWS_S[lo : lo + n]
         for r in range(10):
             assert f.read_row(r) == {"i": ROWS_I[r], "s": ROWS_S[r]}
+
+
+# --- interop phase 2: stride dictionaries, UNION, SNAPPY, packed nanos --------
+#
+# Same rules as above: every byte assembled by hand from the public on-disk
+# contract, with the REFERENCE's layout choices where they differ from our
+# writer's. In particular the stride-dictionary file carries the reference's
+# FULL RowIndexEntry position layout (LazyStringDictionaryTreeReader.java
+# loadIndeces order: STRIDE_DICTIONARY InStream, STRIDE_DICTIONARY_LENGTH
+# RLE, side-dict size, DATA RLE, IN_DICTIONARY bitfield — one position per
+# uncompressed InStream, +1 value-skip per RLE, +1 bit offset per bitfield),
+# NOT our writer's compact [size]-only form.
+
+
+def _build_stride_dict_file() -> bytes:
+    """String column with a stripe dictionary + per-stride side
+    dictionaries (WriterImpl.java:1418-1472 write side;
+    LazyStringDictionaryTreeReader.java:155-217 read side).
+
+    8 rows, rowIndexStride=4:
+      rows 0-3: aa bb aa x1      rows 4-7: bb y22 aa z333
+    multi-occurring keys -> stripe dictionary [aa, bb] (utf-8 sorted);
+    singletons leave for the side dictionary of their stride
+    (stride 0: [x1]; stride 1: [y22, z333]); IN_DICTIONARY bit per value
+    picks the source; DATA ids index whichever dictionary the bit picked.
+    """
+    # DATA ids: in-dict rows use stripe rank (aa=0 bb=1); singleton rows
+    # use their index within their stride's side dictionary
+    data = bytes([256 - 8]) + b"".join(_uv(v) for v in (0, 1, 0, 0, 1, 0, 0, 1))
+    # IN_DICTIONARY bits 1,1,1,0,1,0,1,0 -> MSB byte 0xEA; byte-RLE literal
+    in_dict = bytes([0xFF, 0b11101010])
+    dict_data = b"aabb"
+    dict_len = bytes([256 - 2]) + _uv(2) + _uv(2)
+    sd_data = b"x1y22z333"
+    sd_len = bytes([256 - 3]) + _uv(2) + _uv(3) + _uv(4)
+
+    # RowIndexEntry positions, reference loadIndeces order (uncompressed,
+    # no PRESENT): [sd_byte, sdl_byte, sdl_skip, SIZE, data_byte,
+    # data_skip, ind_byte, ind_byteskip, ind_bit]
+    def _entry(positions):
+        body = b"".join(_uv(v) for v in positions)
+        return _ldf(1, _uv((1 << 3) | 2) + _uv(len(body)) + body)
+
+    ri = _entry([0, 0, 0, 1, 0, 0, 0, 0, 0]) + _entry(
+        [2, 0, 1, 2, 0, 4, 0, 0, 4]
+    )
+
+    # kinds: ROW_INDEX=6 DICTIONARY_DATA=3 LENGTH=2 DATA=1 IN_DICTIONARY=7
+    # STRIDE_DICTIONARY=8 STRIDE_DICTIONARY_LENGTH=9
+    streams = [
+        (6, 1, ri),
+        (3, 1, dict_data),
+        (2, 1, dict_len),
+        (1, 1, data),
+        (7, 1, in_dict),
+        (8, 1, sd_data),
+        (9, 1, sd_len),
+    ]
+    body = b"".join(s[2] for s in streams)
+    index_len = len(ri)
+
+    stream_msgs = b"".join(
+        _ldf(1, _field(1, kind) + _field(2, col) + _field(3, len(raw)))
+        for kind, col, raw in streams
+    )
+    # root DIRECT; column 1 DICTIONARY (kind=1) with dictionarySize=2
+    enc_msgs = _ldf(2, _field(1, 0)) + _ldf(2, _field(1, 1) + _field(2, 2))
+    stripe_footer = stream_msgs + enc_msgs
+
+    t_root = _field(1, 12) + _field(2, 1) + _ldf(3, b"s")
+    t_s = _field(1, 7)
+
+    magic = b"ORC"
+    stripe_info = (
+        _field(1, len(magic))
+        + _field(2, index_len)
+        + _field(3, len(body) - index_len)
+        + _field(4, len(stripe_footer))
+        + _field(5, 8)
+    )
+    footer = (
+        _field(1, len(magic))
+        + _field(2, len(magic) + len(body) + len(stripe_footer))
+        + _ldf(3, stripe_info)
+        + _ldf(4, t_root) + _ldf(4, t_s)
+        + _field(6, 8)
+        + _field(8, 4)  # rowIndexStride
+    )
+    postscript = _field(1, len(footer)) + _field(2, 0)
+    return (
+        magic + body + stripe_footer + footer + postscript
+        + bytes([len(postscript)])
+    )
+
+
+def test_foreign_stride_dictionary_decodes(tmp_path):
+    """The reader rebuilds per-stride side dictionaries from a FOREIGN
+    file using the reference's full position layout (size at the
+    loadIndeces-computed index, not our writer's compact positions[0])."""
+    from hive_dwrf_spark.format import DwrfFile
+
+    p = str(tmp_path / "foreign_stride_dict.dwrf")
+    with open(p, "wb") as f:
+        f.write(_build_stride_dict_file())
+    with DwrfFile(p) as f:
+        t = f.read()
+    assert t.num_rows == 8
+    assert t.column("s").to_pylist() == [
+        "aa", "bb", "aa", "x1", "bb", "y22", "aa", "z333",
+    ]
+
+
+def _build_union_file() -> bytes:
+    """UNION<int, string> column (WriterImpl.java:1996-2008: tag stream
+    byte-RLE DATA on the union column, then each branch child column
+    holding ONLY that branch's values).
+
+    rows: u = [5, 'hi', 7, 'yo', 9]  (tags 0,1,0,1,0)
+    The int branch [5,7,9] is one RLE repeat group with delta 2 — a shape
+    our writer never emits for a 3-value branch stream.
+    """
+    tags = bytes([256 - 5, 0, 1, 0, 1, 0])  # byte-RLE literal
+    data_int = bytes([0x00, 0x02]) + _uv(_zz(5))  # repeat: 3 vals, delta 2
+    data_str = b"hiyo"
+    len_str = bytes([256 - 2]) + _uv(2) + _uv(2)
+
+    streams = [  # kinds: DATA=1 LENGTH=2
+        (1, 1, tags),
+        (1, 2, data_int),
+        (1, 3, data_str),
+        (2, 3, len_str),
+    ]
+    body = b"".join(s[2] for s in streams)
+    stream_msgs = b"".join(
+        _ldf(1, _field(1, kind) + _field(2, col) + _field(3, len(raw)))
+        for kind, col, raw in streams
+    )
+    enc_msgs = b"".join(_ldf(2, _field(1, 0)) for _ in range(4))
+    stripe_footer = stream_msgs + enc_msgs
+
+    # types: 0 STRUCT{u}, 1 UNION(2,3), 2 INT, 3 STRING (UNION kind = 13)
+    t_root = _field(1, 12) + _field(2, 1) + _ldf(3, b"u")
+    t_union = _field(1, 13) + _field(2, 2) + _field(2, 3)
+    t_int, t_str = _field(1, 3), _field(1, 7)
+
+    magic = b"ORC"
+    stripe_info = (
+        _field(1, len(magic))
+        + _field(2, 0)
+        + _field(3, len(body))
+        + _field(4, len(stripe_footer))
+        + _field(5, 5)
+    )
+    footer = (
+        _field(1, len(magic))
+        + _field(2, len(magic) + len(body) + len(stripe_footer))
+        + _ldf(3, stripe_info)
+        + _ldf(4, t_root) + _ldf(4, t_union) + _ldf(4, t_int) + _ldf(4, t_str)
+        + _field(6, 5)
+    )
+    postscript = _field(1, len(footer)) + _field(2, 0)
+    return (
+        magic + body + stripe_footer + footer + postscript
+        + bytes([len(postscript)])
+    )
+
+
+def test_foreign_union_decodes(tmp_path):
+    """A foreign UNION column decodes to the tagged-struct surface: tag
+    byte plus per-branch fields, values scattered to their tag rows."""
+    from hive_dwrf_spark.format import DwrfFile
+
+    p = str(tmp_path / "foreign_union.dwrf")
+    with open(p, "wb") as f:
+        f.write(_build_union_file())
+    with DwrfFile(p) as f:
+        t = f.read()
+    assert t.num_rows == 5
+    got = t.column("u").to_pylist()
+    assert [g["tag"] for g in got] == [0, 1, 0, 1, 0]
+    assert [g["field0"] for g in got] == [5, None, 7, None, 9]
+    assert [g["field1"] for g in got] == [None, "hi", None, "yo", None]
+
+
+# --- SNAPPY-compressed foreign file -------------------------------------------
+
+ROWS_S2 = ["abcd"] * 4 + ["wxyz"] * 4 + ["pq", "pq"]
+
+
+def _snappy_block(elements: bytes, uncompressed_len: int) -> bytes:
+    """Raw snappy stream: uncompressed-length preamble + elements."""
+    return _uv(uncompressed_len) + elements
+
+
+def _frame(block: bytes, original: bool) -> bytes:
+    """DWRF block framing: 3-byte little-endian (len << 1 | isOriginal)
+    header (OutStream.java:116-134)."""
+    header = (len(block) << 1) | (1 if original else 0)
+    return header.to_bytes(3, "little") + block
+
+
+def _build_snappy_file() -> bytes:
+    """SNAPPY-compressed foreign file: hand-rolled snappy elements
+    (literal + 2-byte-offset copy backreferences, snappy format
+    description sections 2.1-2.2) for the string DATA stream, stored
+    (isOriginal) blocks for the short streams and both footers — a mix
+    our writer never produces (it compresses footers too)."""
+    # int column 100..109, one RLE repeat group, stored block
+    data_i = _frame(bytes([0x07, 0x01]) + _uv(_zz(100)), original=True)
+
+    # string DATA: "abcd"x4 + "wxyz"x4 + "pq"x2 = 36 bytes, snappy'd as
+    # literal(4) + copy(len 12, off 4) twice + literal(4)
+    def lit(b: bytes) -> bytes:
+        return bytes([(len(b) - 1) << 2]) + b
+
+    def copy2(length: int, offset: int) -> bytes:
+        return bytes([((length - 1) << 2) | 2]) + offset.to_bytes(2, "little")
+
+    elements = (
+        lit(b"abcd") + copy2(12, 4) + lit(b"wxyz") + copy2(12, 4) + lit(b"pqpq")
+    )
+    data_s = _frame(_snappy_block(elements, 36), original=False)
+
+    # lengths [4]*8 + [2,2]: repeat group + literal group, snappy'd as one
+    # pure-literal element (valid snappy any decoder must accept)
+    raw_len = bytes([0x05, 0x00]) + _uv(4) + bytes([256 - 2]) + _uv(2) + _uv(2)
+    len_s = _frame(_snappy_block(lit(raw_len), len(raw_len)), original=False)
+
+    streams = [
+        (1, 1, data_i),
+        (1, 2, data_s),
+        (2, 2, len_s),
+    ]
+    body = b"".join(s[2] for s in streams)
+    stream_msgs = b"".join(
+        _ldf(1, _field(1, kind) + _field(2, col) + _field(3, len(raw)))
+        for kind, col, raw in streams
+    )
+    enc_msgs = b"".join(_ldf(2, _field(1, 0)) for _ in range(3))
+    stripe_footer = _frame(stream_msgs + enc_msgs, original=True)
+
+    t_root = _field(1, 12) + _field(2, 1) + _field(2, 2) + _ldf(3, b"i") + _ldf(3, b"s")
+    t_i, t_s = _field(1, 3), _field(1, 7)
+
+    magic = b"ORC"
+    stripe_info = (
+        _field(1, len(magic))
+        + _field(2, 0)
+        + _field(3, len(body))
+        + _field(4, len(stripe_footer))
+        + _field(5, 10)
+    )
+    footer_raw = (
+        _field(1, len(magic))
+        + _field(2, len(magic) + len(body) + len(stripe_footer))
+        + _ldf(3, stripe_info)
+        + _ldf(4, t_root) + _ldf(4, t_i) + _ldf(4, t_s)
+        + _field(6, 10)
+    )
+    footer = _frame(footer_raw, original=True)
+    # PostScript: 1=footerLength 2=compression(SNAPPY=2) 3=blockSize
+    postscript = (
+        _field(1, len(footer)) + _field(2, 2) + _field(3, 256 * 1024)
+    )
+    return (
+        magic + body + stripe_footer + footer + postscript
+        + bytes([len(postscript)])
+    )
+
+
+def test_foreign_snappy_blocks_decode(tmp_path):
+    """Block-compressed foreign bytes: snappy literal+copy elements we
+    did not produce, mixed with stored (isOriginal) blocks, decode to the
+    exact rows."""
+    from hive_dwrf_spark.format import DwrfFile
+
+    p = str(tmp_path / "foreign_snappy.dwrf")
+    with open(p, "wb") as f:
+        f.write(_build_snappy_file())
+    with DwrfFile(p) as f:
+        t = f.read()
+    assert t.num_rows == 10
+    assert t.column("i").to_pylist() == ROWS_I
+    assert t.column("s").to_pylist() == ROWS_S2
+
+
+def test_hand_rolled_snappy_matches_fallback_decoder():
+    """The hand-rolled copy/literal elements are spec-valid snappy: the
+    pure-Python fallback decoder reproduces the plaintext regardless of
+    which codec the block path picked."""
+    from hive_dwrf_spark.format.codecs import _snappy_decompress_py
+
+    elements = (
+        bytes([(4 - 1) << 2]) + b"abcd"
+        + bytes([((12 - 1) << 2) | 2]) + (4).to_bytes(2, "little")
+        + bytes([(4 - 1) << 2]) + b"wxyz"
+        + bytes([((12 - 1) << 2) | 2]) + (4).to_bytes(2, "little")
+        + bytes([(4 - 1) << 2]) + b"pqpq"
+    )
+    blob = _uv(36) + elements
+    assert _snappy_decompress_py(blob) == "".join(ROWS_S2).encode()
+
+
+def _build_timestamp_file() -> bytes:
+    """TIMESTAMP column with packed nanos (WriterImpl.formatNanos write
+    side, LazyTimestampTreeReader.java:99-108 parseNanos decode table):
+    DATA = signed RLE of seconds relative to the 2015-01-01 base
+    (WriterImpl.java:1736-1738), NANO_DATA = unsigned RLE of
+    (nanos/10^z << 3 | tag) where tag z>=1 means x10^(z+1).
+
+    seconds: base-2 .. base+3 (one repeat group, delta 1, NEGATIVE start
+    -> pre-base timestamps + zigzag); nanos exercise every packing shape:
+    0, 1 (verbatim), 100 (tag 1), 123456789 (verbatim), 5*10^8 (tag 7),
+    999999999 (verbatim).
+    """
+    data = bytes([0x03, 0x01]) + _uv(_zz(-2))  # 6 values: -2..3
+    packed = [
+        0,                     # 0 ns
+        (1 << 3),              # 1 ns, verbatim
+        (1 << 3) | 1,          # 100 = 1 x 10^2
+        (123456789 << 3),      # verbatim
+        (5 << 3) | 7,          # 5 x 10^8
+        (999999999 << 3),      # verbatim
+    ]
+    nano = bytes([256 - 6]) + b"".join(_uv(v) for v in packed)
+
+    streams = [  # kinds: DATA=1, NANO_DATA=5
+        (1, 1, data),
+        (5, 1, nano),
+    ]
+    body = b"".join(s[2] for s in streams)
+    stream_msgs = b"".join(
+        _ldf(1, _field(1, kind) + _field(2, col) + _field(3, len(raw)))
+        for kind, col, raw in streams
+    )
+    enc_msgs = b"".join(_ldf(2, _field(1, 0)) for _ in range(2))
+    stripe_footer = stream_msgs + enc_msgs
+
+    t_root = _field(1, 12) + _field(2, 1) + _ldf(3, b"ts")
+    t_ts = _field(1, 9)  # TIMESTAMP
+
+    magic = b"ORC"
+    stripe_info = (
+        _field(1, len(magic))
+        + _field(2, 0)
+        + _field(3, len(body))
+        + _field(4, len(stripe_footer))
+        + _field(5, 6)
+    )
+    footer = (
+        _field(1, len(magic))
+        + _field(2, len(magic) + len(body) + len(stripe_footer))
+        + _ldf(3, stripe_info)
+        + _ldf(4, t_root) + _ldf(4, t_ts)
+        + _field(6, 6)
+    )
+    postscript = _field(1, len(footer)) + _field(2, 0)
+    return (
+        magic + body + stripe_footer + footer + postscript
+        + bytes([len(postscript)])
+    )
+
+
+def test_foreign_packed_nano_timestamps_decode(tmp_path):
+    """Every nano-packing shape (verbatim, tag 1, tag 7, zero) and
+    negative relative seconds decode to the exact microsecond values."""
+    import numpy as np
+
+    from hive_dwrf_spark.format import DwrfFile
+    from hive_dwrf_spark.format.constants import TIMESTAMP_BASE_SECONDS
+
+    p = str(tmp_path / "foreign_ts.dwrf")
+    with open(p, "wb") as f:
+        f.write(_build_timestamp_file())
+    with DwrfFile(p) as f:
+        t = f.read()
+    secs = [-2, -1, 0, 1, 2, 3]
+    nanos = [0, 1, 100, 123456789, 500000000, 999999999]
+    expect = [
+        (s + TIMESTAMP_BASE_SECONDS) * 1_000_000 + n // 1000
+        for s, n in zip(secs, nanos)
+    ]
+    got = t.column("ts").cast("int64").to_pylist()
+    assert got == expect
+
+
+# --- LZO1X foreign bytes --------------------------------------------------------
+#
+# Hand-rolled raw LZO1X streams from the public bitstream spec (LZO
+# distribution / Linux Documentation/staging/lzo.rst): first-byte literal
+# run, M2 (3-8B/2kB) and M3 (16kB) matches, overlapping RLE copies, the
+# 0-byte length extension, and the 0x11 0x00 0x00 end-of-stream marker.
+# When python-lzo is importable the same bytes ALSO decode through the real
+# codec; when absent they pin the vendored pure-Python fallback.
+
+
+def _lzo_literal_block(data: bytes) -> bytes:
+    """Literal-only LZO1X stream: first-byte run (len 4..238; byte 21 is
+    the 4-literal state-4 form, 22+ the long form) + EOF marker."""
+    assert 4 <= len(data) <= 238
+    return bytes([len(data) + 17]) + data + b"\x11\x00\x00"
+
+
+LZO_CASES = [
+    # (lzo1x bytes, expected plaintext)
+    (_lzo_literal_block(b"hello, lzo world"), b"hello, lzo world"),
+    # "abcd" literal + M2 match (len 8, dist 4): t=0b111_011_00, H=0
+    (bytes([21]) + b"abcd" + bytes([0xEC, 0x00]) + b"\x11\x00\x00",
+     b"abcd" * 3),
+    # "xxxx" literal + M3 overlap-RLE (len 36 via 0-extension: L=0,
+    # ext byte 3 -> 31+3+2, dist 1) -> 40 x's
+    (bytes([21]) + b"xxxx" + bytes([0x20, 0x03, 0x00, 0x00])
+     + b"\x11\x00\x00", b"x" * 40),
+    # M3 with trailing-literal state bits: "abcde" literal, M3 len 4
+    # dist 5 with S=2 in the LE16 low bits, trailing "ZW", EOF
+    (bytes([22]) + b"abcde"
+     + bytes([0x22, (4 << 2) | 2, 0x00]) + b"ZW" + b"\x11\x00\x00",
+     b"abcde" + b"abcd" + b"ZW"),
+]
+
+
+@pytest.mark.parametrize("blob,plain", LZO_CASES)
+def test_lzo1x_fallback_decodes_hand_rolled(blob, plain):
+    from hive_dwrf_spark.format.codecs import _lzo1x_decompress_py
+
+    assert _lzo1x_decompress_py(blob) == plain
+
+
+def test_lzo1x_real_codec_agrees_if_present():
+    """When python-lzo IS importable the hand-rolled bytes must decode
+    identically through it — pinning the fixture both ways."""
+    from hive_dwrf_spark.format import codecs as _codecs
+
+    if not _codecs.lzo_available():
+        pytest.skip("python-lzo absent: fallback covered above")
+    for blob, plain in LZO_CASES:
+        assert _codecs._lzo.decompress(blob, False, 1 << 16) == plain
+
+
+def test_lzo1x_fallback_rejects_corrupt():
+    import pytest as _pytest
+
+    from hive_dwrf_spark.format.codecs import _lzo1x_decompress_py
+
+    with _pytest.raises(ValueError, match="truncated"):
+        _lzo1x_decompress_py(bytes([21]) + b"abcd")  # no EOF marker
+    with _pytest.raises(ValueError, match="distance"):
+        # match reaching before the start of output
+        _lzo1x_decompress_py(bytes([21]) + b"abcd" + bytes([0xEC, 0xFF])
+                             + b"\x11\x00\x00")
+
+
+def _build_lzo_file() -> bytes:
+    """Foreign LZO-compressed DWRF file: same 10-row (i INT, s STRING)
+    table as the snappy fixture, streams framed as LZO1X blocks the
+    reference's reflectively-loaded codec (WriterImpl.java:184-196) could
+    have produced, footers stored original."""
+    data_i = _frame(
+        _lzo_literal_block(bytes([0x07, 0x01]) + _uv(_zz(100))),
+        original=False,
+    )
+    # string DATA "abcd"x4 "wxyz"x4 "pq"x2: literal + M2 matches (len 8,
+    # dist 4 twice) + literal tail — real backreferences, not just runs
+    s_elems = (
+        bytes([21]) + b"abcd"            # literal, state 4
+        + bytes([0x2A, 0x0C, 0x00])       # M3 len 12 dist 4 -> abcd x3
+        + bytes([0x01]) + b"wxyz"         # literal run t=1 -> 4 literals
+        + bytes([0x2A, 0x0C, 0x00])       # M3 len 12 dist 4 -> wxyz x3
+        + bytes([0x01]) + b"pqpq"         # literal run -> 4 literals
+        + b"\x11\x00\x00"
+    )
+    data_s = _frame(s_elems, original=False)
+    raw_len = bytes([0x05, 0x00]) + _uv(4) + bytes([256 - 2]) + _uv(2) + _uv(2)
+    len_s = _frame(_lzo_literal_block(raw_len), original=False)
+
+    streams = [
+        (1, 1, data_i),
+        (1, 2, data_s),
+        (2, 2, len_s),
+    ]
+    body = b"".join(s[2] for s in streams)
+    stream_msgs = b"".join(
+        _ldf(1, _field(1, kind) + _field(2, col) + _field(3, len(raw)))
+        for kind, col, raw in streams
+    )
+    enc_msgs = b"".join(_ldf(2, _field(1, 0)) for _ in range(3))
+    stripe_footer = _frame(stream_msgs + enc_msgs, original=True)
+
+    t_root = (
+        _field(1, 12) + _field(2, 1) + _field(2, 2)
+        + _ldf(3, b"i") + _ldf(3, b"s")
+    )
+    t_i, t_s = _field(1, 3), _field(1, 7)
+
+    magic = b"ORC"
+    stripe_info = (
+        _field(1, len(magic))
+        + _field(2, 0)
+        + _field(3, len(body))
+        + _field(4, len(stripe_footer))
+        + _field(5, 10)
+    )
+    footer_raw = (
+        _field(1, len(magic))
+        + _field(2, len(magic) + len(body) + len(stripe_footer))
+        + _ldf(3, stripe_info)
+        + _ldf(4, t_root) + _ldf(4, t_i) + _ldf(4, t_s)
+        + _field(6, 10)
+    )
+    footer = _frame(footer_raw, original=True)
+    postscript = (
+        _field(1, len(footer)) + _field(2, 3) + _field(3, 256 * 1024)
+    )
+    return (
+        magic + body + stripe_footer + footer + postscript
+        + bytes([len(postscript)])
+    )
+
+
+def test_foreign_lzo_file_decodes(tmp_path):
+    """An LZO-kind foreign file reads end to end — through python-lzo when
+    installed, through the vendored fallback otherwise."""
+    from hive_dwrf_spark.format import DwrfFile
+
+    p = str(tmp_path / "foreign_lzo.dwrf")
+    with open(p, "wb") as f:
+        f.write(_build_lzo_file())
+    with DwrfFile(p) as f:
+        assert f.compression.name == "LZO"
+        t = f.read()
+    assert t.num_rows == 10
+    assert t.column("i").to_pylist() == ROWS_I
+    assert t.column("s").to_pylist() == ROWS_S2
