@@ -71,7 +71,9 @@ class NoStridePositions(Exception):
 
 
 #: type kinds the stride-bounded decoder handles (matches the writer's
-#: position-spec coverage; everything else falls back to full decode)
+#: position-spec coverage; UNION falls back to full decode — branch value
+#: positions would need per-stride per-branch counts the reference also
+#: does not record)
 _STRIDE_DECODABLE = {
     TypeKind.BOOLEAN,
     TypeKind.BYTE,
@@ -83,6 +85,9 @@ _STRIDE_DECODABLE = {
     TypeKind.STRING,
     TypeKind.BINARY,
     TypeKind.TIMESTAMP,
+    TypeKind.LIST,
+    TypeKind.MAP,
+    TypeKind.STRUCT,
 }
 
 
@@ -277,6 +282,9 @@ class _StripeDecoder:
     def _ints_window(self, col, kind, cur, count, signed):
         blk, off = cur.instream()
         (skip,) = cur.take(1)
+        return self._ints_at(col, kind, blk, off, skip, count, signed)
+
+    def _ints_at(self, col, kind, blk, off, skip, count, signed):
         total = skip + count
         # RLE v1 worst case ~11 B/value (10-byte varint + headers), plus a
         # group-alignment tail of at most 129 further values
@@ -284,6 +292,10 @@ class _StripeDecoder:
         ac = codecs.int_rle_aligned_count(buf[pos:], total)
         vals, _ = codecs.decode_int_rle(buf, ac, signed, pos)
         return vals[skip : skip + count]
+
+    def _raw_at(self, col, kind, blk, off, need):
+        buf, pos = self._buf_at(col, kind, blk, off, need)
+        return buf[pos : pos + need]
 
     def _bytes_window(self, col, kind, cur, count):
         blk, off = cur.instream()
@@ -331,21 +343,37 @@ class _StripeDecoder:
         self, type_id: int, s_idx: int, stride: int, n_rows: int
     ) -> pa.Array:
         """Decode rows [s_idx*stride, min((s_idx+1)*stride, n_rows)) of a
-        top-level column using its recorded seek positions. Raises
-        NoStridePositions when the column has none (nested types,
-        stride-dictionary columns, legacy files) — callers fall
-        back to the whole-stripe decode."""
+        top-level column using its recorded seek positions, recursing into
+        nested children (each child consumes its OWN RowIndexEntry, the
+        LazyListTreeReader.java:101-107 pattern). Raises NoStridePositions
+        when a column in the subtree has none (UNION branches, legacy
+        files) — callers fall back to the whole-stripe decode."""
+        rows = min(stride, n_rows - s_idx * stride)
+        return self._decode_stride_at(type_id, s_idx, rows)
+
+    def _decode_stride_at(
+        self, type_id: int, s_idx: int, rows: int
+    ) -> pa.Array:
         t = self.r.types[type_id]
         kind = TypeKind(t.kind)
         if kind not in _STRIDE_DECODABLE:
             raise NoStridePositions(type_id)
-        if self.has_stream(type_id, StreamKind.IN_DICTIONARY):
-            raise NoStridePositions(type_id)
+        if rows <= 0:
+            return pa.array(
+                [], type=_arrow_type_of(self.r.types, type_id, self.r.type_overrides)
+            )
         ri = self.row_index(type_id)
         if ri is None or s_idx >= len(ri.entry):
-            raise NoStridePositions(type_id)
-        pos_vals = [int(v) for v in ri.entry[s_idx].positions]
-        rows = min(stride, n_rows - s_idx * stride)
+            if kind == TypeKind.STRUCT and not self.has_stream(
+                type_id, StreamKind.PRESENT
+            ):
+                # a never-null struct writes no streams of its own, hence
+                # no ROW_INDEX — only its children carry positions
+                pos_vals: list[int] = []
+            else:
+                raise NoStridePositions(type_id)
+        else:
+            pos_vals = [int(v) for v in ri.entry[s_idx].positions]
         cur = _PosCursor(pos_vals, self.r.compression != CompressionKind.NONE)
         if self.has_stream(type_id, StreamKind.PRESENT):
             present = self._bits_window(type_id, StreamKind.PRESENT, cur, rows)
@@ -398,7 +426,47 @@ class _StripeDecoder:
                     self.stream(type_id, StreamKind.LENGTH), n_dict, signed=False
                 )
                 key_data = self.stream(type_id, StreamKind.DICTIONARY_DATA).tobytes()
-                ids = self._ints_window(type_id, StreamKind.DATA, cur, nd, signed=False)
+                if self.has_stream(type_id, StreamKind.IN_DICTIONARY):
+                    # A14 stride dictionaries, seek path: this stride's
+                    # side dictionary loads from its own positions
+                    # (LazyStringDictionaryTreeReader.loadStrideDictionary)
+                    # — SD raw offset, SDL rle coords, side-dict SIZE —
+                    # then ids/bits windows; singleton ids index the side
+                    # dict directly since the window IS one stride
+                    sd_blk, sd_off = cur.instream()
+                    sdl_blk, sdl_off = cur.instream()
+                    (sdl_skip,) = cur.take(1)
+                    (sd_size,) = cur.take(1)
+                    sd_lengths = self._ints_at(
+                        type_id,
+                        StreamKind.STRIDE_DICTIONARY_LENGTH,
+                        sdl_blk,
+                        sdl_off,
+                        sdl_skip,
+                        sd_size,
+                        signed=False,
+                    )
+                    sd_raw = self._raw_at(
+                        type_id,
+                        StreamKind.STRIDE_DICTIONARY,
+                        sd_blk,
+                        sd_off,
+                        int(sd_lengths.sum()),
+                    )
+                    ids = self._ints_window(
+                        type_id, StreamKind.DATA, cur, nd, signed=False
+                    )
+                    in_dict = self._bits_window(
+                        type_id, StreamKind.IN_DICTIONARY, cur, nd
+                    )
+                    ids = np.where(in_dict, ids, n_dict + ids)
+                    key_lengths = np.concatenate([key_lengths, sd_lengths])
+                    key_data = key_data + sd_raw.tobytes()
+                    n_dict += int(sd_size)
+                else:
+                    ids = self._ints_window(
+                        type_id, StreamKind.DATA, cur, nd, signed=False
+                    )
                 key_offsets = np.concatenate(
                     [np.zeros(1, dtype=np.int64), np.cumsum(key_lengths)]
                 )
@@ -423,7 +491,7 @@ class _StripeDecoder:
                     nd,
                     [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
                 ).cast(pa.string() if is_str else pa.binary())
-        else:  # TIMESTAMP
+        elif kind == TypeKind.TIMESTAMP:
             secs = self._ints_window(type_id, StreamKind.DATA, cur, nd, signed=True)
             packed = self._ints_window(
                 type_id, StreamKind.NANO_DATA, cur, nd, signed=False
@@ -435,6 +503,41 @@ class _StripeDecoder:
             else:
                 us = (secs + TIMESTAMP_BASE_SECONDS) * 1_000_000 + nanos // 1000
                 dense = pa.array(us.view("datetime64[us]"), type=pa.timestamp("us"))
+        elif kind == TypeKind.LIST:
+            lengths = self._ints_window(
+                type_id, StreamKind.LENGTH, cur, nd, signed=False
+            )
+            child = self._decode_stride_at(
+                t.subtypes[0], s_idx, int(lengths.sum())
+            )
+            offsets = np.concatenate(
+                [np.zeros(1, dtype=np.int32), np.cumsum(lengths, dtype=np.int32)]
+            )
+            dense = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()), child
+            )
+        elif kind == TypeKind.MAP:
+            lengths = self._ints_window(
+                type_id, StreamKind.LENGTH, cur, nd, signed=False
+            )
+            child_n = int(lengths.sum())
+            keys = self._decode_stride_at(t.subtypes[0], s_idx, child_n)
+            items = self._decode_stride_at(t.subtypes[1], s_idx, child_n)
+            offsets = np.concatenate(
+                [np.zeros(1, dtype=np.int32), np.cumsum(lengths, dtype=np.int32)]
+            )
+            dense = pa.MapArray.from_arrays(
+                pa.array(offsets, type=pa.int32()), keys, items
+            )
+        elif kind == TypeKind.STRUCT:
+            children = [
+                self._decode_stride_at(s, s_idx, nd) for s in t.subtypes
+            ]
+            dense = pa.StructArray.from_arrays(
+                children, names=list(t.fieldNames)
+            )
+        else:
+            raise NoStridePositions(type_id)
         out = dense if present is None else _scatter(dense, present)
         if type_id in self.r.date_ids:
             out = out.cast(pa.date32())

@@ -177,6 +177,13 @@ class _StripeEncoder:
         # encoders stay untouched. Codec tags: int_rle/byte_rle -> value
         # index, bits -> bit index, raw -> byte offset.
         self.pos_specs: dict[int, list[tuple[StreamKind, str, np.ndarray]]] = {}
+        # positions context of the column currently being encoded: its
+        # per-stride row targets IN ITS OWN row space (top level: arange
+        # by stride; nested children: parent-computed child-unit starts,
+        # the LazyListTreeReader.java:101-107 recursion) and its validity
+        # mask. Saved/restored around child recursion by encode_column.
+        self._pos_rows: np.ndarray | None = None
+        self._pos_present: np.ndarray | None = None
         self.raw_size = 0
 
     def _add(self, column: int, kind: StreamKind, data: bytes) -> None:
@@ -198,26 +205,27 @@ class _StripeEncoder:
             (kind, codec, np.asarray(targets, dtype=np.int64))
         )
 
-    def _dense_starts(self, present: np.ndarray) -> np.ndarray:
-        """Dense-value index at each stride start (same reduceat shape as
-        _stride_stats), clamped into the dense range so trailing all-null
-        strides still get a resolvable (and unused) position."""
-        stride = self.opts["row_index_stride"]
-        n = len(present)
-        starts = np.arange(0, n, stride, dtype=np.int64)
-        per = np.add.reduceat(present.astype(np.int64), starts)
-        los = np.empty(len(starts), dtype=np.int64)
-        los[0] = 0
-        np.cumsum(per[:-1], out=los[1:])
-        n_dense = int(per.sum())
-        return np.minimum(los, max(n_dense - 1, 0))
+    def _dense_starts(self, present: np.ndarray | None = None) -> np.ndarray:
+        """Dense-value index of the current column at each of its stride
+        targets (`_pos_rows`, in its own row space), clamped into the
+        dense range so trailing all-null/empty strides still get a
+        resolvable (and unused) position. The `present` argument is
+        ignored — the context set by encode_column is authoritative (it
+        is what lets nested children share the per-type encoders)."""
+        pres = self._pos_present
+        rows = self._pos_rows
+        cum = np.concatenate(
+            [np.zeros(1, dtype=np.int64), np.cumsum(pres.astype(np.int64))]
+        )
+        dt = cum[np.minimum(rows, len(pres))]
+        return np.minimum(dt, max(int(cum[-1]) - 1, 0))
 
-    def _want_positions(self, present) -> bool:
+    def _want_positions(self, present=None) -> bool:
         return (
-            present is not None
-            and bool(self.opts["row_index_stride"])
-            and len(present) > 0
-            and bool(present.any())
+            self._pos_rows is not None
+            and self._pos_present is not None
+            and len(self._pos_present) > 0
+            and bool(self._pos_present.any())
         )
 
     # -- encode dispatch ---------------------------------------------------
@@ -246,20 +254,38 @@ class _StripeEncoder:
                 )
             self.encode_column(type_id, col, top_level=True)
 
-    def encode_column(self, type_id: int, arr: pa.Array, top_level: bool = False):
+    def encode_column(
+        self,
+        type_id: int,
+        arr: pa.Array,
+        top_level: bool = False,
+        stride_rows: np.ndarray | None = None,
+    ):
+        """Encode one column (recursing into nested children).
+
+        `stride_rows`: this column's row index at each stride start, in
+        its OWN row space — top level derives arange(0, n, stride);
+        LIST/MAP parents pass cumulative element counts, STRUCT parents
+        their dense row starts (the reference's per-TreeReader
+        PositionRecorder recursion). None = record no seek positions
+        (UNION branches, non-indexed writes)."""
         t = self.types[type_id]
         kind = TypeKind(t.kind)
         present = _validity_mask(arr)
         has_nulls = not present.all()
+        stride = self.opts["row_index_stride"]
+        if top_level and stride and len(arr):
+            stride_rows = np.arange(0, len(arr), stride, dtype=np.int64)
+        if stride_rows is not None and len(stride_rows) == 0:
+            stride_rows = None
         if has_nulls:
             self._add(type_id, StreamKind.PRESENT, codecs.encode_bits(present))
-            if top_level and self.opts["row_index_stride"] and len(present):
-                stride = self.opts["row_index_stride"]
+            if stride_rows is not None and len(present):
                 self._pos_spec(
                     type_id,
                     StreamKind.PRESENT,
                     "bits",
-                    np.arange(0, len(present), stride, dtype=np.int64),
+                    np.minimum(stride_rows, len(present) - 1),
                 )
             dense = arr.drop_null()
         else:
@@ -284,7 +310,12 @@ class _StripeEncoder:
             TypeKind.STRUCT: self._encode_struct,
             TypeKind.UNION: self._encode_union,
         }[kind]
-        handler(type_id, dense, present if top_level else None)
+        prev = (self._pos_rows, self._pos_present)
+        self._pos_rows, self._pos_present = stride_rows, present
+        try:
+            handler(type_id, dense, present if top_level else None)
+        finally:
+            self._pos_rows, self._pos_present = prev
 
     # -- per-type encoders ---------------------------------------------------
     # Each receives the null-free dense array; `present` (top-level only)
@@ -672,6 +703,18 @@ class _StripeEncoder:
             lambda s, lo, hi: s.update_ints(us[lo:hi]),
         )
 
+    def _child_stride_rows(self, lengths: np.ndarray) -> np.ndarray | None:
+        """Per-stride element index in the child's value space: cumulative
+        element count at each of this column's dense stride starts
+        (LazyListTreeReader.java:101-107 — each child TreeReader seeks to
+        the element position its parent's lengths imply)."""
+        if not self._want_positions() or not len(lengths):
+            return None
+        cum = np.concatenate(
+            [np.zeros(1, dtype=np.int64), np.cumsum(lengths.astype(np.int64))]
+        )
+        return cum[self._dense_starts()]
+
     def _encode_list(self, type_id, dense, present):
         lengths = pc.list_value_length(dense).to_numpy(zero_copy_only=False)
         self._add(
@@ -679,9 +722,17 @@ class _StripeEncoder:
             StreamKind.LENGTH,
             codecs.encode_int_rle(lengths.astype(np.int64), signed=False),
         )
+        if len(dense) and self._want_positions():
+            self._pos_spec(
+                type_id, StreamKind.LENGTH, "int_rle", self._dense_starts()
+            )
         self._stat(type_id, TypeKind.LIST).update_count_only(len(dense))
         child = dense.flatten()
-        self.encode_column(self.types[type_id].subtypes[0], child)
+        self.encode_column(
+            self.types[type_id].subtypes[0],
+            child,
+            stride_rows=self._child_stride_rows(lengths),
+        )
 
     def _encode_map(self, type_id, dense, present):
         lengths = np.diff(dense.offsets.to_numpy(zero_copy_only=False))
@@ -690,14 +741,26 @@ class _StripeEncoder:
             StreamKind.LENGTH,
             codecs.encode_int_rle(lengths.astype(np.int64), signed=False),
         )
+        if len(dense) and self._want_positions():
+            self._pos_spec(
+                type_id, StreamKind.LENGTH, "int_rle", self._dense_starts()
+            )
         self._stat(type_id, TypeKind.MAP).update_count_only(len(dense))
-        self.encode_column(self.types[type_id].subtypes[0], dense.keys)
-        self.encode_column(self.types[type_id].subtypes[1], dense.items)
+        child_rows = self._child_stride_rows(lengths)
+        self.encode_column(
+            self.types[type_id].subtypes[0], dense.keys, stride_rows=child_rows
+        )
+        self.encode_column(
+            self.types[type_id].subtypes[1], dense.items, stride_rows=child_rows
+        )
 
     def _encode_struct(self, type_id, dense, present):
         self._stat(type_id, TypeKind.STRUCT).update_count_only(len(dense))
+        # children's row space IS the struct's dense row space, so their
+        # stride targets are this column's dense starts
+        child_rows = self._dense_starts() if self._want_positions() else None
         for i, sub in enumerate(self.types[type_id].subtypes):
-            self.encode_column(sub, dense.field(i))
+            self.encode_column(sub, dense.field(i), stride_rows=child_rows)
 
     def _encode_union(self, type_id, dense, present):
         """UNION written from its tagged-struct surrogate: field 'tag' plus
@@ -840,7 +903,16 @@ class DwrfWriter:
         for col, specs in enc.pos_specs.items():
             ri = enc.row_indexes.get(col)
             if ri is None:
-                continue
+                # nested columns (LIST/MAP/STRUCT and their children)
+                # carry seek positions but no per-stride statistics:
+                # create bare entries so the positions have a ROW_INDEX
+                # to ride in (the reference's nested TreeWriters do the
+                # same — positions without stride stats)
+                n_entries = len(specs[0][2])
+                ri = proto.RowIndex(
+                    entry=[proto.RowIndexEntry() for _ in range(n_entries)]
+                )
+                enc.row_indexes[col] = ri
             n_entries = len(ri.entry)
             per_entry: list[list[int]] = [[] for _ in range(n_entries)]
             for kind, codec, targets in sorted(

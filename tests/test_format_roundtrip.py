@@ -1302,3 +1302,150 @@ def test_binary_stride_seek(tmp_path):
             assert got == {
                 c: full.column(c)[r].as_py() for c in full.schema.names
             }, r
+
+
+
+def test_nested_and_stride_dict_seek_bounded(tmp_path):
+    """Nested (LIST / MAP / STRUCT with nulls at every level) and
+    stride-dictionary STRING columns seek too: point lookups decompress a
+    bounded slice of the stripe instead of whole-stripe decoding, and
+    every looked-up value matches the source (A5 closure — the two
+    fallback shapes the round-6 audit flagged)."""
+    from hive_dwrf_spark.format import codecs as _codecs
+
+    n = 60_000
+    rng = np.random.RandomState(23)
+
+    def maybe(v, p=0.06):
+        return None if rng.rand() < p else v
+
+    li = [
+        maybe([int(x) for x in rng.randint(0, 1000, rng.randint(0, 5))])
+        for _ in range(n)
+    ]
+    mp = [
+        maybe({f"k{j}": int(rng.randint(0, 50)) for j in range(rng.randint(0, 3))})
+        for _ in range(n)
+    ]
+    st = [
+        maybe({"q": maybe(float(rng.rand())), "f": maybe(f"s{rng.randint(0, 9)}")})
+        for _ in range(n)
+    ]
+    # stride-dict shape: most values repeat, ~1 in 50 unique
+    sd = [
+        f"dup{i % 40}" if i % 50 else f"unique-{i}" for i in range(n)
+    ]
+    table = pa.table(
+        {
+            "li": pa.array(li, type=pa.list_(pa.int64())),
+            "mp": pa.array(mp, type=pa.map_(pa.string(), pa.int64())),
+            "st": pa.array(
+                st, type=pa.struct([("q", pa.float64()), ("f", pa.string())])
+            ),
+            "sd": pa.array(sd),
+        }
+    )
+    path = str(tmp_path / "nested_seek.dwrf")
+    write_arrow_table(
+        path,
+        table,
+        stripe_rows=n,
+        row_index_stride=5_000,
+        compression_block_size=4_096,
+        stride_dictionaries=True,
+        entropy_threshold=0,
+    )
+    with DwrfFile(path) as f:
+        # stride-dict streams really exist (the shape under test)
+        from hive_dwrf_spark.format.constants import StreamKind
+        from hive_dwrf_spark.format.reader import _StripeDecoder
+
+        dec = _StripeDecoder(f, f.footer.stripes[0])
+        sd_tid = f._top_level_id("sd")
+        assert dec.has_stream(sd_tid, StreamKind.IN_DICTIONARY)
+
+    counted = {"n": 0}
+    orig = _codecs._decompress_block
+
+    def counting(block, kind):
+        counted["n"] += 1
+        return orig(block, kind)
+
+    _codecs._decompress_block = counting
+    try:
+        with DwrfFile(path) as f:
+            f.read()
+        full_blocks = counted["n"]
+        counted["n"] = 0
+        with DwrfFile(path) as f:
+            rows = [3, 17_503, 41_999, 55_555, n - 1]
+            got = [f.read_row(r) for r in rows]
+        seek_blocks = counted["n"]
+    finally:
+        _codecs._decompress_block = orig
+    for r, g in zip(rows, got):
+        assert g == {
+            c: table.column(c)[r].as_py() for c in table.schema.names
+        }, r
+    assert full_blocks > 40, full_blocks
+    # 5 point lookups across 4 columns x 12 strides: still a fraction of
+    # the stripe's blocks (whole-stripe fallback would match full_blocks
+    # per lookup)
+    assert seek_blocks * 3 < full_blocks * len(rows), (
+        seek_blocks,
+        full_blocks,
+    )
+
+
+def test_stride_seek_matches_full_decode_nested(tmp_path):
+    """decode_stride_column over every stride reassembles EXACTLY the
+    whole-stripe decode for nested and stride-dict columns (value-level
+    parity, not just point probes)."""
+    from hive_dwrf_spark.format.reader import _StripeDecoder
+
+    n = 7_000
+    rng = np.random.RandomState(5)
+
+    def maybe(v, p=0.1):
+        return None if rng.rand() < p else v
+
+    table = pa.table(
+        {
+            "li": pa.array(
+                [
+                    maybe([int(x) for x in rng.randint(0, 99, rng.randint(0, 4))])
+                    for _ in range(n)
+                ],
+                type=pa.list_(pa.int64()),
+            ),
+            "st": pa.array(
+                [maybe({"a": maybe(int(rng.randint(0, 9))), "b": f"t{rng.randint(0,5)}"})
+                 for _ in range(n)],
+                type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
+            ),
+            "sd": pa.array(
+                [f"dup{i % 11}" if i % 9 else f"uniq-{i}" for i in range(n)]
+            ),
+        }
+    )
+    path = str(tmp_path / "parity.dwrf")
+    write_arrow_table(
+        path,
+        table,
+        stripe_rows=n,
+        row_index_stride=1_000,
+        stride_dictionaries=True,
+        entropy_threshold=0,
+    )
+    with DwrfFile(path) as f:
+        full = f.read()
+        dec = _StripeDecoder(f, f.footer.stripes[0])
+        stride = f.footer.rowIndexStride
+        for name in table.schema.names:
+            tid = f._top_level_id(name)
+            parts = [
+                dec.decode_stride_column(tid, s, stride, n)
+                for s in range((n + stride - 1) // stride)
+            ]
+            whole = pa.concat_arrays([p.cast(parts[0].type) for p in parts])
+            assert whole.to_pylist() == full.column(name).to_pylist(), name
