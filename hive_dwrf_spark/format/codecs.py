@@ -826,7 +826,8 @@ def _compress_block(block: bytes, kind: CompressionKind, level: int) -> bytes:
     raise ValueError(f"unsupported compression {kind}")
 
 
-def _decompress_block(block: bytes, kind: CompressionKind) -> bytes:
+def _decompress_block(block, kind: CompressionKind) -> bytes:
+    # `block` is any bytes-like (framing passes zero-copy memoryviews)
     if kind == CompressionKind.ZLIB:
         return zlib.decompress(block, -15)
     if kind == CompressionKind.SNAPPY:
@@ -835,7 +836,7 @@ def _decompress_block(block: bytes, kind: CompressionKind) -> bytes:
                 block, decompressed_size=_snappy_uncompressed_len(block)
             ).to_pybytes()
         if _HAVE_SNAPPY:
-            return snappy.decompress(block)
+            return snappy.decompress(bytes(block))
         return _snappy_decompress_py(block)
     if kind == CompressionKind.LZO:
         if _lzo is None:
@@ -847,6 +848,7 @@ def _decompress_block(block: bytes, kind: CompressionKind) -> bytes:
         # raw LZO1X carries no length preamble; grow the output bound
         # until the codec accepts (framing caps blocks at block_size, so
         # this converges in one or two tries)
+        block = bytes(block)
         bound = max(len(block) * 8, 1 << 18)
         while True:
             try:
@@ -911,24 +913,29 @@ def compress_stream(
     return bytes(out)
 
 
-def decompress_stream(data: bytes, kind: CompressionKind) -> bytes:
-    """Inverse of compress_stream. Blocks are independent, and the codecs
-    release the GIL, so streams with several compressed blocks decompress
-    on the same small shared pool the writer uses — the single-reader path
-    (bench, driver-side tools) gets the cores; Spark executor tasks are
-    already core-saturated and the pool cap keeps oversubscription
-    bounded."""
+def decompress_stream(data, kind: CompressionKind):
+    """Inverse of compress_stream; returns a bytes-like (bytes or
+    memoryview — callers wrap in np.frombuffer/memoryview, never index
+    past it). Accepts any buffer: block slicing is zero-copy on a
+    memoryview, a stored (isOriginal) single-block stream returns its
+    window with NO copy at all, and multi-block streams pay exactly one
+    assembly join. Blocks are independent, and the codecs release the
+    GIL, so streams with several compressed blocks decompress on the same
+    small shared pool the writer uses — the single-reader path (bench,
+    driver-side tools) gets the cores; Spark executor tasks are already
+    core-saturated and the pool cap keeps oversubscription bounded."""
     if kind == CompressionKind.NONE:
         return data
+    mv = memoryview(data)
     pos = 0
-    n = len(data)
-    parts: list[bytes] = []  # stored blocks stay as-is; others decompress
+    n = len(mv)
+    parts: list = []  # stored blocks stay as zero-copy windows
     todo: list[int] = []  # indices into parts that need decompression
     while pos < n:
-        header = int.from_bytes(data[pos : pos + 3], "little")
+        header = mv[pos] | (mv[pos + 1] << 8) | (mv[pos + 2] << 16)
         pos += 3
         ln = header >> 1
-        block = data[pos : pos + ln]
+        block = mv[pos : pos + ln]
         pos += ln
         if header & 1:
             parts.append(block)
@@ -944,6 +951,8 @@ def decompress_stream(data: bytes, kind: CompressionKind) -> bytes:
     else:
         for i in todo:
             parts[i] = _decompress_block(parts[i], kind)
+    if len(parts) == 1:
+        return parts[0]
     return b"".join(parts)
 
 

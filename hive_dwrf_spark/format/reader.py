@@ -227,8 +227,12 @@ class _StripeDecoder:
         if key not in self._cache:
             off, ln = self._ranges[key]
             with profiler.phase("decompression"):
+                # zero-copy handoff: the raw slice passes as a buffer
+                # (no bytes() duplicate of the compressed stream) and a
+                # stored single-block stream comes back as a window into
+                # the prefetched chunk — no copies at all on that path
                 data = codecs.decompress_stream(
-                    bytes(self._raw_slice(off, ln)), self.r.compression
+                    self._raw_slice(off, ln), self.r.compression
                 )
             self._cache[key] = np.frombuffer(data, dtype=np.uint8)
         return self._cache[key]
