@@ -188,6 +188,36 @@ def main() -> None:
         extras["dwrf_read_sec"] = best_of(_read_dwrf)
         extras["parquet_read_sec"] = best_of(lambda: pq.read_table(src))
 
+        # decode-gap attribution (scripts/decode_gap.py protocol): the raw
+        # zlib floor — every compressed block of every stream decompressed
+        # with ZERO decode, serial. The share of (dwrf_serial - parquet)
+        # that this floor explains is the intrinsic-codec fraction of the
+        # scan gap; the rest is our RLE/assembly logic.
+        import zlib as _zlib
+
+        from hive_dwrf_spark.format.reader import _StripeDecoder
+
+        blocks = []
+        with DwrfFile(out) as f:
+            for si in range(len(f.footer.stripes)):
+                dec = _StripeDecoder(f, f.footer.stripes[si])
+                for (col, kind), (off, ln) in dec._ranges.items():
+                    raw = bytes(dec._raw_slice(off, ln))
+                    pos = 0
+                    while pos < len(raw):
+                        header = int.from_bytes(raw[pos : pos + 3], "little")
+                        pos += 3
+                        bl = header >> 1
+                        if not header & 1:
+                            blocks.append(raw[pos : pos + bl])
+                        pos += bl
+
+        def _zlib_floor():
+            for b in blocks:
+                _zlib.decompress(b, -15)
+
+        extras["dwrf_zlib_floor_sec"] = best_of(_zlib_floor)
+
         # format parity vs the reference golden dump (BASELINE.md §3): the
         # EXACT TestFileDump.java:122-143 table, bit-for-bit — 21k rows of
         # struct<i:int,l:bigint,s:string> where every row is

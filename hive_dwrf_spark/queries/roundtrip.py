@@ -101,6 +101,98 @@ def q17(spark, sf_dir):
 
 
 @query(
+    "format_point_lookup",
+    # row_number ties: the window key includes every selected column (plus
+    # partkey/suppkey as final tie-breaks), so rows tying on the key are
+    # identical in all SELECTED columns — either engine's tie assignment
+    # yields the same (rn, values) set
+    oracle="""
+    WITH src AS (
+      SELECT l_orderkey AS okey, l_linenumber AS ln,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+             l_returnflag AS flag,
+             row_number() OVER (
+               ORDER BY l_orderkey, l_linenumber, l_quantity,
+                        l_extendedprice, l_returnflag, l_partkey, l_suppkey
+             ) - 1 AS rn
+      FROM lineitem
+    )
+    SELECT rn, okey, ln, qty_c, price_c, flag
+    FROM src WHERE rn % 4999 = 0 ORDER BY rn
+    """,
+)
+def format_point_lookup(spark, sf_dir):
+    """Point lookups through the format's ROW_INDEX seek positions
+    (reference A5, RecordReaderImpl.java:494-543 seekToRow +
+    LazyTreeReader positions): a row-numbered projection of lineitem —
+    including a LIST and a STRUCT column, the shapes that used to force
+    whole-stripe decode — is written sorted as DWRF, then every 4999th
+    row is fetched with read_row, which decodes ONE stride per column
+    (nested children seek via their own RowIndexEntry, the
+    LazyListTreeReader.java:101-107 recursion). The nested values are
+    cross-checked against the scalars in-engine; the oracle replays the
+    row numbering on parquet. The lookup loop is driver-side by design:
+    point lookups are a catalog/serving surface (k rows), not a scan —
+    at 100 TB the table would be range-sorted exactly like this and each
+    lookup touches one stride of one stripe of one file."""
+    import glob
+    import shutil
+
+    from ..format.reader import DwrfFile
+    from ..sources import register
+
+    register(spark)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/hive_dwrf_spark_ptlk_{base}"
+    shutil.rmtree(path, ignore_errors=True)
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.orderBy(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        "l_partkey",
+        "l_suppkey",
+    )
+    qty_c = F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint")
+    price_c = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    df = li.select(
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("ln"),
+        qty_c.alias("qty_c"),
+        price_c.alias("price_c"),
+        F.col("l_returnflag").alias("flag"),
+        F.array(qty_c, price_c).alias("arr"),
+        F.struct(F.col("l_returnflag").alias("f")).alias("st"),
+    )
+    # one sorted file so global row number == file row number (the
+    # range-sorted layout a point-lookup table has at any scale)
+    df.orderBy("rn").coalesce(1).write.format("dwrf").option(
+        "path", path
+    ).mode("overwrite").save()
+    fp = sorted(glob.glob(os.path.join(path, "*.dwrf")))[0]
+    out = []
+    with DwrfFile(fp) as f:
+        for r in range(0, f.num_rows, 4999):
+            row = f.read_row(r)
+            # engine self-check: the nested columns' stride decode must
+            # agree with the scalar columns fetched from the same seek
+            assert row["rn"] == r, (row["rn"], r)
+            assert row["arr"] == [row["qty_c"], row["price_c"]], row
+            assert row["st"] == {"f": row["flag"]}, row
+            out.append(
+                (row["rn"], row["okey"], row["ln"], row["qty_c"],
+                 row["price_c"], row["flag"])
+            )
+    return spark.createDataFrame(
+        out, "rn long, okey long, ln int, qty_c long, price_c long, flag string"
+    ).orderBy("rn")
+
+
+@query(
     "format_broadcast_join",
     oracle="""
     SELECT n.n_name AS n_name,
