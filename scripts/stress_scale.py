@@ -122,6 +122,10 @@ QUERIES = [
     "pipeline_drift_by_segment",  # grouped sketches + per-group windows
     "text_regex_tokens",      # one regexp_extract_all projection + agg
     "pipeline_rate_ci",       # one combinable k/n aggregate + group table
+    "format_point_lookup",    # ROW_INDEX stride seeks: lookup count grows
+                              # with rows but each lookup stays one stride
+    "format_broadcast_join",  # footer-stats hint: dim broadcasts at any
+                              # fact scale (the hint side stays 25 rows)
 ]
 
 

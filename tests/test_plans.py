@@ -296,11 +296,27 @@ def test_random_projection_is_shuffle_free(spark):
 
 def test_kmeans_assign_broadcasts_centroids(spark):
     # the corpus side must stream against a BROADCAST centroid frame —
-    # never a shuffled join on the corpus
-    plan = _plan(_queries()["embedding_kmeans"](spark, SF_SMOKE))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    assert "SortMergeJoin" not in plan
-    assert "BatchEvalPython" not in plan
+    # never a shuffled join on the corpus. Since round 7 kmeans_lloyd
+    # localCheckpoints each round (lineage cut), so the ASSIGN stage's
+    # plan is asserted directly via kmeans_assign; the query's final
+    # plan is a checkpoint scan and must stay Python-free.
+    from hive_dwrf_spark.operators.similarity import kmeans_assign, kmeans_lloyd
+    from hive_dwrf_spark.tables import load
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    cents = kmeans_lloyd(e, "embedding", "vec_id", k=4, rounds=1).select(
+        "cid", "dim", "c_e4"
+    )
+    assign_plan = _plan(kmeans_assign(e, "embedding", "vec_id", cents))
+    assert (
+        "BroadcastNestedLoopJoin" in assign_plan
+        or "BroadcastExchange" in assign_plan
+    )
+    assert "SortMergeJoin" not in assign_plan
+    assert "BatchEvalPython" not in assign_plan
+    qplan = _plan(_queries()["embedding_kmeans"](spark, SF_SMOKE))
+    assert "SortMergeJoin" not in qplan
+    assert "BatchEvalPython" not in qplan
 
 
 def test_drift_psi_corpus_cost_is_two_sketch_scans(spark):
