@@ -98,6 +98,9 @@ HEADLINE = [
     "sim_random_projection",
     "embedding_kmeans",
     "sim_ivf_lloyd",
+    # round-7 additions (format surface: stride seeks / footer-stats hint)
+    "format_point_lookup",
+    "format_broadcast_join",
 ]
 
 

@@ -1114,33 +1114,26 @@ def compressed_block_starts(comp: bytes) -> np.ndarray:
 def int_rle_aligned_count(buf: np.ndarray, count: int) -> int:
     """Smallest group-aligned value count >= `count` from the start of
     `buf` — RLE decode can only stop on group boundaries, so a seek-then-
-    decode of a stride tail must round its request up to this."""
+    decode of a stride tail must round its request up to this.
+
+    Rides int_rle_positions' group walk (one C pass / vectorized numpy,
+    never a per-varint Python loop — the pure-Python walk here was ~85%
+    of a point lookup's cost): the group containing value count-1 starts
+    at value (count-1 - skip) and its own header gives its length."""
     if count <= 0:
         return 0
     buf = np.ascontiguousarray(buf, dtype=np.uint8)
-    n = len(buf)
-    got = 0
-    p = 0
-    while got < count:
-        if p >= n:
-            raise ValueError("RLE stream truncated")
-        h = int(buf[p])
-        if h < 0x80:
-            got += h + MIN_REPEAT_SIZE
-            p += 2
-            # skip the base varint
-            while p < n and buf[p] >= 0x80:
-                p += 1
-            p += 1
-        else:
-            cnt = 256 - h
-            p += 1
-            for _ in range(cnt):
-                while p < n and buf[p] >= 0x80:
-                    p += 1
-                p += 1
-            got += cnt
-    return got
+    try:
+        ((byte_off, skip),) = int_rle_positions(
+            buf, np.asarray([count - 1], dtype=np.int64)
+        )
+    except Exception as ex:  # noqa: BLE001 - map to the documented error
+        raise ValueError("RLE stream truncated") from ex
+    if byte_off >= len(buf):
+        raise ValueError("RLE stream truncated")
+    h = int(buf[byte_off])
+    glen = h + MIN_REPEAT_SIZE if h < 0x80 else 256 - h
+    return (count - 1 - int(skip)) + glen
 
 
 def byte_rle_aligned_count(buf: np.ndarray, count: int) -> int:

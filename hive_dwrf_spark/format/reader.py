@@ -139,7 +139,13 @@ class _StripeDecoder:
         stripe: proto.StripeInformation,
         include_ids: set[int] | None = None,
         index_ids: set[int] | None = None,
+        prefetch: bool = True,
     ):
+        """prefetch=False skips the up-front chunk read entirely — streams
+        are then fetched on demand via the _raw_slice direct-IO fallback
+        (one pread of the touched stream's compressed range). The point-
+        lookup path uses this: a seek that decodes one stride must not
+        pay a whole-stripe read per call."""
         self.r = reader
         self.stripe = stripe
         self._index_ids = index_ids or set()
@@ -165,12 +171,16 @@ class _StripeDecoder:
         # twice (distinct columns touch distinct streams, so in practice
         # never); idempotent, so no lock on the hot path.
         self._cache: dict[tuple[int, int], np.ndarray] = {}
+        self._raw_cache: dict[tuple[int, int], np.ndarray] = {}
+        self._ri_cache: dict[int, proto.RowIndex] = {}
         # per-thread decode scratch (present mask handoff to stride-dict
         # decode) so columns can decode concurrently
         import threading
 
         self._tls = threading.local()
-        wanted = self._wanted_ranges(include_ids, body_len)
+        wanted = (
+            self._wanted_ranges(include_ids, body_len) if prefetch else []
+        )
         for start, end in wanted:
             data = reader._read_at(stripe.offset + start, end - start)
             self._chunks.append((start, np.frombuffer(data, dtype=np.uint8)))
@@ -218,9 +228,16 @@ class _StripeDecoder:
         for start, arr in self._chunks:
             if start <= off and off + ln <= start + len(arr):
                 return arr[off - start : off - start + ln]
-        # stream outside the prefetched ranges (e.g. dump tooling): direct IO
-        data = self.r._read_at(self.stripe.offset + off, ln)
-        return np.frombuffer(data, dtype=np.uint8)
+        # stream outside the prefetched ranges (no-prefetch point-lookup
+        # decoders, dump tooling): direct IO, memoized so a reused
+        # decoder preads each touched stream once, not once per lookup —
+        # bounded by the compressed size of the streams actually touched
+        hit = self._raw_cache.get((off, ln))
+        if hit is None:
+            data = self.r._read_at(self.stripe.offset + off, ln)
+            hit = np.frombuffer(data, dtype=np.uint8)
+            self._raw_cache[(off, ln)] = hit
+        return hit
 
     def stream(self, column: int, kind: StreamKind) -> np.ndarray:
         key = (column, int(kind))
@@ -240,9 +257,17 @@ class _StripeDecoder:
     def row_index(self, column: int) -> proto.RowIndex | None:
         if not self.has_stream(column, StreamKind.ROW_INDEX):
             return None
-        return proto.decode_message(
-            proto.RowIndex, memoryview(self.stream(column, StreamKind.ROW_INDEX).tobytes())
-        )
+        # memoized: repeated point lookups on a reused decoder were
+        # re-parsing every column's RowIndex proto per read_row (~40% of
+        # a lookup); the parsed object is immutable here
+        hit = self._ri_cache.get(column)
+        if hit is None:
+            hit = proto.decode_message(
+                proto.RowIndex,
+                memoryview(self.stream(column, StreamKind.ROW_INDEX).tobytes()),
+            )
+            self._ri_cache[column] = hit
+        return hit
 
     # -- stride-bounded decode (ROW_INDEX seek positions) ----------------------
     # Consumes the per-stride positions the writer records
@@ -872,6 +897,9 @@ class DwrfFile:
 
         self.path = path
         self._f = get_fs().open(path, "rb")
+        # point-lookup decoder reuse (read_row): (stripe, projection) ->
+        # no-prefetch _StripeDecoder with warmed dictionary/index caches
+        self._point_decoders: dict = {}
         try:
             # local files: positional os.pread, safe under the stripe pool
             self._fileno = self._f.fileno()
@@ -1376,12 +1404,28 @@ class DwrfFile:
                 name: t.column(j)[0].as_py()
                 for j, name in enumerate(t.schema.names)
             }
-        dec = _StripeDecoder(
-            self,
-            self.footer.stripes[i],
-            include_ids,
-            index_ids={tid for _, tid in tops},
+        # decoder reuse across lookups (the serving pattern is MANY point
+        # reads per open file): keyed by (stripe, projection); built with
+        # prefetch=False so a seek never pays a whole-stripe read — only
+        # the touched streams pread (memoized) and only the covering
+        # blocks decompress. Dictionary/index streams cache inside the
+        # decoder, so lookup k>1 is pure stride-window work.
+        key = (
+            i,
+            tuple(sorted(include_ids)) if include_ids is not None else None,
         )
+        dec = self._point_decoders.get(key)
+        if dec is None:
+            if len(self._point_decoders) > 8:  # cap: stripes x projections
+                self._point_decoders.clear()
+            dec = _StripeDecoder(
+                self,
+                self.footer.stripes[i],
+                include_ids,
+                index_ids={tid for _, tid in tops},
+                prefetch=False,
+            )
+            self._point_decoders[key] = dec
         s_idx = r_in_stripe // stride
         r_in_stride = r_in_stripe % stride
         n_rows = self.footer.stripes[i].numberOfRows
