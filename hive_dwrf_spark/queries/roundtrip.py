@@ -101,6 +101,46 @@ def q17(spark, sf_dir):
 
 
 @query(
+    "format_foreign_lzo",
+    # the fixture's rows are literal (it is a checked-in foreign file, no
+    # engine produced it from a table), so the oracle IS the literal
+    # table the bytes encode
+    oracle="""
+    SELECT * FROM (VALUES
+      (100,'abcd'),(101,'abcd'),(102,'abcd'),(103,'abcd'),
+      (104,'wxyz'),(105,'wxyz'),(106,'wxyz'),(107,'wxyz'),
+      (108,'pq'),(109,'pq')) AS t(i, s)
+    ORDER BY i
+    """,
+)
+def format_foreign_lzo(spark, sf_dir):
+    """A16 LZO, live at the driver gate: a CHECKED-IN foreign DWRF file
+    (tests/golden/foreign_lzo.dwrf — hand-assembled raw LZO1X streams:
+    literal runs, M3 matches, stored footers; built by
+    tests/test_interop.py::_build_lzo_file, bytes no code of ours
+    produced from a table) reads end-to-end through the Spark DataSource.
+    Decoding goes through python-lzo when installed, else the vendored
+    pure-Python LZO1X fallback (format/codecs.py::_lzo1x_decompress_py) —
+    the codec the reference loads reflectively (WriterImpl.java:184-196)
+    is now readable in EVERY environment. The oracle is the literal table
+    the bytes encode."""
+    import shutil
+
+    from ..sources import register
+
+    register(spark)
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    src = os.path.join(repo, "tests", "golden", "foreign_lzo.dwrf")
+    base = os.path.basename(os.path.normpath(sf_dir))
+    d = f"/tmp/hive_dwrf_spark_flzo_{base}"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    shutil.copy(src, os.path.join(d, "part-0.dwrf"))
+    return spark.read.format("dwrf").load(d).orderBy("i")
+
+
+@query(
     "format_point_lookup",
     # row_number ties: the window key includes every selected column (plus
     # partkey/suppkey as final tie-breaks), so rows tying on the key are
