@@ -101,6 +101,69 @@ def q17(spark, sf_dir):
 
 
 @query(
+    "format_union_roundtrip",
+    oracle="""
+    SELECT CAST(l_orderkey % 2 AS TINYINT) AS tag,
+           count(*) AS cnt,
+           CAST(sum(CASE WHEN l_orderkey % 2 = 0 THEN l_orderkey END)
+                AS BIGINT) AS sum_f0,
+           count(CASE WHEN l_orderkey % 2 = 1 THEN l_returnflag END)
+             AS cnt_f1
+    FROM lineitem GROUP BY 1 ORDER BY tag
+    """,
+)
+def format_union_roundtrip(spark, sf_dir):
+    """DWRF UNION through the full Spark path (reference
+    WriterImpl.java:1996-2008 tag byte-RLE + per-branch children;
+    orc_proto.proto:90-92): a tagged-struct surrogate column — tag picks
+    the long branch (orderkey) or the string branch (returnflag) — is
+    written as a REAL UNION node via the DataSource's union_columns
+    option and read back; per-tag aggregates over the recovered branches
+    must equal the same aggregates computed on the parquet source. UNION
+    has no Spark/Arrow analog, so the tagged struct IS the public
+    surface, exactly as the reference's OrcUnion surfaces (tag, object)."""
+    import shutil
+
+    from ..format.reader import DwrfFile
+    from ..format.constants import TypeKind
+    from ..sources import register
+
+    register(spark)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/hive_dwrf_spark_union_{base}"
+    shutil.rmtree(path, ignore_errors=True)
+    li = load(spark, sf_dir, "lineitem")
+    tag = F.pmod(F.col("l_orderkey"), F.lit(2)).cast("tinyint")
+    df = li.select(
+        F.struct(
+            tag.alias("tag"),
+            F.when(tag == 0, F.col("l_orderkey")).alias("field0"),
+            F.when(tag == 1, F.col("l_returnflag")).alias("field1"),
+        ).alias("u")
+    )
+    df.write.format("dwrf").option("path", path).option(
+        "union_columns", "u"
+    ).option("stripe_rows", "12500").mode("overwrite").save()
+    # the footer must carry a REAL UNION node (not a struct): the surface
+    # is the surrogate, the bytes are the reference's layout
+    import glob as _glob
+
+    with DwrfFile(sorted(_glob.glob(os.path.join(path, "*.dwrf")))[0]) as f:
+        assert any(TypeKind(t.kind) == TypeKind.UNION for t in f.types)
+    back = spark.read.format("dwrf").load(path)
+    return (
+        back.select("u.tag", "u.field0", "u.field1")
+        .groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("field0").cast("bigint").alias("sum_f0"),
+            F.count("field1").alias("cnt_f1"),
+        )
+        .orderBy("tag")
+    )
+
+
+@query(
     "format_foreign_lzo",
     # the fixture's rows are literal (it is a checked-in foreign file, no
     # engine produced it from a table), so the oracle IS the literal

@@ -580,6 +580,13 @@ class DwrfWriter(DataSourceArrowWriter):
             opts["stride_dictionaries"] = str(
                 self.options["stride_dictionaries"]
             ).lower() in ("true", "1", "yes")
+        if "union_columns" in self.options:
+            # comma-separated struct<tag,field0,...> columns to store as
+            # DWRF UNION nodes (the tagged-struct surrogate — DWRF UNION
+            # has no Spark/Arrow analog; format/writer.py::_encode_union)
+            opts["union_columns"] = {
+                c for c in self.options["union_columns"].split(",") if c
+            }
         return opts
 
     def write(self, iterator):
