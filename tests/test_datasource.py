@@ -563,3 +563,24 @@ def test_parse_byte_conf_units():
 
     with _pytest.raises(ValueError):
         _parse_byte_conf("ten megabytes")
+
+
+def test_dwrf_path_stats_partitioned_dir(dwrf_spark, tmp_path):
+    """Footer statistics aggregate across hive-partitioned subdirectories
+    (the layout a real dim table has), so broadcast_if_small sizes the
+    WHOLE table, not one leaf."""
+    from hive_dwrf_spark.sources import dwrf_path_stats
+    from hive_dwrf_spark.tables import load
+
+    spark = dwrf_spark
+    path = str(tmp_path / "nation_part")
+    load(spark, SF_SMOKE, "nation").write.format("dwrf").option(
+        "path", path
+    ).option("partition_by", "n_regionkey").mode("append").save()
+    import os as _os
+
+    subdirs = [d for d in _os.listdir(path) if d.startswith("n_regionkey=")]
+    assert len(subdirs) == 5
+    st = dwrf_path_stats(path)
+    assert st["rows"] == 25 and st["files"] >= 5
+    assert st["raw_bytes"] > 0 and st["file_bytes"] > 0

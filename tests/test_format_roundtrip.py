@@ -1449,3 +1449,52 @@ def test_stride_seek_matches_full_decode_nested(tmp_path):
             ]
             whole = pa.concat_arrays([p.cast(parts[0].type) for p in parts])
             assert whole.to_pylist() == full.column(name).to_pylist(), name
+
+
+def test_nullable_stride_dict_seek_and_rebuild_parity(tmp_path):
+    """Stride-dictionary column WITH nulls: the PRESENT bitfield shifts
+    the side-dict SIZE to a later position index (reference loadIndeces
+    order) — both the whole-stripe rebuild and the per-stride seek path
+    must locate it and reassemble exactly, under block compression."""
+    from hive_dwrf_spark.format.constants import StreamKind
+    from hive_dwrf_spark.format.reader import _StripeDecoder
+
+    n = 9_000
+    rng = np.random.RandomState(41)
+    vals = [
+        None if rng.rand() < 0.08
+        else (f"dup{i % 13}" if i % 11 else f"uniq-{i}")
+        for i in range(n)
+    ]
+    table = pa.table({"sd": pa.array(vals, type=pa.string())})
+    path = str(tmp_path / "sd_null.dwrf")
+    write_arrow_table(
+        path,
+        table,
+        stripe_rows=n,
+        row_index_stride=1_500,
+        stride_dictionaries=True,
+        entropy_threshold=0,
+        compression_block_size=4_096,
+    )
+    with DwrfFile(path) as f:
+        dec = _StripeDecoder(f, f.footer.stripes[0])
+        assert dec.has_stream(1, StreamKind.IN_DICTIONARY)
+        assert dec.has_stream(1, StreamKind.PRESENT)
+        # positions carry the full layout: size sits at the
+        # present-shifted index, not at 0
+        sidx = dec._stride_dict_size_index(1)
+        assert sidx > 3  # PRESENT (compressed bitfield) precedes
+        # whole-stripe rebuild
+        assert f.read().column("sd").to_pylist() == vals
+        # per-stride seek parity
+        stride = f.footer.rowIndexStride
+        parts = [
+            dec.decode_stride_column(1, s, stride, n)
+            for s in range((n + stride - 1) // stride)
+        ]
+        got = pa.concat_arrays([p.cast(parts[0].type) for p in parts])
+        assert got.to_pylist() == vals
+        # point lookups across null/dup/unique rows
+        for r in (0, 11, 1_499, 1_500, 4_321, n - 1):
+            assert f.read_row(r) == {"sd": vals[r]}, r
