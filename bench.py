@@ -221,6 +221,22 @@ def main() -> None:
 
         extras["dwrf_zlib_floor_sec"] = best_of(_zlib_floor)
 
+        # point-lookup latency (ROW_INDEX stride seek, reused decoder):
+        # ms per read_row over 20 spread rows, min-of-5 passes
+        with DwrfFile(out) as f:
+            f.read_row(0)  # warm decoder/dictionary caches
+            n_rows = f.num_rows
+            targets = list(range(0, n_rows, max(1, n_rows // 20)))[:20]
+
+            def _lookups():
+                with DwrfFile(out) as g:
+                    for r in targets:
+                        g.read_row(r)
+
+            extras["dwrf_point_lookup_ms"] = round(
+                best_of(_lookups) / len(targets) * 1000, 3
+            )
+
         # format parity vs the reference golden dump (BASELINE.md §3): the
         # EXACT TestFileDump.java:122-143 table, bit-for-bit — 21k rows of
         # struct<i:int,l:bigint,s:string> where every row is
