@@ -1364,6 +1364,42 @@ class DwrfFile:
         t = self.read_stripe(stripe_index, columns=columns)
         return t.slice(lo, hi - lo)
 
+    def _point_decoder(
+        self,
+        stripe_index: int,
+        include_ids: set[int] | None,
+        index_ids: set[int],
+    ) -> "_StripeDecoder":
+        """Decoder reuse across point lookups (the serving pattern is MANY
+        reads per open file): keyed by (stripe, projection); built with
+        prefetch=False so a seek never pays a whole-stripe read — only the
+        touched streams pread (memoized) and only the covering blocks
+        decompress. Dictionary/index streams cache inside the decoder, so
+        lookup k>1 is pure stride-window work. The cache is LRU (hit moves
+        the key to the back, overflow evicts the FRONT) so workloads
+        alternating across more than the cap's (stripe, projection) pairs
+        keep their warm working set instead of rebuilding every decoder."""
+        key = (
+            stripe_index,
+            tuple(sorted(include_ids)) if include_ids is not None else None,
+        )
+        dec = self._point_decoders.get(key)
+        if dec is not None:  # LRU touch: dict preserves insertion order
+            del self._point_decoders[key]
+            self._point_decoders[key] = dec
+            return dec
+        while len(self._point_decoders) >= 8:  # cap: stripes x projections
+            self._point_decoders.pop(next(iter(self._point_decoders)))
+        dec = _StripeDecoder(
+            self,
+            self.footer.stripes[stripe_index],
+            include_ids,
+            index_ids=index_ids,
+            prefetch=False,
+        )
+        self._point_decoders[key] = dec
+        return dec
+
     def read_row(
         self, row_number: int, columns: list[str] | None = None
     ) -> dict:
@@ -1404,28 +1440,7 @@ class DwrfFile:
                 name: t.column(j)[0].as_py()
                 for j, name in enumerate(t.schema.names)
             }
-        # decoder reuse across lookups (the serving pattern is MANY point
-        # reads per open file): keyed by (stripe, projection); built with
-        # prefetch=False so a seek never pays a whole-stripe read — only
-        # the touched streams pread (memoized) and only the covering
-        # blocks decompress. Dictionary/index streams cache inside the
-        # decoder, so lookup k>1 is pure stride-window work.
-        key = (
-            i,
-            tuple(sorted(include_ids)) if include_ids is not None else None,
-        )
-        dec = self._point_decoders.get(key)
-        if dec is None:
-            if len(self._point_decoders) > 8:  # cap: stripes x projections
-                self._point_decoders.clear()
-            dec = _StripeDecoder(
-                self,
-                self.footer.stripes[i],
-                include_ids,
-                index_ids={tid for _, tid in tops},
-                prefetch=False,
-            )
-            self._point_decoders[key] = dec
+        dec = self._point_decoder(i, include_ids, {tid for _, tid in tops})
         s_idx = r_in_stripe // stride
         r_in_stride = r_in_stripe % stride
         n_rows = self.footer.stripes[i].numberOfRows
@@ -1438,6 +1453,110 @@ class DwrfFile:
                 col = dec.decode_column(tid, n_rows)
                 out[name] = col[r_in_stripe].as_py()
         return out
+
+    def read_rows_at(
+        self, row_numbers, columns: list[str] | None = None
+    ) -> pa.Table:
+        """Batched point lookup — the serving half of the A5 seek surface
+        (RecordReaderImpl.java:494-543 seekToRow, amortized): fetch many
+        rows in ONE pass, returned as a pyarrow Table in input order
+        (duplicates allowed and preserved).
+
+        Cost model: requested rows are grouped stripe -> stride; each
+        touched stride of each projected column is decoded exactly ONCE
+        and all rows falling in it are gathered with a vectorized take —
+        k lookups landing in the same stride cost one stride decode plus
+        O(k) gathers, where the read_row loop pays k stride decodes.
+        Footer / stripe-footer / ROW_INDEX parses are amortized across
+        the batch through the shared LRU point-decoder cache, and columns
+        without seek positions (UNION, legacy files) fall back to ONE
+        whole-stripe decode per (stripe, column) for the entire batch."""
+        import bisect
+
+        ids = [int(r) for r in row_numbers]
+        for r in ids:
+            if r < 0 or r >= self.num_rows:
+                raise IndexError(
+                    f"row {r} out of range [0, {self.num_rows})"
+                )
+        if columns is not None:
+            tops, include_ids = self._parse_projection(columns)
+            schema = self.projected_schema(columns)
+        else:
+            root = self.types[0]
+            tops = list(zip(root.fieldNames, root.subtypes))
+            include_ids = None
+            schema = self.schema
+        if not ids:
+            return schema.empty_table()
+        stride = self.footer.rowIndexStride
+        firsts: list[int] = []
+        acc = 0
+        for s in self.footer.stripes:
+            firsts.append(acc)
+            acc += s.numberOfRows
+        by_stripe: dict[int, list[tuple[int, int]]] = {}
+        for pos, r in enumerate(ids):
+            i = bisect.bisect_right(firsts, r) - 1
+            by_stripe.setdefault(i, []).append((r - firsts[i], pos))
+        index_ids = {tid for _, tid in tops}
+        pieces: dict[str, list[pa.Array]] = {name: [] for name, _ in tops}
+        order: list[int] = []  # output position of each gathered row
+        for i in sorted(by_stripe):
+            rows = by_stripe[i]
+            n_rows = self.footer.stripes[i].numberOfRows
+            dec = self._point_decoder(i, include_ids, index_ids)
+            by_stride: dict[int, list[tuple[int, int]]] = {}
+            if stride:
+                for r_in_stripe, pos in rows:
+                    by_stride.setdefault(r_in_stripe // stride, []).append(
+                        (r_in_stripe % stride, pos)
+                    )
+            else:  # legacy file without a row index: whole-stripe decode
+                by_stride[-1] = rows
+            stripe_cols: dict[int, pa.Array] = {}  # fallback decode cache
+            for s_idx in sorted(by_stride):
+                offs_pos = by_stride[s_idx]
+                offs = pa.array(
+                    [o for o, _ in offs_pos], type=pa.int64()
+                )
+                for name, tid in tops:
+                    if s_idx >= 0:
+                        try:
+                            arr = dec.decode_stride_column(
+                                tid, s_idx, stride, n_rows
+                            )
+                            pieces[name].append(arr.take(offs))
+                            continue
+                        except NoStridePositions:
+                            pass
+                    col = stripe_cols.get(tid)
+                    if col is None:
+                        col = dec.decode_column(tid, n_rows)
+                        stripe_cols[tid] = col
+                    base = s_idx * stride if s_idx >= 0 else 0
+                    pieces[name].append(
+                        col.take(
+                            pa.array(
+                                [base + o for o, _ in offs_pos],
+                                type=pa.int64(),
+                            )
+                        )
+                    )
+                order.extend(pos for _, pos in offs_pos)
+        inv = np.empty(len(ids), dtype=np.int64)
+        inv[np.asarray(order, dtype=np.int64)] = np.arange(
+            len(ids), dtype=np.int64
+        )
+        take = pa.array(inv)
+        cols = []
+        for name, _tid in tops:
+            parts = pieces[name]
+            joined = (
+                pa.concat_arrays(parts) if len(parts) > 1 else parts[0]
+            )
+            cols.append(joined.take(take))
+        return pa.table(cols, schema=schema)
 
     def __enter__(self):
         return self
