@@ -1383,13 +1383,19 @@ class DwrfFile:
             stripe_index,
             tuple(sorted(include_ids)) if include_ids is not None else None,
         )
-        dec = self._point_decoders.get(key)
-        if dec is not None:  # LRU touch: dict preserves insertion order
-            del self._point_decoders[key]
+        # pop+reinsert is the LRU touch (dict preserves insertion order);
+        # pop with default keeps concurrent lookups on a shared handle
+        # safe — the worst race is two threads building the same decoder,
+        # which is idempotent
+        dec = self._point_decoders.pop(key, None)
+        if dec is not None:
             self._point_decoders[key] = dec
             return dec
         while len(self._point_decoders) >= 8:  # cap: stripes x projections
-            self._point_decoders.pop(next(iter(self._point_decoders)))
+            try:
+                self._point_decoders.pop(next(iter(self._point_decoders)))
+            except (StopIteration, KeyError):  # concurrent evictor won
+                break
         dec = _StripeDecoder(
             self,
             self.footer.stripes[stripe_index],

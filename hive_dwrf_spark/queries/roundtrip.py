@@ -203,6 +203,36 @@ def format_foreign_lzo(spark, sf_dir):
     return spark.read.format("dwrf").load(d).orderBy("i")
 
 
+def _numbered_lineitem(spark, sf_dir):
+    """lineitem with a deterministic global row number `rn` (the window
+    key includes every selected column plus partkey/suppkey as final
+    tie-breaks, so either engine's tie assignment yields the same
+    (rn, values) set), plus a LIST and a STRUCT column derived from the
+    scalars so nested decode paths can be cross-checked in-engine."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.orderBy(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        "l_partkey",
+        "l_suppkey",
+    )
+    qty_c = F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint")
+    price_c = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    return li.select(
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("ln"),
+        qty_c.alias("qty_c"),
+        price_c.alias("price_c"),
+        F.col("l_returnflag").alias("flag"),
+        F.array(qty_c, price_c).alias("arr"),
+        F.struct(F.col("l_returnflag").alias("f")).alias("st"),
+    )
+
+
 @query(
     "format_point_lookup",
     # row_number ties: the window key includes every selected column (plus
@@ -249,28 +279,7 @@ def format_point_lookup(spark, sf_dir):
     base = os.path.basename(os.path.normpath(sf_dir))
     path = f"/tmp/hive_dwrf_spark_ptlk_{base}"
     shutil.rmtree(path, ignore_errors=True)
-    li = load(spark, sf_dir, "lineitem")
-    w = Window.orderBy(
-        "l_orderkey",
-        "l_linenumber",
-        "l_quantity",
-        "l_extendedprice",
-        "l_returnflag",
-        "l_partkey",
-        "l_suppkey",
-    )
-    qty_c = F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint")
-    price_c = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
-    df = li.select(
-        (F.row_number().over(w) - 1).alias("rn"),
-        F.col("l_orderkey").alias("okey"),
-        F.col("l_linenumber").alias("ln"),
-        qty_c.alias("qty_c"),
-        price_c.alias("price_c"),
-        F.col("l_returnflag").alias("flag"),
-        F.array(qty_c, price_c).alias("arr"),
-        F.struct(F.col("l_returnflag").alias("f")).alias("st"),
-    )
+    df = _numbered_lineitem(spark, sf_dir)
     # one sorted file so global row number == file row number (the
     # range-sorted layout a point-lookup table has at any scale)
     df.orderBy("rn").coalesce(1).write.format("dwrf").option(
@@ -292,6 +301,89 @@ def format_point_lookup(spark, sf_dir):
             )
     return spark.createDataFrame(
         out, "rn long, okey long, ln int, qty_c long, price_c long, flag string"
+    ).orderBy("rn")
+
+
+@query(
+    "format_point_lookup_batch",
+    oracle="""
+    WITH src AS (
+      SELECT l_orderkey AS okey, l_linenumber AS ln,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+             l_returnflag AS flag,
+             row_number() OVER (
+               ORDER BY l_orderkey, l_linenumber, l_quantity,
+                        l_extendedprice, l_returnflag, l_partkey, l_suppkey
+             ) - 1 AS rn
+      FROM lineitem
+    )
+    SELECT rn, okey, ln, qty_c, price_c, flag
+    FROM src WHERE rn % 53 = 0 ORDER BY rn
+    """,
+)
+def format_point_lookup_batch(spark, sf_dir):
+    """Batched multi-file point lookup — the serving shape of the A5 seek
+    surface (RecordReaderImpl.java:494-543 seekToRow amortized over a key
+    batch; file routing via footer statistics, ReaderImpl.java:204-260):
+    the row-numbered lineitem projection is written RANGE-SORTED across
+    FOUR DWRF files (repartitionByRange + sortWithinPartitions — the
+    layout a key-addressed 100 TB serving table has), then a batch of
+    >=1000 keys (every 53rd rn) is fetched in ONE lookup_keys pass:
+    footer min/max stats prune files with zero data bytes, ROW_INDEX
+    per-stride stats prune strides, each candidate stride decodes once
+    for the whole batch. In-engine self-checks: every key resolves to
+    exactly one row, the nested LIST/STRUCT values gathered from the
+    same seek agree with the scalars, and a clustered-key probe proves
+    footer-stats file pruning actually fires. The oracle replays the row
+    numbering on parquet."""
+    import shutil
+
+    from ..format.lookup import lookup_keys
+    from ..sources import register
+    from ..sources.stats import dwrf_path_stats
+
+    register(spark)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/hive_dwrf_spark_ptlkb_{base}"
+    shutil.rmtree(path, ignore_errors=True)
+    df = _numbered_lineitem(spark, sf_dir)
+    df.repartitionByRange(4, "rn").sortWithinPartitions("rn").write.format(
+        "dwrf"
+    ).option("path", path).mode("overwrite").save()
+    # row count from footers only (A27 raw-size accounting surface): the
+    # key domain is known without scanning any data bytes
+    n = dwrf_path_stats(path)["rows"]
+    keys = list(range(0, n, 53))
+    trace: dict = {}
+    tbl = lookup_keys(
+        path,
+        "rn",
+        keys,
+        columns=["rn", "okey", "ln", "qty_c", "price_c", "flag", "arr", "st"],
+        trace=trace,
+    )
+    # self-check: rn is unique, so every key resolves to exactly one row
+    assert tbl.num_rows == len(keys), (tbl.num_rows, len(keys), trace)
+    # self-check: nested values gathered from the same seek coordinates
+    # agree with the scalar columns
+    qty = tbl.column("qty_c").to_pylist()
+    price = tbl.column("price_c").to_pylist()
+    flag = tbl.column("flag").to_pylist()
+    assert tbl.column("arr").to_pylist() == [
+        [q, p] for q, p in zip(qty, price)
+    ]
+    assert tbl.column("st").to_pylist() == [{"f": fl} for fl in flag]
+    # self-check: clustered keys (first file's range only) prune the
+    # other range files on footer stats alone
+    probe: dict = {}
+    lookup_keys(path, "rn", keys[:3], columns=["rn"], trace=probe)
+    assert probe["files_pruned"] >= 1, probe
+    return spark.createDataFrame(
+        tbl.select(
+            ["rn", "okey", "ln", "qty_c", "price_c", "flag"]
+        ).to_pandas(),
+        "rn long, okey long, ln int, qty_c long, price_c long, flag string",
     ).orderBy("rn")
 
 

@@ -124,6 +124,10 @@ QUERIES = [
     "pipeline_rate_ci",       # one combinable k/n aggregate + group table
     "format_point_lookup",    # ROW_INDEX stride seeks: lookup count grows
                               # with rows but each lookup stays one stride
+    "format_point_lookup_batch",  # multi-file batched lookup: footer stats
+                                  # prune files, strides decode once per
+                                  # batch (key count grows with rows; read
+                                  # ratio_per_output_row, not ratio)
     "format_broadcast_join",  # footer-stats hint: dim broadcasts at any
                               # fact scale (the hint side stays 25 rows)
 ]
@@ -245,6 +249,16 @@ def main() -> int:
             "rows_base": n_base,
             "rows_x10": n_x10,
         }
+        # output-normalized ratio: for lookup/enumeration-shaped queries
+        # the OUTPUT row count itself grows with the data (10x rows ->
+        # 10x lookups), so the raw wall ratio overstates scaling; the
+        # per-output-row ratio is the honest per-unit cost trend (flat
+        # ~1.0 = each lookup/row costs the same at 10x data)
+        growth = n_x10 / max(n_base, 1)
+        if growth > 1.01:
+            results[name]["ratio_per_output_row"] = round(
+                x10_sec / base_sec / growth, 2
+            )
         print(
             f"{name}: {base_sec:.2f}s -> {x10_sec:.2f}s "
             f"(x{x10_sec / base_sec:.1f}, rows {n_base} -> {n_x10})",
