@@ -110,7 +110,12 @@ def broadcast_if_small(df, path: str, threshold_bytes: int | None = None):
     if threshold_bytes < 0:
         return df
     stats = dwrf_path_stats(path)
-    size = stats["raw_bytes"] or stats["file_bytes"]
-    if size <= threshold_bytes:
+    if stats["raw_bytes"] == 0 and stats["rows"] > 0:
+        # footer carries no rawDataSize (foreign writer): falling back to
+        # COMPRESSED file size would reinstate exactly the underestimate
+        # this helper exists to avoid (a logically huge, well-compressed
+        # table pinned onto every executor) — refuse to hint instead
+        return df
+    if stats["raw_bytes"] <= threshold_bytes:
         return F.broadcast(df)
     return df
