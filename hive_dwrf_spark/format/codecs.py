@@ -270,6 +270,135 @@ def _lzo1x_decompress_py(data: bytes) -> bytes:
         )
     return bytes(out)
 
+# --- pure-Python LZO1X compressor ---------------------------------------------
+# The write-side complement of the decoder above, used when python-lzo is
+# absent so compression="lzo" round-trips in EVERY environment (the
+# reference loads its codec reflectively too, WriterImpl.java:184-196 —
+# availability is an environment property, not a format property). Emits
+# the same public LZO1X bitstream the decoder consumes: literal runs with
+# 0-byte length extensions, greedy M2 (3-8 byte / 2kB), M3 (16kB) and M4
+# (48kB) matches with length extensions, and 1-3 trailing literals carried
+# in each match's low operand bits. Single-probe hash-3 greedy matching:
+# ratio sits below lzo1x-1's, but every stream is decodable by any LZO1X
+# decoder (python-lzo included) and compressor-produced streams exercise
+# the decoder's match/extension branches end to end.
+
+_LZO_MAX_DIST = 49151  # M4 ceiling: 16384 + (8<<11) + 16383
+
+
+def _lzo1x_put_len_ext(out: bytearray, rem: int) -> None:
+    """Shared run/length extension: rem = 255*zeros + last, last in
+    1..255 (the decoder's `while byte==0: +=255; += last` loop)."""
+    z, last = divmod(rem - 1, 255)
+    out += b"\x00" * z
+    out.append(last + 1)
+
+
+def _lzo1x_emit_match(out: bytearray, dist: int, mlen: int, s: int) -> None:
+    if 3 <= mlen <= 8 and dist <= 2048:  # M2
+        d = dist - 1
+        out.append(((mlen - 1) << 5) | ((d & 7) << 2) | s)
+        out.append(d >> 3)
+    elif dist <= 16384:  # M3
+        if mlen <= 33:
+            out.append(32 | (mlen - 2))
+        else:
+            out.append(32)
+            _lzo1x_put_len_ext(out, mlen - 33)
+        d = dist - 1
+        out.append(((d & 63) << 2) | s)
+        out.append(d >> 6)
+    else:  # M4 (dist 16385..49151; dist==16384 is the EOF marker, M3 covers it)
+        d = dist - 16384
+        t = 16 | ((d >> 11) & 8)
+        if mlen <= 9:
+            out.append(t | (mlen - 2))
+        else:
+            out.append(t)
+            _lzo1x_put_len_ext(out, mlen - 9)
+        low = d & 16383
+        out.append(((low & 63) << 2) | s)
+        out.append(low >> 6)
+
+
+def _lzo1x_compress_py(data) -> bytes:
+    data = bytes(data)
+    n = len(data)
+    out = bytearray()
+    if n == 0:
+        out += b"\x11\x00\x00"  # bare EOF marker
+        return bytes(out)
+
+    # --- greedy tokenize: (lit_start, match_pos, dist, mlen) ---
+    tokens: list[tuple[int, int, int, int]] = []
+    table: dict[bytes, int] = {}
+    ip = 0
+    anchor = 0
+    limit = n - 3
+    while ip <= limit:
+        key = data[ip : ip + 3]
+        cand = table.get(key, -1)
+        table[key] = ip
+        if cand >= 0:
+            dist = ip - cand
+            if dist <= _LZO_MAX_DIST:
+                mlen = 3
+                maxl = n - ip
+                while mlen < maxl and data[cand + mlen] == data[ip + mlen]:
+                    mlen += 1
+                # a 3-byte far match costs 3 encoded bytes for 3 covered
+                # bytes and forfeits the literal-run economy: skip it
+                if dist <= 2048 or mlen >= 4:
+                    tokens.append((anchor, ip, dist, mlen))
+                    ip += mlen
+                    anchor = ip
+                    continue
+        ip += 1
+
+    def put_run(ls: int, L: int) -> None:
+        """Literal run instruction (state 0): length 4-18 direct, 19+
+        via 0-byte extensions."""
+        if L <= 18:
+            out.append(L - 3)
+        else:
+            out.append(0)
+            _lzo1x_put_len_ext(out, L - 18)
+        out.extend(data[ls : ls + L])
+
+    # --- serialize: stream-start literals, then matches each carrying
+    # the FOLLOWING 1-3 literals in its state bits ---
+    first_le = tokens[0][1] if tokens else n
+    if first_le:  # always >=1: a match needs prior output to point into
+        if first_le <= 238:
+            # first-byte shortcut: t>17 means t-17 literals (state 1-3
+            # for short starts, 4 otherwise — only match opcodes >=16
+            # follow, so the state never changes their decode)
+            out.append(17 + first_le)
+            out += data[:first_le]
+        else:
+            put_run(0, first_le)
+    for idx, (ls, le, dist, mlen) in enumerate(tokens):
+        if idx > 0:
+            L = le - ls
+            if L >= 4:
+                put_run(ls, L)  # state is 0 here: previous match had s=0
+            # L in 1..3 already rode on the previous match's state bits
+        nls = le + mlen  # literals following this match
+        nle = tokens[idx + 1][1] if idx + 1 < len(tokens) else n
+        nl = nle - nls
+        s = nl if 1 <= nl <= 3 else 0
+        _lzo1x_emit_match(out, dist, mlen, s)
+        if s:
+            out += data[nls : nls + s]
+    if tokens:
+        tail_ls = tokens[-1][1] + tokens[-1][3]
+        tail = n - tail_ls
+        if tail >= 4:
+            put_run(tail_ls, tail)
+    out += b"\x11\x00\x00"  # EOF: M4 with computed distance 16384
+    return bytes(out)
+
+
 U64 = np.uint64
 _SHIFTS10 = (np.arange(10, dtype=np.uint64) * np.uint64(7))[None, :]
 _IDX10 = np.arange(10)[None, :]
@@ -819,7 +948,11 @@ def _compress_block(block: bytes, kind: CompressionKind, level: int) -> bytes:
         return _snappy_compress_py(block)
     if kind == CompressionKind.LZO:
         if _lzo is None:
-            raise ValueError("LZO codec unavailable (install python-lzo)")
+            # vendored pure-Python LZO1X compressor: valid streams in
+            # every environment (python-lzo compresses better and faster
+            # when present — same reflective-availability stance as the
+            # reference, WriterImpl.java:184-196)
+            return _lzo1x_compress_py(block)
         # header=False -> raw LZO1X bytes, the in-block format the
         # reference's reflectively-loaded codec produces
         return _lzo.compress(block, min(max(level, 1), 9), False)

@@ -144,6 +144,132 @@ class TestCompression:
         assert header >> 1 == 1000
 
 
+class TestLzoCompressor:
+    """Vendored pure-Python LZO1X compressor (write-side fallback when
+    python-lzo is absent): every emitted stream must decode through the
+    vendored decoder, and — when python-lzo IS importable — through the
+    real codec too; conversely real-codec streams must decode through the
+    vendored decoder (the compressor-produced-stream fuzz leg, covering
+    the decoder's match/extension branches with non-hand-rolled input)."""
+
+    @staticmethod
+    def _rt(data: bytes) -> bytes:
+        from hive_dwrf_spark.format.codecs import (
+            _lzo1x_compress_py,
+            _lzo1x_decompress_py,
+        )
+
+        enc = _lzo1x_compress_py(data)
+        assert _lzo1x_decompress_py(enc) == data
+        return enc
+
+    def test_edge_sizes(self):
+        for data in (b"", b"a", b"ab", b"abc", b"x" * 238, b"x" * 239):
+            self._rt(data)
+
+    def test_branch_coverage_by_construction(self):
+        import random
+
+        rng = random.Random(42)
+        base = bytes(rng.randrange(256) for _ in range(300))
+        pat = bytes(rng.randrange(256) for _ in range(50))
+        seg = bytes(rng.randrange(256) for _ in range(600))
+        cases = {
+            "m2_short": b"abcabc",  # M2: len 3, dist 3
+            "m2_mid": b"abcdefgh" * 3,  # M2: len 8 window
+            "rle_overlap": b"a" * 100_000,  # dist < len overlap copy
+            "m3_far": base + b"\x00" * 2_000 + base,  # M3 distance
+            "m3_len_ext": pat + pat * 20,  # M3 length > 33 (0-ext)
+            "m4_far": base + b"\x00" * 17_000 + base,  # M4 distance
+            "m4_high_bit": base + b"\x00" * 40_000 + base,  # M4 dist>32k
+            "m4_len_ext": seg + b"\x01" * 17_000 + seg,  # M4 len > 9
+            "beyond_window": base + b"\x00" * 60_000 + base,  # literal
+            "lit_ext": bytes(rng.randrange(256) for _ in range(5_000)),
+        }
+        for label, data in cases.items():
+            enc = self._rt(data)
+            assert enc, label
+        # trailing literals 1..3 ride the final match's state bits
+        for k in range(4):
+            self._rt(b"abcdefgh" * 4 + b"XYZ"[:k])
+
+    def test_seeded_fuzz(self):
+        import random
+
+        for trial in range(120):
+            r = random.Random(trial)
+            parts = []
+            for _ in range(r.randrange(1, 12)):
+                kind = r.randrange(4)
+                if kind == 0:
+                    parts.append(
+                        bytes(
+                            r.randrange(256)
+                            for _ in range(r.randrange(0, 400))
+                        )
+                    )
+                elif kind == 1:
+                    parts.append(
+                        bytes([r.randrange(256)]) * r.randrange(1, 2000)
+                    )
+                elif kind == 2 and parts:
+                    prev = b"".join(parts)
+                    st = r.randrange(len(prev)) if prev else 0
+                    parts.append(prev[st : st + r.randrange(1, 500)])
+                else:
+                    parts.append(b"abc" * r.randrange(0, 200))
+            self._rt(b"".join(parts))
+
+    def test_lzo_stream_framing_roundtrip(self):
+        """compress_stream/decompress_stream with CompressionKind.LZO now
+        run in codec-less environments end to end."""
+        rng = np.random.default_rng(5)
+        for payload in (b"", b"abc" * 100_000, rng.bytes(300_000)):
+            enc = codecs.compress_stream(payload, CompressionKind.LZO, 64 * 1024)
+            assert codecs.decompress_stream(enc, CompressionKind.LZO) == payload
+
+    def test_real_codec_cross_agreement(self):
+        """Both directions against genuine python-lzo: our streams decode
+        through the real codec; REAL-compressor streams decode through the
+        vendored decoder (randomized — covers M1/M2/M3/M4 and the
+        extension/state-carry branches with compressor-produced input,
+        not hand-rolled fixtures)."""
+        import random
+
+        from hive_dwrf_spark.format import codecs as _codecs
+
+        if not _codecs.lzo_available():
+            pytest.skip(
+                "python-lzo absent: vendored-vs-vendored covered above"
+            )
+        for trial in range(60):
+            r = random.Random(1000 + trial)
+            parts = []
+            for _ in range(r.randrange(1, 10)):
+                k = r.randrange(3)
+                if k == 0:
+                    parts.append(
+                        bytes(
+                            r.randrange(256)
+                            for _ in range(r.randrange(0, 600))
+                        )
+                    )
+                elif k == 1:
+                    parts.append(
+                        bytes([r.randrange(256)]) * r.randrange(1, 3000)
+                    )
+                else:
+                    parts.append(b"lzo1x " * r.randrange(0, 300))
+            data = b"".join(parts)
+            ours = _codecs._lzo1x_compress_py(data)
+            assert (
+                _codecs._lzo.decompress(ours, False, max(len(data), 1) * 2 + 64)
+                == data
+            )
+            theirs = _codecs._lzo.compress(data, 1, False)
+            assert _codecs._lzo1x_decompress_py(theirs) == data
+
+
 class TestSnappyFallback:
     """Pure-Python snappy (used when python-snappy is absent): decompress
     handles all element kinds; compress emits valid literal-only streams."""

@@ -210,21 +210,38 @@ class TestFileFeatures:
         with pytest.raises(ValueError, match="bad magic"):
             DwrfFile(str(p))
 
-    def test_lzo_write_rejected_by_name_without_codec(self, tmp_path):
-        """LZO READS everywhere (vendored pure-Python LZO1X decoder
-        fallback — see tests/test_interop.py foreign-LZO fixtures), but
-        COMPRESSING needs the real codec: without python-lzo the writer
-        must fail with the codec named, not deep inside block encode."""
+    def test_lzo_roundtrips_without_codec(self, tmp_path):
+        """compression="lzo" round-trips in EVERY environment: with
+        python-lzo absent the writer uses the vendored pure-Python LZO1X
+        compressor (codecs._lzo1x_compress_py) and the reader the vendored
+        decoder — valid LZO1X streams either way, so files stay readable
+        by the real codec too (cross-checked in tests/test_codecs.py when
+        python-lzo is importable)."""
         import pyarrow as pa
 
-        from hive_dwrf_spark.format import codecs as _codecs
         from hive_dwrf_spark.format import write_arrow_table
 
-        if _codecs.lzo_available():
-            pytest.skip("python-lzo installed: write path exercised below")
-        p = str(tmp_path / "lzo.dwrf")
-        with pytest.raises(ValueError, match="LZO"):
-            write_arrow_table(p, pa.table({"a": [1, 2, 3]}), compression="lzo")
+        table = pa.table(
+            {
+                "a": pa.array(np.arange(25_000, dtype=np.int64)),
+                "s": pa.array(
+                    [f"lzo-{i % 400}" if i % 9 else None for i in range(25_000)]
+                ),
+            }
+        )
+        p = str(tmp_path / "lzo_novendor.dwrf")
+        write_arrow_table(p, table, compression="lzo", row_index_stride=1000)
+        with DwrfFile(p) as f:
+            assert f.compression.name == "LZO"
+            got = f.read()
+            assert got.column("a").to_pylist() == table.column("a").to_pylist()
+            assert got.column("s").to_pylist() == table.column("s").to_pylist()
+            # stride seeks work through LZO block framing regardless of
+            # which compressor produced the blocks
+            assert f.read_row(15_432) == {
+                "a": 15_432,
+                "s": f"lzo-{15_432 % 400}",
+            }
 
     def test_lzo_code_path_with_codec_installed(self, tmp_path, monkeypatch):
         """The LZO decode path is real code, not a stub: with a codec
