@@ -32,8 +32,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 BASE = "/root/testdata/sf0.1"
-X10 = "/tmp/stress_sf1"
-REPLICAS = 10
+X10 = "/tmp/stress_sf1"  # dir for the default 10x factor
+REPLICAS = 10  # default scale factor; override with --replicas=N (30/100
+               # runs answer "does the 10x trend HOLD another decade up" —
+               # synthesis is the same key-shifted replication, dir
+               # /tmp/stress_x{N}, result keys suffixed @x{N})
 
 # key columns to shift per table: (column, period) — period is the key
 # stride between replicas, taken as max(key)+1 of the base table
@@ -133,16 +136,16 @@ QUERIES = [
 ]
 
 
-def synthesize() -> None:
+def synthesize(replicas: int = REPLICAS, xdir: str = X10) -> None:
     import duckdb
 
-    if os.path.isdir(X10):
-        shutil.rmtree(X10)
-    os.makedirs(X10)
+    if os.path.isdir(xdir):
+        shutil.rmtree(xdir)
+    os.makedirs(xdir)
     con = duckdb.connect()
     for table, keys in SHIFT.items():
         src = f"{BASE}/{table}.parquet"
-        outdir = f"{X10}/{table}.parquet"
+        outdir = f"{xdir}/{table}.parquet"
         os.makedirs(outdir)
         shift_cols = [k for k in keys if not k.endswith("__keep")]
         periods = {}
@@ -150,7 +153,7 @@ def synthesize() -> None:
             periods[k] = con.sql(
                 f"SELECT max({k}) + 1 FROM read_parquet('{src}')"
             ).fetchone()[0]
-        for i in range(REPLICAS):
+        for i in range(replicas):
             replaces = [f"{k} + {i * periods[k]} AS {k}" for k in shift_cols]
             # content columns must differ per replica, or dedup/similarity
             # operators would see every doc 10x (cluster growth quadratic by
@@ -161,10 +164,18 @@ def synthesize() -> None:
             #   while preserving norms and the overall distribution
             if table == "documents" and i > 0:
                 # 10-char alphabet, shift 1..9: never the identity mapping
-                alpha = "aeiousnrtl"
-                rot = alpha[i % 10:] + alpha[: i % 10]
+                # two composed rotations over DISJOINT 10-char alphabets
+                # keyed by i%10 and (i//10)%10: period 100, so replicas
+                # stay textually divergent up to --replicas=100 (a single
+                # rotation cycles at 10 and higher factors would replicate
+                # TRUE duplicates, exploding dedup pair counts by
+                # construction instead of measuring the algorithm)
+                a1, a2 = "aeiousnrtl", "cdmphgbfwk"
+                r1 = a1[i % 10:] + a1[: i % 10]
+                r2 = a2[(i // 10) % 10:] + a2[: (i // 10) % 10]
                 replaces.append(
-                    f"translate(text, '{alpha}', '{rot}') AS text"
+                    f"translate(translate(text, '{a1}', '{r1}'), "
+                    f"'{a2}', '{r2}') AS text"
                 )
             if table == "embeddings" and i > 0:
                 # Rademacher sign pattern keyed by replica: exact norm
@@ -189,11 +200,18 @@ def synthesize() -> None:
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if not a.startswith("--only")]
+    argv = [
+        a
+        for a in sys.argv[1:]
+        if not a.startswith("--only") and not a.startswith("--replicas")
+    ]
     only: list[str] | None = None
+    replicas = REPLICAS
     for a in sys.argv[1:]:
         if a.startswith("--only="):
             only = a.split("=", 1)[1].split(",")
+        if a.startswith("--replicas="):
+            replicas = int(a.split("=", 1)[1])
     out_path = argv[0] if argv else os.path.join(REPO, "STRESS_r03.json")
     run_queries = only if only is not None else QUERIES
     # --only merges the named shapes into an existing out JSON (the rest
@@ -205,9 +223,10 @@ def main() -> int:
     # stress always measures the DISTRIBUTED connected-components loop —
     # the driver-local union-find gate would otherwise hide its scaling
     os.environ["SPARK_GRAFT_CC_LOCAL_THRESHOLD"] = "0"
-    print("synthesizing 10x dataset ...", flush=True)
+    xdir = X10 if replicas == REPLICAS else f"/tmp/stress_x{replicas}"
+    print(f"synthesizing {replicas}x dataset ...", flush=True)
     t0 = time.perf_counter()
-    synthesize()
+    synthesize(replicas, xdir)
     print(f"  done in {time.perf_counter() - t0:.1f}s", flush=True)
 
     from pyspark.sql import SparkSession
@@ -236,15 +255,17 @@ def main() -> int:
         base_sec = time.perf_counter() - t0
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        n_x10 = fn(spark, X10).count()
+        n_x10 = fn(spark, xdir).count()
         x10_sec = time.perf_counter() - t0
         spark.catalog.clearCache()
         # measurement isolation (same rationale as bench.py): a query must
         # not be taxed for the allocations of a heavy predecessor
         spark._jvm.System.gc()
-        results[name] = {
+        rkey = name if replicas == REPLICAS else f"{name}@x{replicas}"
+        results[rkey] = {
             "base_sec": round(base_sec, 3),
             "x10_sec": round(x10_sec, 3),
+            "factor": replicas,
             "ratio": round(x10_sec / base_sec, 2),
             "rows_base": n_base,
             "rows_x10": n_x10,
@@ -256,11 +277,11 @@ def main() -> int:
         # ~1.0 = each lookup/row costs the same at 10x data)
         growth = n_x10 / max(n_base, 1)
         if growth > 1.01:
-            results[name]["ratio_per_output_row"] = round(
+            results[rkey]["ratio_per_output_row"] = round(
                 x10_sec / base_sec / growth, 2
             )
         print(
-            f"{name}: {base_sec:.2f}s -> {x10_sec:.2f}s "
+            f"{rkey}: {base_sec:.2f}s -> {x10_sec:.2f}s "
             f"(x{x10_sec / base_sec:.1f}, rows {n_base} -> {n_x10})",
             flush=True,
         )
@@ -277,7 +298,7 @@ def main() -> int:
         from hive_dwrf_spark.format import write_arrow_table
         from hive_dwrf_spark.format.reader import DwrfFile
 
-        table = pq.read_table(f"{X10}/lineitem.parquet")
+        table = pq.read_table(f"{xdir}/lineitem.parquet")
         out = "/tmp/stress_lineitem.dwrf"
         write_arrow_table(out, table)  # warm
         t0 = time.perf_counter()
@@ -317,7 +338,8 @@ def _gate(results: dict[str, dict]) -> int:
         if n.startswith("_") or "ratio" not in v:
             continue
         out_growth = v["rows_x10"] / max(v["rows_base"], 1)
-        allowed = max(25.0, 2.5 * out_growth)
+        factor = v.get("factor", 10)
+        allowed = max(2.5 * factor, 2.5 * out_growth)
         if v["ratio"] > allowed:
             bad.append(n)
     if bad:
