@@ -265,11 +265,23 @@ def minhash_dedup_pairs(
     # eager count() job here; AQE decides from the same information for
     # free. The persist still collapses the three consumers (banding +
     # both verify sides) onto one signature computation.
+    #
+    # repartition("id2") between the two joins is load-bearing at scale:
+    # without the boundary, join2's left side is the UNMATERIALIZED
+    # (pairs JOIN sigs) intermediate whose size AQE can only chain-
+    # estimate from pairs' bytes — it underestimates the vector/signature
+    # payload fanned in by join1 and can plan join2 as a BROADCAST of a
+    # corpus-scale frame (observed: 1 GiB driver collect at 100x sf0.1 in
+    # the cosine variant). The explicit exchange makes the intermediate a
+    # measured query stage — AQE then decides join2 from ACTUAL bytes —
+    # and costs nothing when join2 stays sort-merge: it is exactly the
+    # hash partitioning on id2 that SMJ needs.
     pairs = lsh_candidate_pairs(sigs, id_col)
     s1 = sigs.select(F.col(id_col).alias("id1"), F.col("minhash").alias("sig1"))
     s2 = sigs.select(F.col(id_col).alias("id2"), F.col("minhash").alias("sig2"))
     return (
         pairs.join(s1, "id1")
+        .repartition("id2")
         .join(s2, "id2")
         .withColumn(
             "est_jaccard",
@@ -373,6 +385,11 @@ def cosine_pairs_lsh(
     )
     out = (
         pairs.join(s1, "id1")
+        # measured-stage boundary before join2 (see minhash_dedup_pairs):
+        # AQE otherwise chain-underestimates the (pairs JOIN vectors)
+        # intermediate and can broadcast a corpus-scale frame — at 100x
+        # sf0.1 that was a 1 GiB driver collect (maxResultSize abort)
+        .repartition("id2")
         .join(s2, "id2")
         .withColumn(
             "cosine",
@@ -1132,6 +1149,8 @@ def incremental_minhash_pairs(
     s2 = sigs.select(F.col(id_col).alias("id2"), F.col("minhash").alias("sig2"))
     return (
         pairs.join(s1, "id1")
+        # measured-stage boundary before join2 (see minhash_dedup_pairs)
+        .repartition("id2")
         .join(s2, "id2")
         .withColumn(
             "est_jaccard",
