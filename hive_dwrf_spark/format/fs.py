@@ -26,29 +26,49 @@ import os
 from typing import BinaryIO
 
 
+def strip_file_uri(path: str) -> str:
+    """Return the os path for a ``file:``-scheme URI; anything else
+    passes through unchanged.
+
+    Spark's SQL surfaces (``CREATE TABLE ... USING dwrf LOCATION``,
+    warehouse-managed tables, ``INSERT INTO``) hand the Python DataSource
+    a Hadoop URI — ``file:/x``, ``file:///x`` — where the read/write API
+    hands it a plain os path. Percent-escapes decode per URI rules
+    (Hadoop encodes spaces etc.). Non-``file`` schemes (s3://, gs://)
+    pass through untouched for an installed fsspec filesystem to route.
+    """
+    if not isinstance(path, str) or not path.startswith("file:"):
+        return path
+    from urllib.parse import unquote, urlsplit
+
+    return unquote(urlsplit(path).path) or path
+
+
 class LocalFileSystem:
-    """Default local-disk implementation (os/open based)."""
+    """Default local-disk implementation (os/open based). ``file:`` URIs
+    are accepted everywhere a path is (see strip_file_uri)."""
 
     def open(self, path: str, mode: str = "rb") -> BinaryIO:
-        return open(path, mode)
+        return open(strip_file_uri(path), mode)
 
     def size(self, path: str) -> int:
-        return os.path.getsize(path)
+        return os.path.getsize(strip_file_uri(path))
 
     def exists(self, path: str) -> bool:
-        return os.path.exists(path)
+        return os.path.exists(strip_file_uri(path))
 
     def isfile(self, path: str) -> bool:
-        return os.path.isfile(path)
+        return os.path.isfile(strip_file_uri(path))
 
     def stat_key(self, path: str) -> tuple:
         """Cheap identity for cache keys: changes whenever content may."""
-        st = os.stat(path)
+        st = os.stat(strip_file_uri(path))
         return (st.st_size, st.st_mtime_ns)
 
     def list_files(self, path: str, suffixes: tuple[str, ...]) -> list[str]:
         """All data files under `path` (or [path] if it is one file),
         skipping hidden/underscore names, in sorted walk order."""
+        path = strip_file_uri(path)
         if os.path.isfile(path):
             return [path]
         out = []

@@ -1396,3 +1396,70 @@ def streaming_drift_psi(spark, sf_dir):
     return drift_psi_from_bins(ref_bins, spark.table(f"sdrift_{base}")).orderBy(
         "bin"
     )
+
+
+@query(
+    "format_sql_surface",
+    # everything below INSERTs through spark.sql only; the oracle replays
+    # the same DML arithmetic on the parquet source: nation + one inserted
+    # row, aggregated per region
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           count(*) AS cnt,
+           CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+    FROM (
+      SELECT n_nationkey, n_regionkey FROM nation
+      UNION ALL SELECT 99, 0
+    )
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def format_sql_surface(spark, sf_dir):
+    """Pure-SQL DDL/DML surface over DWRF (sources/sql.py): the nation
+    table written as DWRF, exposed via CREATE TEMPORARY VIEW ... USING
+    dwrf, mutated with SQL INSERT INTO (append) and INSERT OVERWRITE
+    (SELECT over the first view), refreshed, and read back with a SQL
+    aggregate — no DataFrame read/write API anywhere past the seed copy.
+    Reference parity: Hive DDL over the DWRF SerDe gives the reference
+    this surface natively; Spark's Python DataSource carries it through
+    CreateTempViewUsing (persistent catalog tables drop the path option
+    JVM-side — see sources/sql.py for the verified gap)."""
+    import shutil
+
+    from ..sources import register
+    from ..sources.sql import create_temp_table, refresh
+
+    register(spark)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    src = f"/tmp/hive_dwrf_spark_sqlsurface_{base}/nation"
+    agg = f"/tmp/hive_dwrf_spark_sqlsurface_{base}/agg"
+    shutil.rmtree(os.path.dirname(src), ignore_errors=True)
+    load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).coalesce(1).write.format("dwrf").mode("overwrite").save(src)
+    vn, va = f"nation_sql_{base}".replace(".", "_"), (
+        f"agg_sql_{base}".replace(".", "_")
+    )
+    create_temp_table(spark, vn, src)
+    spark.sql(f"INSERT INTO {vn} VALUES (99, 'SQLLAND', 0)")
+    refresh(spark, vn)
+    # seed the overwrite target with a throwaway row of the right schema,
+    # then INSERT OVERWRITE it from a SELECT over the first view
+    spark.sql(
+        "SELECT CAST(-1 AS BIGINT) AS n_regionkey, CAST(0 AS BIGINT) AS cnt,"
+        " CAST(0 AS BIGINT) AS sum_key"
+    ).write.format("dwrf").mode("overwrite").save(agg)
+    create_temp_table(spark, va, agg)
+    spark.sql(
+        f"""
+        INSERT OVERWRITE {va}
+        SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+               count(*) AS cnt,
+               CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+        FROM {vn}
+        GROUP BY n_regionkey
+        """
+    )
+    refresh(spark, va)
+    return spark.sql(f"SELECT * FROM {va} ORDER BY n_regionkey")

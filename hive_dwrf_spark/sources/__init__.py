@@ -7,9 +7,30 @@ from .stats import broadcast_if_small, dwrf_path_stats
 __all__ = [
     "DwrfDataSource",
     "broadcast_if_small",
+    "create_temp_table",
+    "drop_temp_table",
     "dwrf_path_stats",
+    "refresh_temp_table",
     "register",
 ]
+
+
+def create_temp_table(spark, name, path, **options):
+    from .sql import create_temp_table as _impl
+
+    return _impl(spark, name, path, **options)
+
+
+def refresh_temp_table(spark, name):
+    from .sql import refresh as _impl
+
+    return _impl(spark, name)
+
+
+def drop_temp_table(spark, name):
+    from .sql import drop_temp_table as _impl
+
+    return _impl(spark, name)
 
 
 def register(spark) -> None:

@@ -31,6 +31,7 @@ import threading
 import uuid
 from dataclasses import dataclass
 
+from ..format.fs import strip_file_uri
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
@@ -372,7 +373,9 @@ class _WriteResult(WriterCommitMessage):
 
 class DwrfReader(DataSourceReader):
     def __init__(self, schema: StructType, options):
-        self.path = options.get("path")
+        # SQL surfaces (CREATE TABLE ... LOCATION / managed tables) pass
+        # a file: URI where read API calls pass an os path
+        self.path = strip_file_uri(options.get("path"))
         if not self.path:
             raise ValueError("dwrf reader requires a path")
         self.schema = schema
@@ -561,7 +564,8 @@ class DwrfReader(DataSourceReader):
 
 class DwrfWriter(DataSourceArrowWriter):
     def __init__(self, schema: StructType, options, overwrite: bool):
-        self.path = options.get("path")
+        # INSERT INTO / CTAS hand the warehouse location as a file: URI
+        self.path = strip_file_uri(options.get("path"))
         if not self.path:
             raise ValueError("dwrf writer requires a path")
         self.options = dict(options)
@@ -751,7 +755,7 @@ class DwrfDataSource(DataSource):
         return "dwrf"
 
     def schema(self):
-        path = self.options.get("path")
+        path = strip_file_uri(self.options.get("path"))
         if not path:
             raise ValueError("dwrf source requires a path")
         files = _list_dwrf_files(path)

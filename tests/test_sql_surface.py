@@ -1,0 +1,168 @@
+"""Pure-SQL surface over DWRF (sources/sql.py) + file:-URI path handling.
+
+Covers: CREATE TEMPORARY VIEW ... USING dwrf (SELECT semantics equal to
+the DataFrame read), SQL INSERT INTO / INSERT OVERWRITE through the
+DataSource writer, refresh() view rebuilding (the JVM caches each
+resolved view's planned file list — see sources/sql.py), identifier
+validation, and the reader/writer accepting Hadoop ``file:`` URIs (what
+Spark's SQL surfaces pass instead of os paths)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _seed(spark, path, rows=((1, "a"), (2, "b"))):
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.createDataFrame(list(rows), "k int, v string")
+    df.coalesce(1).write.format("dwrf").mode("overwrite").save(path)
+
+
+class TestFileUri:
+    def test_strip_file_uri_forms(self):
+        from hive_dwrf_spark.format.fs import strip_file_uri
+
+        assert strip_file_uri("/tmp/x") == "/tmp/x"
+        assert strip_file_uri("file:/tmp/x") == "/tmp/x"
+        assert strip_file_uri("file:///tmp/x") == "/tmp/x"
+        assert strip_file_uri("file:/tmp/a%20b") == "/tmp/a b"
+        assert strip_file_uri("s3://bucket/x") == "s3://bucket/x"
+        assert strip_file_uri(None) is None
+
+    def test_load_and_save_accept_file_uri(self, spark):
+        from hive_dwrf_spark.sources import register
+
+        register(spark)
+        path = "/tmp/dwrf_sql_test_uri"
+        _seed(spark, path)
+        got = spark.read.format("dwrf").load(f"file:{path}").count()
+        assert got == 2
+        out = "/tmp/dwrf_sql_test_uri_out"
+        shutil.rmtree(out, ignore_errors=True)
+        spark.read.format("dwrf").load(path).write.format("dwrf").mode(
+            "overwrite"
+        ).save(f"file://{out}")
+        assert spark.read.format("dwrf").load(out).count() == 2
+
+
+class TestSqlSurface:
+    def test_select_matches_dataframe_read(self, spark):
+        from hive_dwrf_spark.sources.sql import create_temp_table
+
+        path = "/tmp/dwrf_sql_test_select"
+        _seed(spark, path)
+        create_temp_table(spark, "t_sel", path)
+        assert spark.sql("SELECT v FROM t_sel ORDER BY k").collect() == (
+            spark.read.format("dwrf")
+            .load(path)
+            .select("v")
+            .orderBy("k")
+            .collect()
+        )
+
+    def test_insert_into_visible_after_refresh(self, spark):
+        from hive_dwrf_spark.sources.sql import create_temp_table, refresh
+
+        path = "/tmp/dwrf_sql_test_insert"
+        _seed(spark, path)
+        create_temp_table(spark, "t_ins", path)
+        spark.sql("INSERT INTO t_ins VALUES (3, 'c')")
+        refresh(spark, "t_ins")
+        assert spark.sql("SELECT count(*) AS c FROM t_ins").first().c == 3
+        # and the write really is on disk, not a session artifact
+        assert spark.read.format("dwrf").load(path).count() == 3
+
+    def test_insert_overwrite_replaces_content(self, spark):
+        from hive_dwrf_spark.sources.sql import create_temp_table, refresh
+
+        path = "/tmp/dwrf_sql_test_overwrite"
+        _seed(spark, path)
+        create_temp_table(spark, "t_ovr", path)
+        spark.sql("INSERT OVERWRITE t_ovr VALUES (9, 'z')")
+        refresh(spark, "t_ovr")
+        assert [(r.k, r.v) for r in spark.sql(
+            "SELECT * FROM t_ovr"
+        ).collect()] == [(9, "z")]
+
+    def test_insert_select_between_views(self, spark):
+        from hive_dwrf_spark.sources.sql import create_temp_table, refresh
+
+        src, dst = "/tmp/dwrf_sql_test_src", "/tmp/dwrf_sql_test_dst"
+        _seed(spark, src, rows=((1, "a"), (2, "b"), (3, "c")))
+        _seed(spark, dst, rows=((0, "seed"),))
+        create_temp_table(spark, "t_src", src)
+        create_temp_table(spark, "t_dst", dst)
+        spark.sql(
+            "INSERT OVERWRITE t_dst SELECT k * 10 AS k, upper(v) AS v"
+            " FROM t_src WHERE k >= 2"
+        )
+        refresh(spark, "t_dst")
+        assert sorted(
+            (r.k, r.v) for r in spark.sql("SELECT * FROM t_dst").collect()
+        ) == [(20, "B"), (30, "C")]
+
+    def test_refresh_requires_registration(self, spark):
+        from hive_dwrf_spark.sources.sql import refresh
+
+        with pytest.raises(KeyError):
+            refresh(spark, "never_created_this")
+
+    def test_identifier_validation(self, spark):
+        from hive_dwrf_spark.sources.sql import create_temp_table
+
+        with pytest.raises(ValueError):
+            create_temp_table(spark, "bad name; drop", "/tmp/x")
+        with pytest.raises(ValueError):
+            create_temp_table(spark, "ok_name", "/tmp/x", **{"bad key": "1"})
+
+    def test_options_forwarded_to_writer(self, spark):
+        """A compression option on the view applies to SQL INSERTs."""
+        from hive_dwrf_spark.format.reader import DwrfFile
+        from hive_dwrf_spark.sources.sql import create_temp_table
+
+        path = "/tmp/dwrf_sql_test_opts"
+        _seed(spark, path)
+        before = set(os.listdir(path))
+        create_temp_table(spark, "t_opt", path, compression="snappy")
+        spark.sql("INSERT INTO t_opt VALUES (5, 'e')")
+        new = [f for f in set(os.listdir(path)) - before
+               if f.endswith(".dwrf")]
+        assert len(new) == 1
+        with DwrfFile(os.path.join(path, new[0])) as f:
+            assert f.compression.name == "SNAPPY"
+
+    def test_persistent_catalog_tables_unsupported(self, spark):
+        """Documented Spark 4.1 gap: PythonDataSourceV2.getTable drops the
+        table properties, so a persistent `CREATE TABLE ... USING dwrf`
+        cannot carry its location into reads. If this test starts failing
+        (i.e. the SELECT succeeds), Spark fixed the forwarding — promote
+        create_temp_table to persistent DDL and retire this pin."""
+        path = "/tmp/dwrf_sql_test_catalog"
+        _seed(spark, path)
+        spark.sql("DROP TABLE IF EXISTS t_catalog_pin")
+        spark.sql(
+            f"CREATE TABLE t_catalog_pin USING dwrf LOCATION '{path}'"
+        )
+        try:
+            with pytest.raises(Exception, match="path"):
+                spark.sql("SELECT * FROM t_catalog_pin").collect()
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_catalog_pin")
+
+
+class TestSqlSurfaceQuery:
+    def test_format_sql_surface_matches_oracle(self, spark, duck):
+        from hive_dwrf_spark.queries import load_registry
+        from tests.conftest import register_duck_views
+        from tests.oracle import compare_spark_duck
+
+        queries, oracle = load_registry()
+        df = queries["format_sql_surface"](spark, SF_SMOKE)
+        register_duck_views(duck, SF_SMOKE)
+        ok, msg = compare_spark_duck(df, duck, oracle["format_sql_surface"])
+        assert ok, msg
