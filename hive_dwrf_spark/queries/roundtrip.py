@@ -1463,3 +1463,55 @@ def format_sql_surface(spark, sf_dir):
     )
     refresh(spark, va)
     return spark.sql(f"SELECT * FROM {va} ORDER BY n_regionkey")
+
+
+@query(
+    "format_sql_lookup",
+    # same row numbering as format_point_lookup_batch, sparser key set
+    oracle="""
+    WITH src AS (
+      SELECT l_orderkey AS okey, l_linenumber AS ln,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+             l_returnflag AS flag,
+             row_number() OVER (
+               ORDER BY l_orderkey, l_linenumber, l_quantity,
+                        l_extendedprice, l_returnflag, l_partkey, l_suppkey
+             ) - 1 AS rn
+      FROM lineitem
+    )
+    SELECT rn, okey, ln, qty_c, price_c, flag
+    FROM src WHERE rn % 101 = 0 ORDER BY rn
+    """,
+)
+def format_sql_lookup(spark, sf_dir):
+    """The batched point-lookup serving surface reachable from plain SQL:
+    ``SELECT ... FROM dwrf_lookup(path, key_col, array(...))`` — a Python
+    UDTF (sources/udtf.py) whose schema comes from the table's own footer
+    at analysis time and whose eval is ONE lookup_keys pass (footer-stats
+    file pruning + ROW_INDEX stride pruning + one decode per touched
+    stride). Same range-sorted multi-file layout as
+    format_point_lookup_batch; the key batch is every 101st row number,
+    sized from footer stats alone (zero data bytes)."""
+    import shutil
+
+    from ..sources import register
+    from ..sources.stats import dwrf_path_stats
+
+    register(spark)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/hive_dwrf_spark_sqllk_{base}"
+    shutil.rmtree(path, ignore_errors=True)
+    df = _numbered_lineitem(spark, sf_dir)
+    df.repartitionByRange(4, "rn").sortWithinPartitions("rn").write.format(
+        "dwrf"
+    ).option("path", path).mode("overwrite").save()
+    n = dwrf_path_stats(path)["rows"]
+    katoms = ", ".join(str(k) for k in range(0, n, 101))
+    return spark.sql(
+        f"""
+        SELECT rn, okey, ln, qty_c, price_c, flag
+        FROM dwrf_lookup('{path}', 'rn', array({katoms}))
+        ORDER BY rn
+        """
+    )

@@ -47,6 +47,9 @@ def register(spark) -> None:
     if not getattr(spark, "_hive_dwrf_registered", False):
         spark.dataSource.register(DwrfDataSource)
         spark._hive_dwrf_registered = True
+    from .udtf import register_udtfs
+
+    register_udtfs(spark)
 
 
 def _install_auto_broadcast() -> None:

@@ -1,0 +1,79 @@
+"""SQL table-valued point lookup over DWRF:
+
+    SELECT * FROM dwrf_lookup('/path/to/table', 'l_orderkey',
+                              array(15, 1000, 4711))
+
+The serving half of the A5 seek surface (format/lookup.py::lookup_keys —
+footer-stats file pruning, ROW_INDEX stride pruning, one decode per
+touched stride) exposed to plain SQL through a Python UDTF. The result
+schema is derived from the table's own footer at ANALYSIS time via the
+UDTF ``analyze`` hook, so the caller never declares it; reference parity:
+the reference's seek path (RecordReaderImpl.java:494-543) is likewise
+driven by the host engine's SQL layer with the schema from the reader
+(ReaderImpl.java:204-260).
+
+Scale shape: one eval call per input row (a bare TVF call = exactly one),
+each eval is a k-key batched lookup touching only the files/strides that
+can hold those keys — this is a SERVING surface (point reads), not a scan
+operator; a join against a big key table should use the DataSource scan
+path instead. ``analyze`` opens one footer on the driver, so the path
+must be driver-visible (true for any shared filesystem / object store
+behind the fs seam).
+"""
+
+from __future__ import annotations
+
+
+class DwrfLookupUDTF:
+    """UDTF class registered as ``dwrf_lookup`` by sources.register()."""
+
+    @staticmethod
+    def analyze(path, key_col, keys):
+        from pyspark.sql.udtf import AnalyzeResult
+        from pyspark.sql.types import StructField, StructType
+
+        from ..format.fs import strip_file_uri
+        from ..format.lookup import _list_files
+        from ..format.reader import DwrfFile
+        from .dwrf_datasource import _arrow_to_spark_type
+
+        if not (path.isConstantExpression and isinstance(path.value, str)):
+            raise ValueError(
+                "dwrf_lookup: path must be a constant string (the schema "
+                "comes from that table's footer at analysis time)"
+            )
+        if not (
+            key_col.isConstantExpression and isinstance(key_col.value, str)
+        ):
+            raise ValueError("dwrf_lookup: key_col must be a constant string")
+        first = _list_files(strip_file_uri(path.value))[0]
+        with DwrfFile(first) as f:
+            if f._top_level_id(key_col.value) is None:
+                raise ValueError(
+                    f"dwrf_lookup: no column {key_col.value!r} in {first}"
+                )
+            fields = [
+                StructField(fl.name, _arrow_to_spark_type(fl.type))
+                for fl in f.schema
+            ]
+        return AnalyzeResult(schema=StructType(fields))
+
+    def eval(self, path, key_col, keys):
+        from ..format.fs import strip_file_uri
+        from ..format.lookup import lookup_keys
+
+        if not keys:
+            return
+        table = lookup_keys(strip_file_uri(path), key_col, list(keys))
+        for row in table.to_pylist():
+            yield tuple(row.values())
+
+
+def register_udtfs(spark) -> None:
+    """Register the SQL TVFs (idempotent per session)."""
+    if getattr(spark, "_dwrf_udtfs_registered", False):
+        return
+    from pyspark.sql.functions import udtf
+
+    spark.udtf.register("dwrf_lookup", udtf(DwrfLookupUDTF))
+    spark._dwrf_udtfs_registered = True

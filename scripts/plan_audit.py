@@ -75,8 +75,20 @@ SKIP = {
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+    # --only=a,b,c restricts the audit (e.g. re-auditing the heavy
+    # pipeline shapes against a stress-synthesized directory, where
+    # queries that execute during DataFrame construction — the iterative
+    # kmeans/pagerank loops — would make a full-registry audit pay real
+    # compute per plan)
+    only: set[str] | None = None
+    argv = []
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+        else:
+            argv.append(a)
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    out_path = argv[1] if len(argv) > 1 else os.path.join(
         REPO, "PLANS_local.md"
     )
     from pyspark.sql import SparkSession
@@ -84,6 +96,11 @@ def main() -> int:
     from hive_dwrf_spark.queries import load_registry
 
     queries, _ = load_registry()
+    if only is not None:
+        missing = only - set(queries)
+        if missing:
+            raise SystemExit(f"--only names not in registry: {missing}")
+        queries = {k: v for k, v in queries.items() if k in only}
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")

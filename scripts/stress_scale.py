@@ -280,6 +280,19 @@ def main() -> int:
             results[rkey]["ratio_per_output_row"] = round(
                 x10_sec / base_sec / growth, 2
             )
+        elif growth < 0.99:
+            # output SHRANK while input grew: scaling up the synthetic
+            # corpus can merge groups/clusters (e.g. dedup_semantic at
+            # threshold 0.3 — the replica sign-flip zeroes MEAN cosine
+            # but not the >=0.3 tail of clustered base vectors, so the
+            # replicas fuse into one giant near-dup component and one
+            # canonical row survives). The ratio is then a WORST-CASE
+            # measurement (densest component / fewest groups), not a
+            # per-row cost trend; the note keeps the row self-explaining.
+            results[rkey]["note"] = (
+                "output shrank at scale: replication merged groups, ratio"
+                " measures the worst-case (densest) group shape"
+            )
         print(
             f"{rkey}: {base_sec:.2f}s -> {x10_sec:.2f}s "
             f"(x{x10_sec / base_sec:.1f}, rows {n_base} -> {n_x10})",

@@ -166,3 +166,62 @@ class TestSqlSurfaceQuery:
         register_duck_views(duck, SF_SMOKE)
         ok, msg = compare_spark_duck(df, duck, oracle["format_sql_surface"])
         assert ok, msg
+
+
+class TestDwrfLookupUDTF:
+    """SQL TVF serving surface (sources/udtf.py): footer-derived schema at
+    analysis time, batched pruned lookups at eval."""
+
+    @pytest.fixture(scope="class")
+    def table(self, spark):
+        from hive_dwrf_spark.sources import register
+
+        register(spark)
+        path = "/tmp/dwrf_sql_test_tvf"
+        shutil.rmtree(path, ignore_errors=True)
+        df = spark.createDataFrame(
+            [(i, f"v{i}", [i, i * 2], {"f": i % 3}) for i in range(500)],
+            "k int, v string, arr array<int>, st struct<f:int>",
+        )
+        df.orderBy("k").coalesce(2).write.format("dwrf").mode(
+            "overwrite"
+        ).save(path)
+        return path
+
+    def test_lookup_matches_filter(self, spark, table):
+        got = spark.sql(
+            f"SELECT k, v FROM dwrf_lookup('{table}', 'k',"
+            " array(3, 250, 499)) ORDER BY k"
+        ).collect()
+        assert [(r.k, r.v) for r in got] == [
+            (3, "v3"), (250, "v250"), (499, "v499")
+        ]
+
+    def test_nested_columns_roundtrip(self, spark, table):
+        r = spark.sql(
+            f"SELECT * FROM dwrf_lookup('{table}', 'k', array(7))"
+        ).first()
+        assert (r.k, r.v, r.arr, r.st.f) == (7, "v7", [7, 14], 1)
+
+    def test_empty_and_absent_keys(self, spark, table):
+        assert spark.sql(
+            f"SELECT * FROM dwrf_lookup('{table}', 'k',"
+            " array(100000, 100001))"
+        ).count() == 0
+        assert spark.sql(
+            f"SELECT * FROM dwrf_lookup('{table}', 'k',"
+            " slice(array(1), 1, 0))"
+        ).count() == 0
+
+    def test_unknown_key_column_fails_at_analysis(self, spark, table):
+        with pytest.raises(Exception, match="no column"):
+            spark.sql(
+                f"SELECT * FROM dwrf_lookup('{table}', 'nope', array(1))"
+            ).collect()
+
+    def test_non_constant_path_rejected(self, spark, table):
+        with pytest.raises(Exception, match="constant"):
+            spark.sql(
+                "SELECT * FROM dwrf_lookup(concat(rand()::string, 'x'),"
+                " 'k', array(1))"
+            ).collect()
