@@ -1,0 +1,102 @@
+"""Ops CLI: ``python -m hive_dwrf_spark <cmd> ...`` — the command-line
+face of the format tools. No SparkSession anywhere: every command is the
+pure format core, so it runs on a laptop against one file or in a fleet
+runbook against a table directory.
+
+    dump    <file.dwrf ...>             file structure, stats, stripes,
+                                        encodings (reference A25,
+                                        FileDump parity)
+    stats   <path>                      footer-merged table stats for a
+                                        file or directory — zero data
+                                        bytes read (A27 surface)
+    lookup  <path> <key_col> <k1,k2,..> batched point lookup with file/
+                                        stride pruning; rows as JSON
+                                        lines
+    compact <dir> <out.dwrf>            merge all part files into one by
+                                        raw stripe copy (A22, no decode)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def _cmd_dump(args: list[str]) -> int:
+    from .format.dump import dump_file
+
+    if not args:
+        print("usage: dump <file.dwrf ...>", file=sys.stderr)
+        return 2
+    for path in args:
+        print(dump_file(path))
+    return 0
+
+
+def _cmd_stats(args: list[str]) -> int:
+    from .sources.stats import dwrf_path_stats
+
+    if len(args) != 1:
+        print("usage: stats <path>", file=sys.stderr)
+        return 2
+    print(json.dumps(dwrf_path_stats(args[0]), indent=1, sort_keys=True,
+                     default=str))
+    return 0
+
+
+def _parse_key(s: str):
+    try:
+        return int(s)
+    except ValueError:
+        return s
+
+
+def _cmd_lookup(args: list[str]) -> int:
+    from .format.lookup import lookup_keys
+
+    if len(args) != 3:
+        print("usage: lookup <path> <key_col> <k1,k2,...>", file=sys.stderr)
+        return 2
+    path, key_col, raw = args
+    keys = [_parse_key(k) for k in raw.split(",") if k]
+    trace: dict = {}
+    table = lookup_keys(path, key_col, keys, trace=trace)
+    for row in table.to_pylist():
+        print(json.dumps(row, default=str))
+    print(
+        f"# {table.num_rows} rows; files {trace['files_pruned']}/"
+        f"{trace['files_total']} pruned, strides "
+        f"{trace['strides_scanned']}/{trace['strides_total']} scanned",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def _cmd_compact(args: list[str]) -> int:
+    from .format.merge import compact_directory
+
+    if len(args) != 2:
+        print("usage: compact <dir> <out.dwrf>", file=sys.stderr)
+        return 2
+    n = compact_directory(args[0], args[1])
+    print(f"merged {n} files -> {args[1]}")
+    return 0
+
+
+_COMMANDS = {
+    "dump": _cmd_dump,
+    "stats": _cmd_stats,
+    "lookup": _cmd_lookup,
+    "compact": _cmd_compact,
+}
+
+
+def main(argv: list[str]) -> int:
+    if not argv or argv[0] in ("-h", "--help") or argv[0] not in _COMMANDS:
+        print(__doc__.strip(), file=sys.stderr)
+        return 0 if argv and argv[0] in ("-h", "--help") else 2
+    return _COMMANDS[argv[0]](argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

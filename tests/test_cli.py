@@ -1,0 +1,74 @@
+"""Ops CLI (python -m hive_dwrf_spark): dump/stats/lookup/compact wrap the
+format core with no SparkSession — exercised in-process via main()."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from hive_dwrf_spark.__main__ import main
+from hive_dwrf_spark.format import write_arrow_table
+
+
+@pytest.fixture(scope="module")
+def table_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_table")
+    for part in range(2):
+        t = pa.table(
+            {
+                "k": pa.array(
+                    range(part * 100, part * 100 + 100), type=pa.int64()
+                ),
+                "v": pa.array([f"s{i}" for i in range(100)]),
+            }
+        )
+        write_arrow_table(str(d / f"part-{part}.dwrf"), t)
+    return str(d)
+
+
+def test_dump(table_dir, capsys):
+    f = os.path.join(table_dir, "part-0.dwrf")
+    assert main(["dump", f]) == 0
+    out = capsys.readouterr().out
+    assert "Rows: 100" in out and "Compression" in out
+
+
+def test_stats(table_dir, capsys):
+    assert main(["stats", table_dir]) == 0
+    got = json.loads(capsys.readouterr().out)
+    assert got["rows"] == 200 and got["files"] == 2
+
+
+def test_lookup(table_dir, capsys):
+    assert main(["lookup", table_dir, "k", "5,150"]) == 0
+    cap = capsys.readouterr()
+    rows = [json.loads(line) for line in cap.out.splitlines()]
+    assert sorted(r["k"] for r in rows) == [5, 150]
+    assert "files 0/2 pruned" in cap.err or "pruned" in cap.err
+
+
+def test_lookup_prunes_files(table_dir, capsys):
+    # keys from one part's key range only: the other file prunes on
+    # footer stats
+    assert main(["lookup", table_dir, "k", "5,7"]) == 0
+    assert "files 1/2 pruned" in capsys.readouterr().err
+
+
+def test_compact(table_dir, tmp_path, capsys):
+    from hive_dwrf_spark.format.reader import DwrfFile
+
+    out = str(tmp_path / "merged.dwrf")
+    assert main(["compact", table_dir, out]) == 0
+    with DwrfFile(out) as f:
+        assert f.num_rows == 200
+
+
+def test_usage_paths(capsys):
+    assert main([]) == 2
+    assert main(["--help"]) == 0
+    assert main(["nope"]) == 2
+    assert main(["stats"]) == 2
+    assert main(["lookup", "a", "b"]) == 2
