@@ -1179,7 +1179,12 @@ class DwrfFile:
                 sets = stride_sets(tid)
                 if sets is None:
                     continue
-                per_col[(name, op, value)] = sets
+                # IN-list values arrive as a list after the partition
+                # pickles through Spark — tuple-ize for the dict key
+                key_value = (
+                    tuple(value) if isinstance(value, list) else value
+                )
+                per_col[(name, op, key_value)] = sets
                 any_stride = len(sets) if any_stride is None else any_stride
             if per_col and any_stride:
                 stride_alive = [True] * any_stride

@@ -952,3 +952,107 @@ def gram_pairs(df: DataFrame, vec_col: str, scale: int = 10_000) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.sum("n").alias("n"), F.sum("s_e8").alias("s_e8"))
     )
+
+
+def ivf_build_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    index_dir: str,
+    n_lists: int = 4,
+    rounds: int = 2,
+    scale: int = 10_000,
+) -> None:
+    """Persist the exactly-replayable IVF index as DWRF tables — build
+    once, serve many searches without re-clustering the corpus:
+
+      {index_dir}/centroids   (cid, dim, c_e4) — k x d rows, broadcastable
+      {index_dir}/lists       (id, vec, cid) hive-PARTITIONED BY cid
+
+    The cid=N directory layout is the point: a search probes nprobe of
+    n_lists inverted lists, and the DataSource's partition pruning (O4 —
+    directory disproof before any footer is opened) turns that into
+    reading nprobe/n_lists of the FILES, an IO-level cut no in-memory
+    ivf_lloyd_topk pass gets. Same integer-Lloyd quantizer as
+    ivf_lloyd_topk, so a search over the persisted index returns
+    BIT-IDENTICAL results to the in-memory path (driver-gated by
+    sim_ivf_persisted reusing sim_ivf_lloyd's oracle verbatim)."""
+    cents = kmeans_lloyd(
+        df, vec_col, id_col, k=n_lists, rounds=rounds, scale=scale
+    ).select("cid", "dim", "c_e4")
+    cents.coalesce(1).write.format("dwrf").mode("overwrite").save(
+        f"{index_dir}/centroids"
+    )
+    cents_back = (
+        df.sparkSession.read.format("dwrf").load(f"{index_dir}/centroids")
+    )
+    assigned = kmeans_assign(df, vec_col, id_col, cents_back, scale=scale)
+    (
+        df.select(F.col(id_col), F.col(vec_col))
+        .join(assigned.select(id_col, "cid"), id_col)
+        .repartition("cid")
+        .write.format("dwrf")
+        .option("partition_by", "cid")
+        .mode("overwrite")
+        .save(f"{index_dir}/lists")
+    )
+
+
+def ivf_search_index(
+    spark,
+    index_dir: str,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int,
+    nprobe: int = 2,
+    scale: int = 10_000,
+) -> DataFrame:
+    """ANN search against an ivf_build_index directory: rank the query
+    against the (tiny) persisted centroids, collect the nprobe winning
+    list ids (a catalog-sized fetch — nprobe rows — NOT a corpus
+    collect), and scan ONLY those cid= partitions of the lists table;
+    the pushed IN-filter prunes the other directories before any footer
+    opens. Candidates are ranked by the same integer squared distance as
+    ivf_lloyd_topk. Returns (id_col, dist_e8) of the top k."""
+    import math
+
+    cents = spark.read.format("dwrf").load(f"{index_dir}/centroids")
+    qv = [int(math.floor(float(x) * scale + 0.5)) for x in query_vec]
+    qx = F.element_at(
+        F.array(*[F.lit(v).cast("long") for v in qv]), F.col("dim")
+    )
+    probe = [
+        r.cid
+        for r in (
+            cents.select(
+                "cid",
+                ((F.col("c_e4") - qx) * (F.col("c_e4") - qx)).alias("__t"),
+            )
+            .groupBy("cid")
+            .agg(F.sum("__t").alias("__qd"))
+            .orderBy("__qd", "cid")
+            .limit(nprobe)
+            .collect()
+        )
+    ]
+    lists = (
+        spark.read.format("dwrf")
+        .load(f"{index_dir}/lists")
+        .filter(F.col("cid").isin(*probe))
+    )
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)),
+    )
+    qarr = F.array(*[F.lit(v).cast("long") for v in qv])
+    dist = F.aggregate(
+        F.zip_with(q, qarr, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        lists.select(F.col(id_col), dist.alias("dist_e8"))
+        .orderBy("dist_e8", id_col)
+        .limit(k)
+    )

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, sampling, similarity, text
 from ..tables import fan_out, load
-from . import query
+from . import ORACLE, query
 
 # --- deduplication -----------------------------------------------------------
 
@@ -3734,6 +3734,43 @@ def sim_ivf_lloyd(spark, sf_dir):
         e, "embedding", "vec_id", _query_vector(spark, sf_dir), 10,
         n_lists=4, nprobe=2,
     ).orderBy("dist_e8", "vec_id")
+
+
+@query("sim_ivf_persisted")
+def sim_ivf_persisted(spark, sf_dir):
+    """IVF index persisted as DWRF tables and searched from disk
+    (operators/similarity.py::ivf_build_index / ivf_search_index):
+    centroids + cid-PARTITIONED inverted lists written once, then the
+    search reads the tiny centroid table, collects the nprobe winning
+    list ids (catalog-sized), and scans ONLY those cid= directories —
+    the pushed IN-filter prunes the rest before any footer opens (O4).
+    Same integer-Lloyd math as sim_ivf_lloyd, so the result is
+    BIT-IDENTICAL and this query reuses that oracle verbatim (assigned
+    below): persistence and partition pruning may never change answers,
+    only cut IO. The build-once/search-many split is what a 100 TB
+    vector-serving deployment actually runs."""
+    import os
+    import shutil
+
+    from ..sources import register
+
+    register(spark)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"/tmp/hive_dwrf_spark_ivfidx_{base}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    e = load(spark, sf_dir, "embeddings")
+    similarity.ivf_build_index(
+        e, "embedding", "vec_id", index_dir, n_lists=4, rounds=2
+    )
+    return similarity.ivf_search_index(
+        spark, index_dir, "embedding", "vec_id",
+        _query_vector(spark, sf_dir), 10, nprobe=2,
+    ).orderBy("dist_e8", "vec_id")
+
+
+# bit-identical to the in-memory path by construction — the persisted
+# variant must hash-check against the SAME replay
+ORACLE["sim_ivf_persisted"] = ORACLE["sim_ivf_lloyd"]
 
 
 @query(

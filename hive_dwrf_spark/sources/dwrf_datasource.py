@@ -277,8 +277,12 @@ def _convert_filter(f) -> tuple | None:
     attr = f.attribute
     if len(attr) != 1:  # nested paths not used for stats pruning
         return None
+    # pyspark's In dataclass stores its tuple in `.value` like the scalar
+    # filters (NOT `.values` — reading that silently dropped every IN
+    # filter to None, so IN-list pruning never fired; caught by the
+    # cid-partitioned IVF-lists probe test)
     value = getattr(f, "value", None)
-    if op == "in":
+    if op == "in" and value is None:
         value = getattr(f, "values", None)
     if isinstance(value, (list, tuple)) or value is None or isinstance(
         value, (int, float, str, bool)

@@ -643,3 +643,42 @@ def test_dwrf_path_stats_partitioned_dir(dwrf_spark, tmp_path):
     st = dwrf_path_stats(path)
     assert st["rows"] == 25 and st["files"] >= 5
     assert st["raw_bytes"] > 0 and st["file_bytes"] > 0
+
+
+def test_in_filter_prunes_files_and_partitions(dwrf_spark, tmp_path):
+    """IN-list pruning end-to-end: pyspark's In dataclass carries its
+    tuple in `.value` (not `.values`) — reading the wrong field silently
+    disabled every IN prune. Covers both the footer-stats file prune and
+    the hive-partition directory prune."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import In
+
+    from hive_dwrf_spark.sources.dwrf_datasource import DwrfDataSource
+
+    spark = dwrf_spark
+    # two files with disjoint key ranges
+    flat = str(tmp_path / "in_flat")
+    df = spark.sql("SELECT id AS k, id % 3 AS b FROM range(2000)")
+    df.repartitionByRange(2, "k").sortWithinPartitions("k").write.format(
+        "dwrf"
+    ).mode("overwrite").save(flat)
+    src = DwrfDataSource({"path": flat})
+    r = src.reader(src.schema())
+    list(r.pushFilters([In(("k",), (1, 5, 9))]))
+    parts = r.partitions()
+    assert len(parts) == 1, [p.path for p in parts]
+    # hive-partitioned directories
+    part = str(tmp_path / "in_part")
+    df.coalesce(1).write.format("dwrf").option("partition_by", "b").mode(
+        "append"
+    ).save(part)
+    src2 = DwrfDataSource({"path": part})
+    r2 = src2.reader(src2.schema())
+    list(r2.pushFilters([In(("b",), (0, 2))]))
+    parts2 = r2.partitions()
+    assert parts2 and all(
+        "b=0" in p.path or "b=2" in p.path for p in parts2
+    ), [p.path for p in parts2]
+    # and values still answer correctly through Spark
+    back = spark.read.format("dwrf").load(flat)
+    assert back.filter(F.col("k").isin(1, 5, 9)).count() == 3

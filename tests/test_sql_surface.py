@@ -225,3 +225,63 @@ class TestDwrfLookupUDTF:
                 "SELECT * FROM dwrf_lookup(concat(rand()::string, 'x'),"
                 " 'k', array(1))"
             ).collect()
+
+
+class TestIvfPersistedIndex:
+    """Persisted IVF index (operators/similarity.py::ivf_build_index /
+    ivf_search_index): DWRF centroids + cid-partitioned inverted lists;
+    search equals the in-memory ivf_lloyd_topk bit-for-bit and the probed
+    IN-filter prunes the unprobed cid= directories."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        from hive_dwrf_spark.sources import register
+
+        register(spark)
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_search_equals_in_memory(self, spark, corpus, tmp_path):
+        from hive_dwrf_spark.operators import similarity
+
+        idx = str(tmp_path / "ivf_idx")
+        similarity.ivf_build_index(
+            corpus, "embedding", "vec_id", idx, n_lists=4, rounds=2
+        )
+        q = [r.embedding for r in corpus.filter("vec_id = 0").collect()][0]
+        q = [float(x) for x in q]
+        got = similarity.ivf_search_index(
+            spark, idx, "embedding", "vec_id", q, 10, nprobe=2
+        ).collect()
+        want = similarity.ivf_lloyd_topk(
+            corpus, "embedding", "vec_id", q, 10, n_lists=4, nprobe=2
+        ).collect()
+        assert [(r.vec_id, r.dist_e8) for r in got] == [
+            (r.vec_id, r.dist_e8) for r in want
+        ]
+
+    def test_probe_prunes_list_directories(self, spark, corpus, tmp_path):
+        from pyspark.sql.datasource import In
+
+        from hive_dwrf_spark.operators import similarity
+        from hive_dwrf_spark.sources.dwrf_datasource import DwrfDataSource
+
+        idx = str(tmp_path / "ivf_idx2")
+        similarity.ivf_build_index(
+            corpus, "embedding", "vec_id", idx, n_lists=4, rounds=2
+        )
+        src = DwrfDataSource({"path": f"{idx}/lists"})
+        reader = src.reader(src.schema())
+        list(reader.pushFilters([In(("cid",), (0, 2))]))
+        parts = reader.partitions()
+        assert parts, "probed partitions must survive"
+        assert all(
+            "cid=0" in p.path or "cid=2" in p.path for p in parts
+        ), [p.path for p in parts]
