@@ -266,22 +266,25 @@ def minhash_dedup_pairs(
     # free. The persist still collapses the three consumers (banding +
     # both verify sides) onto one signature computation.
     #
-    # repartition("id2") between the two joins is load-bearing at scale:
-    # without the boundary, join2's left side is the UNMATERIALIZED
-    # (pairs JOIN sigs) intermediate whose size AQE can only chain-
-    # estimate from pairs' bytes — it underestimates the vector/signature
-    # payload fanned in by join1 and can plan join2 as a BROADCAST of a
-    # corpus-scale frame (observed: 1 GiB driver collect at 100x sf0.1 in
-    # the cosine variant). The explicit exchange makes the intermediate a
-    # measured query stage — AQE then decides join2 from ACTUAL bytes —
-    # and costs nothing when join2 stays sort-merge: it is exactly the
-    # hash partitioning on id2 that SMJ needs.
+    # the verify joins carry MERGE hints: every side here is corpus- or
+    # pair-scale BY CONSTRUCTION (pairs = the LSH candidate list, s1/s2 =
+    # all signatures), so a broadcast is never the right plan — yet the
+    # planner's chain estimates for the explode/distinct candidate stage
+    # can land under the broadcast threshold and build a multi-GiB
+    # broadcast (observed: driver maxResultSize abort at 100x sf0.1 in
+    # the cosine variant, 2.5 GiB candidate stage collected while the
+    # static plan's broadcast stage materialized concurrently with AQE).
+    # The hint pins sort-merge in both the static and adaptive planners;
+    # repartition("id2") between the joins keeps the intermediate a
+    # measured stage and IS the hash partitioning join2's SMJ needs.
     pairs = lsh_candidate_pairs(sigs, id_col)
     s1 = sigs.select(F.col(id_col).alias("id1"), F.col("minhash").alias("sig1"))
     s2 = sigs.select(F.col(id_col).alias("id2"), F.col("minhash").alias("sig2"))
     return (
-        pairs.join(s1, "id1")
+        pairs.hint("merge")
+        .join(s1, "id1")
         .repartition("id2")
+        .hint("merge")
         .join(s2, "id2")
         .withColumn(
             "est_jaccard",
@@ -384,12 +387,18 @@ def cosine_pairs_lsh(
         F.col("norm").alias("n2"),
     )
     out = (
-        pairs.join(s1, "id1")
-        # measured-stage boundary before join2 (see minhash_dedup_pairs):
-        # AQE otherwise chain-underestimates the (pairs JOIN vectors)
-        # intermediate and can broadcast a corpus-scale frame — at 100x
-        # sf0.1 that was a 1 GiB driver collect (maxResultSize abort)
+        # MERGE hints on both verify joins (see minhash_dedup_pairs): all
+        # sides are corpus/pair-scale by construction, and at 100x sf0.1
+        # the planner's chain estimate for the candidate stage landed
+        # under the broadcast threshold — the static plan's broadcast
+        # stage collected the 2.5 GiB / 360M-row pair list to the driver
+        # (maxResultSize abort) before AQE could replan. The boundary
+        # repartition keeps the intermediate a measured stage and is the
+        # id2 hash partitioning join2's SMJ needs anyway.
+        pairs.hint("merge")
+        .join(s1, "id1")
         .repartition("id2")
+        .hint("merge")
         .join(s2, "id2")
         .withColumn(
             "cosine",
@@ -1148,9 +1157,12 @@ def incremental_minhash_pairs(
     s1 = sigs.select(F.col(id_col).alias("id1"), F.col("minhash").alias("sig1"))
     s2 = sigs.select(F.col(id_col).alias("id2"), F.col("minhash").alias("sig2"))
     return (
-        pairs.join(s1, "id1")
-        # measured-stage boundary before join2 (see minhash_dedup_pairs)
+        # MERGE-hinted verify joins + measured-stage boundary
+        # (see minhash_dedup_pairs)
+        pairs.hint("merge")
+        .join(s1, "id1")
         .repartition("id2")
+        .hint("merge")
         .join(s2, "id2")
         .withColumn(
             "est_jaccard",

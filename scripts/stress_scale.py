@@ -203,7 +203,7 @@ def main() -> int:
     argv = [
         a
         for a in sys.argv[1:]
-        if not a.startswith("--only") and not a.startswith("--replicas")
+        if not a.startswith("--")
     ]
     only: list[str] | None = None
     replicas = REPLICAS
@@ -224,10 +224,15 @@ def main() -> int:
     # the driver-local union-find gate would otherwise hide its scaling
     os.environ["SPARK_GRAFT_CC_LOCAL_THRESHOLD"] = "0"
     xdir = X10 if replicas == REPLICAS else f"/tmp/stress_x{replicas}"
-    print(f"synthesizing {replicas}x dataset ...", flush=True)
-    t0 = time.perf_counter()
-    synthesize(replicas, xdir)
-    print(f"  done in {time.perf_counter() - t0:.1f}s", flush=True)
+    # --reuse skips synthesis when the replica dir is already on disk
+    # (it is a pure function of (BASE, replicas), so re-use is safe)
+    if "--reuse" in sys.argv and os.path.isdir(xdir):
+        print(f"reusing {xdir}", flush=True)
+    else:
+        print(f"synthesizing {replicas}x dataset ...", flush=True)
+        t0 = time.perf_counter()
+        synthesize(replicas, xdir)
+        print(f"  done in {time.perf_counter() - t0:.1f}s", flush=True)
 
     from pyspark.sql import SparkSession
 
