@@ -105,6 +105,10 @@ def main() -> int:
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
+        # --only audits run against stress-sized dirs where iterative
+        # queries EXECUTE during DataFrame construction; the 1g default
+        # driver heap is a plan-capture assumption, not an execution one
+        .config("spark.driver.memory", "8g")
         .appName("plan-audit")
         .getOrCreate()
     )
