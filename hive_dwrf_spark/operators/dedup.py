@@ -420,15 +420,38 @@ def resolve_duplicates(
     every cluster as canonical, and pass all unpaired documents through.
 
     The whole resolution is one anti-join of the corpus against the
-    non-canonical cluster members (component label != node id) — the
-    labels frame is tiny next to the corpus (only documents that appear
-    in some pair), so at 100 TB this broadcasts and the corpus is
-    scanned once and shuffled never."""
+    non-canonical cluster members (component label != node id). The
+    loser list is usually tiny next to the corpus, but it is
+    OUTPUT-SIZED, not bounded: at heavy duplication (the stress
+    harness's giant-component case — most of the corpus non-canonical)
+    it approaches corpus scale, so the broadcast is size-GATED like
+    every other data-dependent broadcast here: one cheap count on the
+    already-materialized label frame decides broadcast anti-join vs
+    shuffled anti-join (at that dup density the shuffle is the correct
+    plan, and Spark's left_anti shuffles only the id column)."""
     labels = connected_components(pairs)
     losers = labels.filter(F.col("component") != F.col("node")).select(
         F.col("node").alias(id_col)
     )
-    return df.join(F.broadcast(losers), id_col, "left_anti")
+    return df.join(_maybe_broadcast_ids(losers), id_col, "left_anti")
+
+
+def _maybe_broadcast_ids(ids: DataFrame) -> DataFrame:
+    """Broadcast an id frame only when it is actually broadcast-sized.
+
+    The threshold is rows (ids are fixed-width): 5M longs ~ 40 MB
+    serialized, comfortably under Spark's 8 GB broadcast ceiling and
+    worth the shuffle it saves; override with
+    SPARK_GRAFT_BROADCAST_IDS_MAX (0 disables broadcasting). The count
+    is cheap — callers pass frames derived from connected_components
+    output, which is already materialized (localCheckpoint / local
+    union-find list)."""
+    import os
+
+    limit = int(os.environ.get("SPARK_GRAFT_BROADCAST_IDS_MAX", 5_000_000))
+    if limit and ids.count() <= limit:
+        return F.broadcast(ids)
+    return ids
 
 
 def resolve_duplicates_by(
@@ -461,7 +484,7 @@ def resolve_duplicates_by(
         .filter(F.col("node") != F.col("_keep"))
         .select(F.col("node").alias(id_col))
     )
-    return df.join(F.broadcast(losers), id_col, "left_anti")
+    return df.join(_maybe_broadcast_ids(losers), id_col, "left_anti")
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

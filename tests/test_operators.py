@@ -2505,3 +2505,38 @@ def test_budget_select_property_random(spark):
                     min_picked_s,
                     max_unpicked_s,
                 )
+
+
+class TestResolveBroadcastGate:
+    """resolve_duplicates' loser list is output-sized, not bounded: the
+    broadcast is gated on an actual row count (SPARK_GRAFT_BROADCAST_IDS_MAX),
+    falling back to a shuffled anti-join above it — values identical."""
+
+    def _frames(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"d{i}") for i in range(20)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(i, i + 10) for i in range(10)], "id1 long, id2 long"
+        )
+        return df, pairs
+
+    def test_gate_disables_broadcast(self, spark, monkeypatch):
+        from hive_dwrf_spark.operators import dedup
+
+        df, pairs = self._frames(spark)
+        monkeypatch.setenv("SPARK_GRAFT_BROADCAST_IDS_MAX", "0")
+        out = dedup.resolve_duplicates(df, pairs, "doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert sorted(r.doc_id for r in out.collect()) == list(range(10))
+
+    def test_gate_broadcasts_small_lists(self, spark, monkeypatch):
+        from hive_dwrf_spark.operators import dedup
+
+        df, pairs = self._frames(spark)
+        monkeypatch.setenv("SPARK_GRAFT_BROADCAST_IDS_MAX", "5000000")
+        out = dedup.resolve_duplicates(df, pairs, "doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" in plan
+        assert sorted(r.doc_id for r in out.collect()) == list(range(10))
