@@ -163,3 +163,78 @@ def compaction_plan(
             "bigint"
         ),
     ).drop("__cum")
+
+
+def compact_table(
+    spark,
+    path: str,
+    target_bytes: int,
+    out_dir: str,
+) -> DataFrame:
+    """Distributed small-file compaction: the whole table's rewrite as ONE
+    Spark job of stripe-copy merges.
+
+    Planning is catalog-only — the file inventory (path, bytes) comes from
+    a listing, compaction_plan's window packs it into ~target_bytes bins,
+    and the group list collected to the driver is file-count-sized (the
+    same catalog fetch every table-maintenance system makes). Execution
+    distributes one bin per task; each task runs format/merge.py's
+    merge_files — raw stripe-byte concatenation, no decode, no re-encode —
+    and writes ``{out_dir}/part-c{grp}.dwrf``. On a 1000-executor cluster
+    a million-file table compacts in parallel at IO speed; the driver
+    never touches data bytes. The source directory is left intact (the
+    caller swaps directories after validating, the rewrite-then-commit
+    pattern); bins inherit merge_files' contract that members share a
+    schema and compression kind, which one writer's output satisfies.
+
+    Returns the per-bin report (grp, files_in, bytes_in, out_path, rows).
+    """
+    import os
+
+    from ..format.fs import get_fs, strip_file_uri
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    path = strip_file_uri(path)
+    out_dir = strip_file_uri(out_dir)
+    fs = get_fs()
+    files = fs.list_files(path, (".dwrf", ".orc"))
+    if not files:
+        raise FileNotFoundError(f"no .dwrf files under {path}")
+    inv = spark.createDataFrame(
+        [(f, fs.size(f)) for f in files], "path string, bytes long"
+    )
+    plan = compaction_plan(inv, "bytes", target_bytes, id_cols=["path"])
+    groups = (
+        plan.groupBy("grp")
+        .agg(
+            F.sort_array(F.collect_list("path")).alias("paths"),
+            F.sum("bytes").alias("bytes_in"),
+            F.count(F.lit(1)).alias("files_in"),
+        )
+        .collect()
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    jobs = [(int(r.grp), list(r.paths), int(r.bytes_in), int(r.files_in))
+            for r in groups]
+
+    def run(job):
+        grp, paths, bytes_in, files_in = job
+        from hive_dwrf_spark.format.merge import merge_files
+        from hive_dwrf_spark.format.reader import DwrfFile
+
+        out = os.path.join(out_dir, f"part-c{grp:05d}.dwrf")
+        merge_files(paths, out)
+        with DwrfFile(out) as f:
+            rows = f.num_rows
+        return (grp, files_in, bytes_in, out, rows)
+
+    report = (
+        spark.sparkContext.parallelize(jobs, max(len(jobs), 1))
+        .map(run)
+        .collect()
+    )
+    return spark.createDataFrame(
+        report,
+        "grp long, files_in long, bytes_in long, out_path string, rows long",
+    )

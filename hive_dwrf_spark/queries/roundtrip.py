@@ -11,7 +11,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..tables import load
-from . import query
+from . import ORACLE, query
 
 
 def _await_done(q, timeout: float = 300.0) -> None:
@@ -1515,3 +1515,57 @@ def format_sql_lookup(spark, sf_dir):
         ORDER BY rn
         """
     )
+
+
+@query("format_compact_distributed")
+def format_compact_distributed(spark, sf_dir):
+    """Small-file compaction as a DISTRIBUTED job
+    (operators/layout.py::compact_table): events written as 8 small-stripe
+    part files, packed into ~256 KB bins by the catalog-only planner
+    (compaction_plan), each bin stripe-copy-merged by ONE Spark task
+    (merge_files — no decode), and the compacted directory read back.
+    In-engine self-checks pin that >1 merge task ran and the output has
+    fewer files than the input; the aggregate must equal format_compact's
+    oracle on the parquet source (assigned below) — distribution may never
+    change bytes. This is A22 at fleet shape: a million-file table
+    compacts in parallel at IO speed with the driver touching only the
+    catalog."""
+    import glob
+    import shutil
+
+    from ..operators.layout import compact_table
+    from ..sources import register
+
+    register(spark)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    src = f"/tmp/hive_dwrf_spark_dcompact_src_{base}"
+    out = f"/tmp/hive_dwrf_spark_dcompact_out_{base}"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    e = load(spark, sf_dir, "events")
+    e.repartition(8).write.format("dwrf").option("path", src).option(
+        "stripe_rows", "1000"
+    ).mode("overwrite").save()
+    report = compact_table(spark, src, target_bytes=256 * 1024, out_dir=out)
+    n_in = len(glob.glob(os.path.join(src, "*.dwrf")))
+    n_out = len(glob.glob(os.path.join(out, "*.dwrf")))
+    bins = report.count()
+    assert bins >= 1 and n_out == bins and n_out < n_in, (n_in, n_out, bins)
+    assert report.agg(F.sum("files_in")).first()[0] == n_in
+    back = spark.read.format("dwrf").load(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.floor(F.col("value") * 10000 + 0.5)).alias(
+                "sum_value_e4"
+            ),
+            F.count_distinct(F.col("user_id")).alias("users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# value-transparent by construction: the distributed rewrite must equal
+# the single-process compaction's replay on the parquet source
+ORACLE["format_compact_distributed"] = ORACLE["format_compact"]

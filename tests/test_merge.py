@@ -56,3 +56,43 @@ def test_merged_file_prunes(tmp_path):
     with DwrfFile(out) as f:
         got = f.read(filters=[("k", "gte", 5000)])
         assert got.num_rows == 1000  # five of six stripes pruned
+
+
+class TestDistributedCompaction:
+    """compact_table (operators/layout.py): catalog-only planning, one
+    stripe-copy merge per Spark task, value-transparent output."""
+
+    def test_compact_table_report_and_values(self, spark, tmp_path):
+        from hive_dwrf_spark.operators.layout import compact_table
+        from hive_dwrf_spark.sources import register
+
+        register(spark)
+        src, out = str(tmp_path / "src"), str(tmp_path / "out")
+        df = spark.sql(
+            "SELECT id AS k, concat('v', id % 100) AS v FROM range(40000)"
+        )
+        df.repartition(8).write.format("dwrf").option(
+            "stripe_rows", "1000"
+        ).mode("overwrite").save(src)
+        report = compact_table(
+            spark, src, target_bytes=128 * 1024, out_dir=out
+        )
+        rep = report.collect()
+        assert sum(r.files_in for r in rep) == 8
+        assert sum(r.rows for r in rep) == 40000
+        assert len(rep) < 8  # actually compacted
+        back = spark.read.format("dwrf").load(out)
+        assert back.count() == 40000
+        assert back.agg({"k": "sum"}).first()[0] == df.agg(
+            {"k": "sum"}
+        ).first()[0]
+
+    def test_compact_table_empty_dir_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from hive_dwrf_spark.operators.layout import compact_table
+
+        d = tmp_path / "empty"
+        d.mkdir()
+        with _pytest.raises(FileNotFoundError):
+            compact_table(spark, str(d), 1024, str(tmp_path / "o"))
