@@ -1569,3 +1569,32 @@ def format_compact_distributed(spark, sf_dir):
 # value-transparent by construction: the distributed rewrite must equal
 # the single-process compaction's replay on the parquet source
 ORACLE["format_compact_distributed"] = ORACLE["format_compact"]
+
+
+@query("format_sql_stats")
+def format_sql_stats(spark, sf_dir):
+    """The footer-statistics catalog reachable from plain SQL
+    (sources/udtf.py::DwrfStatsUDTF): the same multi-part events table
+    format_stats writes, read back as ``SELECT * FROM dwrf_stats(path)``
+    — per-column count/min/max/exact-int-sum assembled by merging part
+    footers, ZERO data bytes read. Must equal format_stats' oracle
+    verbatim (assigned below): the SQL surface may never drift from the
+    Python one."""
+    import shutil
+
+    from ..sources import register
+
+    register(spark)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/hive_dwrf_spark_sqlstats_{base}"
+    shutil.rmtree(path, ignore_errors=True)
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    e.repartition(4).write.format("dwrf").option("path", path).mode(
+        "overwrite"
+    ).save()
+    return spark.sql(
+        f"SELECT * FROM dwrf_stats('{path}') ORDER BY col_name"
+    )
+
+
+ORACLE["format_sql_stats"] = ORACLE["format_stats"]

@@ -119,3 +119,28 @@ def broadcast_if_small(df, path: str, threshold_bytes: int | None = None):
     if stats["raw_bytes"] <= threshold_bytes:
         return F.broadcast(df)
     return df
+
+
+def merged_column_stats(path: str) -> dict:
+    """Per-top-level-column ColumnStats merged across every part file's
+    footer — the whole-table catalog view, zero data bytes read (A19 +
+    A27: ColumnStatisticsImpl merging, ReaderImpl.java:204-260 footer
+    consumption). Keys are the first file's field names; files must share
+    a schema (one table's parts do)."""
+    from ..format.fs import get_fs
+    from ..format.reader import DwrfFile
+
+    files = get_fs().list_files(path, (".dwrf", ".orc"))
+    if not files:
+        raise FileNotFoundError(f"no .dwrf files under {path}")
+    merged: dict = {}
+    for fp in sorted(files):
+        with DwrfFile(fp) as f:
+            for name in f.types[0].fieldNames:
+                tid = f._top_level_id(name)
+                st = f.file_stats(tid)
+                if name in merged:
+                    merged[name].merge(st)
+                else:
+                    merged[name] = st
+    return merged

@@ -76,4 +76,77 @@ def register_udtfs(spark) -> None:
     from pyspark.sql.functions import udtf
 
     spark.udtf.register("dwrf_lookup", udtf(DwrfLookupUDTF))
+    spark.udtf.register("dwrf_stats", udtf(DwrfStatsUDTF))
     spark._dwrf_udtfs_registered = True
+
+
+class DwrfStatsUDTF:
+    """Registered as ``dwrf_stats``: the table's footer-merged column
+    statistics as SQL rows —
+
+        SELECT * FROM dwrf_stats('/path/to/table')
+
+    One row per top-level column: (col_name, n, min_num, max_num,
+    sum_int). Zero data bytes are read (footer merging only — the
+    catalog fetch a stats-driven optimizer makes). Numeric min/max
+    surface as double; exact int64 sums surface unless a footer recorded
+    overflow; string/bool/nested columns report their non-null count
+    with NULL numerics (string min/max don't fit the numeric schema)."""
+
+    @staticmethod
+    def analyze(path):
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if not (path.isConstantExpression and isinstance(path.value, str)):
+            raise ValueError("dwrf_stats: path must be a constant string")
+        return AnalyzeResult(
+            schema=StructType(
+                [
+                    StructField("col_name", StringType()),
+                    StructField("n", LongType()),
+                    StructField("min_num", DoubleType()),
+                    StructField("max_num", DoubleType()),
+                    StructField("sum_int", LongType()),
+                ]
+            )
+        )
+
+    def eval(self, path):
+        from ..format.fs import strip_file_uri
+        from ..format.types import TypeKind
+        from .stats import merged_column_stats
+
+        numeric = {
+            TypeKind.BYTE,
+            TypeKind.SHORT,
+            TypeKind.INT,
+            TypeKind.LONG,
+            TypeKind.FLOAT,
+            TypeKind.DOUBLE,
+        }
+        int_kinds = {
+            TypeKind.BYTE,
+            TypeKind.SHORT,
+            TypeKind.INT,
+            TypeKind.LONG,
+        }
+        for name, st in sorted(
+            merged_column_stats(strip_file_uri(path)).items()
+        ):
+            is_num = st.kind in numeric and st.minimum is not None
+            yield (
+                name,
+                int(st.count),
+                float(st.minimum) if is_num else None,
+                float(st.maximum) if is_num else None,
+                int(st.sum)
+                if st.kind in int_kinds and not st.overflow and st.count
+                else None,
+            )

@@ -285,3 +285,39 @@ class TestIvfPersistedIndex:
         assert all(
             "cid=0" in p.path or "cid=2" in p.path for p in parts
         ), [p.path for p in parts]
+
+
+class TestDwrfStatsUDTF:
+    """dwrf_stats TVF: footer-merged per-column catalog rows from SQL."""
+
+    def test_stats_rows(self, spark, tmp_path):
+        from hive_dwrf_spark.sources import register
+
+        register(spark)
+        path = str(tmp_path / "stats_tvf")
+        df = spark.createDataFrame(
+            [(i, float(i) / 2, f"s{i}") for i in range(1000)],
+            "k long, x double, s string",
+        )
+        df.repartition(3).write.format("dwrf").mode("overwrite").save(path)
+        rows = {
+            r.col_name: r
+            for r in spark.sql(
+                f"SELECT * FROM dwrf_stats('{path}')"
+            ).collect()
+        }
+        assert rows["k"].n == 1000 and rows["k"].sum_int == 499500
+        assert rows["k"].min_num == 0.0 and rows["k"].max_num == 999.0
+        assert rows["x"].sum_int is None  # double: order-dependent sum
+        assert rows["x"].max_num == 499.5
+        # strings: count only, numerics NULL
+        assert rows["s"].n == 1000 and rows["s"].min_num is None
+
+    def test_non_constant_path_rejected(self, spark):
+        from hive_dwrf_spark.sources import register
+
+        register(spark)
+        with pytest.raises(Exception, match="constant"):
+            spark.sql(
+                "SELECT * FROM dwrf_stats(concat(rand()::string, 'x'))"
+            ).collect()
