@@ -34,13 +34,26 @@ def _cmd_dump(args: list[str]) -> int:
 
 
 def _cmd_stats(args: list[str]) -> int:
-    from .sources.stats import dwrf_path_stats
+    from .sources.stats import dwrf_path_stats, merged_column_stats
 
+    columns = "--columns" in args
+    args = [a for a in args if a != "--columns"]
     if len(args) != 1:
-        print("usage: stats <path>", file=sys.stderr)
+        print("usage: stats [--columns] <path>", file=sys.stderr)
         return 2
-    print(json.dumps(dwrf_path_stats(args[0]), indent=1, sort_keys=True,
-                     default=str))
+    out = dwrf_path_stats(args[0])
+    if columns:
+        out["columns"] = {
+            name: {
+                "kind": st.kind.name,
+                "count": st.count,
+                "min": st.minimum,
+                "max": st.maximum,
+                "sum": None if st.overflow else st.sum,
+            }
+            for name, st in merged_column_stats(args[0]).items()
+        }
+    print(json.dumps(out, indent=1, sort_keys=True, default=str))
     return 0
 
 

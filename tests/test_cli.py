@@ -72,3 +72,12 @@ def test_usage_paths(capsys):
     assert main(["nope"]) == 2
     assert main(["stats"]) == 2
     assert main(["lookup", "a", "b"]) == 2
+
+
+def test_stats_columns(table_dir, capsys):
+    assert main(["stats", "--columns", table_dir]) == 0
+    got = json.loads(capsys.readouterr().out)
+    assert got["columns"]["k"]["count"] == 200
+    assert got["columns"]["k"]["min"] == 0
+    assert got["columns"]["k"]["max"] == 199
+    assert got["columns"]["v"]["kind"] == "STRING"
