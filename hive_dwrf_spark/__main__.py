@@ -43,13 +43,19 @@ def _cmd_stats(args: list[str]) -> int:
         return 2
     out = dwrf_path_stats(args[0])
     if columns:
+        int_kinds = {"BYTE", "SHORT", "INT", "LONG"}
         out["columns"] = {
             name: {
                 "kind": st.kind.name,
                 "count": st.count,
                 "min": st.minimum,
                 "max": st.maximum,
-                "sum": None if st.overflow else st.sum,
+                # exact only for integer kinds (same rule as the
+                # dwrf_stats TVF): string/bool sums are meaningless
+                # zeros, double sums are accumulation-order-dependent
+                "sum": st.sum
+                if st.kind.name in int_kinds and not st.overflow
+                else None,
             }
             for name, st in merged_column_stats(args[0]).items()
         }

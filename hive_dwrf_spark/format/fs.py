@@ -39,9 +39,17 @@ def strip_file_uri(path: str) -> str:
     """
     if not isinstance(path, str) or not path.startswith("file:"):
         return path
-    from urllib.parse import unquote, urlsplit
+    # manual parse instead of urlsplit: a '#' or '?' inside the path is a
+    # legal filename character in the strings Hadoop produces (Path only
+    # percent-encodes a minimal set), and urlsplit would truncate there
+    rest = path[len("file:"):]
+    if rest.startswith("//"):
+        # file://authority/p/a/t/h -> drop the authority segment
+        slash = rest.find("/", 2)
+        rest = rest[slash:] if slash >= 0 else "/"
+    from urllib.parse import unquote
 
-    return unquote(urlsplit(path).path) or path
+    return unquote(rest) or path
 
 
 class LocalFileSystem:

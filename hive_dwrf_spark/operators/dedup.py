@@ -442,14 +442,19 @@ def _maybe_broadcast_ids(ids: DataFrame) -> DataFrame:
     The threshold is rows (ids are fixed-width): 5M longs ~ 40 MB
     serialized, comfortably under Spark's 8 GB broadcast ceiling and
     worth the shuffle it saves; override with
-    SPARK_GRAFT_BROADCAST_IDS_MAX (0 disables broadcasting). The count
-    is cheap — callers pass frames derived from connected_components
-    output, which is already materialized (localCheckpoint / local
-    union-find list)."""
+    SPARK_GRAFT_BROADCAST_IDS_MAX (0 disables broadcasting). The frame
+    is checkpointed BEFORE the gate count so the pipeline deriving it
+    runs exactly once — resolve_duplicates_by's loser list is a
+    corpus-touching join + aggregate, and counting the raw plan would
+    re-execute all of it again inside the anti-join (the checkpoint
+    itself is id-list-sized, never the corpus)."""
     import os
 
     limit = int(os.environ.get("SPARK_GRAFT_BROADCAST_IDS_MAX", 5_000_000))
-    if limit and ids.count() <= limit:
+    if not limit:
+        return ids
+    ids = ids.localCheckpoint(eager=True)
+    if ids.count() <= limit:
         return F.broadcast(ids)
     return ids
 

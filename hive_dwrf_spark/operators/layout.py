@@ -133,6 +133,7 @@ def compaction_plan(
     size_col: str,
     target_bytes: int,
     id_cols: list[str] | None = None,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Group small files into compaction jobs of ~target_bytes each.
 
@@ -150,11 +151,17 @@ def compaction_plan(
 
     Output: the inventory plus `grp` (compaction job id); callers feed
     each group to format/merge.py's stripe-level merge_files, which
-    concatenates stripes without re-encoding.
+    concatenates stripes without re-encoding. With `partition_cols`, the
+    packing window runs PER partition combination (grp restarts at 0 in
+    each), so files never co-bin across hive partitions — merging across
+    them would silently drop the partition-column values, which live in
+    the directory name, not the footer schema.
     """
     tiebreak = [F.col(c) for c in (id_cols or [])]
-    w = Window.orderBy(F.col(size_col).desc(), *tiebreak).rowsBetween(
-        Window.unboundedPreceding, 0
+    w = (
+        Window.partitionBy(*(partition_cols or []))
+        .orderBy(F.col(size_col).desc(), *tiebreak)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = inventory.withColumn("__cum", F.sum(size_col).over(w))
     return cum.withColumn(
@@ -187,7 +194,13 @@ def compact_table(
     pattern); bins inherit merge_files' contract that members share a
     schema and compression kind, which one writer's output satisfies.
 
-    Returns the per-bin report (grp, files_in, bytes_in, out_path, rows).
+    Hive-partitioned layouts compact PER PARTITION — the partition values
+    live in the directory name, not the footer, so a cross-partition
+    merge would silently drop them; each bin's output lands under the
+    same ``key=value`` subpath in out_dir and bins never span partitions.
+
+    Returns the per-bin report (part, grp, files_in, bytes_in, out_path,
+    rows); ``part`` is the partition subpath ('' for flat tables).
     """
     import os
 
@@ -201,12 +214,20 @@ def compact_table(
     files = fs.list_files(path, (".dwrf", ".orc"))
     if not files:
         raise FileNotFoundError(f"no .dwrf files under {path}")
+
+    def rel_part(f: str) -> str:
+        d = os.path.relpath(os.path.dirname(f), path)
+        return "" if d == "." else d
+
     inv = spark.createDataFrame(
-        [(f, fs.size(f)) for f in files], "path string, bytes long"
+        [(f, rel_part(f), fs.size(f)) for f in files],
+        "path string, part string, bytes long",
     )
-    plan = compaction_plan(inv, "bytes", target_bytes, id_cols=["path"])
+    plan = compaction_plan(
+        inv, "bytes", target_bytes, id_cols=["path"], partition_cols=["part"]
+    )
     groups = (
-        plan.groupBy("grp")
+        plan.groupBy("part", "grp")
         .agg(
             F.sort_array(F.collect_list("path")).alias("paths"),
             F.sum("bytes").alias("bytes_in"),
@@ -214,20 +235,25 @@ def compact_table(
         )
         .collect()
     )
-    os.makedirs(out_dir, exist_ok=True)
-    jobs = [(int(r.grp), list(r.paths), int(r.bytes_in), int(r.files_in))
-            for r in groups]
+    jobs = []
+    for r in groups:
+        d = os.path.join(out_dir, r.part) if r.part else out_dir
+        os.makedirs(d, exist_ok=True)
+        jobs.append(
+            (r.part, int(r.grp), list(r.paths), int(r.bytes_in),
+             int(r.files_in), d)
+        )
 
     def run(job):
-        grp, paths, bytes_in, files_in = job
+        part, grp, paths, bytes_in, files_in, d = job
         from hive_dwrf_spark.format.merge import merge_files
         from hive_dwrf_spark.format.reader import DwrfFile
 
-        out = os.path.join(out_dir, f"part-c{grp:05d}.dwrf")
+        out = os.path.join(d, f"part-c{grp:05d}.dwrf")
         merge_files(paths, out)
         with DwrfFile(out) as f:
             rows = f.num_rows
-        return (grp, files_in, bytes_in, out, rows)
+        return (part, grp, files_in, bytes_in, out, rows)
 
     report = (
         spark.sparkContext.parallelize(jobs, max(len(jobs), 1))
@@ -236,5 +262,6 @@ def compact_table(
     )
     return spark.createDataFrame(
         report,
-        "grp long, files_in long, bytes_in long, out_path string, rows long",
+        "part string, grp long, files_in long, bytes_in long,"
+        " out_path string, rows long",
     )

@@ -372,10 +372,27 @@ def ivf_lloyd_topk(
     ).select("cid", "dim", "c_e4")
     assigned = kmeans_assign(df, vec_col, id_col, cents, scale=scale)
     qv = [int(math.floor(float(x) * scale + 0.5)) for x in query_vec]
+    probe = _centroid_probe(cents, qv, nprobe)
+    cand = assigned.join(F.broadcast(probe), "cid").select(id_col)
+    dist = _int_sq_dist(vec_col, qv, scale)
+    return (
+        df.join(cand, id_col)
+        .select(F.col(id_col), dist.alias("dist_e8"))
+        .orderBy("dist_e8", id_col)
+        .limit(k)
+    )
+
+
+def _centroid_probe(cents: DataFrame, qv: list[int], nprobe: int) -> DataFrame:
+    """The nprobe nearest centroid ids to the e4-quantized query, ranked
+    by integer squared distance with a cid tie-break. ONE implementation
+    shared by the in-memory (ivf_lloyd_topk) and persisted
+    (ivf_search_index) paths — their results are contractually
+    bit-identical, so the ranking must not be able to drift."""
     qx = F.element_at(
         F.array(*[F.lit(v).cast("long") for v in qv]), F.col("dim")
     )
-    probe = (
+    return (
         cents.select(
             "cid", ((F.col("c_e4") - qx) * (F.col("c_e4") - qx)).alias("__t")
         )
@@ -385,22 +402,21 @@ def ivf_lloyd_topk(
         .limit(nprobe)
         .select("cid")
     )
-    cand = assigned.join(F.broadcast(probe), "cid").select(id_col)
+
+
+def _int_sq_dist(vec_col: str, qv: list[int], scale: int):
+    """Integer squared distance of an e4-quantized vector column to the
+    pre-quantized query — the shared candidate-ranking expression of both
+    IVF paths (see _centroid_probe)."""
     q = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)),
     )
     qarr = F.array(*[F.lit(v).cast("long") for v in qv])
-    dist = F.aggregate(
+    return F.aggregate(
         F.zip_with(q, qarr, lambda x, c: (x - c) * (x - c)),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
-    )
-    return (
-        df.join(cand, id_col)
-        .select(F.col(id_col), dist.alias("dist_e8"))
-        .orderBy("dist_e8", id_col)
-        .limit(k)
     )
 
 
@@ -1019,38 +1035,16 @@ def ivf_search_index(
 
     cents = spark.read.format("dwrf").load(f"{index_dir}/centroids")
     qv = [int(math.floor(float(x) * scale + 0.5)) for x in query_vec]
-    qx = F.element_at(
-        F.array(*[F.lit(v).cast("long") for v in qv]), F.col("dim")
-    )
-    probe = [
-        r.cid
-        for r in (
-            cents.select(
-                "cid",
-                ((F.col("c_e4") - qx) * (F.col("c_e4") - qx)).alias("__t"),
-            )
-            .groupBy("cid")
-            .agg(F.sum("__t").alias("__qd"))
-            .orderBy("__qd", "cid")
-            .limit(nprobe)
-            .collect()
-        )
-    ]
+    # same ranking as the in-memory path (_centroid_probe), collected to
+    # LITERAL cids — nprobe rows, a catalog fetch — so the IN filter can
+    # prune the unprobed cid= directories at planning time
+    probe = [r.cid for r in _centroid_probe(cents, qv, nprobe).collect()]
     lists = (
         spark.read.format("dwrf")
         .load(f"{index_dir}/lists")
         .filter(F.col("cid").isin(*probe))
     )
-    q = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)),
-    )
-    qarr = F.array(*[F.lit(v).cast("long") for v in qv])
-    dist = F.aggregate(
-        F.zip_with(q, qarr, lambda x, c: (x - c) * (x - c)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    dist = _int_sq_dist(vec_col, qv, scale)
     return (
         lists.select(F.col(id_col), dist.alias("dist_e8"))
         .orderBy("dist_e8", id_col)

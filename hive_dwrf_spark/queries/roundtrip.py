@@ -1196,11 +1196,10 @@ def format_stats(spark, sf_dir):
     aggregates from the source, pinning that footer stats are exact.
     Integer sums are exact in the writer; double sums are accumulation-
     order-dependent so only min/max surface for float columns."""
-    import glob
     import shutil
 
-    from ..format.reader import DwrfFile
     from ..sources import register
+    from ..sources.stats import merged_column_stats
 
     register(spark)
     base = os.path.basename(os.path.normpath(sf_dir))
@@ -1211,19 +1210,10 @@ def format_stats(spark, sf_dir):
         "overwrite"
     ).save()
 
+    # the SAME merge helper the dwrf_stats TVF runs — one copy of the
+    # footer-merging algorithm, so the two catalog surfaces cannot drift
     cols = ["event_id", "user_id", "value"]
-    merged = {}
-    for fp in sorted(glob.glob(os.path.join(path, "*.dwrf"))):
-        with DwrfFile(fp) as f:
-            for name in cols:
-                # name-based type-id resolution: positional i+1 would grab
-                # the WRONG column's stats if a nested column (which
-                # consumes multiple depth-first type ids) ever preceded it
-                st = f.file_stats(f._top_level_id(name))
-                if name in merged:
-                    merged[name].merge(st)
-                else:
-                    merged[name] = st
+    merged = merged_column_stats(path)
     int_cols = {"event_id", "user_id"}
     rows = [
         (
@@ -1546,7 +1536,16 @@ def format_compact_distributed(spark, sf_dir):
     e.repartition(8).write.format("dwrf").option("path", src).option(
         "stripe_rows", "1000"
     ).mode("overwrite").save()
-    report = compact_table(spark, src, target_bytes=256 * 1024, out_dir=out)
+    # target ~ a third of the table so the 8 inputs pack into a few bins
+    # at ANY scale factor (a fixed byte target stops compacting once
+    # every part file exceeds it: each lands in its own bin)
+    from ..format.fs import get_fs
+
+    fs = get_fs()
+    total = sum(fs.size(f) for f in fs.list_files(src, (".dwrf",)))
+    report = compact_table(
+        spark, src, target_bytes=max(256 * 1024, total // 3), out_dir=out
+    )
     n_in = len(glob.glob(os.path.join(src, "*.dwrf")))
     n_out = len(glob.glob(os.path.join(out, "*.dwrf")))
     bins = report.count()

@@ -96,3 +96,27 @@ class TestDistributedCompaction:
         d.mkdir()
         with _pytest.raises(FileNotFoundError):
             compact_table(spark, str(d), 1024, str(tmp_path / "o"))
+
+    def test_compact_table_preserves_hive_partitions(self, spark, tmp_path):
+        """Regression: a cross-partition merge would silently DROP the
+        partition column (it lives in the directory name, not the
+        footer) — bins must never span key=value subdirectories."""
+        from hive_dwrf_spark.operators.layout import compact_table
+        from hive_dwrf_spark.sources import register
+
+        register(spark)
+        src, out = str(tmp_path / "psrc"), str(tmp_path / "pout")
+        df = spark.sql(
+            "SELECT id AS k, id % 3 AS b FROM range(9000)"
+        )
+        # several small files per partition
+        df.repartition(4).write.format("dwrf").option(
+            "partition_by", "b"
+        ).option("stripe_rows", "500").mode("append").save(src)
+        report = compact_table(spark, src, 10**9, out_dir=out)
+        parts = sorted(r.part for r in report.collect())
+        assert parts == ["b=0", "b=1", "b=2"]
+        back = spark.read.format("dwrf").load(out)
+        assert "b" in back.columns
+        assert back.count() == 9000
+        assert back.filter("b = 1").count() == 3000
