@@ -321,3 +321,55 @@ class TestDwrfStatsUDTF:
             spark.sql(
                 "SELECT * FROM dwrf_stats(concat(rand()::string, 'x'))"
             ).collect()
+
+
+def test_dwrf_lookup_lateral_join(spark, tmp_path):
+    """The TVF composes as a correlated LATERAL source: one pruned
+    lookup per driving row (per-key serving joins straight from SQL).
+    For key-table-sized batches, prefer one call with the whole array —
+    LATERAL pays a lookup per row by construction."""
+    from hive_dwrf_spark.sources import register
+
+    register(spark)
+    path = str(tmp_path / "lat")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k int, v string"
+    ).coalesce(1).write.format("dwrf").mode("overwrite").save(path)
+    spark.createDataFrame([(3,), (7,)], "id int").createOrReplaceTempView(
+        "lat_keys"
+    )
+    got = spark.sql(
+        f"SELECT lat_keys.id, l.v FROM lat_keys, LATERAL"
+        f" dwrf_lookup('{path}', 'k', array(lat_keys.id)) l ORDER BY id"
+    ).collect()
+    assert [(r.id, r.v) for r in got] == [(3, "v3"), (7, "v7")]
+
+
+def test_package_level_wrappers_and_drop(spark, tmp_path):
+    """The sources-package re-exports (create/refresh/drop) are the
+    documented entry points — exercise them end to end."""
+    from hive_dwrf_spark.sources import (
+        create_temp_table,
+        drop_temp_table,
+        refresh_temp_table,
+        register,
+    )
+
+    register(spark)
+    path = str(tmp_path / "wrap")
+    spark.createDataFrame([(1, "a")], "k int, v string").coalesce(
+        1
+    ).write.format("dwrf").mode("overwrite").save(path)
+    create_temp_table(spark, "t_wrap", path)
+    assert spark.sql("SELECT count(*) c FROM t_wrap").first().c == 1
+    spark.sql("INSERT INTO t_wrap VALUES (2, 'b')")
+    refresh_temp_table(spark, "t_wrap")
+    assert spark.sql("SELECT count(*) c FROM t_wrap").first().c == 2
+    drop_temp_table(spark, "t_wrap")
+    assert "t_wrap" not in [
+        t.name for t in spark.catalog.listTables()
+    ]
+    # dropping again is a no-op, and refresh after drop raises
+    drop_temp_table(spark, "t_wrap")
+    with pytest.raises(KeyError):
+        refresh_temp_table(spark, "t_wrap")
