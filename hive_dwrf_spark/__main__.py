@@ -50,11 +50,13 @@ def _cmd_stats(args: list[str]) -> int:
                 "count": st.count,
                 "min": st.minimum,
                 "max": st.maximum,
-                # exact only for integer kinds (same rule as the
-                # dwrf_stats TVF): string/bool sums are meaningless
-                # zeros, double sums are accumulation-order-dependent
+                # exact only for integer kinds and non-empty columns
+                # (same rule as the dwrf_stats TVF — the two catalog
+                # surfaces must not drift): string/bool sums are
+                # meaningless zeros, double sums are accumulation-order-
+                # dependent, and an all-null column has no sum
                 "sum": st.sum
-                if st.kind.name in int_kinds and not st.overflow
+                if st.kind.name in int_kinds and not st.overflow and st.count
                 else None,
             }
             for name, st in merged_column_stats(args[0]).items()

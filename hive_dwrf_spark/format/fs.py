@@ -44,8 +44,17 @@ def strip_file_uri(path: str) -> str:
     # percent-encodes a minimal set), and urlsplit would truncate there
     rest = path[len("file:"):]
     if rest.startswith("//"):
-        # file://authority/p/a/t/h -> drop the authority segment
+        # file://authority/p/a/t/h — only an EMPTY or localhost authority
+        # names this machine; silently reinterpreting file://somehost/data
+        # as local /data would read/write the wrong path, so refuse it
         slash = rest.find("/", 2)
+        authority = rest[2:slash] if slash >= 0 else rest[2:]
+        if authority not in ("", "localhost"):
+            raise ValueError(
+                f"file: URI with remote authority {authority!r} is not a "
+                f"local path: {path!r} (only file:///… or "
+                "file://localhost/… resolve locally)"
+            )
         rest = rest[slash:] if slash >= 0 else "/"
     from urllib.parse import unquote
 

@@ -78,9 +78,19 @@ def lookup_keys(
     projected). Pass a dict as `trace` to observe the pruning decisions
     ({files_total, files_pruned, strides_total, strides_scanned}).
     """
-    key_list = sorted(set(keys))
+    # NULL keys match no row (SQL equality semantics) — drop them before
+    # sorting, where None is unorderable; mixed int/string keys likewise
+    # can't order, surface that as a clear error instead of a TypeError
+    dedup = set(k for k in keys if k is not None)
+    try:
+        key_list = sorted(dedup)
+    except TypeError:
+        kinds = sorted({type(k).__name__ for k in dedup})
+        raise ValueError(
+            f"lookup_keys: keys must share one orderable type, got {kinds}"
+        ) from None
     if not key_list:
-        raise ValueError("lookup_keys requires at least one key")
+        raise ValueError("lookup_keys requires at least one non-null key")
     key_set = pa.array(key_list)
     files = _list_files(path)
     if trace is not None:

@@ -62,9 +62,12 @@ class DwrfLookupUDTF:
         from ..format.fs import strip_file_uri
         from ..format.lookup import lookup_keys
 
+        # SQL equality semantics: a NULL array element matches no row, so
+        # drop it here rather than let lookup_keys raise on it
+        keys = [k for k in (keys or []) if k is not None]
         if not keys:
             return
-        table = lookup_keys(strip_file_uri(path), key_col, list(keys))
+        table = lookup_keys(strip_file_uri(path), key_col, keys)
         for row in table.to_pylist():
             yield tuple(row.values())
 

@@ -82,3 +82,16 @@ def test_stats_columns(table_dir, capsys):
     assert got["columns"]["k"]["min"] == 0
     assert got["columns"]["k"]["max"] == 199
     assert got["columns"]["v"]["kind"] == "STRING"
+
+
+def test_stats_columns_empty_sum_matches_tvf(tmp_path, capsys):
+    # all-null int column: sum must be null (count==0), matching the
+    # dwrf_stats TVF rule — the two catalog surfaces must not drift
+    f = str(tmp_path / "nulls.dwrf")
+    write_arrow_table(
+        f, pa.table({"n": pa.array([None, None, None], type=pa.int64())})
+    )
+    assert main(["stats", "--columns", f]) == 0
+    got = json.loads(capsys.readouterr().out)
+    assert got["columns"]["n"]["count"] == 0
+    assert got["columns"]["n"]["sum"] is None

@@ -286,3 +286,14 @@ class TestLookupKeys:
             lookup_keys(serving_dir, "k", [])
         with pytest.raises(KeyError):
             lookup_keys(serving_dir, "nope", [1])
+
+    def test_null_and_mixed_type_keys(self, serving_dir):
+        # NULL keys match nothing and must not break the sort
+        t = lookup_keys(serving_dir, "k", [None, 1500, None])
+        assert t.num_rows == 1
+        with pytest.raises(ValueError, match="non-null"):
+            lookup_keys(serving_dir, "k", [None, None])
+        # mixed int/str keys: a clear error naming the types, not a
+        # bare TypeError from sorted()
+        with pytest.raises(ValueError, match="orderable type"):
+            lookup_keys(serving_dir, "k", [1, "one"])

@@ -33,6 +33,13 @@ class TestFileUri:
         assert strip_file_uri("file:/tmp/a%20b") == "/tmp/a b"
         assert strip_file_uri("s3://bucket/x") == "s3://bucket/x"
         assert strip_file_uri(None) is None
+        assert strip_file_uri("file://localhost/tmp/x") == "/tmp/x"
+        # a non-local authority must refuse, not silently read the
+        # wrong local path
+        import pytest
+
+        with pytest.raises(ValueError, match="somehost"):
+            strip_file_uri("file://somehost/data")
 
     def test_load_and_save_accept_file_uri(self, spark):
         from hive_dwrf_spark.sources import register
