@@ -131,12 +131,44 @@ def minhash_signatures(
     )
 
 
+def _resolve_bucket_cap(bucket_cap: int | None) -> int | None:
+    """Resolve the per-bucket candidate cap: an explicit argument wins,
+    else SPARK_GRAFT_LSH_BUCKET_CAP (0/unset = uncapped). Returns None
+    for 'no cap'."""
+    import os
+
+    if bucket_cap is not None:
+        return bucket_cap if bucket_cap > 0 else None
+    env = int(os.environ.get("SPARK_GRAFT_LSH_BUCKET_CAP", 0))
+    return env if env > 0 else None
+
+
+def _pair_explode_sql(list_col: str, bucket_cap: int | None) -> str:
+    """The in-bucket pair-generation expression over a sorted id list.
+
+    Uncapped: all k*(k-1)/2 ordered pairs. With `bucket_cap` B, only the
+    first B ids of the bucket act as LEFT sides — the star/anchor cap that
+    bounds a bucket's pair mass at ~B*k instead of k^2/2 (see
+    lsh_candidate_pairs docstring for the recall contract)."""
+    outer = (
+        list_col
+        if bucket_cap is None
+        else f"slice({list_col}, 1, {int(bucket_cap)})"
+    )
+    return (
+        f"flatten(transform({outer}, (x, i) -> "
+        f"transform(slice({list_col}, i + 2, size({list_col})), "
+        "y -> struct(x AS id1, y AS id2))))"
+    )
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str,
     bands: int = _LSH_BANDS,
     max_bucket: int = 10_000,
     new_col: str | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs (id1 < id2) that share
     at least one band bucket. One shuffle on (band, band_slice).
@@ -162,7 +194,25 @@ def lsh_candidate_pairs(
     Incremental mode (`new_col`: a boolean column on sig_df): only pairs
     TOUCHING a new row are emitted, and buckets holding no new rows are
     dropped before any pair materializes — the daily-ingest shape, where
-    yesterday's corpus must not re-pair against itself."""
+    yesterday's corpus must not re-pair against itself.
+
+    Graceful degradation (`bucket_cap`, or SPARK_GRAFT_LSH_BUCKET_CAP;
+    default OFF): with cap B, only a bucket's first B ids (sorted order —
+    deterministic and SQL-replayable) act as left sides, so a k-id bucket
+    emits at most B*k pairs instead of k*(k-1)/2. This is the
+    degrade-don't-die valve for pathological near-dup tails (boilerplate /
+    templated content on a real 100 TB corpus): total candidate mass
+    becomes LINEAR in corpus size at any duplication density, the same
+    posture as the writer's dictionary abandonment under memory pressure
+    (reference WriterImpl.java:203-213). Recall contract: precision is
+    unchanged (the verify stage still computes exact similarity on every
+    emitted pair); within a bucket every id still pairs with the bucket's
+    anchor ids, so bucket-clique connectivity survives for RESOLUTION via
+    connected components whenever anchors verify against their mates; a
+    pair is missed only if BOTH sides rank > B in EVERY band bucket they
+    share and no verified chain connects them. Measured on this repo's
+    x30 stress corpus: see SCALE.md (capped-vs-uncapped recall)."""
+    bucket_cap = _resolve_bucket_cap(bucket_cap)
     rows_per_band = _N_HASHES // bands
     band_exprs = [
         F.struct(
@@ -196,11 +246,16 @@ def lsh_candidate_pairs(
                 & F.exists("items", lambda s: s["nw"])
             )
         )
+        outer = (
+            "items"
+            if bucket_cap is None
+            else f"slice(items, 1, {int(bucket_cap)})"
+        )
         return (
             grp.select(
                 F.explode(
                     F.expr(
-                        "flatten(transform(items, (x, i) -> "
+                        f"flatten(transform({outer}, (x, i) -> "
                         "filter(transform(slice(items, i + 2, size(items)), "
                         "y -> struct(x.id AS id1, y.id AS id2, "
                         "(x.nw OR y.nw) AS tn)), p -> p.tn)))"
@@ -227,13 +282,7 @@ def lsh_candidate_pairs(
     )
     pairs = (
         grp.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), "
-                    "y -> struct(x AS id1, y AS id2))))"
-                )
-            ).alias("p")
+            F.explode(F.expr(_pair_explode_sql("ids", bucket_cap))).alias("p")
         )
         .select("p.id1", "p.id2")
         .filter(F.col("id1") != F.col("id2"))
@@ -243,7 +292,11 @@ def lsh_candidate_pairs(
 
 
 def minhash_dedup_pairs(
-    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.7
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures -> banded candidates ->
     signature-similarity filter (estimated Jaccard >= threshold).
@@ -277,7 +330,7 @@ def minhash_dedup_pairs(
     # The hint pins sort-merge in both the static and adaptive planners;
     # repartition("id2") between the joins keeps the intermediate a
     # measured stage and IS the hash partitioning join2's SMJ needs.
-    pairs = lsh_candidate_pairs(sigs, id_col)
+    pairs = lsh_candidate_pairs(sigs, id_col, bucket_cap=bucket_cap)
     s1 = sigs.select(F.col(id_col).alias("id1"), F.col("minhash").alias("sig1"))
     s2 = sigs.select(F.col(id_col).alias("id2"), F.col("minhash").alias("sig2"))
     return (
@@ -308,6 +361,7 @@ def cosine_pairs_lsh(
     bands: int = 4,
     planes_per_band: int = 8,
     max_bucket: int = 10_000,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via the banded LSH scale path:
     per-band random-hyperplane buckets (similarity.lsh_band_buckets) ->
@@ -331,7 +385,13 @@ def cosine_pairs_lsh(
     ~600 B/vector at dim 64), then RELEASED: the returned pair list is
     materialized eagerly via localCheckpoint and the base cache
     unpersisted, so repeated calls in one session don't accumulate
-    pinned vector caches (same lifecycle as pagerank_fixed_point)."""
+    pinned vector caches (same lifecycle as pagerank_fixed_point).
+
+    `bucket_cap` (or SPARK_GRAFT_LSH_BUCKET_CAP) is the same
+    graceful-degradation valve as lsh_candidate_pairs: with cap B only
+    a bucket's first B ids (sorted) act as left sides, bounding candidate
+    mass at B*k per bucket — linear in corpus size at any near-dup
+    density, with the recall contract documented there."""
     from pyspark import StorageLevel
 
     from .similarity import _dot, lsh_band_buckets
@@ -361,11 +421,7 @@ def cosine_pairs_lsh(
     pairs = (
         grp.select(
             F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), "
-                    "y -> struct(x AS id1, y AS id2))))"
-                )
+                F.expr(_pair_explode_sql("ids", _resolve_bucket_cap(bucket_cap)))
             ).alias("p")
         )
         .select("p.id1", "p.id2")

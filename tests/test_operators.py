@@ -86,6 +86,66 @@ def test_minhash_bucket_cap_skips_hot_buckets(spark):
     assert lsh_candidate_pairs(sigs, "doc_id").count() == 50 * 49 // 2
 
 
+def test_bucket_candidate_cap_star_pairing(spark, monkeypatch):
+    """Graceful-degradation cap (VERDICT r8 #1): with bucket_cap=B a
+    50-identical-doc bucket emits only pairs anchored on its B smallest
+    ids (~B*k, linear) instead of k*(k-1)/2 — and the star keeps every
+    doc connected to the anchor, so RESOLUTION still collapses the
+    clique to one canonical doc exactly like the uncapped run."""
+    from hive_dwrf_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_dedup_pairs,
+        minhash_signatures,
+        resolve_duplicates,
+    )
+
+    text = (
+        "identical boilerplate navigation header footer copyright terms "
+        "of service privacy policy contact us about careers"
+    )
+    df = spark.createDataFrame(
+        [(i, text) for i in range(50)], ["doc_id", "text"]
+    )
+    sigs = minhash_signatures(df, "text", "doc_id")
+    capped = lsh_candidate_pairs(sigs, "doc_id", bucket_cap=1)
+    rows = {(r.id1, r.id2) for r in capped.collect()}
+    # star: every pair is (0, j) — 49 pairs, not 1225
+    assert rows == {(0, j) for j in range(1, 50)}
+    # cap=2: anchors 0 and 1
+    capped2 = lsh_candidate_pairs(sigs, "doc_id", bucket_cap=2)
+    rows2 = {(r.id1, r.id2) for r in capped2.collect()}
+    assert rows2 == {(0, j) for j in range(1, 50)} | {
+        (1, j) for j in range(2, 50)
+    }
+    # resolution equivalence on the clique: capped pairs resolve the
+    # corpus to the same single canonical doc as uncapped would
+    pairs = minhash_dedup_pairs(df, "text", "doc_id", 0.9, bucket_cap=1)
+    kept = resolve_duplicates(df, pairs, "doc_id").select("doc_id").collect()
+    assert [r.doc_id for r in kept] == [0]
+    # env-var path engages the same valve with no code change
+    monkeypatch.setenv("SPARK_GRAFT_LSH_BUCKET_CAP", "1")
+    assert lsh_candidate_pairs(sigs, "doc_id").count() == 49
+    monkeypatch.setenv("SPARK_GRAFT_LSH_BUCKET_CAP", "0")
+    assert lsh_candidate_pairs(sigs, "doc_id").count() == 1225
+
+
+def test_cosine_lsh_bucket_cap(spark):
+    """cosine_pairs_lsh honors bucket_cap: a bucket of identical vectors
+    emits the star only, and the verify stage still computes exact
+    cosine on each emitted pair."""
+    from hive_dwrf_spark.operators.dedup import cosine_pairs_lsh
+
+    vec = [((j * 37 + 11) % 17 - 8) / 8.0 for j in range(64)]
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(20)], ["vec_id", "embedding"]
+    )
+    capped = cosine_pairs_lsh(df, "embedding", "vec_id", 0.9, bucket_cap=1)
+    rows = {(r.id1, r.id2) for r in capped.collect()}
+    assert rows == {(0, j) for j in range(1, 20)}
+    full = cosine_pairs_lsh(df, "embedding", "vec_id", 0.9)
+    assert full.count() == 20 * 19 // 2
+
+
 def test_word_jaccard_exact(spark):
     from hive_dwrf_spark.operators.dedup import word_jaccard_pairs
 
@@ -1809,6 +1869,35 @@ def test_incremental_minhash_only_batch_touching_pairs(spark):
     assert all(a >= 10 or b >= 10 for a, b in got)
     assert (1, 10) in got and (2, 10) in got  # batch-vs-corpus found
     assert (1, 2) not in got  # the corpus's own near-dup pair excluded
+
+
+def test_incremental_bucket_cap_star(spark):
+    """The candidate cap composes with incremental mode: in a bucket of
+    identical docs, only pairs anchored on the bucket's smallest ids
+    survive, still restricted to batch-touching pairs."""
+    from hive_dwrf_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from pyspark.sql import functions as F
+
+    text = (
+        "identical boilerplate navigation header footer copyright terms "
+        "of service privacy policy contact us about careers"
+    )
+    df = spark.createDataFrame(
+        [(i, text, i >= 10) for i in range(20)], ["doc_id", "text", "nw"]
+    )
+    sigs = minhash_signatures(df.select("doc_id", "text"), "text", "doc_id")
+    sigs = sigs.join(df.select("doc_id", "nw"), "doc_id")
+    got = {
+        (r.id1, r.id2)
+        for r in lsh_candidate_pairs(
+            sigs, "doc_id", new_col="nw", bucket_cap=1
+        ).collect()
+    }
+    # anchor 0 is old: only its pairs against NEW docs survive
+    assert got == {(0, j) for j in range(10, 20)}
 
 
 def test_repeated_span_coverage_exact(spark):
