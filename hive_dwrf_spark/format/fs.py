@@ -23,7 +23,46 @@ Spark-Python analog.
 from __future__ import annotations
 
 import os
+import re
 from typing import BinaryIO
+
+_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://")
+
+
+def path_scheme(path) -> str | None:
+    """The URI scheme of `path` (``s3``, ``gs``, …) or None for plain
+    os paths and ``file:`` URIs (both resolve to the local default)."""
+    if not isinstance(path, str):
+        return None
+    m = _SCHEME_RE.match(path)
+    if m is None or m.group(1) == "file":
+        return None
+    return m.group(1)
+
+
+def join_path(base: str, *parts: str) -> str:
+    """Scheme-preserving path join: plain '/' concatenation, safe for
+    both os paths and object-store URIs (os.path.join/normpath would
+    collapse the '//' in 's3://bucket')."""
+    out = base.rstrip("/")
+    for p in parts:
+        p = str(p).strip("/")
+        if p:
+            out += "/" + p
+    return out
+
+
+def rel_subpath(child: str, base: str) -> str:
+    """The subpath of `child` under `base` ('' when equal) as pure string
+    algebra — the URI-safe replacement for os.path.relpath (normpath
+    would mangle 'scheme://'). Raises when child is not under base."""
+    b = base.rstrip("/")
+    c = child.rstrip("/")
+    if c == b:
+        return ""
+    if c.startswith(b + "/"):
+        return c[len(b) + 1 :]
+    raise ValueError(f"{child!r} is not under {base!r}")
 
 
 def strip_file_uri(path: str) -> str:
@@ -82,6 +121,12 @@ class LocalFileSystem:
         st = os.stat(strip_file_uri(path))
         return (st.st_size, st.st_mtime_ns)
 
+    def makedirs(self, path: str) -> None:
+        """Ensure a directory exists (no-op hierarchy on object stores —
+        a key-value namespace needs no mkdir; local disk needs it before
+        open(..., 'wb') of a file inside)."""
+        os.makedirs(strip_file_uri(path), exist_ok=True)
+
     def list_files(self, path: str, suffixes: tuple[str, ...]) -> list[str]:
         """All data files under `path` (or [path] if it is one file),
         skipping hidden/underscore names, in sorted walk order."""
@@ -97,18 +142,68 @@ class LocalFileSystem:
 
 
 _FS = LocalFileSystem()
+_SCHEME_FS: dict[str, object] = {}
 
 
-def get_fs():
-    """The process-wide filesystem the format layer reads/writes through."""
+def get_fs(path: str | None = None):
+    """The filesystem the format layer reads/writes `path` through.
+
+    Resolution order:
+      1. no scheme / ``file:`` scheme -> the process default (set_fs);
+      2. a scheme registered in-process via ``register_fs`` (driver-side
+         explicit install);
+      3. a scheme named in ``SPARK_GRAFT_FS_FACTORIES`` — a comma list of
+         ``scheme=module:callable`` entries; the callable is imported and
+         invoked ONCE per process and its result cached. This is the
+         EXECUTOR propagation path: workers re-import this module rather
+         than deserialize a filesystem object, so a factory spec (plain
+         env string, shippable via spark.executorEnv.* or a task
+         closure's os.environ.update) is how every process converges on
+         the same routing. compact_table forwards the driver's
+         SPARK_GRAFT_FS* environment into its merge tasks for exactly
+         this reason.
+      4. otherwise the process default (an installed fsspec-style default
+         may still route the scheme itself)."""
+    scheme = path_scheme(path)
+    if scheme is None:
+        return _FS
+    if scheme in _SCHEME_FS:
+        return _SCHEME_FS[scheme]
+    specs = os.environ.get("SPARK_GRAFT_FS_FACTORIES", "")
+    for entry in specs.split(","):
+        entry = entry.strip()
+        if entry and entry.split("=", 1)[0] == scheme:
+            import importlib
+
+            mod, _, attr = entry.split("=", 1)[1].partition(":")
+            fs = getattr(importlib.import_module(mod), attr)()
+            _SCHEME_FS[scheme] = fs
+            return fs
     return _FS
 
 
+def register_fs(scheme: str, fs) -> None:
+    """Install a filesystem for one URI scheme in THIS process (driver-
+    side explicit form of the SPARK_GRAFT_FS_FACTORIES env routing; for
+    executors use the env spec — see get_fs)."""
+    _SCHEME_FS[scheme] = fs
+
+
 def set_fs(fs) -> None:
-    """Install a filesystem implementation (e.g. an fsspec adapter).
+    """Install the process-default filesystem (e.g. an fsspec adapter).
 
     Must be called on the driver before building plans AND made effective
     on executors (executors re-import this module, so installation there
-    happens via a session-conf/bootstrap hook, not pickling)."""
+    happens via the SPARK_GRAFT_FS_FACTORIES env hook, not pickling)."""
     global _FS
     _FS = fs
+
+
+def fs_env_overlay() -> dict[str, str]:
+    """The SPARK_GRAFT_FS* environment entries of this process — the
+    driver-side routing config a distributed job forwards into its task
+    closures (os.environ.update on the worker) so executors resolve the
+    same schemes (see get_fs resolution order #3)."""
+    return {
+        k: v for k, v in os.environ.items() if k.startswith("SPARK_GRAFT_FS")
+    }

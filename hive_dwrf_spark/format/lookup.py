@@ -41,7 +41,7 @@ from .types import TypeKind
 def _list_files(path: str) -> list[str]:
     from .fs import get_fs
 
-    out = get_fs().list_files(path, (".dwrf", ".orc"))
+    out = get_fs(path).list_files(path, (".dwrf", ".orc"))
     if not out:
         raise FileNotFoundError(f"no .dwrf files under {path}")
     return sorted(out)

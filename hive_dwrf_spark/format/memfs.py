@@ -1,0 +1,94 @@
+"""A prefix-mapped filesystem: serves any ``scheme://...`` URI namespace
+from a local directory root.
+
+This is the in-repo object-store double for the fs seam (format/fs.py):
+it exercises every property that distinguishes an object store from
+local disk — URI paths that os.path would mangle, no implicit cwd, a
+makedirs that the caller cannot assume happened — while staying runnable
+in any sandbox. Production object stores plug in the same way (an
+fsspec S3/GCS adapter registered for their scheme); tests register THIS
+class for a ``mock`` scheme and prove the distributed paths (e.g.
+operators/layout.py::compact_table) never fall back to bare os IO.
+
+Factory configuration is environment-only so the executor propagation
+path (SPARK_GRAFT_FS_FACTORIES + fs_env_overlay, see get_fs) works for
+it unchanged:
+
+    SPARK_GRAFT_FS_FACTORIES=mock=hive_dwrf_spark.format.memfs:factory
+    SPARK_GRAFT_FS_MAPPED_ROOT=/tmp/mockstore
+"""
+
+from __future__ import annotations
+
+import os
+from typing import BinaryIO
+
+from .fs import path_scheme
+
+
+class PrefixMappedFS:
+    """Maps ``<any scheme>://<rest>`` onto ``<root>/<rest>`` on local
+    disk, answering with URI paths everywhere the interface returns
+    paths (list_files), so callers round-trip through the seam and never
+    observe the local backing."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _local(self, path: str) -> str:
+        scheme = path_scheme(path)
+        if scheme is None:
+            raise ValueError(f"PrefixMappedFS got non-URI path {path!r}")
+        rest = path[len(scheme) + 3 :].strip("/")
+        return os.path.join(self.root, rest)
+
+    def _uri(self, local: str, scheme: str) -> str:
+        rel = os.path.relpath(local, self.root).replace(os.sep, "/")
+        return f"{scheme}://{rel}"
+
+    def open(self, path: str, mode: str = "rb") -> BinaryIO:
+        local = self._local(path)
+        if "w" in mode or "a" in mode:
+            # object-store semantics: a PUT needs no parent "directory"
+            os.makedirs(os.path.dirname(local), exist_ok=True)
+        return open(local, mode)
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(self._local(path))
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._local(path))
+
+    def isfile(self, path: str) -> bool:
+        return os.path.isfile(self._local(path))
+
+    def stat_key(self, path: str) -> tuple:
+        st = os.stat(self._local(path))
+        return (st.st_size, st.st_mtime_ns)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(self._local(path), exist_ok=True)
+
+    def list_files(self, path: str, suffixes: tuple[str, ...]) -> list[str]:
+        scheme = path_scheme(path)
+        local = self._local(path)
+        if os.path.isfile(local):
+            return [path]
+        out = []
+        for root, _dirs, files in os.walk(local):
+            for fn in sorted(files):
+                if fn.endswith(suffixes) and not fn.startswith(("_", ".")):
+                    out.append(self._uri(os.path.join(root, fn), scheme))
+        return out
+
+
+def factory() -> PrefixMappedFS:
+    """SPARK_GRAFT_FS_FACTORIES entry point; root comes from
+    SPARK_GRAFT_FS_MAPPED_ROOT (an env var inside the SPARK_GRAFT_FS*
+    overlay, so distributed tasks inherit it with the factory spec)."""
+    root = os.environ.get("SPARK_GRAFT_FS_MAPPED_ROOT")
+    if not root:
+        raise ValueError(
+            "PrefixMappedFS factory needs SPARK_GRAFT_FS_MAPPED_ROOT"
+        )
+    return PrefixMappedFS(root)

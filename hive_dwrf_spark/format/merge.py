@@ -45,7 +45,7 @@ def merge_files(paths: list[str], out_path: str) -> None:
 
         from .fs import get_fs
 
-        with get_fs().open(out_path, "wb") as out:
+        with get_fs(out_path).open(out_path, "wb") as out:
             out.write(MAGIC)
             pos = len(MAGIC)
             for idx, r in enumerate(readers):
@@ -112,11 +112,11 @@ def compact_directory(path: str, out_file: str) -> int:
     """Merge every .dwrf file under `path` into one file; returns stripe
     count. The distributed variant shards inputs across tasks and runs
     merge_files per shard (IO-bound, no shuffle)."""
-    import os
+    from .fs import get_fs
 
-    files = sorted(
-        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".dwrf")
-    )
+    files = sorted(get_fs(path).list_files(path, (".dwrf",)))
+    if not files:
+        raise FileNotFoundError(f"no .dwrf files under {path}")
     merge_files(files, out_file)
     with DwrfFile(out_file) as f:
         return len(f.footer.stripes)

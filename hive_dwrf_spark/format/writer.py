@@ -803,7 +803,7 @@ class DwrfWriter:
         if self._own_file:
             from .fs import get_fs
 
-            self._f = get_fs().open(sink, "wb")
+            self._f = get_fs(sink).open(sink, "wb")
         else:
             self._f = sink
         self.schema = schema

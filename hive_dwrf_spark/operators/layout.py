@@ -202,22 +202,30 @@ def compact_table(
     Returns the per-bin report (part, grp, files_in, bytes_in, out_path,
     rows); ``part`` is the partition subpath ('' for flat tables).
     """
-    import os
-
-    from ..format.fs import get_fs, strip_file_uri
+    from ..format.fs import (
+        fs_env_overlay,
+        get_fs,
+        join_path,
+        rel_subpath,
+        strip_file_uri,
+    )
     from ..shipping import ensure_shipped
 
     ensure_shipped(spark)
     path = strip_file_uri(path)
     out_dir = strip_file_uri(out_dir)
-    fs = get_fs()
+    # every path step routes through the fs seam with URI-safe string
+    # algebra (join_path/rel_subpath, never os.path — normpath would
+    # mangle 'scheme://'), so the whole job runs against an object store
+    # exactly as against local disk
+    fs = get_fs(path)
     files = fs.list_files(path, (".dwrf", ".orc"))
     if not files:
         raise FileNotFoundError(f"no .dwrf files under {path}")
 
     def rel_part(f: str) -> str:
-        d = os.path.relpath(os.path.dirname(f), path)
-        return "" if d == "." else d
+        d = rel_subpath(f, path)
+        return d.rsplit("/", 1)[0] if "/" in d else ""
 
     inv = spark.createDataFrame(
         [(f, rel_part(f), fs.size(f)) for f in files],
@@ -235,21 +243,31 @@ def compact_table(
         )
         .collect()
     )
+    out_fs = get_fs(out_dir)
     jobs = []
     for r in groups:
-        d = os.path.join(out_dir, r.part) if r.part else out_dir
-        os.makedirs(d, exist_ok=True)
+        d = join_path(out_dir, r.part) if r.part else out_dir
+        out_fs.makedirs(d)
         jobs.append(
             (r.part, int(r.grp), list(r.paths), int(r.bytes_in),
              int(r.files_in), d)
         )
+    # executors resolve filesystems by scheme themselves (workers
+    # re-import the fs module); forward the driver's SPARK_GRAFT_FS*
+    # routing env so they converge on the same registry — this is what
+    # makes the merge tasks object-store-capable without pickling an fs
+    fs_env = fs_env_overlay()
 
     def run(job):
+        import os as _os
+
+        _os.environ.update(fs_env)
         part, grp, paths, bytes_in, files_in, d = job
+        from hive_dwrf_spark.format.fs import join_path as _join
         from hive_dwrf_spark.format.merge import merge_files
         from hive_dwrf_spark.format.reader import DwrfFile
 
-        out = os.path.join(d, f"part-c{grp:05d}.dwrf")
+        out = _join(d, f"part-c{grp:05d}.dwrf")
         merge_files(paths, out)
         with DwrfFile(out) as f:
             rows = f.num_rows

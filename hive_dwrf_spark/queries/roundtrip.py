@@ -1541,7 +1541,7 @@ def format_compact_distributed(spark, sf_dir):
     # every part file exceeds it: each lands in its own bin)
     from ..format.fs import get_fs
 
-    fs = get_fs()
+    fs = get_fs(src)
     total = sum(fs.size(f) for f in fs.list_files(src, (".dwrf",)))
     report = compact_table(
         spark, src, target_bytes=max(256 * 1024, total // 3), out_dir=out

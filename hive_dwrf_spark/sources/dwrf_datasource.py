@@ -73,7 +73,7 @@ from pyspark.sql.types import (
 def _list_dwrf_files(path: str) -> list[str]:
     from ..format.fs import get_fs
 
-    out = get_fs().list_files(path, (".dwrf", ".orc"))
+    out = get_fs(path).list_files(path, (".dwrf", ".orc"))
     if not out:
         raise FileNotFoundError(f"no .dwrf files under {path}")
     return out
@@ -130,7 +130,7 @@ def _file_plans(paths: list[str]) -> dict[str, _FilePlan]:
 
     from ..format.fs import get_fs
 
-    fs = get_fs()
+    fs = get_fs(paths[0] if paths else None)
     plans: dict[str, _FilePlan] = {}
     missing: list[tuple[str, tuple]] = []
     with _PLAN_CACHE_LOCK:

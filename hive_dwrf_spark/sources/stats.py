@@ -42,7 +42,7 @@ def dwrf_path_stats(path: str) -> dict:
     from .dwrf_datasource import _list_dwrf_files
 
     files = _list_dwrf_files(path)
-    fs = get_fs()
+    fs = get_fs(path)
     rows = 0
     raw = 0
     file_bytes = 0
@@ -130,7 +130,7 @@ def merged_column_stats(path: str) -> dict:
     from ..format.fs import get_fs
     from ..format.reader import DwrfFile
 
-    files = get_fs().list_files(path, (".dwrf", ".orc"))
+    files = get_fs(path).list_files(path, (".dwrf", ".orc"))
     if not files:
         raise FileNotFoundError(f"no .dwrf files under {path}")
     merged: dict = {}

@@ -120,3 +120,57 @@ class TestDistributedCompaction:
         assert "b" in back.columns
         assert back.count() == 9000
         assert back.filter("b = 1").count() == 3000
+
+    def test_compact_table_non_local_scheme(self, spark, tmp_path, monkeypatch):
+        """A22 at fleet scale is an object-store job: the whole compaction
+        — listing, sizing, makedirs, every merge task's reads and writes,
+        hive-partition subpaths — must route through the fs seam with no
+        bare os IO. PrefixMappedFS serves a mock:// namespace from a local
+        root; the factory env propagates into the merge tasks (separate
+        Python worker processes), so a task falling back to os paths
+        would fail loudly on the URI."""
+        import pyarrow as pa
+
+        from hive_dwrf_spark.format import write_arrow_table
+        from hive_dwrf_spark.format.fs import _SCHEME_FS
+        from hive_dwrf_spark.format.reader import DwrfFile
+        from hive_dwrf_spark.operators.layout import compact_table
+
+        root = str(tmp_path / "store")
+        monkeypatch.setenv("SPARK_GRAFT_FS_MAPPED_ROOT", root)
+        monkeypatch.setenv(
+            "SPARK_GRAFT_FS_FACTORIES",
+            "mock=hive_dwrf_spark.format.memfs:factory",
+        )
+        _SCHEME_FS.pop("mock", None)  # force re-resolve with this root
+        try:
+            # seed a hive-partitioned table THROUGH the seam (write side
+            # exercises scheme routing too)
+            for part in ("p=a", "p=b"):
+                for i in range(3):
+                    write_arrow_table(
+                        f"mock://bucket/table/{part}/f{i}.dwrf",
+                        pa.table(
+                            {"k": list(range(i * 100, i * 100 + 100))}
+                        ),
+                    )
+            report = compact_table(
+                spark,
+                "mock://bucket/table",
+                target_bytes=10**9,
+                out_dir="mock://bucket/out",
+            )
+            rep = report.collect()
+            assert sorted(r.part for r in rep) == ["p=a", "p=b"]
+            assert all(r.out_path.startswith("mock://bucket/out/") for r in rep)
+            assert sum(r.files_in for r in rep) == 6
+            assert sum(r.rows for r in rep) == 600
+            # outputs readable back through the seam, values intact
+            total = 0
+            for r in rep:
+                with DwrfFile(r.out_path) as f:
+                    t = f.read()
+                    total += sum(t.column("k").to_pylist())
+            assert total == 2 * sum(range(300))
+        finally:
+            _SCHEME_FS.pop("mock", None)

@@ -41,6 +41,50 @@ class TestFileUri:
         with pytest.raises(ValueError, match="somehost"):
             strip_file_uri("file://somehost/data")
 
+    def test_path_algebra_and_scheme_routing(self, monkeypatch, tmp_path):
+        """URI-safe path helpers (os.path would mangle 'scheme://') and
+        the per-scheme fs registry with its env-factory resolution —
+        the executor propagation path for object-store routing."""
+        import pytest
+
+        from hive_dwrf_spark.format.fs import (
+            _SCHEME_FS,
+            LocalFileSystem,
+            fs_env_overlay,
+            get_fs,
+            join_path,
+            path_scheme,
+            rel_subpath,
+        )
+        from hive_dwrf_spark.format.memfs import PrefixMappedFS
+
+        assert path_scheme("s3://b/x") == "s3"
+        assert path_scheme("file:///x") is None
+        assert path_scheme("/tmp/x") is None
+        assert join_path("s3://b", "p=1", "f.dwrf") == "s3://b/p=1/f.dwrf"
+        assert join_path("/tmp/x/", "a") == "/tmp/x/a"
+        assert rel_subpath("s3://b/t/p=1/f", "s3://b/t") == "p=1/f"
+        assert rel_subpath("s3://b/t", "s3://b/t") == ""
+        with pytest.raises(ValueError):
+            rel_subpath("s3://other/f", "s3://b/t")
+        # no scheme -> process default; unregistered scheme -> default too
+        assert isinstance(get_fs("/tmp/x"), LocalFileSystem)
+        assert isinstance(get_fs("zzz://b/x"), LocalFileSystem)
+        # env factory resolves once per process and caches
+        monkeypatch.setenv("SPARK_GRAFT_FS_MAPPED_ROOT", str(tmp_path))
+        monkeypatch.setenv(
+            "SPARK_GRAFT_FS_FACTORIES",
+            "mock=hive_dwrf_spark.format.memfs:factory",
+        )
+        _SCHEME_FS.pop("mock", None)
+        try:
+            fs = get_fs("mock://b/x")
+            assert isinstance(fs, PrefixMappedFS)
+            assert get_fs("mock://b/y") is fs
+            assert "SPARK_GRAFT_FS_FACTORIES" in fs_env_overlay()
+        finally:
+            _SCHEME_FS.pop("mock", None)
+
     def test_load_and_save_accept_file_uri(self, spark):
         from hive_dwrf_spark.sources import register
 
@@ -232,6 +276,45 @@ class TestDwrfLookupUDTF:
                 "SELECT * FROM dwrf_lookup(concat(rand()::string, 'x'),"
                 " 'k', array(1))"
             ).collect()
+
+    def test_null_keys_match_nothing(self, spark, table):
+        got = spark.sql(
+            f"SELECT k FROM dwrf_lookup('{table}', 'k',"
+            " array(3, NULL, 250)) ORDER BY k"
+        ).collect()
+        assert [r.k for r in got] == [3, 250]
+        assert spark.sql(
+            f"SELECT * FROM dwrf_lookup('{table}', 'k',"
+            " array(CAST(NULL AS INT)))"
+        ).count() == 0
+
+    def test_oversized_key_batch_rejected(self, spark, table, monkeypatch):
+        """Past the serving-path limit the batch is a scan wearing a
+        lookup's clothes — the TVF must reject with the scan-path
+        guidance, not grind through the UDTF row channel. The limit is
+        snapshotted at REGISTRATION (worker env is frozen at JVM start,
+        so eval can't read a driver-side env change)."""
+        from hive_dwrf_spark.sources.udtf import register_udtfs
+
+        q = (
+            f"SELECT * FROM dwrf_lookup('{table}', 'k',"
+            f" array({','.join(str(i) for i in range(11))}))"
+        )
+        monkeypatch.setenv("SPARK_GRAFT_LOOKUP_MAX_KEYS", "10")
+        spark._dwrf_udtfs_registered = False
+        try:
+            register_udtfs(spark)
+            with pytest.raises(Exception, match="serving-path limit"):
+                spark.sql(q).collect()
+            # at the limit it still serves
+            monkeypatch.setenv("SPARK_GRAFT_LOOKUP_MAX_KEYS", "11")
+            spark._dwrf_udtfs_registered = False
+            register_udtfs(spark)
+            assert spark.sql(q).count() == 11
+        finally:
+            monkeypatch.undo()
+            spark._dwrf_udtfs_registered = False
+            register_udtfs(spark)
 
 
 class TestIvfPersistedIndex:
