@@ -896,10 +896,27 @@ class DwrfFile:
         from .fs import get_fs
 
         self.path = path
-        self._f = get_fs().open(path, "rb")
+        self._f = get_fs(path).open(path, "rb")
         # point-lookup decoder reuse (read_row): (stripe, projection) ->
         # no-prefetch _StripeDecoder with warmed dictionary/index caches
         self._point_decoders: dict = {}
+        # decoded-stride-array LRU shared by all point lookups on this
+        # handle: (stripe, type_id, s_idx) -> pa.Array. The serving
+        # steady state re-reads a hot working set, and under concurrent
+        # clients EVERY thread used to re-decode the same stride (the
+        # r8-measured 9.8 ms/lookup at 32 clients vs 1.8 ms/row batched);
+        # with the arrays cached a repeat hit is a dict move + .take.
+        # Byte-budgeted (SPARK_GRAFT_STRIDE_CACHE_MB, default 64) so a
+        # wide scan through cold strides can't pin the heap; the lock
+        # guards only cache bookkeeping, never a decode.
+        import threading as _threading
+
+        self._stride_arrays: dict = {}
+        self._stride_bytes = 0
+        self._stride_budget = (
+            int(os.environ.get("SPARK_GRAFT_STRIDE_CACHE_MB", 64)) << 20
+        )
+        self._stride_lock = _threading.Lock()
         try:
             # local files: positional os.pread, safe under the stripe pool
             self._fileno = self._f.fileno()
@@ -1411,6 +1428,54 @@ class DwrfFile:
         self._point_decoders[key] = dec
         return dec
 
+    def _stride_cache_get(self, key):
+        with self._stride_lock:
+            arr = self._stride_arrays.pop(key, None)
+            if arr is not None:  # LRU touch: reinsert at the back
+                self._stride_arrays[key] = arr
+            return arr
+
+    def _stride_cache_put(self, key, arr) -> None:
+        nbytes = arr.nbytes
+        if nbytes > self._stride_budget:
+            return  # a single oversized array would evict everything
+        with self._stride_lock:
+            if key in self._stride_arrays:  # concurrent decoder won
+                return
+            self._stride_arrays[key] = arr
+            self._stride_bytes += nbytes
+            # evict from the FRONT (dict preserves insertion order; a hit
+            # reinserts at the back, so the front is least-recent)
+            while self._stride_bytes > self._stride_budget and self._stride_arrays:
+                old = self._stride_arrays.pop(next(iter(self._stride_arrays)))
+                self._stride_bytes -= old.nbytes
+
+    def _cached_stride_column(
+        self, dec, stripe_index: int, tid: int, s_idx: int, stride: int,
+        n_rows: int,
+    ) -> pa.Array:
+        """decode_stride_column through the handle-level array LRU —
+        repeat lookups into a hot stride skip the decode entirely.
+        Propagates NoStridePositions (never cached)."""
+        key = (stripe_index, tid, s_idx)
+        arr = self._stride_cache_get(key)
+        if arr is None:
+            arr = dec.decode_stride_column(tid, s_idx, stride, n_rows)
+            self._stride_cache_put(key, arr)
+        return arr
+
+    def _cached_whole_column(
+        self, dec, stripe_index: int, tid: int, n_rows: int
+    ) -> pa.Array:
+        """Whole-stripe fallback (NoStridePositions columns) through the
+        same LRU, keyed with s_idx=-1."""
+        key = (stripe_index, tid, -1)
+        arr = self._stride_cache_get(key)
+        if arr is None:
+            arr = dec.decode_column(tid, n_rows)
+            self._stride_cache_put(key, arr)
+        return arr
+
     def read_row(
         self, row_number: int, columns: list[str] | None = None
     ) -> dict:
@@ -1458,10 +1523,12 @@ class DwrfFile:
         out = {}
         for name, tid in tops:
             try:
-                arr = dec.decode_stride_column(tid, s_idx, stride, n_rows)
+                arr = self._cached_stride_column(
+                    dec, i, tid, s_idx, stride, n_rows
+                )
                 out[name] = arr[r_in_stride].as_py()
             except NoStridePositions:
-                col = dec.decode_column(tid, n_rows)
+                col = self._cached_whole_column(dec, i, tid, n_rows)
                 out[name] = col[r_in_stripe].as_py()
         return out
 
@@ -1534,8 +1601,8 @@ class DwrfFile:
                 for name, tid in tops:
                     if s_idx >= 0:
                         try:
-                            arr = dec.decode_stride_column(
-                                tid, s_idx, stride, n_rows
+                            arr = self._cached_stride_column(
+                                dec, i, tid, s_idx, stride, n_rows
                             )
                             pieces[name].append(arr.take(offs))
                             continue
@@ -1543,7 +1610,7 @@ class DwrfFile:
                             pass
                     col = stripe_cols.get(tid)
                     if col is None:
-                        col = dec.decode_column(tid, n_rows)
+                        col = self._cached_whole_column(dec, i, tid, n_rows)
                         stripe_cols[tid] = col
                     base = s_idx * stride if s_idx >= 0 else 0
                     pieces[name].append(

@@ -16,9 +16,23 @@ Scale shape: one eval call per input row (a bare TVF call = exactly one),
 each eval is a k-key batched lookup touching only the files/strides that
 can hold those keys — this is a SERVING surface (point reads), not a scan
 operator; a join against a big key table should use the DataSource scan
-path instead. ``analyze`` opens one footer on the driver, so the path
-must be driver-visible (true for any shared filesystem / object store
-behind the fs seam).
+path instead. A key batch above SPARK_GRAFT_LOOKUP_MAX_KEYS (default 1M)
+is REJECTED with that guidance — past that size the request is a scan
+wearing a lookup's clothes, and the scan path (predicate pushdown +
+parallel splits) is strictly better.
+
+Arrow batch emission (probed on pyspark 4.1.2, kept row-yield): the
+arrow-native UDTF form (eval returning pyarrow batches) explicitly
+rejects classes with an ``analyze`` method (SPARK-53286, verified via
+pyspark.sql.udtf._validate_arrow_udtf_handler) — and footer-derived
+schema at analysis time IS this TVF's contract, so it stays a regular
+UDTF. ``useArrow=True`` (arrow TRANSPORT under row-yield eval) was
+measured neutral at 100k output rows (2.15s vs 2.10s plain): the decode
+dominates, not the pickling. Revisit when SPARK-53286 lands.
+
+``analyze`` opens one footer on the driver, so the path must be
+driver-visible (true for any shared filesystem / object store behind
+the fs seam).
 """
 
 from __future__ import annotations
@@ -26,6 +40,12 @@ from __future__ import annotations
 
 class DwrfLookupUDTF:
     """UDTF class registered as ``dwrf_lookup`` by sources.register()."""
+
+    # serving-path key-batch ceiling; register_udtfs() snapshots the
+    # DRIVER's SPARK_GRAFT_LOOKUP_MAX_KEYS into the pickled class, because
+    # eval runs in Spark's Python workers whose environment is frozen at
+    # JVM start (a driver-side env change would silently not propagate)
+    MAX_KEYS = 1_000_000
 
     @staticmethod
     def analyze(path, key_col, keys):
@@ -59,6 +79,8 @@ class DwrfLookupUDTF:
         return AnalyzeResult(schema=StructType(fields))
 
     def eval(self, path, key_col, keys):
+        import os
+
         from ..format.fs import strip_file_uri
         from ..format.lookup import lookup_keys
 
@@ -67,18 +89,43 @@ class DwrfLookupUDTF:
         keys = [k for k in (keys or []) if k is not None]
         if not keys:
             return
+        max_keys = int(
+            os.environ.get("SPARK_GRAFT_LOOKUP_MAX_KEYS", self.MAX_KEYS)
+        )
+        if len(keys) > max_keys:
+            raise ValueError(
+                f"dwrf_lookup: {len(keys)} keys exceeds the serving-path "
+                f"limit ({max_keys}); a batch this size is a scan — use "
+                "spark.read.format('dwrf') with a join/IN filter "
+                "(predicate pushdown + parallel splits) instead, or raise "
+                "SPARK_GRAFT_LOOKUP_MAX_KEYS"
+            )
         table = lookup_keys(strip_file_uri(path), key_col, keys)
-        for row in table.to_pylist():
-            yield tuple(row.values())
+        # column-wise pylist + zip beats to_pylist()'s per-row dicts
+        yield from zip(*(c.to_pylist() for c in table.columns))
 
 
 def register_udtfs(spark) -> None:
     """Register the SQL TVFs (idempotent per session)."""
     if getattr(spark, "_dwrf_udtfs_registered", False):
         return
+    import os
+
     from pyspark.sql.functions import udtf
 
-    spark.udtf.register("dwrf_lookup", udtf(DwrfLookupUDTF))
+    # snapshot the driver's key-batch ceiling into the shipped class —
+    # see DwrfLookupUDTF.MAX_KEYS for why env alone can't cross into
+    # the Python workers
+    lookup_cls = type(
+        "DwrfLookupUDTF",
+        (DwrfLookupUDTF,),
+        {
+            "MAX_KEYS": int(
+                os.environ.get("SPARK_GRAFT_LOOKUP_MAX_KEYS", 1_000_000)
+            )
+        },
+    )
+    spark.udtf.register("dwrf_lookup", udtf(lookup_cls))
     spark.udtf.register("dwrf_stats", udtf(DwrfStatsUDTF))
     spark._dwrf_udtfs_registered = True
 

@@ -170,6 +170,49 @@ class TestReadRowsAt:
             assert f._point_decoders[hot] is dec  # reused, not rebuilt
             assert list(f._point_decoders)[-1] == hot  # touched to back
 
+    def test_stride_array_cache_hits_and_budget(self, nested_file, monkeypatch):
+        """The handle-level decoded-stride LRU (the r8 concurrent-serving
+        fix): a repeat read_row of the same stride decodes nothing new,
+        values stay exact, and the byte budget evicts instead of
+        growing without bound."""
+        with DwrfFile(nested_file) as f:
+            first = f.read_row(1_234)
+            n_entries = len(f._stride_arrays)
+            assert n_entries > 0 and f._stride_bytes > 0
+            # repeat hit: same keys, same values, no new entries
+            again = f.read_row(1_234)
+            assert again == first
+            assert len(f._stride_arrays) == n_entries
+            # neighbor row in the same stride: pure cache hit too
+            f.read_row(1_235)
+            assert len(f._stride_arrays) == n_entries
+        # a 1-MB budget must bound the cache while answers stay exact
+        monkeypatch.setenv("SPARK_GRAFT_STRIDE_CACHE_MB", "1")
+        with DwrfFile(nested_file) as f:
+            rows = {}
+            for r in (0, 8_000, 16_000, 24_000, 1_234):
+                rows[r] = f.read_row(r)
+            assert f._stride_bytes <= 1 << 20
+            assert rows[1_234] == first
+
+    def test_concurrent_lookups_shared_handle_exact(self, nested_file):
+        """32 threads on ONE handle: every thread sees exact values while
+        the shared decoder + stride caches serve all of them."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with DwrfFile(nested_file) as f:
+            targets = list(range(0, f.num_rows, max(1, f.num_rows // 20)))[:20]
+            expect = {r: f.read_row(r) for r in targets}
+
+            def client(_):
+                for r in targets:
+                    if f.read_row(r) != expect[r]:
+                        return False
+                return True
+
+            with ThreadPoolExecutor(max_workers=32) as pool:
+                assert all(pool.map(client, range(32)))
+
 
 class TestLookupKeys:
     @pytest.fixture(scope="class")
