@@ -70,6 +70,55 @@ class NoStridePositions(Exception):
     caller falls back to whole-stripe decode."""
 
 
+class DwrfCorruptError(ValueError):
+    """Structurally invalid, truncated, or bit-damaged DWRF bytes.
+
+    Every DwrfFile read surface funnels decode-time failures through
+    this one type (original exception chained as __cause__), so callers
+    can distinguish 'the file is damaged' from their own usage errors —
+    the contract the reference pins with its corrupt-stream tests
+    (TestInStream.java). Detection boundary, documented honestly: like
+    the reference format, streams carry no per-block checksums, so a
+    bit-flip inside raw DATA bytes that still decodes structurally
+    (e.g. a literal value in an RLE run) is undetectable by ANY reader
+    of this format; structural damage — truncation, header/footer/
+    ROW_INDEX/stripe-directory corruption, compressed-block damage
+    (zlib's own framing catches most flips) — raises this error and
+    never returns fabricated rows."""
+
+
+def _corrupt_guard(ctx: str):
+    """Context manager converting low-level decode failures into
+    DwrfCorruptError. Argument-contract errors must be raised BEFORE
+    entering the guard (row-range IndexError, unknown-column KeyError)."""
+    import struct
+    import zlib
+    from contextlib import contextmanager
+
+    @contextmanager
+    def guard():
+        try:
+            yield
+        except (DwrfCorruptError, NoStridePositions):
+            raise
+        except (
+            ValueError,
+            TypeError,
+            KeyError,
+            IndexError,
+            AttributeError,  # proto wire-type confusion on flipped tags
+            OverflowError,
+            EOFError,
+            MemoryError,
+            struct.error,
+            zlib.error,
+            pa.ArrowException,
+        ) as e:
+            raise DwrfCorruptError(f"{ctx}: corrupt DWRF data: {e}") from e
+
+    return guard()
+
+
 #: type kinds the stride-bounded decoder handles (matches the writer's
 #: position-spec coverage; UNION falls back to full decode — branch value
 #: positions would need per-stride per-branch counts the reference also
@@ -931,48 +980,119 @@ class DwrfFile:
         tail_len = min(self.file_length, 64 * 1024)
         tail = self._read_at(self.file_length - tail_len, tail_len)
         if bytes(self._read_at(0, 3)) != MAGIC:
-            raise ValueError(f"{path}: not a DWRF/ORC file (bad magic)")
-        ps_len = tail[-1]
-        ps = proto.decode_message(
-            proto.PostScript, memoryview(bytes(tail[-1 - ps_len : -1]))
-        )
-        self.compression = CompressionKind(ps.compression or 0)
-        # every declared proto kind (orc_proto.proto:124-129) READS without
-        # optional codecs: LZO blocks fall back to the vendored pure-Python
-        # LZO1X decoder when python-lzo is absent (codecs._decompress_block);
-        # only the WRITE side still requires the real codec.
-        self.block_size = ps.compressionBlockSize
-        flen = ps.footerLength
-        if flen + ps_len + 1 > len(tail):  # footer larger than the tail probe
-            tail = self._read_at(
-                self.file_length - (flen + ps_len + 1), flen + ps_len + 1
+            raise DwrfCorruptError(
+                f"{path}: not a DWRF/ORC file (bad magic)"
             )
-        footer_raw = bytes(tail[-1 - ps_len - flen : -1 - ps_len])
-        self.footer = proto.decode_message(
-            proto.Footer, memoryview(codecs.decompress_stream(footer_raw, self.compression))
-        )
-        self.types = self.footer.types
-        self.num_rows = self.footer.numberOfRows or 0
-        self.metadata = {m.name: m.value for m in self.footer.metadata}
-        self.ns_timestamp_ids: set[int] = set()
-        if "dwrf.timestamp.ns.ids" in self.metadata:
-            self.ns_timestamp_ids = {
-                int(x) for x in self.metadata["dwrf.timestamp.ns.ids"].split(b",")
+        with _corrupt_guard(f"{path} (file tail)"):
+            ps_len = tail[-1]
+            ps = proto.decode_message(
+                proto.PostScript, memoryview(bytes(tail[-1 - ps_len : -1]))
+            )
+            if not ps.footerLength:
+                raise DwrfCorruptError(
+                    f"{path}: postscript carries no footer length"
+                )
+            self.compression = CompressionKind(ps.compression or 0)
+            # every declared proto kind (orc_proto.proto:124-129) READS
+            # without optional codecs: LZO blocks fall back to the
+            # vendored pure-Python LZO1X decoder when python-lzo is
+            # absent (codecs._decompress_block); only the WRITE side
+            # still requires the real codec.
+            self.block_size = ps.compressionBlockSize
+            flen = ps.footerLength
+            if flen + ps_len + 1 > len(tail):  # footer larger than probe
+                tail = self._read_at(
+                    self.file_length - (flen + ps_len + 1), flen + ps_len + 1
+                )
+            footer_raw = bytes(tail[-1 - ps_len - flen : -1 - ps_len])
+            self.footer = proto.decode_message(
+                proto.Footer,
+                memoryview(
+                    codecs.decompress_stream(footer_raw, self.compression)
+                ),
+            )
+            self.types = self.footer.types
+            if not self.types:
+                raise DwrfCorruptError(f"{path}: footer carries no types")
+            # type-tree validation: a flip surviving the footer's deflate
+            # framing must not silently DROP columns (observed in fuzz: a
+            # damaged root decoded as a scalar with no children, and every
+            # read returned 0-column tables). Every DWRF/ORC file roots at
+            # a STRUCT whose fieldNames pair 1:1 with subtypes; child ids
+            # must stay inside the tree.
+            root_t = self.types[0]
+            if TypeKind(root_t.kind) != TypeKind.STRUCT or len(
+                root_t.fieldNames
+            ) != len(root_t.subtypes):
+                raise DwrfCorruptError(
+                    f"{path}: damaged type tree (root kind "
+                    f"{root_t.kind}, {len(root_t.fieldNames)} names vs "
+                    f"{len(root_t.subtypes)} children)"
+                )
+            for t in self.types:
+                for sub in t.subtypes:
+                    if sub <= 0 or sub >= len(self.types):
+                        raise DwrfCorruptError(
+                            f"{path}: type child id {sub} outside tree "
+                            f"of {len(self.types)} nodes"
+                        )
+            self.num_rows = self.footer.numberOfRows or 0
+            self.metadata = {m.name: m.value for m in self.footer.metadata}
+            self.ns_timestamp_ids: set[int] = set()
+            if "dwrf.timestamp.ns.ids" in self.metadata:
+                self.ns_timestamp_ids = {
+                    int(x)
+                    for x in self.metadata["dwrf.timestamp.ns.ids"].split(b",")
+                }
+            self.date_ids: set[int] = set()
+            if "dwrf.date.ids" in self.metadata:
+                self.date_ids = {
+                    int(x) for x in self.metadata["dwrf.date.ids"].split(b",")
+                }
+            self.type_overrides: dict[int, pa.DataType] = {
+                tid: pa.timestamp("ns") for tid in self.ns_timestamp_ids
             }
-        self.date_ids: set[int] = set()
-        if "dwrf.date.ids" in self.metadata:
-            self.date_ids = {
-                int(x) for x in self.metadata["dwrf.date.ids"].split(b",")
-            }
-        self.type_overrides: dict[int, pa.DataType] = {
-            tid: pa.timestamp("ns") for tid in self.ns_timestamp_ids
-        }
-        self.type_overrides.update({tid: pa.date32() for tid in self.date_ids})
-        self.schema = type_tree_to_schema(self.types, self.type_overrides)
+            self.type_overrides.update(
+                {tid: pa.date32() for tid in self.date_ids}
+            )
+            self.schema = type_tree_to_schema(self.types, self.type_overrides)
+            # structural cross-validation: a bit-flip surviving the
+            # footer's deflate framing must not send reads to shifted
+            # offsets or fabricate row counts — stripe extents must be
+            # ordered, in-bounds and row-consistent before any data read
+            total_rows = 0
+            prev_end = len(MAGIC)
+            for s in self.footer.stripes:
+                end = (
+                    (s.offset or 0)
+                    + (s.indexLength or 0)
+                    + (s.dataLength or 0)
+                    + (s.footerLength or 0)
+                )
+                if (s.offset or 0) < prev_end or end > self.file_length:
+                    raise DwrfCorruptError(
+                        f"{path}: stripe directory entry out of bounds "
+                        f"(offset {s.offset}, end {end}, "
+                        f"file {self.file_length})"
+                    )
+                prev_end = end
+                total_rows += s.numberOfRows or 0
+            if total_rows != self.num_rows:
+                raise DwrfCorruptError(
+                    f"{path}: stripe rows {total_rows} != footer rows "
+                    f"{self.num_rows}"
+                )
 
     def _read_at(self, offset: int, length: int) -> bytes:
         # positional read: no shared seek cursor, safe under the stripe
         # thread pool in read()
+        if offset < 0 or length < 0 or offset + length > self.file_length:
+            # only corrupt metadata computes an out-of-file range (e.g. a
+            # flipped footerLength larger than the file)
+            raise DwrfCorruptError(
+                f"{self.path}: read [{offset}, {offset + length}) outside "
+                f"file of {self.file_length} bytes"
+            )
         if self._fileno is not None:
             return os.pread(self._fileno, length, offset)
         with self._read_lock:
@@ -1265,6 +1385,16 @@ class DwrfFile:
         filters: list[tuple] | None = None,
     ) -> pa.Table:
         """Read the whole file (filters prune stripes; residual rows remain)."""
+        if columns is not None:
+            self._parse_projection(columns)  # contract errors BEFORE guard
+        with _corrupt_guard(self.path):
+            return self._read_impl(columns, filters)
+
+    def _read_impl(
+        self,
+        columns: list[str] | None = None,
+        filters: list[tuple] | None = None,
+    ) -> pa.Table:
         if filters and not self._filter_may_match_stats(
             filters, lambda tid: self.file_stats(tid)
         ):
@@ -1324,6 +1454,14 @@ class DwrfFile:
         row_offset+count). Cost is O(stripes touched) — the stripe directory
         locates the containing stripes without scanning, and only those
         stripes' streams are read and decoded."""
+        if columns is not None:
+            self._parse_projection(columns)  # contract errors BEFORE guard
+        with _corrupt_guard(self.path):
+            return self._read_rows_impl(row_offset, count, columns)
+
+    def _read_rows_impl(
+        self, row_offset: int, count: int, columns: list[str] | None = None
+    ) -> pa.Table:
         end = row_offset + count
         tables = []
         first_row = 0
@@ -1497,40 +1635,41 @@ class DwrfFile:
             raise IndexError(
                 f"row {row_number} out of range [0, {self.num_rows})"
             )
-        stride = self.footer.rowIndexStride
-        first_row = 0
-        for i, s in enumerate(self.footer.stripes):
-            if first_row + s.numberOfRows > row_number:
-                break
-            first_row += s.numberOfRows
-        r_in_stripe = row_number - first_row
         if columns is not None:
             tops, include_ids = self._parse_projection(columns)
         else:
             root = self.types[0]
             tops = list(zip(root.fieldNames, root.subtypes))
             include_ids = None
-        if not stride:
-            t = self.read_rows(row_number, 1, columns=columns)
-            return {
-                name: t.column(j)[0].as_py()
-                for j, name in enumerate(t.schema.names)
-            }
-        dec = self._point_decoder(i, include_ids, {tid for _, tid in tops})
-        s_idx = r_in_stripe // stride
-        r_in_stride = r_in_stripe % stride
-        n_rows = self.footer.stripes[i].numberOfRows
-        out = {}
-        for name, tid in tops:
-            try:
-                arr = self._cached_stride_column(
-                    dec, i, tid, s_idx, stride, n_rows
-                )
-                out[name] = arr[r_in_stride].as_py()
-            except NoStridePositions:
-                col = self._cached_whole_column(dec, i, tid, n_rows)
-                out[name] = col[r_in_stripe].as_py()
-        return out
+        with _corrupt_guard(self.path):
+            stride = self.footer.rowIndexStride
+            first_row = 0
+            for i, s in enumerate(self.footer.stripes):
+                if first_row + s.numberOfRows > row_number:
+                    break
+                first_row += s.numberOfRows
+            r_in_stripe = row_number - first_row
+            if not stride:
+                t = self._read_rows_impl(row_number, 1, columns=columns)
+                return {
+                    name: t.column(j)[0].as_py()
+                    for j, name in enumerate(t.schema.names)
+                }
+            dec = self._point_decoder(i, include_ids, {tid for _, tid in tops})
+            s_idx = r_in_stripe // stride
+            r_in_stride = r_in_stripe % stride
+            n_rows = self.footer.stripes[i].numberOfRows
+            out = {}
+            for name, tid in tops:
+                try:
+                    arr = self._cached_stride_column(
+                        dec, i, tid, s_idx, stride, n_rows
+                    )
+                    out[name] = arr[r_in_stride].as_py()
+                except NoStridePositions:
+                    col = self._cached_whole_column(dec, i, tid, n_rows)
+                    out[name] = col[r_in_stripe].as_py()
+            return out
 
     def read_rows_at(
         self, row_numbers, columns: list[str] | None = None
@@ -1567,6 +1706,14 @@ class DwrfFile:
             schema = self.schema
         if not ids:
             return schema.empty_table()
+        with _corrupt_guard(self.path):
+            return self._read_rows_at_impl(
+                ids, tops, include_ids, schema
+            )
+
+    def _read_rows_at_impl(self, ids, tops, include_ids, schema) -> pa.Table:
+        import bisect
+
         stride = self.footer.rowIndexStride
         firsts: list[int] = []
         acc = 0
