@@ -103,6 +103,10 @@ HEADLINE = [
     "format_broadcast_join",
     # round-8 additions (serving-shape batch lookup over multi-file dirs)
     "format_point_lookup_batch",
+    # round-9 addition (the graceful-degradation valve engaged: capped
+    # LSH candidates + exact verify — must stay near the uncapped cost
+    # at sane density)
+    "dedup_cosine_lsh_capped",
 ]
 
 

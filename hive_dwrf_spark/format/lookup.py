@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .reader import DwrfFile, NoStridePositions
+from .reader import DwrfFile, NoStridePositions, _corrupt_guard
 from .stats import stats_from_proto
 from .types import TypeKind
 
@@ -136,105 +136,106 @@ def lookup_keys(
             kind = TypeKind(f.types[key_tid].kind)
             stride = f.footer.rowIndexStride
             index_ids = {tid for _, tid in tops} | {key_tid}
-            for i, stripe in enumerate(f.footer.stripes):
-                n_rows = stripe.numberOfRows
-                if n_rows == 0:
-                    continue
-                dec = f._point_decoder(i, include_ids, index_ids)
-                n_strides = (n_rows + stride - 1) // stride if stride else 1
-                if trace is not None:
-                    trace["strides_total"] += n_strides
+            with _corrupt_guard(fp):
+                for i, stripe in enumerate(f.footer.stripes):
+                    n_rows = stripe.numberOfRows
+                    if n_rows == 0:
+                        continue
+                    dec = f._point_decoder(i, include_ids, index_ids)
+                    n_strides = (n_rows + stride - 1) // stride if stride else 1
+                    if trace is not None:
+                        trace["strides_total"] += n_strides
 
-                stripe_cols: dict[int, pa.Array] = {}
+                    stripe_cols: dict[int, pa.Array] = {}
 
-                def whole(tid):
-                    col = stripe_cols.get(tid)
-                    if col is None:
-                        col = dec.decode_column(tid, n_rows)
-                        stripe_cols[tid] = col
-                    return col
+                    def whole(tid):
+                        col = stripe_cols.get(tid)
+                        if col is None:
+                            col = dec.decode_column(tid, n_rows)
+                            stripe_cols[tid] = col
+                        return col
 
-                def emit(offs_global: np.ndarray, karr, k_base: int, in_stride: bool):
-                    """Gather every projected column at stripe-global row
-                    offsets `offs_global`; `karr` (the decoded key window
-                    starting at `k_base`) is reused when projected.
-                    `in_stride`: offsets all fall in the single stride the
-                    key was decoded from, so other columns may seek to it;
-                    False means a whole-stripe pass (offsets may span
-                    strides), so other columns decode whole-stripe too."""
-                    for name, tid in tops:
-                        if tid == key_tid:
-                            piece = karr.take(
-                                pa.array(
-                                    offs_global - k_base, type=pa.int64()
-                                )
-                            )
-                        else:
-                            piece = None
-                            if in_stride:
-                                s_idx0 = int(offs_global[0]) // stride
-                                try:
-                                    arr = dec.decode_stride_column(
-                                        tid, s_idx0, stride, n_rows
+                    def emit(offs_global: np.ndarray, karr, k_base: int, in_stride: bool):
+                        """Gather every projected column at stripe-global row
+                        offsets `offs_global`; `karr` (the decoded key window
+                        starting at `k_base`) is reused when projected.
+                        `in_stride`: offsets all fall in the single stride the
+                        key was decoded from, so other columns may seek to it;
+                        False means a whole-stripe pass (offsets may span
+                        strides), so other columns decode whole-stripe too."""
+                        for name, tid in tops:
+                            if tid == key_tid:
+                                piece = karr.take(
+                                    pa.array(
+                                        offs_global - k_base, type=pa.int64()
                                     )
-                                    piece = arr.take(
-                                        pa.array(
-                                            offs_global - s_idx0 * stride,
-                                            type=pa.int64(),
+                                )
+                            else:
+                                piece = None
+                                if in_stride:
+                                    s_idx0 = int(offs_global[0]) // stride
+                                    try:
+                                        arr = dec.decode_stride_column(
+                                            tid, s_idx0, stride, n_rows
                                         )
+                                        piece = arr.take(
+                                            pa.array(
+                                                offs_global - s_idx0 * stride,
+                                                type=pa.int64(),
+                                            )
+                                        )
+                                    except NoStridePositions:
+                                        piece = None
+                                if piece is None:
+                                    piece = whole(tid).take(
+                                        pa.array(offs_global, type=pa.int64())
                                     )
-                                except NoStridePositions:
-                                    piece = None
-                            if piece is None:
-                                piece = whole(tid).take(
-                                    pa.array(offs_global, type=pa.int64())
-                                )
-                        out_chunks.setdefault(name, []).append(piece)
+                            out_chunks.setdefault(name, []).append(piece)
 
-                # --- stride-level pruning via the key's ROW_INDEX stats ---
-                alive = list(range(n_strides))
-                ri = dec.row_index(key_tid) if stride else None
-                if ri is not None and len(ri.entry) >= n_strides:
-                    kept = []
-                    for s in alive:
-                        e = ri.entry[s].statistics
-                        if e is None:
-                            kept.append(s)
-                            continue
-                        cs = stats_from_proto(kind, e)
-                        if _any_key_in_range(key_list, cs.minimum, cs.maximum):
-                            kept.append(s)
-                    alive = kept
-                if not alive:
-                    continue
-                if not stride:
-                    # legacy file without a row index: one whole-stripe pass
-                    if trace is not None:
-                        trace["strides_scanned"] += 1
-                    karr = whole(key_tid)
-                    hits = _match_offsets(karr, key_set)
-                    if len(hits):
-                        emit(hits, karr, 0, in_stride=False)
-                    continue
-                for s_idx in alive:
-                    if trace is not None:
-                        trace["strides_scanned"] += 1
-                    base = s_idx * stride
-                    try:
-                        karr = dec.decode_stride_column(
-                            key_tid, s_idx, stride, n_rows
-                        )
-                    except NoStridePositions:
-                        karr, base = whole(key_tid), 0
-                        # stats pruning already ran; scanning the whole
-                        # stripe once covers every remaining stride
+                    # --- stride-level pruning via the key's ROW_INDEX stats ---
+                    alive = list(range(n_strides))
+                    ri = dec.row_index(key_tid) if stride else None
+                    if ri is not None and len(ri.entry) >= n_strides:
+                        kept = []
+                        for s in alive:
+                            e = ri.entry[s].statistics
+                            if e is None:
+                                kept.append(s)
+                                continue
+                            cs = stats_from_proto(kind, e)
+                            if _any_key_in_range(key_list, cs.minimum, cs.maximum):
+                                kept.append(s)
+                        alive = kept
+                    if not alive:
+                        continue
+                    if not stride:
+                        # legacy file without a row index: one whole-stripe pass
+                        if trace is not None:
+                            trace["strides_scanned"] += 1
+                        karr = whole(key_tid)
                         hits = _match_offsets(karr, key_set)
                         if len(hits):
                             emit(hits, karr, 0, in_stride=False)
-                        break
-                    hits = _match_offsets(karr, key_set)
-                    if len(hits):
-                        emit(hits + base, karr, base, in_stride=True)
+                        continue
+                    for s_idx in alive:
+                        if trace is not None:
+                            trace["strides_scanned"] += 1
+                        base = s_idx * stride
+                        try:
+                            karr = dec.decode_stride_column(
+                                key_tid, s_idx, stride, n_rows
+                            )
+                        except NoStridePositions:
+                            karr, base = whole(key_tid), 0
+                            # stats pruning already ran; scanning the whole
+                            # stripe once covers every remaining stride
+                            hits = _match_offsets(karr, key_set)
+                            if len(hits):
+                                emit(hits, karr, 0, in_stride=False)
+                            break
+                        hits = _match_offsets(karr, key_set)
+                        if len(hits):
+                            emit(hits + base, karr, base, in_stride=True)
     if schema is None:  # no files had rows and none set a schema
         with DwrfFile(files[0]) as f:
             schema = (

@@ -280,6 +280,37 @@ class TestRegionFuzz:
             except DwrfCorruptError:
                 pass
 
+    def test_lookup_keys_on_damaged_directory(self, victim, tmp_path):
+        """The multi-file serving surface (lookup_keys): a damaged file
+        in the directory raises DwrfCorruptError (or serves exact values
+        for flips its decode path never touches); contract errors stay
+        themselves."""
+        from hive_dwrf_spark.format.lookup import lookup_keys
+
+        p, raw, _, regions = victim
+        d = tmp_path / "serve"
+        d.mkdir()
+        (d / "a.dwrf").write_bytes(raw)
+        random.seed(19)
+        name, a, b = next(r for r in regions if r[0] == "index")
+        for off in random.sample(range(a, b), 6):
+            b_ = bytearray(raw)
+            b_[off] ^= 0xFF
+            (d / "b.dwrf").write_bytes(bytes(b_))
+            try:
+                t = lookup_keys(str(d), "i", [5, 9_000])
+                assert sorted(t.column("i").to_pylist()) == [5, 5, 9_000, 9_000]
+            except DwrfCorruptError:
+                pass
+        # truncated member file
+        (d / "b.dwrf").write_bytes(raw[: len(raw) // 2])
+        with pytest.raises(DwrfCorruptError):
+            lookup_keys(str(d), "i", [5])
+        # contract error survives the guard
+        (d / "b.dwrf").write_bytes(raw)
+        with pytest.raises(KeyError):
+            lookup_keys(str(d), "nope", [5])
+
     def test_contract_errors_stay_contract_errors(self, victim):
         """The guard must not swallow caller mistakes into 'corrupt':
         out-of-range rows stay IndexError, unknown columns stay
