@@ -14,6 +14,11 @@ runbook against a table directory.
                                         lines
     compact <dir> <out.dwrf>            merge all part files into one by
                                         raw stripe copy (A22, no decode)
+    verify  <path>                      scrub file(s) against recorded
+                                        per-stripe CRC32s (writer option
+                                        checksums=true); exit 1 on any
+                                        damage, reports files without
+                                        checksums
 """
 
 from __future__ import annotations
@@ -104,11 +109,37 @@ def _cmd_compact(args: list[str]) -> int:
     return 0
 
 
+def _cmd_verify(args: list[str]) -> int:
+    from .format.fs import get_fs
+    from .format.reader import DwrfCorruptError, DwrfFile
+
+    if len(args) != 1:
+        print("usage: verify <path>", file=sys.stderr)
+        return 2
+    files = get_fs(args[0]).list_files(args[0], (".dwrf", ".orc"))
+    if not files:
+        print(f"no .dwrf files under {args[0]}", file=sys.stderr)
+        return 2
+    bad = 0
+    for fp in sorted(files):
+        try:
+            with DwrfFile(fp) as f:
+                rep = f.verify()
+            print(f"OK       {fp} ({rep['stripes']} stripes, {rep['bytes']} bytes)")
+        except DwrfCorruptError as e:
+            bad += 1
+            print(f"CORRUPT  {fp}: {e}")
+        except ValueError:
+            print(f"SKIPPED  {fp}: no checksums recorded")
+    return 1 if bad else 0
+
+
 _COMMANDS = {
     "dump": _cmd_dump,
     "stats": _cmd_stats,
     "lookup": _cmd_lookup,
     "compact": _cmd_compact,
+    "verify": _cmd_verify,
 }
 
 

@@ -15,6 +15,10 @@ from enum import IntEnum
 MAGIC = b"ORC"
 HEADER_LENGTH = len(MAGIC)
 
+# user-metadata key holding per-stripe "index:data:footer" CRC32 triples
+# (scrub-time verification; foreign readers skip unknown metadata keys)
+CHECKSUM_METADATA_KEY = "dwrf.stream.crc32"
+
 
 class TypeKind(IntEnum):
     BOOLEAN = 0

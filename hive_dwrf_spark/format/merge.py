@@ -12,7 +12,7 @@ from a distributed write are folded into large files with many stripes.
 from __future__ import annotations
 
 from . import codecs, proto
-from .constants import MAGIC, CompressionKind
+from .constants import CHECKSUM_METADATA_KEY, MAGIC, CompressionKind
 from .reader import DwrfFile
 from .stats import stats_from_proto
 from .types import TypeKind
@@ -40,6 +40,13 @@ def merge_files(paths: list[str], out_path: str) -> None:
             for i in range(len(first.types))
         ]
         metadata: dict[str, bytes] = dict(first.metadata)
+        # per-stripe CRCs stay VALID under raw stripe copy, so a merge of
+        # all-checksummed inputs stays scrubbable: concatenate the triples
+        # in stripe order. Any input without checksums poisons the set —
+        # emitting a partial map would mis-index stripes, so drop the key
+        # (metadata.update below would otherwise carry a stale one over).
+        crc_parts = [r.metadata.get(CHECKSUM_METADATA_KEY) for r in readers]
+        metadata.pop(CHECKSUM_METADATA_KEY, None)
         row_count = 0
         raw_size = 0
 
@@ -56,7 +63,9 @@ def merge_files(paths: list[str], out_path: str) -> None:
                                 TypeKind(r.types[i].kind), r.footer.statistics[i]
                             )
                         )
-                    metadata.update(r.metadata)
+                    later = dict(r.metadata)
+                    later.pop(CHECKSUM_METADATA_KEY, None)
+                    metadata.update(later)
                 for s in r.footer.stripes:
                     total = s.indexLength + s.dataLength + s.footerLength
                     blob = r._read_at(s.offset, total)
@@ -75,6 +84,8 @@ def merge_files(paths: list[str], out_path: str) -> None:
                     row_count += s.numberOfRows or 0
                     raw_size += s.rawDataSize or 0
 
+            if all(p is not None for p in crc_parts):
+                metadata[CHECKSUM_METADATA_KEY] = b";".join(crc_parts)
             footer = proto.Footer(
                 headerLength=len(MAGIC),
                 contentLength=pos,

@@ -1083,6 +1083,67 @@ class DwrfFile:
                     f"{self.num_rows}"
                 )
 
+    def verify(self) -> dict:
+        """Scrub this file against its recorded per-stripe CRC32s
+        (writer option ``checksums=True``, metadata key
+        ``dwrf.stream.crc32``): re-read every stripe's index/data/footer
+        region and compare. Closes the format's documented silent-flip
+        blind spot for files written with checksums — a damaged region
+        raises DwrfCorruptError naming the stripe and region; a file
+        written WITHOUT checksums raises ValueError (a scrub that
+        silently verified nothing would be worse than none).
+
+        Returns {"stripes": n, "bytes": total} on success. Cost: one
+        sequential read of the file + crc32 (~GB/s) — the ops-time scrub
+        object stores and post-compaction validation run, not a per-query
+        tax (stripe merges preserve per-stripe CRCs, so compacted files
+        stay verifiable; see merge_files)."""
+        import zlib as _zlib
+
+        from .constants import CHECKSUM_METADATA_KEY
+
+        blob = self.metadata.get(CHECKSUM_METADATA_KEY)
+        if blob is None:
+            raise ValueError(
+                f"{self.path}: no checksums recorded (write with "
+                "checksums=True to enable scrubbing)"
+            )
+        with _corrupt_guard(f"{self.path} (checksum metadata)"):
+            triples = [
+                tuple(int(x) for x in part.split(":"))
+                for part in blob.decode().split(";")
+                if part
+            ]
+        if len(triples) != len(self.footer.stripes):
+            raise DwrfCorruptError(
+                f"{self.path}: {len(triples)} checksum triples for "
+                f"{len(self.footer.stripes)} stripes"
+            )
+        total = 0
+        for i, (s, (want_i, want_d, want_f)) in enumerate(
+            zip(self.footer.stripes, triples)
+        ):
+            regions = (
+                ("index", s.offset, s.indexLength, want_i),
+                ("data", s.offset + s.indexLength, s.dataLength, want_d),
+                (
+                    "footer",
+                    s.offset + s.indexLength + s.dataLength,
+                    s.footerLength,
+                    want_f,
+                ),
+            )
+            for name, off, ln, want in regions:
+                got = _zlib.crc32(self._read_at(off, ln))
+                total += ln
+                if got != want:
+                    raise DwrfCorruptError(
+                        f"{self.path}: stripe {i} {name} region CRC "
+                        f"mismatch (recorded {want}, computed {got}) — "
+                        "bytes damaged since write"
+                    )
+        return {"stripes": len(triples), "bytes": total}
+
     def _read_at(self, offset: int, length: int) -> bytes:
         # positional read: no shared seek cursor, safe under the stripe
         # thread pool in read()

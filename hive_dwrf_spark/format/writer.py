@@ -39,6 +39,7 @@ import pyarrow.compute as pc
 from . import codecs, proto
 from .profiler import profiler
 from .constants import (
+    CHECKSUM_METADATA_KEY,
     DEFAULT_COMPRESSION_BLOCK_SIZE,
     DEFAULT_ENTROPY_KEY_SIZE_THRESHOLD,
     DEFAULT_ENTROPY_MIN_SAMPLES,
@@ -794,6 +795,7 @@ class DwrfWriter:
         encoding_interval: int = 30,
         metadata: dict[str, bytes] | None = None,
         union_columns: set[str] | str | None = None,
+        checksums: bool = False,
     ):
         if isinstance(compression, str):
             compression = CompressionKind[compression.upper()]
@@ -819,6 +821,14 @@ class DwrfWriter:
             # re-evaluate dictionary-vs-direct every N stripes
             # (OrcConf.java:53); decisions carry over in between
             "encoding_interval": max(1, int(encoding_interval)),
+            # record per-stripe region CRC32s (index/data/footer) in user
+            # metadata for scrub-time verification (DwrfFile.verify
+            # / CLI `verify`). The format itself has no checksums — a
+            # data bit-flip that still decodes is silent (see
+            # DwrfCorruptError docs) — so this closes that blind spot
+            # format-compatibly: other readers skip the metadata key.
+            # Default off: it perturbs golden byte layouts.
+            "checksums": bool(checksums),
         }
         if low_memory:
             # A15 low-memory mode (WriterImpl.java:203-213): abandon
@@ -850,6 +860,7 @@ class DwrfWriter:
         self._buffered_rows = 0
         self._buffered_bytes = 0
         self._stripes: list[proto.StripeInformation] = []
+        self._stripe_crcs: list[tuple[int, int, int]] = []
         self._file_stats: dict[int, ColumnStats] = {}
         self._row_count = 0
         self._raw_size = 0
@@ -1058,12 +1069,21 @@ class DwrfWriter:
         start = self._pos
         footer = proto.StripeFooter()
         index_end = start
+        want_crc = self.opts["checksums"]
+        crc_index = crc_data = 0
+        if want_crc:
+            import zlib as _zlib
         for area in (index_streams, dict_streams, data_streams):
             for col, kind, data in area:
                 comp = comp_cache.get((col, int(kind)))
                 if comp is None:
                     comp = self._compress(data)
                 self._write(comp)
+                if want_crc:
+                    if area is index_streams:
+                        crc_index = _zlib.crc32(comp, crc_index)
+                    else:
+                        crc_data = _zlib.crc32(comp, crc_data)
                 footer.streams.append(
                     proto.Stream(kind=int(kind), column=col, length=len(comp), useVInts=1)
                 )
@@ -1078,6 +1098,10 @@ class DwrfWriter:
             )
         footer_bytes = self._compress(proto.encode_message(footer))
         self._write(footer_bytes)
+        if want_crc:
+            self._stripe_crcs.append(
+                (crc_index, crc_data, _zlib.crc32(footer_bytes))
+            )
 
         self._stripes.append(
             proto.StripeInformation(
@@ -1105,6 +1129,11 @@ class DwrfWriter:
 
     def _close_impl(self) -> None:
         self.flush_stripe()
+        if self.opts["checksums"] and self._stripe_crcs:
+            # one "idx:data:foot" crc32 triple per stripe, in stripe order
+            self.metadata[CHECKSUM_METADATA_KEY] = ";".join(
+                f"{a}:{b}:{c}" for a, b, c in self._stripe_crcs
+            ).encode()
         body_length = self._pos
         footer = proto.Footer(
             headerLength=len(MAGIC),

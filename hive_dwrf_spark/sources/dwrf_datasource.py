@@ -588,6 +588,12 @@ class DwrfWriter(DataSourceArrowWriter):
             opts["stride_dictionaries"] = str(
                 self.options["stride_dictionaries"]
             ).lower() in ("true", "1", "yes")
+        if "checksums" in self.options:
+            opts["checksums"] = str(self.options["checksums"]).lower() in (
+                "true",
+                "1",
+                "yes",
+            )
         if "union_columns" in self.options:
             # comma-separated struct<tag,field0,...> columns to store as
             # DWRF UNION nodes (the tagged-struct surrogate — DWRF UNION

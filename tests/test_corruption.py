@@ -325,3 +325,117 @@ class TestRegionFuzz:
                 f.read(columns=["nope"])
             with pytest.raises(KeyError):
                 f.read_row(0, columns=["nope"])
+
+
+class TestChecksumScrub:
+    """Opt-in per-stripe CRC32s (writer checksums=True) close the
+    format's documented blind spot: silent data-byte flips become
+    DETECTED by the scrub (DwrfFile.verify / CLI verify), while reads
+    stay checksum-free (no per-query tax) and stripe merges preserve
+    verifiability."""
+
+    @pytest.fixture(scope="class")
+    def checked(self, tmp_path_factory):
+        p = str(tmp_path_factory.mktemp("crc") / "checked.dwrf")
+        t = pa.table(
+            {
+                "i": pa.array(range(30_000), type=pa.int64()),
+                "s": pa.array([f"str{i % 251}" for i in range(30_000)]),
+            }
+        )
+        write_arrow_table(
+            p, t, stripe_rows=8_000, row_index_stride=1_000, checksums=True
+        )
+        return p, open(p, "rb").read()
+
+    def test_clean_file_verifies(self, checked):
+        p, _ = checked
+        with DwrfFile(p) as f:
+            rep = f.verify()
+            assert rep["stripes"] == 4 and rep["bytes"] > 0
+            # values unchanged by the option
+            assert f.read().column("i").to_pylist()[:3] == [0, 1, 2]
+
+    def test_data_flip_now_detected(self, checked, tmp_path):
+        """The exact failure mode the fuzz above documents as silent
+        WITHOUT checksums: a data-region bit-flip that still decodes.
+        With checksums the scrub catches every one."""
+        p, raw = checked
+        with DwrfFile(p) as f:
+            s = f.footer.stripes[1]
+            data_lo = s.offset + s.indexLength
+            data_hi = data_lo + s.dataLength
+        random.seed(23)
+        for off in random.sample(range(data_lo, data_hi), 12):
+            b = bytearray(raw)
+            b[off] ^= 0x01  # single-BIT damage
+            pc = _write(tmp_path, bytes(b))
+            with DwrfFile(pc) as f:
+                with pytest.raises(DwrfCorruptError, match="stripe 1 data"):
+                    f.verify()
+
+    def test_unchecked_file_refuses_to_pretend(self, victim):
+        p, _, _, _ = victim
+        with DwrfFile(p) as f:
+            with pytest.raises(ValueError, match="no checksums"):
+                f.verify()
+
+    def test_merge_preserves_scrubability(self, checked, tmp_path):
+        """Raw stripe copy keeps per-stripe CRCs valid: a merge of
+        checksummed inputs verifies; mixing in an unchecked input drops
+        the key instead of mis-indexing stripes."""
+        from hive_dwrf_spark.format.merge import merge_files
+
+        p, _ = checked
+        p2 = str(tmp_path / "b.dwrf")
+        write_arrow_table(
+            p2,
+            pa.table(
+                {
+                    "i": pa.array(range(100), type=pa.int64()),
+                    "s": pa.array([f"x{i}" for i in range(100)]),
+                }
+            ),
+            row_index_stride=1_000,
+            checksums=True,
+        )
+        out = str(tmp_path / "merged.dwrf")
+        merge_files([p, p2], out)
+        with DwrfFile(out) as f:
+            rep = f.verify()
+            assert rep["stripes"] == 5
+            assert f.num_rows == 30_100
+        # unchecked member poisons: key dropped, verify refuses cleanly
+        p3 = str(tmp_path / "c.dwrf")
+        write_arrow_table(
+            p3,
+            pa.table(
+                {
+                    "i": pa.array([1], type=pa.int64()),
+                    "s": pa.array(["y"]),
+                }
+            ),
+            row_index_stride=1_000,
+        )
+        out2 = str(tmp_path / "merged2.dwrf")
+        merge_files([p, p3], out2)
+        with DwrfFile(out2) as f:
+            with pytest.raises(ValueError, match="no checksums"):
+                f.verify()
+
+    def test_cli_verify(self, checked, tmp_path, capsys):
+        from hive_dwrf_spark.__main__ import main
+
+        p, raw = checked
+        d = tmp_path / "scrub"
+        d.mkdir()
+        (d / "good.dwrf").write_bytes(raw)
+        assert main(["verify", str(d)]) == 0
+        out = capsys.readouterr().out
+        assert "OK" in out
+        b = bytearray(raw)
+        b[len(raw) // 2] ^= 0x01
+        (d / "bad.dwrf").write_bytes(bytes(b))
+        assert main(["verify", str(d)]) == 1
+        out = capsys.readouterr().out
+        assert "CORRUPT" in out and "bad.dwrf" in out
