@@ -127,6 +127,14 @@ class LocalFileSystem:
         open(..., 'wb') of a file inside)."""
         os.makedirs(strip_file_uri(path), exist_ok=True)
 
+    def remove(self, path: str) -> None:
+        """Delete one file (object DELETE); missing files are not an
+        error (overwrite-commit cleanup races are benign)."""
+        try:
+            os.remove(strip_file_uri(path))
+        except FileNotFoundError:
+            pass
+
     def list_files(self, path: str, suffixes: tuple[str, ...]) -> list[str]:
         """All data files under `path` (or [path] if it is one file),
         skipping hidden/underscore names, in sorted walk order."""

@@ -69,6 +69,12 @@ class PrefixMappedFS:
     def makedirs(self, path: str) -> None:
         os.makedirs(self._local(path), exist_ok=True)
 
+    def remove(self, path: str) -> None:
+        try:
+            os.remove(self._local(path))
+        except FileNotFoundError:
+            pass
+
     def list_files(self, path: str, suffixes: tuple[str, ...]) -> list[str]:
         scheme = path_scheme(path)
         local = self._local(path)

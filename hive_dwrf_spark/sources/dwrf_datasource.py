@@ -393,6 +393,12 @@ class DwrfReader(DataSourceReader):
         # split planning knobs (0 = derive Spark-style from total bytes)
         self._max_split = int(options.get("maxSplitBytes", 0) or 0)
         self._target_parallelism = int(options.get("targetParallelism", 0) or 0)
+        # the driver's fs-scheme routing env travels INSIDE the pickled
+        # reader so executor-side read() resolves the same filesystems
+        # (workers' os.environ froze at JVM start — see fs.get_fs)
+        from ..format.fs import fs_env_overlay
+
+        self._fs_env = fs_env_overlay()
         self._filters: list[tuple] = []
         # partition columns are those in the (possibly pruned) schema that
         # come from hive-style key=value directories, not from file data
@@ -488,8 +494,12 @@ class DwrfReader(DataSourceReader):
         return parts
 
     def read(self, partition: _StripePartition):
+        import os as _os
+
         from ..format.reader import DwrfFile
 
+        if self._fs_env:
+            _os.environ.update(self._fs_env)
         if not partition.stripe_indices:
             return
         file_columns = self.columns
@@ -575,6 +585,10 @@ class DwrfWriter(DataSourceArrowWriter):
         self.options = dict(options)
         self.overwrite = overwrite
         self.schema = schema
+        # same executor-side fs routing as DwrfReader (see there)
+        from ..format.fs import fs_env_overlay
+
+        self._fs_env = fs_env_overlay()
 
     def _writer_opts(self) -> dict:
         opts = {}
@@ -604,19 +618,25 @@ class DwrfWriter(DataSourceArrowWriter):
         return opts
 
     def write(self, iterator):
+        import os as _os
+
         import pyarrow as pa
 
         from ..format.writer import DwrfWriter as FileWriter, _normalize_schema
 
+        if self._fs_env:
+            _os.environ.update(self._fs_env)
         part_by = [
             c for c in self.options.get("partition_by", "").split(",") if c
         ]
         if part_by:
             return self._write_partitioned(iterator, part_by)
 
-        os.makedirs(self.path, exist_ok=True)
+        from ..format.fs import get_fs, join_path
+
+        get_fs(self.path).makedirs(self.path)
         filename = f"part-{uuid.uuid4().hex[:16]}.dwrf"
-        out_path = os.path.join(self.path, filename)
+        out_path = join_path(self.path, filename)
         opts = self._writer_opts()
         rows = 0
         writer = None
@@ -672,11 +692,13 @@ class DwrfWriter(DataSourceArrowWriter):
                 sub = data_table.take(pa.array(idxs, type=pa.int64()))
                 w = writers.get(key)
                 if w is None:
-                    d = os.path.join(
+                    from ..format.fs import get_fs, join_path
+
+                    d = join_path(
                         self.path, *[f"{c}={v}" for c, v in zip(part_by, key)]
                     )
-                    os.makedirs(d, exist_ok=True)
-                    out_path = os.path.join(d, f"part-{task_id}.dwrf")
+                    get_fs(d).makedirs(d)
+                    out_path = join_path(d, f"part-{task_id}.dwrf")
                     w = FileWriter(
                         out_path, _normalize_schema(sub.schema), **opts
                     )
@@ -691,35 +713,49 @@ class DwrfWriter(DataSourceArrowWriter):
         )
 
     def commit(self, messages):
+        from ..format.fs import get_fs, join_path, path_scheme, rel_subpath
+
+        if self._fs_env:  # commit also runs in a Python worker
+            os.environ.update(self._fs_env)
+        fs = get_fs(self.path)
+
+        def norm(p: str) -> str:
+            # task messages carry the literal out_paths; local paths
+            # normalize through abspath, URIs stay verbatim
+            return p if path_scheme(p) else os.path.abspath(p)
+
         keep = set()
         for m in messages:
             if m is not None:
                 for p in m.path.split("\x00"):
                     if p.endswith(".dwrf"):
-                        keep.add(os.path.abspath(p))
+                        keep.add(norm(p))
         if self.overwrite:
-            for root, _dirs, files in os.walk(self.path):
-                for fn in files:
-                    fp = os.path.abspath(os.path.join(root, fn))
-                    if fn.endswith(".dwrf") and fp not in keep:
-                        os.remove(fp)
-        os.makedirs(self.path, exist_ok=True)
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            for fp in fs.list_files(self.path, (".dwrf",)):
+                if norm(fp) not in keep:
+                    fs.remove(fp)
+        fs.makedirs(self.path)
+        with fs.open(join_path(self.path, "_SUCCESS"), "w") as f:
             for m in messages:
                 if m is not None:
                     for p in m.path.split("\x00"):
                         if p.endswith(".dwrf"):
                             f.write(
-                                f"{os.path.relpath(p, self.path)}\t{m.rows}\n"
+                                f"{rel_subpath(norm(p), norm(self.path))}"
+                                f"\t{m.rows}\n"
                             )
 
     def abort(self, messages):
+        from ..format.fs import get_fs
+
+        if self._fs_env:
+            os.environ.update(self._fs_env)
         for m in messages:
             if m is None:
                 continue
             for p in m.path.split("\x00"):
-                if p.endswith(".dwrf") and os.path.exists(p):
-                    os.remove(p)
+                if p.endswith(".dwrf"):
+                    get_fs(p).remove(p)
 
 
 class DwrfStreamWriter(DwrfWriter, DataSourceStreamArrowWriter):
@@ -737,24 +773,38 @@ class DwrfStreamWriter(DwrfWriter, DataSourceStreamArrowWriter):
     Spark's file sink without its _spark_metadata protocol)."""
 
     def commit(self, messages, batchId: int) -> None:
-        os.makedirs(self.path, exist_ok=True)
-        with open(os.path.join(self.path, "_batches"), "a") as f:
+        from ..format.fs import get_fs, join_path, path_scheme, rel_subpath
+
+        if self._fs_env:
+            os.environ.update(self._fs_env)
+        fs = get_fs(self.path)
+        fs.makedirs(self.path)
+
+        def norm(p: str) -> str:
+            return p if path_scheme(p) else os.path.abspath(p)
+
+        with fs.open(join_path(self.path, "_batches"), "a") as f:
             for m in messages:
                 if m is not None:
                     for p in m.path.split("\x00"):
                         if p.endswith(".dwrf"):
                             f.write(
-                                f"{batchId}\t{os.path.relpath(p, self.path)}"
+                                f"{batchId}\t"
+                                f"{rel_subpath(norm(p), norm(self.path))}"
                                 f"\t{m.rows}\n"
                             )
 
     def abort(self, messages, batchId: int) -> None:
+        from ..format.fs import get_fs
+
+        if self._fs_env:
+            os.environ.update(self._fs_env)
         for m in messages:
             if m is None:
                 continue
             for p in m.path.split("\x00"):
-                if p.endswith(".dwrf") and os.path.exists(p):
-                    os.remove(p)
+                if p.endswith(".dwrf"):
+                    get_fs(p).remove(p)
 
 
 class DwrfDataSource(DataSource):

@@ -445,6 +445,66 @@ def test_footer_plan_cache_and_parallel_planning(tmp_path, monkeypatch):
     assert len(pruned) == 1 and pruned[0].path == ""  # empty sentinel
 
 
+_MOCK_DS_SCRIPT = """
+import os, sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master('local[4]')
+         .config('spark.ui.enabled', 'false')
+         .config('spark.sql.shuffle.partitions', '4').getOrCreate())
+spark.sparkContext.setLogLevel('ERROR')
+from hive_dwrf_spark.sources import register
+register(spark)
+df = spark.range(1000).selectExpr('id AS k', 'id % 7 AS b')
+uri = 'mock://bucket/ds_table'
+df.repartition(2).write.format('dwrf').mode('overwrite').save(uri)
+back = spark.read.format('dwrf').load(uri)
+assert back.count() == 1000
+assert back.agg({{'k': 'sum'}}).first()[0] == 999 * 1000 // 2
+assert back.filter('b = 3').count() == df.filter('b = 3').count()
+# overwrite replaces: old part files removed through the seam
+spark.range(10).selectExpr('id AS k', 'id AS b').write.format(
+    'dwrf').mode('overwrite').save(uri)
+assert spark.read.format('dwrf').load(uri).count() == 10
+root = os.environ['SPARK_GRAFT_FS_MAPPED_ROOT']
+local = os.path.join(root, 'bucket/ds_table')
+assert os.path.exists(os.path.join(local, '_SUCCESS'))
+parts = [f for f in os.listdir(local) if f.endswith('.dwrf')]
+assert len(parts) >= 1
+print('MOCK-DS-OK')
+"""
+
+
+def test_datasource_scan_and_write_non_local_scheme(tmp_path):
+    """The FULL DataFrame surface against an object-store scheme: a
+    plain spark.read/write.format('dwrf') round-trip over mock:// URIs,
+    including overwrite cleanup and _SUCCESS — run in a subprocess with
+    SPARK_GRAFT_FS_FACTORIES set BEFORE the JVM starts, which is the
+    deployment contract (Python DataSource plan/task workers inherit the
+    JVM's environment, frozen at start; on a cluster this is
+    spark.executorEnv.* + the driver env)."""
+    import os as _os
+    import subprocess
+    import sys as _sys
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    env = dict(_os.environ)
+    env["SPARK_GRAFT_FS_MAPPED_ROOT"] = str(tmp_path / "store")
+    env["SPARK_GRAFT_FS_FACTORIES"] = (
+        "mock=hive_dwrf_spark.format.memfs:factory"
+    )
+    out = subprocess.run(
+        [_sys.executable, "-c", _MOCK_DS_SCRIPT.format(repo=repo)],
+        env=env,
+        cwd=str(tmp_path),
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "MOCK-DS-OK" in out.stdout
+
+
 def test_fs_seam_routes_reads(tmp_path):
     """Every reader open goes through the injectable filesystem: a
     counting wrapper sees the opens, and reads still decode correctly."""
