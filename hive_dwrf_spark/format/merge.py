@@ -123,11 +123,22 @@ def compact_directory(path: str, out_file: str) -> int:
     """Merge every .dwrf file under `path` into one file; returns stripe
     count. The distributed variant shards inputs across tasks and runs
     merge_files per shard (IO-bound, no shuffle)."""
-    from .fs import get_fs
+    from .fs import get_fs, rel_subpath
 
     files = sorted(get_fs(path).list_files(path, (".dwrf",)))
     if not files:
         raise FileNotFoundError(f"no .dwrf files under {path}")
+    # refuse to merge ACROSS subdirectories: hive-partition values live
+    # in the directory name, not the footer, so a cross-partition merge
+    # would silently drop them — compact_table compacts per partition
+    subdirs = {rel_subpath(f, path).rpartition("/")[0] for f in files}
+    if len(subdirs) > 1:
+        raise ValueError(
+            f"{path} spans {len(subdirs)} subdirectories (a partitioned "
+            "layout?); merging across them would drop the directory-"
+            "encoded values — use operators.layout.compact_table, which "
+            "compacts per partition"
+        )
     merge_files(files, out_file)
     with DwrfFile(out_file) as f:
         return len(f.footer.stripes)

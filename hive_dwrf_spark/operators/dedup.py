@@ -143,22 +143,71 @@ def _resolve_bucket_cap(bucket_cap: int | None) -> int | None:
     return env if env > 0 else None
 
 
-def _pair_explode_sql(list_col: str, bucket_cap: int | None) -> str:
-    """The in-bucket pair-generation expression over a sorted id list.
-
-    Uncapped: all k*(k-1)/2 ordered pairs. With `bucket_cap` B, only the
-    first B ids of the bucket act as LEFT sides — the star/anchor cap that
-    bounds a bucket's pair mass at ~B*k instead of k^2/2 (see
-    lsh_candidate_pairs docstring for the recall contract)."""
-    outer = (
-        list_col
-        if bucket_cap is None
-        else f"slice({list_col}, 1, {int(bucket_cap)})"
-    )
+def _pair_explode_sql(list_col: str) -> str:
+    """All k*(k-1)/2 ordered pairs over a sorted id list (uncapped
+    in-bucket pair generation)."""
     return (
-        f"flatten(transform({outer}, (x, i) -> "
+        f"flatten(transform({list_col}, (x, i) -> "
         f"transform(slice({list_col}, i + 2, size({list_col})), "
         "y -> struct(x AS id1, y AS id2))))"
+    )
+
+
+def _anchor_key(band_col, id_col) -> "F.Column":
+    """Deterministic per-(band, id) anchor-selection key: md5 of
+    'band|id' — engine-identical in Spark and DuckDB (lowercase hex over
+    the same string), so the capped candidate set replays exactly in the
+    SQL oracles. Varying the key BY BAND is the point: each band elects
+    DIFFERENT anchors for the same bucket population, so a doc gets up
+    to bands*B distinct anchors overall instead of the same smallest-B
+    ids everywhere (measured: smallest-id anchors fragmented clusters at
+    verify thresholds above the banding's design point)."""
+    return F.md5(
+        F.concat_ws(
+            "|", band_col.cast("string"), id_col.cast("string")
+        )
+    )
+
+
+def _capped_anchor_pairs(
+    keyed: DataFrame, id_col: str, max_bucket: int, bucket_cap: int
+) -> DataFrame:
+    """Capped in-bucket pair generation with per-band diversified
+    anchors: within each (band, bucket), the B ids with the smallest
+    md5(band|id) act as anchors and pair against every bucket mate —
+    ≤ B*k pairs per bucket (linear), normalized to id1 < id2.
+    `keyed` must carry columns (band, bucket, id_col)."""
+    items = (
+        keyed.withColumn(
+            "_hk", _anchor_key(F.col("band"), F.col(id_col))
+        )
+        .groupBy("band", "bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("_hk"), F.col(id_col).alias("id"))
+                )
+            ).alias("items")
+        )
+        .filter(
+            (F.size("items") > 1) & (F.size("items") <= F.lit(max_bucket))
+        )
+    )
+    return (
+        items.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform("
+                    f"slice(items, 1, {int(bucket_cap)}), a -> "
+                    "transform(items, y -> struct("
+                    "least(a.id, y.id) AS id1, "
+                    "greatest(a.id, y.id) AS id2))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id1", "p.id2")
+        .filter(F.col("id1") != F.col("id2"))
+        .distinct()
     )
 
 
@@ -197,21 +246,26 @@ def lsh_candidate_pairs(
     yesterday's corpus must not re-pair against itself.
 
     Graceful degradation (`bucket_cap`, or SPARK_GRAFT_LSH_BUCKET_CAP;
-    default OFF): with cap B, only a bucket's first B ids (sorted order —
-    deterministic and SQL-replayable) act as left sides, so a k-id bucket
-    emits at most B*k pairs instead of k*(k-1)/2. This is the
-    degrade-don't-die valve for pathological near-dup tails (boilerplate /
-    templated content on a real 100 TB corpus): total candidate mass
-    becomes LINEAR in corpus size at any duplication density, the same
-    posture as the writer's dictionary abandonment under memory pressure
-    (reference WriterImpl.java:203-213). Recall contract: precision is
-    unchanged (the verify stage still computes exact similarity on every
-    emitted pair); within a bucket every id still pairs with the bucket's
-    anchor ids, so bucket-clique connectivity survives for RESOLUTION via
-    connected components whenever anchors verify against their mates; a
-    pair is missed only if BOTH sides rank > B in EVERY band bucket they
-    share and no verified chain connects them. Measured on this repo's
-    x30 stress corpus: see SCALE.md (capped-vs-uncapped recall)."""
+    default OFF): with cap B, each (band, bucket)'s B anchor ids — the
+    smallest by md5(band|id), deterministic and SQL-replayable, and
+    DIFFERENT per band by construction — pair against every bucket mate,
+    so a k-id bucket emits at most B*k pairs instead of k*(k-1)/2. This
+    is the degrade-don't-die valve for pathological near-dup tails
+    (boilerplate / templated content on a real 100 TB corpus): total
+    candidate mass becomes LINEAR in corpus size at any duplication
+    density, the same posture as the writer's dictionary abandonment
+    under memory pressure (reference WriterImpl.java:203-213). Recall
+    contract: precision is unchanged (the verify stage still computes
+    exact similarity on every emitted pair); a doc meets up to bands*B
+    distinct anchors, so bucket-clique connectivity survives for
+    RESOLUTION via connected components whenever SOME band's anchors
+    verify against their mates; a pair is missed only if BOTH sides miss
+    the anchor set of EVERY bucket they share and no verified chain
+    connects them. Per-band anchor diversity is measured, not aesthetic:
+    same-smallest-id anchors across bands fragmented verify-threshold-
+    0.6 clusters on the x30 stress corpus (pair recall 0.019); the
+    diversified form is the one shipped. See SCALE.md for the capped-vs-
+    uncapped recall numbers."""
     bucket_cap = _resolve_bucket_cap(bucket_cap)
     rows_per_band = _N_HASHES // bands
     band_exprs = [
@@ -226,6 +280,49 @@ def lsh_candidate_pairs(
         banded = live.select(
             F.col(id_col), F.col(new_col), F.explode(F.array(*band_exprs)).alias("bb")
         ).select(id_col, new_col, "bb.band", "bb.bucket")
+        if bucket_cap is not None:
+            # capped incremental: per-band hash-diversified anchors (see
+            # _capped_anchor_pairs), still restricted to batch-touching
+            # pairs and new-row-holding buckets
+            items = (
+                banded.withColumn(
+                    "_hk", _anchor_key(F.col("band"), F.col(id_col))
+                )
+                .groupBy("band", "bucket")
+                .agg(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("_hk"),
+                                F.col(id_col).alias("id"),
+                                F.col(new_col).alias("nw"),
+                            )
+                        )
+                    ).alias("items")
+                )
+                .filter(
+                    (F.size("items") > 1)
+                    & (F.size("items") <= F.lit(max_bucket))
+                    & F.exists("items", lambda s: s["nw"])
+                )
+            )
+            return (
+                items.select(
+                    F.explode(
+                        F.expr(
+                            "flatten(transform("
+                            f"slice(items, 1, {int(bucket_cap)}), a -> "
+                            "filter(transform(items, y -> struct("
+                            "least(a.id, y.id) AS id1, "
+                            "greatest(a.id, y.id) AS id2, "
+                            "(a.nw OR y.nw) AS tn)), p -> p.tn)))"
+                        )
+                    ).alias("p")
+                )
+                .select("p.id1", "p.id2")
+                .filter(F.col("id1") != F.col("id2"))
+                .distinct()
+            )
         # sort_array on struct(id, nw) orders by id first, so id1 < id2
         # still falls out of list order; buckets with zero new rows are
         # dropped before any pair materializes
@@ -246,16 +343,11 @@ def lsh_candidate_pairs(
                 & F.exists("items", lambda s: s["nw"])
             )
         )
-        outer = (
-            "items"
-            if bucket_cap is None
-            else f"slice(items, 1, {int(bucket_cap)})"
-        )
         return (
             grp.select(
                 F.explode(
                     F.expr(
-                        f"flatten(transform({outer}, (x, i) -> "
+                        "flatten(transform(items, (x, i) -> "
                         "filter(transform(slice(items, i + 2, size(items)), "
                         "y -> struct(x.id AS id1, y.id AS id2, "
                         "(x.nw OR y.nw) AS tn)), p -> p.tn)))"
@@ -268,6 +360,8 @@ def lsh_candidate_pairs(
     banded = live.select(
         F.col(id_col), F.explode(F.array(*band_exprs)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
+    if bucket_cap is not None:
+        return _capped_anchor_pairs(banded, id_col, max_bucket, bucket_cap)
     # group-then-explode beats a banded self-join: one shuffle on
     # (band, bucket), pairs materialize JVM-side inside each bucket group,
     # and no join-key dup-row blowup that the self-join's distinct had to
@@ -282,7 +376,7 @@ def lsh_candidate_pairs(
     )
     pairs = (
         grp.select(
-            F.explode(F.expr(_pair_explode_sql("ids", bucket_cap))).alias("p")
+            F.explode(F.expr(_pair_explode_sql("ids"))).alias("p")
         )
         .select("p.id1", "p.id2")
         .filter(F.col("id1") != F.col("id2"))
@@ -410,28 +504,33 @@ def cosine_pairs_lsh(
     banded = base.select(
         F.col(id_col), F.posexplode("lsh_bands").alias("band", "bucket")
     )
-    # group-then-explode (one shuffle on (band, bucket), pairs materialize
-    # JVM-side) — same shape as lsh_candidate_pairs; sorted ids keep
-    # id1 < id2 without a filter
-    grp = (
-        banded.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= F.lit(max_bucket)))
-    )
-    pairs = (
-        grp.select(
-            F.explode(
-                F.expr(_pair_explode_sql("ids", _resolve_bucket_cap(bucket_cap)))
-            ).alias("p")
+    cap = _resolve_bucket_cap(bucket_cap)
+    if cap is not None:
+        pairs = _capped_anchor_pairs(banded, id_col, max_bucket, cap)
+    else:
+        # group-then-explode (one shuffle on (band, bucket), pairs
+        # materialize JVM-side) — same shape as lsh_candidate_pairs;
+        # sorted ids keep id1 < id2 without a filter
+        grp = (
+            banded.groupBy("band", "bucket")
+            .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+            .filter(
+                (F.size("ids") > 1) & (F.size("ids") <= F.lit(max_bucket))
+            )
         )
-        .select("p.id1", "p.id2")
-        # sorted ids give id1 < id2 only when ids are unique; duplicate id
-        # values in a bucket would otherwise emit id1 == id2 self-pairs
-        # (cosine 1.0) that a strict `<` oracle excludes — drop them here
-        # so dirty input degrades loudly-equal instead of diverging
-        .filter(F.col("id1") != F.col("id2"))
-        .distinct()
-    )
+        pairs = (
+            grp.select(
+                F.explode(F.expr(_pair_explode_sql("ids"))).alias("p")
+            )
+            .select("p.id1", "p.id2")
+            # sorted ids give id1 < id2 only when ids are unique;
+            # duplicate id values in a bucket would otherwise emit
+            # id1 == id2 self-pairs (cosine 1.0) that a strict `<` oracle
+            # excludes — drop them here so dirty input degrades
+            # loudly-equal instead of diverging
+            .filter(F.col("id1") != F.col("id2"))
+            .distinct()
+        )
     s1 = base.select(
         F.col(id_col).alias("id1"),
         F.col("v").alias("v1"),

@@ -344,11 +344,31 @@ def _minhash_oracle(bucket_cap: int | None = None) -> str:
     4-long signature slices -> estimated-Jaccard filter. Deterministic
     because the permutation constants are fixed and all arithmetic is
     exact in 64-bit. `bucket_cap` replays the graceful-degradation valve
-    (operators/dedup.py::_pair_explode_sql): only a bucket's first B
-    doc_ids in sorted order act as left sides."""
-    cap_filter = (
-        "" if bucket_cap is None else f" AND b1.rnk <= {int(bucket_cap)}"
-    )
+    (operators/dedup.py::_capped_anchor_pairs): each (band, slice)'s B
+    anchors — smallest md5('band|doc_id'), DIFFERENT per band — pair
+    against every bucket mate, normalized to id1 < id2."""
+    if bucket_cap is None:
+        cand = """cand AS (
+      SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
+      FROM bands b1 JOIN bands b2
+        ON b1.band = b2.band AND b1.slice = b2.slice AND b1.doc_id < b2.doc_id
+    )"""
+    else:
+        cand = f"""ranked AS (
+      SELECT doc_id, band, slice,
+             row_number() OVER (
+               PARTITION BY band, slice
+               ORDER BY md5(CAST(band AS VARCHAR) || '|'
+                            || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      FROM bands
+    ), cand AS (
+      SELECT DISTINCT least(b1.doc_id, b2.doc_id) AS id1,
+                      greatest(b1.doc_id, b2.doc_id) AS id2
+      FROM ranked b1 JOIN bands b2
+        ON b1.band = b2.band AND b1.slice = b2.slice
+       AND b1.doc_id <> b2.doc_id
+      WHERE b1.rnk <= {int(bucket_cap)}
+    )"""
     return f"""
     WITH params(i, a, b) AS (
       VALUES {_minhash_params_values()}
@@ -373,16 +393,9 @@ def _minhash_oracle(bucket_cap: int | None = None) -> str:
       FROM shingles CROSS JOIN params
       GROUP BY doc_id, i
     ), bands AS (
-      SELECT doc_id, i // 4 AS band, list(mh ORDER BY i) AS slice,
-             row_number() OVER (PARTITION BY i // 4, list(mh ORDER BY i)
-                                ORDER BY doc_id) AS rnk
+      SELECT doc_id, i // 4 AS band, list(mh ORDER BY i) AS slice
       FROM sigs GROUP BY doc_id, i // 4
-    ), cand AS (
-      SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
-      FROM bands b1 JOIN bands b2
-        ON b1.band = b2.band AND b1.slice = b2.slice AND b1.doc_id < b2.doc_id
-      WHERE TRUE{cap_filter}
-    ), est AS (
+    ), {cand}, est AS (
       SELECT c.id1, c.id2,
              SUM(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
       FROM cand c
@@ -1068,9 +1081,11 @@ def _cosine_lsh_pairs_cte(
     in-bucket id pairs. Ends with a CTE named `cand(id1, id2)`.
 
     `bucket_cap` replays the graceful-degradation valve
-    (operators/dedup.py::_pair_explode_sql): only a bucket's first B ids
-    in sorted order act as left sides, expressed here as a row_number
-    rank over (band, bucket) ordered by vec_id."""
+    (operators/dedup.py::_capped_anchor_pairs): each (band, bucket)'s B
+    anchors — smallest md5('band|id'), so DIFFERENT anchors per band —
+    pair against every bucket mate, normalized to id1 < id2. The md5
+    anchor key is engine-identical (lowercase hex over the same string),
+    so the capped candidate set replays exactly."""
     bexprs = _banded_bucket_sql(bands, planes_per_band)
     selects = ",\n             ".join(
         f"{e} AS b{i}" for i, e in enumerate(bexprs)
@@ -1079,30 +1094,41 @@ def _cosine_lsh_pairs_cte(
         f"SELECT vec_id, {i} AS band, b{i} AS bucket FROM bucketed"
         for i in range(bands)
     )
-    cap_filter = (
-        ""
-        if bucket_cap is None
-        else f" AND a.rnk <= {int(bucket_cap)}"
-    )
-    return f"""bucketed AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-             {selects}
-      FROM embeddings
-    ), banded AS (
-      SELECT vec_id, band, bucket,
-             row_number() OVER (PARTITION BY band, bucket
-                                ORDER BY vec_id) AS rnk
-      FROM ({banded_union})
-    ), sized AS (
-      SELECT band, bucket, count(*) AS n FROM banded GROUP BY 1, 2
-    ), cand AS (
+    if bucket_cap is None:
+        cand = f"""cand AS (
       SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
       FROM banded a
       JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
                     AND a.vec_id < b.vec_id
       JOIN sized s ON s.band = a.band AND s.bucket = a.bucket
-      WHERE s.n <= {max_bucket}{cap_filter}
+      WHERE s.n <= {max_bucket}
     )"""
+    else:
+        cand = f"""ranked AS (
+      SELECT vec_id, band, bucket,
+             row_number() OVER (
+               PARTITION BY band, bucket
+               ORDER BY md5(CAST(band AS VARCHAR) || '|'
+                            || CAST(vec_id AS VARCHAR)), vec_id) AS rnk
+      FROM banded
+    ), cand AS (
+      SELECT DISTINCT least(a.vec_id, b.vec_id) AS id1,
+                      greatest(a.vec_id, b.vec_id) AS id2
+      FROM ranked a
+      JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.vec_id <> b.vec_id
+      JOIN sized s ON s.band = a.band AND s.bucket = a.bucket
+      WHERE s.n <= {max_bucket} AND a.rnk <= {int(bucket_cap)}
+    )"""
+    return f"""bucketed AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {selects}
+      FROM embeddings
+    ), banded AS (
+      {banded_union}
+    ), sized AS (
+      SELECT band, bucket, count(*) AS n FROM banded GROUP BY 1, 2
+    ), {cand}"""
 
 
 def _cosine_lsh_oracle(bucket_cap: int | None = None) -> str:

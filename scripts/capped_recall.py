@@ -142,6 +142,38 @@ def main() -> int:
         flush=True,
     )
 
+    # ---- x30 at a NON-degenerate threshold ------------------------------
+    # at 0.3 the synthetic tail welds the corpus into one mega-component
+    # (truth itself degenerate); 0.6 is the dedup threshold a real
+    # pipeline runs at — same banding, stricter verify — and shows the
+    # cap's recall on meaningful near-dup structure
+    t06 = dedup.cosine_pairs_lsh(e30, "embedding", "vec_id", 0.6)
+    c06 = dedup.cosine_pairs_lsh(
+        e30, "embedding", "vec_id", 0.6, bucket_cap=cap
+    )
+    n_t06, n_c06 = t06.count(), c06.count()
+    n_hit06 = c06.select("id1", "id2").join(
+        t06.select("id1", "id2"), ["id1", "id2"]
+    ).count()
+    kept_u06 = dedup.resolve_duplicates(e30, t06, "vec_id").count()
+    kept_c06 = dedup.resolve_duplicates(e30, c06, "vec_id").count()
+    spark.catalog.clearCache()
+    results[f"dedup_semantic@x30_thr0.6_cap{cap}"] = {
+        "cap": cap,
+        "threshold": 0.6,
+        "truth_pairs": n_t06,
+        "capped_pairs": n_c06,
+        "pair_recall": round(n_hit06 / max(n_t06, 1), 4),
+        "kept_uncapped": kept_u06,
+        "kept_capped": kept_c06,
+    }
+    print(
+        f"x30 thr0.6 cap={cap}: pairs {n_c06}/{n_t06} "
+        f"(recall {n_hit06 / max(n_t06, 1):.3f}), kept {kept_c06} vs "
+        f"{kept_u06} uncapped",
+        flush=True,
+    )
+
     # ---- x100: capped end-to-end completes ------------------------------
     e100 = spark.read.parquet(f"{dirs[100]}/embeddings.parquet")
     t0 = time.perf_counter()

@@ -121,6 +121,28 @@ class TestDistributedCompaction:
         assert back.count() == 9000
         assert back.filter("b = 1").count() == 3000
 
+    def test_compact_directory_refuses_partitioned_layout(self, tmp_path):
+        """compact_directory must not silently merge across key=value
+        subdirectories — the partition value lives in the directory
+        name and a cross-partition merge would drop it."""
+        import pyarrow as pa
+        import pytest as _pytest
+
+        from hive_dwrf_spark.format import write_arrow_table
+        from hive_dwrf_spark.format.merge import compact_directory
+
+        d = tmp_path / "ptable"
+        for part in ("p=a", "p=b"):
+            (d / part).mkdir(parents=True)
+            write_arrow_table(
+                str(d / part / "f.dwrf"), pa.table({"k": [1, 2, 3]})
+            )
+        with _pytest.raises(ValueError, match="compact_table"):
+            compact_directory(str(d), str(tmp_path / "out.dwrf"))
+        # one partition's subdirectory on its own still compacts
+        n = compact_directory(str(d / "p=a"), str(tmp_path / "a.dwrf"))
+        assert n >= 1
+
     def test_compact_table_non_local_scheme(self, spark, tmp_path, monkeypatch):
         """A22 at fleet scale is an object-store job: the whole compaction
         — listing, sizing, makedirs, every merge task's reads and writes,

@@ -87,11 +87,13 @@ def test_minhash_bucket_cap_skips_hot_buckets(spark):
 
 
 def test_bucket_candidate_cap_star_pairing(spark, monkeypatch):
-    """Graceful-degradation cap (VERDICT r8 #1): with bucket_cap=B a
-    50-identical-doc bucket emits only pairs anchored on its B smallest
-    ids (~B*k, linear) instead of k*(k-1)/2 — and the star keeps every
-    doc connected to the anchor, so RESOLUTION still collapses the
-    clique to one canonical doc exactly like the uncapped run."""
+    """Graceful-degradation cap (VERDICT r8 #1): with bucket_cap=B each
+    (band, bucket) elects B anchors by md5(band|id) — DIFFERENT per
+    band — and pairs them against every mate, so a 50-identical-doc
+    clique emits at most bands*B*k pairs (linear) instead of k*(k-1)/2,
+    and every band's star keeps all docs connected to its anchor, so
+    RESOLUTION still collapses the clique to one canonical doc exactly
+    like the uncapped run."""
     from hive_dwrf_spark.operators.dedup import (
         lsh_candidate_pairs,
         minhash_dedup_pairs,
@@ -109,14 +111,18 @@ def test_bucket_candidate_cap_star_pairing(spark, monkeypatch):
     sigs = minhash_signatures(df, "text", "doc_id")
     capped = lsh_candidate_pairs(sigs, "doc_id", bucket_cap=1)
     rows = {(r.id1, r.id2) for r in capped.collect()}
-    # star: every pair is (0, j) — 49 pairs, not 1225
-    assert rows == {(0, j) for j in range(1, 50)}
-    # cap=2: anchors 0 and 1
-    capped2 = lsh_candidate_pairs(sigs, "doc_id", bucket_cap=2)
-    rows2 = {(r.id1, r.id2) for r in capped2.collect()}
-    assert rows2 == {(0, j) for j in range(1, 50)} | {
-        (1, j) for j in range(2, 50)
+    # 16 bands x 1 anchor: a union of <= 16 stars over 50 docs — far
+    # under the 1225 clique pairs, well-formed, and connecting every doc
+    assert all(a < b for a, b in rows)
+    assert 49 <= len(rows) <= 16 * 49 and len(rows) < 1225
+    touched = {a for a, _ in rows} | {b for _, b in rows}
+    assert touched == set(range(50))
+    # cap=2 is a superset with more anchors
+    rows2 = {
+        (r.id1, r.id2)
+        for r in lsh_candidate_pairs(sigs, "doc_id", bucket_cap=2).collect()
     }
+    assert rows <= rows2 and len(rows2) <= 16 * 2 * 49
     # resolution equivalence on the clique: capped pairs resolve the
     # corpus to the same single canonical doc as uncapped would
     pairs = minhash_dedup_pairs(df, "text", "doc_id", 0.9, bucket_cap=1)
@@ -124,15 +130,16 @@ def test_bucket_candidate_cap_star_pairing(spark, monkeypatch):
     assert [r.doc_id for r in kept] == [0]
     # env-var path engages the same valve with no code change
     monkeypatch.setenv("SPARK_GRAFT_LSH_BUCKET_CAP", "1")
-    assert lsh_candidate_pairs(sigs, "doc_id").count() == 49
+    assert lsh_candidate_pairs(sigs, "doc_id").count() == len(rows)
     monkeypatch.setenv("SPARK_GRAFT_LSH_BUCKET_CAP", "0")
     assert lsh_candidate_pairs(sigs, "doc_id").count() == 1225
 
 
 def test_cosine_lsh_bucket_cap(spark):
     """cosine_pairs_lsh honors bucket_cap: a bucket of identical vectors
-    emits the star only, and the verify stage still computes exact
-    cosine on each emitted pair."""
+    emits only per-band anchor stars (<= bands*cap*k pairs), every
+    vector stays connected through some anchor, and the verify stage
+    still computes exact cosine on each emitted pair."""
     from hive_dwrf_spark.operators.dedup import cosine_pairs_lsh
 
     vec = [((j * 37 + 11) % 17 - 8) / 8.0 for j in range(64)]
@@ -140,8 +147,12 @@ def test_cosine_lsh_bucket_cap(spark):
         [(i, vec) for i in range(20)], ["vec_id", "embedding"]
     )
     capped = cosine_pairs_lsh(df, "embedding", "vec_id", 0.9, bucket_cap=1)
-    rows = {(r.id1, r.id2) for r in capped.collect()}
-    assert rows == {(0, j) for j in range(1, 20)}
+    got = capped.collect()
+    rows = {(r.id1, r.id2) for r in got}
+    assert all(a < b for a, b in rows)
+    assert 19 <= len(rows) <= 4 * 19 and len(rows) < 190
+    assert {a for a, _ in rows} | {b for _, b in rows} == set(range(20))
+    assert all(abs(r.cosine - 1.0) < 1e-9 for r in got)  # identical vecs
     full = cosine_pairs_lsh(df, "embedding", "vec_id", 0.9)
     assert full.count() == 20 * 19 // 2
 
@@ -1872,14 +1883,14 @@ def test_incremental_minhash_only_batch_touching_pairs(spark):
 
 
 def test_incremental_bucket_cap_star(spark):
-    """The candidate cap composes with incremental mode: in a bucket of
-    identical docs, only pairs anchored on the bucket's smallest ids
-    survive, still restricted to batch-touching pairs."""
+    """The candidate cap composes with incremental mode: only pairs
+    anchored on each band's elected anchors survive, still restricted
+    to batch-touching pairs — a subset of the uncapped incremental set
+    that keeps every NEW doc represented."""
     from hive_dwrf_spark.operators.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
     )
-    from pyspark.sql import functions as F
 
     text = (
         "identical boilerplate navigation header footer copyright terms "
@@ -1896,8 +1907,15 @@ def test_incremental_bucket_cap_star(spark):
             sigs, "doc_id", new_col="nw", bucket_cap=1
         ).collect()
     }
-    # anchor 0 is old: only its pairs against NEW docs survive
-    assert got == {(0, j) for j in range(10, 20)}
+    full = {
+        (r.id1, r.id2)
+        for r in lsh_candidate_pairs(sigs, "doc_id", new_col="nw").collect()
+    }
+    assert got and got <= full  # capped ⊆ uncapped incremental
+    assert all(a >= 10 or b >= 10 for a, b in got)  # batch-touching only
+    # every new doc still reaches the candidate set through some anchor
+    new_touched = {x for p in got for x in p if x >= 10}
+    assert new_touched == set(range(10, 20))
 
 
 def test_repeated_span_coverage_exact(spark):
