@@ -1668,3 +1668,39 @@ def format_sql_stats(spark, sf_dir):
 
 
 ORACLE["format_sql_stats"] = ORACLE["format_stats"]
+
+
+@query(
+    "format_sql_verify",
+    # deterministic scrub result: one coalesced file at stripe_rows=1000
+    # has exactly ceil(rows/1000) stripes, all CRCs fresh -> 'ok'
+    oracle="""
+    SELECT CAST(ceil(count(*) / 1000.0) AS BIGINT) AS stripes,
+           'ok' AS status
+    FROM events
+    """,
+)
+def format_sql_verify(spark, sf_dir):
+    """The CRC scrub reachable from plain SQL
+    (sources/udtf.py::DwrfVerifyUDTF): events written as ONE checksummed
+    DWRF file (stripe_rows=1000 makes the stripe count a pure function
+    of the row count), then ``SELECT stripes, status FROM
+    dwrf_verify(path)`` — the object-store rot sweep as a SQL query.
+    Completes the per-surface parity of the ops toolbox: every command
+    (dump/stats/lookup/compact/verify) now has both a CLI and, where it
+    returns rows, a SQL face."""
+    import shutil
+
+    from ..sources import register
+
+    register(spark)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/hive_dwrf_spark_sqlverify_{base}"
+    shutil.rmtree(path, ignore_errors=True)
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    e.coalesce(1).write.format("dwrf").option("path", path).option(
+        "stripe_rows", "1000"
+    ).option("checksums", "true").mode("overwrite").save()
+    return spark.sql(
+        f"SELECT stripes, status FROM dwrf_verify('{path}')"
+    )

@@ -127,6 +127,7 @@ def register_udtfs(spark) -> None:
     )
     spark.udtf.register("dwrf_lookup", udtf(lookup_cls))
     spark.udtf.register("dwrf_stats", udtf(DwrfStatsUDTF))
+    spark.udtf.register("dwrf_verify", udtf(DwrfVerifyUDTF))
     spark._dwrf_udtfs_registered = True
 
 
@@ -200,3 +201,55 @@ class DwrfStatsUDTF:
                 if st.kind in int_kinds and not st.overflow and st.count
                 else None,
             )
+
+
+class DwrfVerifyUDTF:
+    """Registered as ``dwrf_verify``: CRC scrub of a DWRF table from SQL —
+
+        SELECT * FROM dwrf_verify('/path/to/table')
+
+    One row per data file: (file, stripes, bytes_checked, status) where
+    status is 'ok' (all recorded per-stripe CRC32 triples match),
+    'corrupt: <detail>' (bytes damaged since write — the silent-rot
+    sweep an object-store fleet schedules), or 'no checksums' (file was
+    written without ``checksums=true``). The SQL face of
+    DwrfFile.verify / CLI ``verify``; reports per file instead of
+    raising, so one rotten object doesn't hide the state of the rest."""
+
+    @staticmethod
+    def analyze(path):
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if not (path.isConstantExpression and isinstance(path.value, str)):
+            raise ValueError("dwrf_verify: path must be a constant string")
+        return AnalyzeResult(
+            schema=StructType(
+                [
+                    StructField("file", StringType()),
+                    StructField("stripes", LongType()),
+                    StructField("bytes_checked", LongType()),
+                    StructField("status", StringType()),
+                ]
+            )
+        )
+
+    def eval(self, path):
+        from ..format.fs import get_fs, strip_file_uri
+        from ..format.reader import DwrfCorruptError, DwrfFile
+
+        path = strip_file_uri(path)
+        for fp in sorted(get_fs(path).list_files(path, (".dwrf", ".orc"))):
+            try:
+                with DwrfFile(fp) as f:
+                    rep = f.verify()
+                yield (fp, rep["stripes"], rep["bytes"], "ok")
+            except DwrfCorruptError as e:
+                yield (fp, None, None, f"corrupt: {e}")
+            except ValueError:
+                yield (fp, None, None, "no checksums")

@@ -413,6 +413,54 @@ class TestDwrfStatsUDTF:
             ).collect()
 
 
+class TestDwrfVerifyUDTF:
+    """dwrf_verify TVF: the CRC scrub from SQL — per-file status, never
+    raising, so one rotten object doesn't hide the rest."""
+
+    def test_ok_corrupt_and_unchecked(self, spark, tmp_path):
+        import glob
+        import os as _os
+
+        from hive_dwrf_spark.sources import register
+
+        register(spark)
+        path = str(tmp_path / "verify_tvf")
+        spark.range(3000).selectExpr("id AS k").coalesce(1).write.format(
+            "dwrf"
+        ).option("checksums", "true").option("stripe_rows", "1000").mode(
+            "overwrite"
+        ).save(path)
+        rows = spark.sql(f"SELECT * FROM dwrf_verify('{path}')").collect()
+        assert len(rows) == 1
+        assert rows[0].status == "ok" and rows[0].stripes == 3
+        assert rows[0].bytes_checked > 0
+        # flip one data byte -> that file reports corrupt, with detail
+        fp = glob.glob(_os.path.join(path, "*.dwrf"))[0]
+        raw = bytearray(open(fp, "rb").read())
+        raw[len(raw) // 3] ^= 0x01
+        bad = str(tmp_path / "verify_tvf2")
+        _os.makedirs(bad)
+        open(_os.path.join(bad, "bad.dwrf"), "wb").write(bytes(raw))
+        open(_os.path.join(bad, "good.dwrf"), "wb").write(
+            open(fp, "rb").read()
+        )
+        # plus an un-checksummed member
+        spark.range(5).selectExpr("id AS k").coalesce(1).write.format(
+            "dwrf"
+        ).mode("overwrite").save(str(tmp_path / "nocrc"))
+        nc = glob.glob(str(tmp_path / "nocrc" / "*.dwrf"))[0]
+        import shutil
+
+        shutil.copy(nc, _os.path.join(bad, "plain.dwrf"))
+        got = {
+            _os.path.basename(r.file): r.status
+            for r in spark.sql(f"SELECT * FROM dwrf_verify('{bad}')").collect()
+        }
+        assert got["good.dwrf"] == "ok"
+        assert got["bad.dwrf"].startswith("corrupt:")
+        assert got["plain.dwrf"] == "no checksums"
+
+
 def test_dwrf_lookup_lateral_join(spark, tmp_path):
     """The TVF composes as a correlated LATERAL source: one pruned
     lookup per driving row (per-key serving joins straight from SQL).
