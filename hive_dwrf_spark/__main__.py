@@ -111,7 +111,7 @@ def _cmd_compact(args: list[str]) -> int:
 
 def _cmd_verify(args: list[str]) -> int:
     from .format.fs import get_fs
-    from .format.reader import DwrfCorruptError, DwrfFile
+    from .format.reader import DwrfCorruptError, DwrfFile, DwrfNoChecksumsError
 
     if len(args) != 1:
         print("usage: verify <path>", file=sys.stderr)
@@ -126,11 +126,11 @@ def _cmd_verify(args: list[str]) -> int:
             with DwrfFile(fp) as f:
                 rep = f.verify()
             print(f"OK       {fp} ({rep['stripes']} stripes, {rep['bytes']} bytes)")
+        except DwrfNoChecksumsError:
+            print(f"SKIPPED  {fp}: no checksums recorded")
         except DwrfCorruptError as e:
             bad += 1
             print(f"CORRUPT  {fp}: {e}")
-        except ValueError:
-            print(f"SKIPPED  {fp}: no checksums recorded")
     return 1 if bad else 0
 
 

@@ -150,7 +150,28 @@ class LocalFileSystem:
 
 
 _FS = LocalFileSystem()
+_DEFAULT_IS_STOCK = True  # flips false once set_fs installs a user default
 _SCHEME_FS: dict[str, object] = {}
+_FACTORY_FS: dict[tuple, object] = {}
+
+
+def _fs_env_signature() -> tuple:
+    """The SPARK_GRAFT_FS* environment as a hashable cache key component.
+
+    Reused Spark Python workers run MANY jobs; each distributed format
+    job re-applies its own env overlay (compact_table task closures,
+    DataSource __init__ snapshots) before touching storage. Keying the
+    factory cache on the env that was live at resolution time means two
+    jobs sharing a worker but configured with different factory settings
+    (e.g. different SPARK_GRAFT_FS_MAPPED_ROOT) each get a filesystem
+    built under THEIR config instead of whichever job ran first."""
+    return tuple(
+        sorted(
+            (k, v)
+            for k, v in os.environ.items()
+            if k.startswith("SPARK_GRAFT_FS")
+        )
+    )
 
 
 def get_fs(path: str | None = None):
@@ -162,16 +183,22 @@ def get_fs(path: str | None = None):
          explicit install);
       3. a scheme named in ``SPARK_GRAFT_FS_FACTORIES`` — a comma list of
          ``scheme=module:callable`` entries; the callable is imported and
-         invoked ONCE per process and its result cached. This is the
-         EXECUTOR propagation path: workers re-import this module rather
-         than deserialize a filesystem object, so a factory spec (plain
-         env string, shippable via spark.executorEnv.* or a task
-         closure's os.environ.update) is how every process converges on
-         the same routing. compact_table forwards the driver's
+         invoked once per (scheme, spec, fs-env) combination and cached.
+         This is the EXECUTOR propagation path: workers re-import this
+         module rather than deserialize a filesystem object, so a factory
+         spec (plain env string, shippable via spark.executorEnv.* or a
+         task closure's os.environ.update) is how every process converges
+         on the same routing. compact_table forwards the driver's
          SPARK_GRAFT_FS* environment into its merge tasks for exactly
          this reason.
-      4. otherwise the process default (an installed fsspec-style default
-         may still route the scheme itself)."""
+      4. a user-installed process default (set_fs) — it may route schemes
+         itself (an fsspec adapter keyed on URL);
+      5. otherwise ERROR. The stock local default must never swallow an
+         unrouted object-store URI: open('s3://b/t') would collapse to a
+         cwd-relative './s3:/b/t' directory, so a distributed write
+         "succeeds" locally on each worker and the data is simply gone
+         when the workers are torn down. An executor missing the factory
+         env, or a typo'd scheme, fails loudly instead."""
     scheme = path_scheme(path)
     if scheme is None:
         return _FS
@@ -181,12 +208,23 @@ def get_fs(path: str | None = None):
     for entry in specs.split(","):
         entry = entry.strip()
         if entry and entry.split("=", 1)[0] == scheme:
-            import importlib
+            key = (scheme, entry, _fs_env_signature())
+            fs = _FACTORY_FS.get(key)
+            if fs is None:
+                import importlib
 
-            mod, _, attr = entry.split("=", 1)[1].partition(":")
-            fs = getattr(importlib.import_module(mod), attr)()
-            _SCHEME_FS[scheme] = fs
+                mod, _, attr = entry.split("=", 1)[1].partition(":")
+                fs = getattr(importlib.import_module(mod), attr)()
+                _FACTORY_FS[key] = fs
             return fs
+    if _DEFAULT_IS_STOCK:
+        raise ValueError(
+            f"no filesystem registered for scheme {scheme!r} "
+            f"(path {path!r}): install one via register_fs/set_fs or a "
+            "SPARK_GRAFT_FS_FACTORIES entry 'scheme=module:callable' "
+            "(on executors, set it in the worker environment, e.g. "
+            "spark.executorEnv.SPARK_GRAFT_FS_FACTORIES)"
+        )
     return _FS
 
 
@@ -202,9 +240,14 @@ def set_fs(fs) -> None:
 
     Must be called on the driver before building plans AND made effective
     on executors (executors re-import this module, so installation there
-    happens via the SPARK_GRAFT_FS_FACTORIES env hook, not pickling)."""
-    global _FS
+    happens via the SPARK_GRAFT_FS_FACTORIES env hook, not pickling).
+
+    A user default is trusted to route non-file schemes itself (get_fs
+    resolution order #4); passing the stock LocalFileSystem restores the
+    strict unknown-scheme error."""
+    global _FS, _DEFAULT_IS_STOCK
     _FS = fs
+    _DEFAULT_IS_STOCK = type(fs) is LocalFileSystem
 
 
 def fs_env_overlay() -> dict[str, str]:

@@ -70,6 +70,14 @@ class NoStridePositions(Exception):
     caller falls back to whole-stripe decode."""
 
 
+class DwrfNoChecksumsError(ValueError):
+    """verify() called on a file written without ``checksums=True`` —
+    there is nothing to scrub. A DEDICATED type so scrub surfaces (CLI
+    ``verify``, the ``dwrf_verify`` TVF) can report 'no checksums'
+    without a bare ``except ValueError`` that would also swallow an
+    unexpected real failure as a benign skip."""
+
+
 class DwrfCorruptError(ValueError):
     """Structurally invalid, truncated, or bit-damaged DWRF bytes.
 
@@ -1104,7 +1112,7 @@ class DwrfFile:
 
         blob = self.metadata.get(CHECKSUM_METADATA_KEY)
         if blob is None:
-            raise ValueError(
+            raise DwrfNoChecksumsError(
                 f"{self.path}: no checksums recorded (write with "
                 "checksums=True to enable scrubbing)"
             )

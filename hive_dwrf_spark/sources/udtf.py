@@ -241,15 +241,24 @@ class DwrfVerifyUDTF:
 
     def eval(self, path):
         from ..format.fs import get_fs, strip_file_uri
-        from ..format.reader import DwrfCorruptError, DwrfFile
+        from ..format.reader import (
+            DwrfCorruptError,
+            DwrfFile,
+            DwrfNoChecksumsError,
+        )
 
         path = strip_file_uri(path)
-        for fp in sorted(get_fs(path).list_files(path, (".dwrf", ".orc"))):
+        files = sorted(get_fs(path).list_files(path, (".dwrf", ".orc")))
+        if not files:
+            # a typo'd or empty path must not read as a clean scrub
+            yield (path, None, None, "error: no data files found")
+            return
+        for fp in files:
             try:
                 with DwrfFile(fp) as f:
                     rep = f.verify()
                 yield (fp, rep["stripes"], rep["bytes"], "ok")
+            except DwrfNoChecksumsError:
+                yield (fp, None, None, "no checksums")
             except DwrfCorruptError as e:
                 yield (fp, None, None, f"corrupt: {e}")
-            except ValueError:
-                yield (fp, None, None, "no checksums")

@@ -67,10 +67,13 @@ class TestFileUri:
         assert rel_subpath("s3://b/t", "s3://b/t") == ""
         with pytest.raises(ValueError):
             rel_subpath("s3://other/f", "s3://b/t")
-        # no scheme -> process default; unregistered scheme -> default too
+        # no scheme -> process default; an UNROUTED non-file scheme must
+        # fail loudly — the stock local fallback would silently write a
+        # cwd-relative './zzz:/b/x' and lose the data on worker teardown
         assert isinstance(get_fs("/tmp/x"), LocalFileSystem)
-        assert isinstance(get_fs("zzz://b/x"), LocalFileSystem)
-        # env factory resolves once per process and caches
+        with pytest.raises(ValueError, match="no filesystem registered"):
+            get_fs("zzz://b/x")
+        # env factory resolves once per (scheme, spec, fs-env) and caches
         monkeypatch.setenv("SPARK_GRAFT_FS_MAPPED_ROOT", str(tmp_path))
         monkeypatch.setenv(
             "SPARK_GRAFT_FS_FACTORIES",
@@ -81,6 +84,15 @@ class TestFileUri:
             fs = get_fs("mock://b/x")
             assert isinstance(fs, PrefixMappedFS)
             assert get_fs("mock://b/y") is fs
+            # a DIFFERENT config env must not reuse the first job's fs —
+            # reused Python workers run many differently-configured jobs
+            other_root = tmp_path / "other"
+            other_root.mkdir()
+            monkeypatch.setenv("SPARK_GRAFT_FS_MAPPED_ROOT", str(other_root))
+            fs2 = get_fs("mock://b/x")
+            assert fs2 is not fs
+            monkeypatch.setenv("SPARK_GRAFT_FS_MAPPED_ROOT", str(tmp_path))
+            assert get_fs("mock://b/x") is fs
             assert "SPARK_GRAFT_FS_FACTORIES" in fs_env_overlay()
         finally:
             _SCHEME_FS.pop("mock", None)
@@ -459,6 +471,23 @@ class TestDwrfVerifyUDTF:
         assert got["good.dwrf"] == "ok"
         assert got["bad.dwrf"].startswith("corrupt:")
         assert got["plain.dwrf"] == "no checksums"
+
+    def test_empty_path_is_an_error_row_not_a_clean_scrub(
+        self, spark, tmp_path
+    ):
+        """A typo'd or empty path must not read as 'nothing corrupt':
+        the TVF yields an explicit error row (the CLI variant exits 2)."""
+        from hive_dwrf_spark.sources import register
+
+        register(spark)
+        empty = str(tmp_path / "nothing_here")
+        import os as _os
+
+        _os.makedirs(empty)
+        rows = spark.sql(f"SELECT * FROM dwrf_verify('{empty}')").collect()
+        assert len(rows) == 1
+        assert rows[0].status == "error: no data files found"
+        assert rows[0].stripes is None
 
 
 def test_dwrf_lookup_lateral_join(spark, tmp_path):
