@@ -121,6 +121,11 @@ class LocalFileSystem:
         st = os.stat(strip_file_uri(path))
         return (st.st_size, st.st_mtime_ns)
 
+    def mtime_ns(self, path: str) -> int:
+        """Last-modified time in ns — the streaming source's file-age
+        clock (offset retirement watermark; see streaming/dwrf_stream)."""
+        return os.stat(strip_file_uri(path)).st_mtime_ns
+
     def makedirs(self, path: str) -> None:
         """Ensure a directory exists (no-op hierarchy on object stores —
         a key-value namespace needs no mkdir; local disk needs it before

@@ -66,6 +66,9 @@ class PrefixMappedFS:
         st = os.stat(self._local(path))
         return (st.st_size, st.st_mtime_ns)
 
+    def mtime_ns(self, path: str) -> int:
+        return os.stat(self._local(path)).st_mtime_ns
+
     def makedirs(self, path: str) -> None:
         os.makedirs(self._local(path), exist_ok=True)
 

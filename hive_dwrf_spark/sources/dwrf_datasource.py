@@ -369,6 +369,31 @@ def _value_matches(val, op: str, value) -> bool:
     return True
 
 
+def _derive_max_split(total_bytes: int, parallelism: int) -> int:
+    """Spark's file-split formula: splits big enough to amortize task
+    overhead, small enough to keep `parallelism` tasks busy."""
+    return min(128 << 20, max(4 << 20, total_bytes // max(parallelism, 1) + 1))
+
+
+def _pack_stripe_runs(sizes, max_split: int) -> list[tuple[int, ...]]:
+    """Bin-pack CONSECUTIVE stripe indices of one file into splits of at
+    most ``max_split`` bytes (each split keeps IO sequential; a stripe
+    larger than max_split gets its own split). Shared by the batch scan
+    and the streaming partition planner."""
+    runs: list[tuple[int, ...]] = []
+    run: list[int] = []
+    run_bytes = 0
+    for i, sz in enumerate(sizes):
+        if run and run_bytes + sz > max_split:
+            runs.append(tuple(run))
+            run, run_bytes = [], 0
+        run.append(i)
+        run_bytes += sz
+    if run:
+        runs.append(tuple(run))
+    return runs
+
+
 @dataclass
 class _WriteResult(WriterCommitMessage):
     path: str
@@ -456,35 +481,17 @@ class DwrfReader(DataSourceReader):
             files.append((path, part_values, list(plan.stripe_sizes)))
             total_bytes += sum(plan.stripe_sizes)
 
-        # Spark's file-split formula: splits big enough to amortize task
-        # overhead, small enough to keep `parallelism` tasks busy
         par = self._target_parallelism or _os.cpu_count() or 8
-        max_split = self._max_split or min(
-            128 << 20, max(4 << 20, total_bytes // max(par, 1) + 1)
-        )
+        max_split = self._max_split or _derive_max_split(total_bytes, par)
 
         # pass 2: bin-pack CONSECUTIVE stripes of each file into splits
         parts = []
         for path, part_values, sizes in files:
-            run: list[int] = []
-            run_bytes = 0
-            for i, sz in enumerate(sizes):
-                if run and run_bytes + sz > max_split:
-                    parts.append(
-                        _StripePartition(
-                            path=path,
-                            stripe_indices=tuple(run),
-                            part_values=part_values,
-                        )
-                    )
-                    run, run_bytes = [], 0
-                run.append(i)
-                run_bytes += sz
-            if run:
+            for run in _pack_stripe_runs(sizes, max_split):
                 parts.append(
                     _StripePartition(
                         path=path,
-                        stripe_indices=tuple(run),
+                        stripe_indices=run,
                         part_values=part_values,
                     )
                 )

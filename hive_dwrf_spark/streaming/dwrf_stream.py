@@ -9,12 +9,30 @@ file may sort anywhere in the listing, and an index offset would both skip
 it and re-emit already-read files. Each batch = listing minus processed
 names; restarts resume from the checkpointed name set exactly.
 
-Scale notes: discovery is a directory listing per micro-batch (cheap); rows
-are decoded executor-side via the same stripe reader as the batch source.
-The simple reader re-reads on the driver by design (Spark's
-SimpleDataSourceStreamReader contract) — fine for the moderate per-batch
-volumes a file stream implies; a partition-planning DataSourceStreamReader
-is the upgrade path for firehose rates.
+Two readers share that offset model:
+
+- The DEFAULT is a partition-planning ``DataSourceStreamReader``: the
+  driver plans each micro-batch as (file, stripe-run) InputPartitions via
+  the same footer cache + bin-packing as the batch scan
+  (sources/dwrf_datasource.py — reference parity OrcInputFormat.java:
+  165-181), and rows decode on EXECUTORS as Arrow batches. No row ever
+  passes through the driver, so ingest scales with the cluster exactly
+  like a batch scan — the firehose path.
+- ``option("simpleReader", "true")`` falls back to the
+  ``SimpleDataSourceStreamReader`` (driver-side micro-batch read,
+  Spark's prefetch-cache contract) — fine at modest file-arrival rates
+  and useful for diagnosing executor-side issues.
+
+Offsets stay BOUNDED on unbounded streams: each file is tracked with its
+mtime, and names older than ``maxFileAgeSec`` (default 7 days, Spark's
+own FileStreamSource default) relative to the newest file are retired
+from the offset — the directory-watermark compaction documented in
+SCALE.md "Streaming". The matching contract (same as Spark's file
+source): a file must become visible within maxFileAgeSec of the newest
+file's mtime, or it is treated as already processed. Restarts from a
+checkpoint remain exact for every non-retired name; ``partitions(start,
+end)`` additionally refuses mtimes below the start watermark, so a
+regressed listing can never re-emit a retired file.
 """
 
 from __future__ import annotations
@@ -23,18 +41,32 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 
 def _dwrf_files(path: str) -> list[str]:
-    if not os.path.isdir(path):
+    """Data files under `path` through the fs seam (object-store dirs
+    list the same way local ones do), sorted for determinism."""
+    DwrfStreamDataSource._bootstrap()
+    from hive_dwrf_spark.format.fs import get_fs
+
+    fs = get_fs(path)
+    if hasattr(fs, "isfile") and not fs.exists(path):
         return []
-    return sorted(
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".dwrf") and not f.startswith(("_", "."))
-    )
+    return sorted(fs.list_files(path, (".dwrf",)))
+
+
+def _rel_name(root: str, full: str) -> str:
+    """Offset key for one data file: its subpath under the stream root
+    (flat dirs: the basename; nested/hive layouts stay collision-free)."""
+    from hive_dwrf_spark.format.fs import rel_subpath
+
+    return rel_subpath(full, root)
 
 
 class _DwrfStreamReader(SimpleDataSourceStreamReader):
@@ -49,9 +81,13 @@ class _DwrfStreamReader(SimpleDataSourceStreamReader):
         # legacy index offsets ({"file_index": N}) from pre-fix checkpoints
         # map to "first N names of the current sorted listing" — best-effort
         if "file_index" in offset:
-            listing = [os.path.basename(p) for p in _dwrf_files(self.path)]
+            listing = [
+                _rel_name(self.path, p) for p in _dwrf_files(self.path)
+            ]
             return set(listing[: offset["file_index"]])
-        return set(offset.get("processed", []))
+        # planner-reader offsets ({"files": {name: mtime}}) interchange
+        processed = offset.get("processed", offset.get("files", []))
+        return set(processed)
 
     def _rows_for(self, paths: list[str]):
         # returns a materialized list: Spark pickles the prefetched batch
@@ -74,17 +110,173 @@ class _DwrfStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         done = self._processed(start)
         fresh = [
-            p for p in _dwrf_files(self.path) if os.path.basename(p) not in done
+            p
+            for p in _dwrf_files(self.path)
+            if _rel_name(self.path, p) not in done
         ]
-        end = {"processed": sorted(done | {os.path.basename(p) for p in fresh})}
+        end = {
+            "processed": sorted(
+                done | {_rel_name(self.path, p) for p in fresh}
+            )
+        }
         return self._rows_for(fresh), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
+        DwrfStreamDataSource._bootstrap()
+        from hive_dwrf_spark.format.fs import join_path
+
         done = self._processed(start)
         batch = self._processed(end) - done
         return self._rows_for(
-            sorted(os.path.join(self.path, name) for name in batch)
+            sorted(join_path(self.path, name) for name in batch)
         )
+
+
+class _DwrfPartitionStreamReader(DataSourceStreamReader):
+    """Partition-planning stream reader (the default; module docstring).
+
+    Lifecycle facts this design leans on (pyspark 4.1, verified against
+    python_streaming_source_runner + plan_data_source_read):
+    - initialOffset/latestOffset/partitions run in ONE long-lived
+      driver-side planner process; read(partition) runs on EXECUTORS,
+      where the reader is RECONSTRUCTED from the DataSource (so __init__
+      must stay cheap and pickle-safe, and executor fs routing follows
+      the frozen-at-JVM-start env contract, same as the batch source).
+    - latestOffset gets no start offset, so the offset is self-
+      describing: the full catalog of live (name -> mtime_ns) plus the
+      retirement watermark — never a delta. partitions(start, end)
+      derives each micro-batch as end minus start.
+    """
+
+    def __init__(self, schema: StructType, options):
+        self.path = options.get("path")
+        self.schema = schema
+        self.max_age_ns = int(
+            float(options.get("maxFileAgeSec", 7 * 24 * 3600)) * 1e9
+        )
+        self.max_files = int(options.get("maxFilesPerTrigger", 0) or 0)
+        # last end offset this planner instance returned — rate-limit
+        # anchor only (correctness never depends on it; a fresh instance
+        # after restart just plans one uncapped catch-up batch)
+        self._last: dict | None = None
+
+    # -- offset algebra ----------------------------------------------------
+
+    @staticmethod
+    def _norm(offset: dict) -> tuple[dict, int]:
+        """(files, watermark_ns) from any historical offset shape: the
+        planner form {"files": {...}, "watermark_ns": W}, the simple
+        reader's {"processed": [names]} (checkpoint interchange), or the
+        pre-fix {"file_index": N} (treated as empty — best-effort)."""
+        if "files" in offset:
+            return dict(offset["files"]), int(offset.get("watermark_ns", 0))
+        if "processed" in offset:
+            return {n: 0 for n in offset["processed"]}, 0
+        return {}, 0
+
+    def _listing(self) -> dict:
+        return {
+            _rel_name(self.path, p): _mtime_ns(p) for p in _dwrf_files(self.path)
+        }
+
+    def initialOffset(self) -> dict:
+        return {"files": {}, "watermark_ns": 0}
+
+    def latestOffset(self) -> dict:
+        listed = self._listing()
+        prev_files, prev_wm = (
+            self._norm(self._last) if self._last else ({}, 0)
+        )
+        # admit files not already in the last offset, oldest first; the
+        # optional per-trigger cap bounds catch-up batch size (files
+        # beyond the cap stay unadmitted and keep their arrival order)
+        fresh = sorted(
+            ((m, n) for n, m in listed.items() if n not in prev_files),
+        )
+        if self.max_files and self._last is not None:
+            fresh = fresh[: self.max_files]
+        admitted = dict(prev_files)
+        admitted.update({n: m for m, n in fresh})
+        # directory watermark: newest ADMITTED mtime minus the age
+        # allowance; monotonic, so a deleted newest file can't regress it
+        newest = max(admitted.values(), default=0)
+        wm = max(prev_wm, newest - self.max_age_ns, 0)
+        # retirement: names at/below the watermark leave the offset —
+        # the name set tracks the files inside the age window, not
+        # files-ever-seen (bounded offsets on unbounded streams)
+        live = {n: m for n, m in sorted(admitted.items()) if m >= wm}
+        end = {"files": live, "watermark_ns": wm}
+        self._last = end
+        return end
+
+    def partitions(self, start: dict, end: dict):
+        DwrfStreamDataSource._bootstrap()
+        from hive_dwrf_spark.format.fs import join_path
+        from hive_dwrf_spark.sources.dwrf_datasource import (
+            _StripePartition,
+            _derive_max_split,
+            _file_plans,
+            _pack_stripe_runs,
+        )
+
+        start_files, start_wm = self._norm(start)
+        end_files, _ = self._norm(end)
+        # a name below the START watermark was either processed-and-
+        # retired or arrived too late — either way it must not replay
+        fresh = {
+            n: m
+            for n, m in end_files.items()
+            if n not in start_files and m >= start_wm
+        }
+        paths = sorted(join_path(self.path, n) for n in fresh)
+        if not paths:
+            return []
+        plans = _file_plans(paths)
+        total = sum(sum(p.stripe_sizes) for p in plans.values())
+        max_split = _derive_max_split(total, os.cpu_count() or 8)
+        parts = []
+        for fp in paths:
+            for run in _pack_stripe_runs(plans[fp].stripe_sizes, max_split):
+                parts.append(_StripePartition(path=fp, stripe_indices=run))
+        return parts
+
+    def read(self, partition):
+        """Executor-side decode of one (file, stripe-run) split into
+        Arrow batches — the same per-stripe scan as the batch source."""
+        DwrfStreamDataSource._bootstrap()
+        import pyarrow as pa
+
+        from hive_dwrf_spark.format.reader import DwrfFile
+
+        names = [f.name for f in self.schema.fields]
+        with DwrfFile(partition.path) as f:
+            for idx in partition.stripe_indices:
+                table = f.read_stripe(idx, columns=names)
+                if table is None:
+                    continue
+                # Spark cannot consume ns timestamps; truncate at the edge
+                fields = []
+                changed = False
+                for fld in table.schema:
+                    if pa.types.is_timestamp(fld.type) and fld.type.unit == "ns":
+                        fields.append(pa.field(fld.name, pa.timestamp("us")))
+                        changed = True
+                    else:
+                        fields.append(fld)
+                if changed:
+                    table = table.cast(pa.schema(fields), safe=False)
+                if table.column_names != names:
+                    table = table.select(names)
+                yield from table.to_batches()
+
+
+def _mtime_ns(path: str) -> int:
+    from hive_dwrf_spark.format.fs import get_fs
+
+    fs = get_fs(path)
+    if hasattr(fs, "mtime_ns"):
+        return fs.mtime_ns(path)
+    return int(fs.stat_key(path)[-1])
 
 
 class DwrfStreamDataSource(DataSource):
@@ -142,12 +334,34 @@ class DwrfStreamDataSource(DataSource):
                 ]
             )
 
+    def streamReader(self, schema: StructType):
+        """The partition-planning executor-side reader (default). With
+        option("simpleReader", "true") raise the NOT_IMPLEMENTED marker
+        pyspark's _streamReader probes for, which falls selection back
+        to simpleStreamReader below."""
+        if str(self.options.get("simpleReader", "")).lower() in (
+            "true",
+            "1",
+            "yes",
+        ):
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"},
+            )
+        return _DwrfPartitionStreamReader(schema, self.options)
+
     def simpleStreamReader(self, schema: StructType):
         return _DwrfStreamReader(schema, self.options)
 
 
-def stream_dwrf_dir(spark: SparkSession, path: str) -> DataFrame:
-    """Open a DWRF directory as a structured stream."""
+def stream_dwrf_dir(spark: SparkSession, path: str, **options) -> DataFrame:
+    """Open a DWRF directory as a structured stream.
+
+    Options pass through to the source: ``simpleReader`` (driver-side
+    fallback reader), ``maxFileAgeSec`` (offset retirement window,
+    default 7 days), ``maxFilesPerTrigger`` (per-batch admission cap)."""
     import sys
 
     from pyspark import cloudpickle
@@ -163,7 +377,10 @@ def stream_dwrf_dir(spark: SparkSession, path: str) -> DataFrame:
     # module by name (no pyFiles there) — ship the code inside the pickle
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(DwrfStreamDataSource)
-    return spark.readStream.format("dwrf_stream").option("path", path).load()
+    reader = spark.readStream.format("dwrf_stream").option("path", path)
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load()
 
 
 def windowed_event_counts(

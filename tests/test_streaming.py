@@ -313,3 +313,245 @@ def test_restart_from_checkpoint_exactly_once(spark, tmp_path):
     assert dup == 0
     ks = sorted(r.k for r in back2.select("k").collect())
     assert ks == list(range(150))
+
+
+# --- partition-planning stream reader (round 10) ---------------------------
+
+
+def _planner_reader(path, schema_names=("k",), **options):
+    """A bare _DwrfPartitionStreamReader for offset-algebra unit tests
+    (no Spark in the loop — latestOffset/partitions are pure planner
+    logic driven by the directory listing)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from hive_dwrf_spark.streaming.dwrf_stream import (
+        _DwrfPartitionStreamReader,
+    )
+
+    schema = StructType([StructField(n, LongType()) for n in schema_names])
+    return _DwrfPartitionStreamReader(
+        schema, {"path": path, **{k: str(v) for k, v in options.items()}}
+    )
+
+
+def test_planner_offsets_are_bounded_by_file_age(tmp_path):
+    """The offset retires names older than maxFileAgeSec relative to the
+    newest file — the name set tracks the age window, not files-ever-seen
+    (SCALE.md 'Streaming': bounded offsets on unbounded streams)."""
+    import os
+
+    from hive_dwrf_spark.format import write_arrow_table
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rdr = _planner_reader(src, maxFileAgeSec=60)
+
+    start = rdr.initialOffset()
+    # 20 "old" files, mtimes spread 1000..1019 seconds ago
+    now_ns = time.time_ns()
+    for i in range(20):
+        fp = f"{src}/old{i:02d}.dwrf"
+        write_arrow_table(fp, pa.table({"k": pa.array([i])}))
+        t = (now_ns - (1000 - i) * 10**9) / 1e9
+        os.utime(fp, (t, t))
+    end1 = rdr.latestOffset()
+    # all 20 are fresh vs the empty start (watermark trails the newest)
+    fresh1 = {p.path for p in rdr.partitions(start, end1)}
+    assert len(fresh1) == 20
+    # 2 new files now -> watermark jumps past the old ones; they retire
+    for i in range(2):
+        write_arrow_table(f"{src}/new{i}.dwrf", pa.table({"k": pa.array([i])}))
+    end2 = rdr.latestOffset()
+    assert set(end2["files"]) == {"new0.dwrf", "new1.dwrf"}
+    assert end2["watermark_ns"] > end1["watermark_ns"]
+    # the batch between end1 and end2 is exactly the two new files —
+    # retirement must never re-emit or drop
+    fresh2 = {os.path.basename(p.path) for p in rdr.partitions(end1, end2)}
+    assert fresh2 == {"new0.dwrf", "new1.dwrf"}
+    # a LATE file (mtime below the start watermark) must not replay even
+    # though its name is unknown: processed-and-retired and never-seen
+    # are indistinguishable, so both are refused
+    late = f"{src}/late.dwrf"
+    write_arrow_table(late, pa.table({"k": pa.array([99])}))
+    t = (now_ns - 900 * 10**9) / 1e9
+    os.utime(late, (t, t))
+    end3 = rdr.latestOffset()
+    assert "late.dwrf" not in end3["files"]
+    assert rdr.partitions(end2, end3) == []
+
+
+def test_planner_offset_interchange_and_legacy_forms(tmp_path):
+    """partitions() normalizes every historical offset shape: the simple
+    reader's {'processed': [names]} and the pre-fix {'file_index': N} —
+    a checkpoint written by the old reader resumes under the new one."""
+    import os
+
+    from hive_dwrf_spark.format import write_arrow_table
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for n in ("a.dwrf", "b.dwrf", "c.dwrf"):
+        write_arrow_table(f"{src}/{n}", pa.table({"k": pa.array([1])}))
+    rdr = _planner_reader(src)
+    end = rdr.latestOffset()
+    assert set(end["files"]) == {"a.dwrf", "b.dwrf", "c.dwrf"}
+    # simple-reader offset as start: only the unprocessed name is fresh
+    got = {
+        os.path.basename(p.path)
+        for p in rdr.partitions({"processed": ["a.dwrf", "c.dwrf"]}, end)
+    }
+    assert got == {"b.dwrf"}
+    # pre-fix index offset: treated as empty (best-effort re-read)
+    got = {
+        os.path.basename(p.path)
+        for p in rdr.partitions({"file_index": 2}, end)
+    }
+    assert got == {"a.dwrf", "b.dwrf", "c.dwrf"}
+
+
+def test_planner_splits_large_files_into_stripe_runs(tmp_path):
+    """One large multi-stripe file fans out into several InputPartitions
+    (consecutive stripe runs bin-packed to maxSplitBytes) — the executor-
+    side parallelism the simple reader couldn't offer."""
+    import os
+
+    from hive_dwrf_spark.format import write_arrow_table
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # ~8 stripes of ~1.6 MB of incompressible noise each
+    rng = np.random.default_rng(7)
+    write_arrow_table(
+        f"{src}/big.dwrf",
+        pa.table({"k": pa.array(rng.integers(0, 2**62, 800_000))}),
+        stripe_rows=100_000,
+        compression="none",
+    )
+    rdr = _planner_reader(src)
+    parts = rdr.partitions(rdr.initialOffset(), rdr.latestOffset())
+    assert len(parts) >= 2  # split within the file
+    seen = sorted(i for p in parts for i in p.stripe_indices)
+    assert seen == list(range(8))  # every stripe exactly once
+    # runs are consecutive (sequential IO within a split)
+    for p in parts:
+        idx = list(p.stripe_indices)
+        assert idx == list(range(idx[0], idx[0] + len(idx)))
+
+
+def test_planner_rate_limit_caps_admission(tmp_path):
+    """maxFilesPerTrigger bounds each micro-batch AFTER the first (the
+    catch-up batch is deliberately uncapped so a restart never stalls
+    behind already-processed names)."""
+    import os
+
+    from hive_dwrf_spark.format import write_arrow_table
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    now = time.time()
+    for i in range(5):
+        fp = f"{src}/f{i}.dwrf"
+        write_arrow_table(fp, pa.table({"k": pa.array([i])}))
+        os.utime(fp, (now - 50 + i, now - 50 + i))
+    rdr = _planner_reader(src, maxFilesPerTrigger=2)
+    end1 = rdr.latestOffset()  # first trigger: uncapped catch-up
+    assert len(end1["files"]) == 5
+    for i in range(5, 10):
+        fp = f"{src}/f{i}.dwrf"
+        write_arrow_table(fp, pa.table({"k": pa.array([i])}))
+        os.utime(fp, (now - 50 + i, now - 50 + i))
+    end2 = rdr.latestOffset()  # capped: 2 oldest fresh names admitted
+    fresh = set(end2["files"]) - set(end1["files"])
+    assert fresh == {"f5.dwrf", "f6.dwrf"}
+    end3 = rdr.latestOffset()
+    assert set(end3["files"]) - set(end2["files"]) == {"f7.dwrf", "f8.dwrf"}
+
+
+def test_stream_end_to_end_bounded_offset_and_restart(spark, tmp_path):
+    """Through Spark: a stream whose old files retire from the offset
+    still restarts exactly-once from the checkpoint, and the final
+    checkpointed offset carries only the live window's names."""
+    import glob
+    import json
+    import os
+
+    from hive_dwrf_spark.format import write_arrow_table
+    from hive_dwrf_spark.sources import register
+    from hive_dwrf_spark.streaming import stream_dwrf_dir
+
+    register(spark)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def run_once():
+        q = (
+            stream_dwrf_dir(spark, src, maxFileAgeSec=120)
+            .writeStream.format("dwrf")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        while q.isActive:
+            q.awaitTermination(5)
+        q.awaitTermination()
+
+    now = time.time()
+    for i in range(10):
+        fp = f"{src}/old{i}.dwrf"
+        write_arrow_table(fp, pa.table({"k": pa.array([i])}))
+        os.utime(fp, (now - 600 + i, now - 600 + i))
+    run_once()
+    assert spark.read.format("dwrf").load(out).count() == 10
+    # new files push the watermark past every old name
+    write_arrow_table(f"{src}/n1.dwrf", pa.table({"k": pa.array([100])}))
+    run_once()
+    back = spark.read.format("dwrf").load(out)
+    assert back.count() == 11  # exactly-once across the restart
+    assert back.groupBy("k").count().filter("count > 1").count() == 0
+    last = max(
+        (f for f in glob.glob(f"{ckpt}/offsets/*") if f[-1].isdigit()),
+        key=lambda f: int(os.path.basename(f)),
+    )
+    offset = json.loads(open(last).read().splitlines()[-1])
+    assert set(offset["files"]) == {"n1.dwrf"}  # old names retired
+
+
+def test_simple_reader_fallback_option(spark, tmp_path):
+    """option('simpleReader','true') routes through the driver-side
+    SimpleDataSourceStreamReader (diagnostic path) — same results, and
+    the checkpoint offset carries the simple reader's name-list shape."""
+    import glob
+    import json
+    import os
+
+    from hive_dwrf_spark.format import write_arrow_table
+    from hive_dwrf_spark.streaming import stream_dwrf_dir
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    write_arrow_table(f"{src}/x.dwrf", pa.table({"k": pa.array([1, 2, 3])}))
+    q = (
+        stream_dwrf_dir(spark, src, simpleReader=True)
+        .writeStream.format("memory")
+        .queryName("simple_fallback_test")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    while q.isActive:
+        q.awaitTermination(5)
+    q.awaitTermination()
+    assert (
+        spark.sql("SELECT count(*) c FROM simple_fallback_test").collect()[0].c
+        == 3
+    )
+    last = max(
+        (f for f in glob.glob(f"{ckpt}/offsets/*") if f[-1].isdigit()),
+        key=lambda f: int(os.path.basename(f)),
+    )
+    offset = json.loads(open(last).read().splitlines()[-1])
+    assert offset.get("processed") == ["x.dwrf"]
