@@ -107,6 +107,9 @@ HEADLINE = [
     # LSH candidates + exact verify — must stay near the uncapped cost
     # at sane density)
     "dedup_cosine_lsh_capped",
+    # round-10 addition (read-time CRC verification engaged on the scan;
+    # the isolated on/off tax is the dwrf_read_verify_* extras pair)
+    "format_verify_on_read",
 ]
 
 
@@ -196,6 +199,29 @@ def main() -> None:
 
         extras["dwrf_read_sec"] = best_of(_read_dwrf)
         extras["parquet_read_sec"] = best_of(lambda: pq.read_table(src))
+
+        # read-time CRC verification tax: the same scan over a
+        # checksummed copy with verify_checksums on vs off — the
+        # measured price of option("verifyOnRead","true") (a crc32 pass
+        # over each stripe's bytes before its first decode)
+        out_crc = "/tmp/bench_lineitem_crc.dwrf"
+        write_arrow_table(out_crc, table, checksums=True)
+
+        def _read_crc(verify):
+            def go():
+                with DwrfFile(out_crc, verify_checksums=verify) as f:
+                    f.read()
+
+            return go
+
+        # warm both paths untimed (the first reads after the write pay
+        # page-cache and allocator warmup that would land on whichever
+        # variant runs first and masquerade as a verification delta)
+        _read_crc(False)()
+        _read_crc(True)()
+        _read_crc(False)()
+        extras["dwrf_read_verify_off_sec"] = best_of(_read_crc(False))
+        extras["dwrf_read_verify_on_sec"] = best_of(_read_crc(True))
 
         # decode-gap attribution (scripts/decode_gap.py protocol): the raw
         # zlib floor — every compressed block of every stream decompressed

@@ -949,10 +949,20 @@ def _resolve_field(name: str, names: list[str]) -> str | None:
 class DwrfFile:
     """Random-access DWRF file reader."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, verify_checksums: bool = False):
         from .fs import get_fs
 
         self.path = path
+        # opt-in read-time scrub: with verify_checksums=True and CRC
+        # triples recorded at write (checksums=True), every stripe's
+        # index/data/footer regions are CRC-checked ONCE per handle
+        # before their first decode — a flipped bit fails the SCAN with
+        # a typed error naming the stripe instead of surfacing later as
+        # a decode error (or waiting for the next ops-time scrub). Zero
+        # tax when off or when the file carries no checksums.
+        self._verify_on_read = verify_checksums
+        self._verified_stripes: set[int] = set()
+        self._verify_triples: list[tuple[int, int, int]] | None = None
         self._f = get_fs(path).open(path, "rb")
         # point-lookup decoder reuse (read_row): (stripe, projection) ->
         # no-prefetch _StripeDecoder with warmed dictionary/index caches
@@ -1106,51 +1116,80 @@ class DwrfFile:
         object stores and post-compaction validation run, not a per-query
         tax (stripe merges preserve per-stripe CRCs, so compacted files
         stay verifiable; see merge_files)."""
-        import zlib as _zlib
-
-        from .constants import CHECKSUM_METADATA_KEY
-
-        blob = self.metadata.get(CHECKSUM_METADATA_KEY)
-        if blob is None:
+        triples = self._checksum_triples()
+        if triples is None:
             raise DwrfNoChecksumsError(
                 f"{self.path}: no checksums recorded (write with "
                 "checksums=True to enable scrubbing)"
             )
-        with _corrupt_guard(f"{self.path} (checksum metadata)"):
-            triples = [
-                tuple(int(x) for x in part.split(":"))
-                for part in blob.decode().split(";")
-                if part
-            ]
-        if len(triples) != len(self.footer.stripes):
-            raise DwrfCorruptError(
-                f"{self.path}: {len(triples)} checksum triples for "
-                f"{len(self.footer.stripes)} stripes"
-            )
         total = 0
-        for i, (s, (want_i, want_d, want_f)) in enumerate(
-            zip(self.footer.stripes, triples)
-        ):
-            regions = (
-                ("index", s.offset, s.indexLength, want_i),
-                ("data", s.offset + s.indexLength, s.dataLength, want_d),
-                (
-                    "footer",
-                    s.offset + s.indexLength + s.dataLength,
-                    s.footerLength,
-                    want_f,
-                ),
-            )
-            for name, off, ln, want in regions:
-                got = _zlib.crc32(self._read_at(off, ln))
-                total += ln
-                if got != want:
-                    raise DwrfCorruptError(
-                        f"{self.path}: stripe {i} {name} region CRC "
-                        f"mismatch (recorded {want}, computed {got}) — "
-                        "bytes damaged since write"
-                    )
+        for i in range(len(triples)):
+            total += self._crc_check_stripe(i, triples[i])
         return {"stripes": len(triples), "bytes": total}
+
+    def _checksum_triples(self) -> list[tuple[int, int, int]] | None:
+        """The recorded per-stripe (index, data, footer) CRC32 triples,
+        parsed once per handle; None when the file carries none."""
+        if self._verify_triples is None:
+            from .constants import CHECKSUM_METADATA_KEY
+
+            blob = self.metadata.get(CHECKSUM_METADATA_KEY)
+            if blob is None:
+                self._verify_triples = []
+            else:
+                with _corrupt_guard(f"{self.path} (checksum metadata)"):
+                    self._verify_triples = [
+                        tuple(int(x) for x in part.split(":"))
+                        for part in blob.decode().split(";")
+                        if part
+                    ]
+                if len(self._verify_triples) != len(self.footer.stripes):
+                    n = len(self._verify_triples)
+                    self._verify_triples = []
+                    raise DwrfCorruptError(
+                        f"{self.path}: {n} checksum triples for "
+                        f"{len(self.footer.stripes)} stripes"
+                    )
+        return self._verify_triples or None
+
+    def _crc_check_stripe(self, i: int, triple: tuple) -> int:
+        """CRC-check one stripe's three regions; returns bytes checked."""
+        import zlib as _zlib
+
+        s = self.footer.stripes[i]
+        want_i, want_d, want_f = triple
+        regions = (
+            ("index", s.offset, s.indexLength, want_i),
+            ("data", s.offset + s.indexLength, s.dataLength, want_d),
+            (
+                "footer",
+                s.offset + s.indexLength + s.dataLength,
+                s.footerLength,
+                want_f,
+            ),
+        )
+        total = 0
+        for name, off, ln, want in regions:
+            got = _zlib.crc32(self._read_at(off, ln))
+            total += ln
+            if got != want:
+                raise DwrfCorruptError(
+                    f"{self.path}: stripe {i} {name} region CRC "
+                    f"mismatch (recorded {want}, computed {got}) — "
+                    "bytes damaged since write"
+                )
+        return total
+
+    def _verify_stripe_on_read(self, i: int) -> None:
+        """verify_checksums=True hook: check stripe i's CRCs once per
+        handle before its first decode; no-op when the file recorded
+        none (zero tax — one metadata-dict probe)."""
+        if i in self._verified_stripes:
+            return
+        triples = self._checksum_triples()
+        if triples is not None:
+            self._crc_check_stripe(i, triples[i])
+        self._verified_stripes.add(i)
 
     def _read_at(self, offset: int, length: int) -> bytes:
         # positional read: no shared seek cursor, safe under the stripe
@@ -1348,6 +1387,8 @@ class DwrfFile:
         filters: list[tuple] | None = None,
         parallel_columns: bool = False,
     ) -> pa.Table | None:
+        if self._verify_on_read:
+            self._verify_stripe_on_read(stripe_index)
         stripe = self.footer.stripes[stripe_index]
         if filters and self._dictionary_disproves(stripe, filters):
             return None

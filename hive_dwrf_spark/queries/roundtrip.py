@@ -1175,6 +1175,79 @@ def format_checksum_scrub(spark, sf_dir):
 
 
 @query(
+    "format_verify_on_read",
+    # the CRC-verified scan must be value-transparent: reading with
+    # verifyOnRead=true returns exactly the source aggregate
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_e4
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def format_verify_on_read(spark, sf_dir):
+    """Opt-in READ-TIME CRC verification end-to-end: events written with
+    ``checksums=true``, scanned back through the DataSource with
+    ``option("verifyOnRead","true")`` — each executor CRC-checks a
+    stripe's index/data/footer regions once per handle before its first
+    decode (reader.py::_verify_stripe_on_read), so a bit flipped between
+    ops-time scrubs fails the SCAN with a typed DwrfCorruptError naming
+    the stripe, never a late decode error. The query also proves the
+    negative path inline: a single flipped data byte in a copy makes the
+    verified read raise DwrfCorruptError with the stripe named, while
+    the same table reads clean when intact. Zero tax when the option is
+    off or the file carries no checksums (one metadata probe)."""
+    import glob
+    import shutil
+
+    from ..format.reader import DwrfCorruptError, DwrfFile
+    from ..sources import register
+
+    register(spark)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/hive_dwrf_spark_vread_{base}"
+    bad_dir = f"/tmp/hive_dwrf_spark_vread_bad_{base}"
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(bad_dir, ignore_errors=True)
+    os.makedirs(bad_dir)
+    e = load(spark, sf_dir, "events")
+    e.repartition(2).write.format("dwrf").option("path", path).option(
+        "stripe_rows", "2000"
+    ).option("checksums", "true").mode("overwrite").save()
+    # negative path: flip ONE data byte in a copy -> the verified read
+    # must fail typed, naming the stripe (the un-verified read of the
+    # same bytes is the format's documented blind spot)
+    part = sorted(glob.glob(os.path.join(path, "*.dwrf")))[0]
+    bad = os.path.join(bad_dir, "bad.dwrf")
+    with DwrfFile(part) as f:
+        s0 = f.footer.stripes[0]
+        flip_at = s0.offset + s0.indexLength + s0.dataLength // 2
+    raw = bytearray(open(part, "rb").read())
+    raw[flip_at] ^= 0x04
+    open(bad, "wb").write(bytes(raw))
+    try:
+        with DwrfFile(bad, verify_checksums=True) as f:
+            f.read_stripe(0)
+        raise AssertionError("flipped byte survived a verified read")
+    except DwrfCorruptError as exc:
+        assert "stripe 0" in str(exc) and "CRC" in str(exc)
+    back = spark.read.format("dwrf").option("verifyOnRead", "true").load(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.floor(F.col("value") * 10000 + 0.5)).alias(
+                "sum_value_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "format_prune",
     # filtered read over OUR format must equal the same filter over the
     # parquet source — proving pushed predicates prune without losing rows

@@ -418,6 +418,15 @@ class DwrfReader(DataSourceReader):
         # split planning knobs (0 = derive Spark-style from total bytes)
         self._max_split = int(options.get("maxSplitBytes", 0) or 0)
         self._target_parallelism = int(options.get("targetParallelism", 0) or 0)
+        # opt-in read-time CRC scrub (reader.py::_verify_stripe_on_read):
+        # option("verifyOnRead","true"), or SPARK_GRAFT_VERIFY_ON_READ=1
+        # for blanket enablement (set before the JVM starts, like every
+        # worker env knob). Zero tax when off or no checksums recorded.
+        self._verify = str(
+            options.get(
+                "verifyOnRead", os.environ.get("SPARK_GRAFT_VERIFY_ON_READ", "")
+            )
+        ).lower() in ("true", "1", "yes")
         # the driver's fs-scheme routing env travels INSIDE the pickled
         # reader so executor-side read() resolves the same filesystems
         # (workers' os.environ froze at JVM start — see fs.get_fs)
@@ -513,7 +522,7 @@ class DwrfReader(DataSourceReader):
         if file_columns is not None:
             file_columns = [c for c in file_columns if c not in self._part_fields]
         missing: list = []
-        with DwrfFile(partition.path) as f:
+        with DwrfFile(partition.path, verify_checksums=self._verify) as f:
             if self._merge:
                 # schema evolution: this file may predate newer columns —
                 # read what it has, null-fill the rest after decode

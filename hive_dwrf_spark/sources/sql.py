@@ -15,8 +15,17 @@ JVM-side gaps, both verified against spark-sql_2.13-4.1.2 bytecode:
   the location at DDL time), but reads resolve through
   ``PythonDataSourceV2.getTable(schema, partitioning, properties)`` which
   DROPS the properties map — at SELECT time the reader receives no path
-  and fails. Until Spark forwards table properties, only TEMPORARY views
-  carry options, so that is what ``create_temp_table`` issues.
+  and fails. Re-probed round 10 on spark-sql_2.13-4.1.2 bytecode:
+  getTable compiles to ``new PythonTable(this, shortName, schema)`` with
+  the properties argument unread, and PythonDataSourceV2 implements only
+  TableProvider — no SessionConfigSupport — so the
+  ``spark.datasource.dwrf.*`` session-conf forwarding route is closed
+  too. The WORKAROUND that ships here: the metastore still STORES the
+  location and storage properties faithfully, so :func:`create_table`
+  issues real persistent DDL and :func:`attach_catalog_tables` re-binds
+  every cataloged dwrf table as a same-named temp view (temp views win
+  unqualified resolution) at session start — persistent tables that
+  survive restarts at the cost of one helper call per session.
 - **a resolved view caches its planned read JVM-side** (the lazily-built
   ``readInfo`` file list), so after a SQL INSERT the same view serves the
   stale listing — and after INSERT OVERWRITE (which deletes the old part
@@ -100,3 +109,77 @@ def drop_temp_table(spark, name: str) -> None:
     _check_ident(name, "table name")
     spark.sql(f"DROP VIEW IF EXISTS {name}")
     _registry(spark).pop(name, None)
+
+
+def create_table(spark, name: str, path: str, **options) -> None:
+    """PERSISTENT dwrf table: real ``CREATE TABLE ... USING dwrf``
+    DDL — name, location and storage options live in the session
+    catalog (and survive restarts under a persistent metastore) — plus
+    the same-named temp-view binding that makes it readable in THIS
+    session despite the Spark 4.1 getTable gap (module docstring).
+    After a restart, one :func:`attach_catalog_tables` call re-binds
+    every cataloged dwrf table."""
+    from . import register
+
+    register(spark)
+    _check_ident(name, "table name")
+    for k in options:
+        _check_ident(k, "option key")
+    kv = ", ".join(f"{k} {_quote(v)}" for k, v in options.items())
+    opt_clause = f" OPTIONS ({kv})" if kv else ""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} USING dwrf{opt_clause}"
+        f" LOCATION {_quote(path)}"
+    )
+    create_temp_table(spark, name, path, **options)
+
+
+def drop_table(spark, name: str) -> None:
+    """Drop a :func:`create_table` table: catalog entry + view binding.
+    (dropTempView, not DROP VIEW: once the binding is gone the name
+    resolves to the catalog TABLE and DROP VIEW would error on it.)"""
+    _check_ident(name, "table name")
+    spark.catalog.dropTempView(name)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    _registry(spark).pop(name, None)
+
+
+def attach_catalog_tables(spark) -> list[str]:
+    """Bind every persistent dwrf table in the current database as a
+    readable same-named temp view — the per-session half of the
+    persistent-table workaround (module docstring). Returns the attached
+    names.
+
+    Location and storage options come from the EXTERNAL catalog entry
+    (session catalog / metastore), which stores them faithfully — it is
+    only the read-path ``PythonDataSourceV2.getTable`` that drops them
+    (DESCRIBE TABLE EXTENDED resolves through that same V2 table and
+    shows neither provider location nor options, so the catalog entry is
+    the one source of truth left)."""
+    from . import register
+
+    register(spark)
+    ext = spark._jsparkSession.sessionState().catalog().externalCatalog()
+    db = spark.catalog.currentDatabase()
+    attached: list[str] = []
+    for t in spark.catalog.listTables():
+        if t.isTemporary or not _IDENT.match(t.name):
+            continue
+        jt = ext.getTable(db, t.name)
+        provider = jt.provider()
+        if not provider.isDefined() or provider.get().lower() != "dwrf":
+            continue
+        loc = jt.storage().locationUri()
+        if not loc.isDefined():
+            continue
+        jprops = spark._jvm.scala.jdk.javaapi.CollectionConverters.asJava(
+            jt.storage().properties()
+        )
+        opts = {
+            k: jprops[k]
+            for k in jprops.keySet().toArray()
+            if k != "path" and _IDENT.match(k)
+        }
+        create_temp_table(spark, t.name, loc.get().toString(), **opts)
+        attached.append(t.name)
+    return attached
