@@ -175,9 +175,15 @@ class _DwrfPartitionStreamReader(DataSourceStreamReader):
         return {}, 0
 
     def _listing(self) -> dict:
-        return {
-            _rel_name(self.path, p): _mtime_ns(p) for p in _dwrf_files(self.path)
-        }
+        out = {}
+        for p in _dwrf_files(self.path):
+            try:
+                out[_rel_name(self.path, p)] = _mtime_ns(p)
+            except (FileNotFoundError, OSError):
+                # vanished between list and stat (compaction/retention
+                # deleting behind the stream) — as if never listed
+                continue
+        return out
 
     def initialOffset(self) -> dict:
         return {"files": {}, "watermark_ns": 0}
