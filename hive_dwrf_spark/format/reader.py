@@ -1145,7 +1145,9 @@ class DwrfFile:
                     ]
                 if len(self._verify_triples) != len(self.footer.stripes):
                     n = len(self._verify_triples)
-                    self._verify_triples = []
+                    # leave the cache unset: a repeat call must re-raise
+                    # CORRUPT, not misreport the file as checksum-less
+                    self._verify_triples = None
                     raise DwrfCorruptError(
                         f"{self.path}: {n} checksum triples for "
                         f"{len(self.footer.stripes)} stripes"
