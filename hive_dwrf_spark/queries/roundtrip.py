@@ -498,6 +498,64 @@ def streaming_roundtrip(spark, sf_dir):
 
 
 @query(
+    "streaming_partitioned",
+    # the partition column materialized from directory values must carry
+    # the same per-key aggregate as the source column it was written from
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           CAST(sum(user_id) AS BIGINT) AS sum_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_partitioned(spark, sf_dir):
+    """Hive-partitioned directory STREAMED: events written
+    partition_by=event_type (key=value subdirectories), tailed by the
+    partition-planning stream source — the partition column comes back
+    typed from the DIRECTORY values (zero data bytes; the batch source's
+    O4 convention), flows through the stream into the aggregate, and
+    must equal the source aggregate. The ingest shape a training
+    pipeline tails: date=/source=-partitioned arrival dirs where losing
+    the partition key would silently drop the provenance column."""
+    import shutil
+
+    from ..sources import register
+    from ..streaming import stream_dwrf_dir
+
+    register(spark)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    src = f"/tmp/hive_dwrf_spark_strmp_src_{base}"
+    ckpt = f"/tmp/hive_dwrf_spark_strmp_ckpt_{base}"
+    for p in (src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    e = load(spark, sf_dir, "events").select("event_type", "user_id")
+    e.repartition(2).write.format("dwrf").option("path", src).option(
+        "partition_by", "event_type"
+    ).mode("overwrite").save()
+    qname = f"strm_part_{base.replace('.', '_')}"
+    q = (
+        stream_dwrf_dir(spark, src)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q)
+    return (
+        spark.table(qname)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("user_id").cast("bigint").alias("sum_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "q18",
     oracle="""
     SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,

@@ -69,6 +69,30 @@ def _rel_name(root: str, full: str) -> str:
     return rel_subpath(full, root)
 
 
+def _part_values_from_rel(rel: str) -> tuple:
+    """Hive-style (key, raw_value) pairs from a file's relative subpath
+    ('evt=click/part-0.dwrf' -> (('evt','click'),)) — pure string
+    algebra, URI-safe (os.path would mangle scheme:// roots)."""
+    out = []
+    for seg in rel.split("/")[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out.append((k, v))
+    return tuple(out)
+
+
+def _split_fields(schema: StructType) -> tuple[list, dict]:
+    """(data field names, {partition name: StructField}) — partition
+    columns are marked with dwrf.partition metadata by schema()."""
+    part = {
+        f.name: f
+        for f in schema.fields
+        if f.metadata and f.metadata.get("dwrf.partition")
+    }
+    data = [f.name for f in schema.fields if f.name not in part]
+    return data, part
+
+
 class _DwrfStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, schema: StructType, options):
         self.path = options.get("path")
@@ -94,15 +118,38 @@ class _DwrfStreamReader(SimpleDataSourceStreamReader):
         # between read() and commit(), so the result must be serializable
         DwrfStreamDataSource._bootstrap()
         from hive_dwrf_spark.format.reader import DwrfFile
+        from hive_dwrf_spark.sources.dwrf_datasource import (
+            _cast_partition_value,
+        )
 
-        names = [f.name for f in self.schema.fields]
+        want = [f.name for f in self.schema.fields]
+        names, part_fields = _split_fields(self.schema)
         rows: list[tuple] = []
         for fp in paths:
+            raw = dict(_part_values_from_rel(_rel_name(self.path, fp)))
+            pvals = {
+                pname: (
+                    None
+                    if raw.get(pname) is None
+                    else _cast_partition_value(raw[pname], fld.dataType)
+                )
+                for pname, fld in part_fields.items()
+            }
             with DwrfFile(fp) as f:
-                table = f.read(columns=names)
-            rows.extend(
-                tuple(row[n] for n in names) for row in table.to_pylist()
-            )
+                if names:
+                    table = f.read(columns=names)
+                    rows.extend(
+                        tuple(
+                            pvals[c] if c in part_fields else row[c]
+                            for c in want
+                        )
+                        for row in table.to_pylist()
+                    )
+                else:
+                    rows.extend(
+                        tuple(pvals[c] for c in want)
+                        for _ in range(f.num_rows)
+                    )
         # list_iterator: a real iterator (Spark requires one) that still
         # pickles for the prefetch cache
         return iter(rows)
@@ -229,36 +276,71 @@ class _DwrfPartitionStreamReader(DataSourceStreamReader):
         end_files, _ = self._norm(end)
         # a name below the START watermark was either processed-and-
         # retired or arrived too late — either way it must not replay
-        fresh = {
-            n: m
+        fresh = sorted(
+            n
             for n, m in end_files.items()
             if n not in start_files and m >= start_wm
-        }
-        paths = sorted(join_path(self.path, n) for n in fresh)
-        if not paths:
+        )
+        if not fresh:
             return []
+        by_path = {join_path(self.path, n): n for n in fresh}
+        paths = sorted(by_path)
         plans = _file_plans(paths)
         total = sum(sum(p.stripe_sizes) for p in plans.values())
         max_split = _derive_max_split(total, os.cpu_count() or 8)
         parts = []
         for fp in paths:
+            pv = _part_values_from_rel(by_path[fp])
             for run in _pack_stripe_runs(plans[fp].stripe_sizes, max_split):
-                parts.append(_StripePartition(path=fp, stripe_indices=run))
+                parts.append(
+                    _StripePartition(
+                        path=fp, stripe_indices=run, part_values=pv
+                    )
+                )
         return parts
 
     def read(self, partition):
         """Executor-side decode of one (file, stripe-run) split into
-        Arrow batches — the same per-stripe scan as the batch source."""
+        Arrow batches — the same per-stripe scan as the batch source.
+        Only the schema's DATA columns decode (the columns option prunes
+        here); hive partition columns materialize from the split's
+        directory values without touching file bytes."""
         DwrfStreamDataSource._bootstrap()
         import pyarrow as pa
 
         from hive_dwrf_spark.format.reader import DwrfFile
+        from hive_dwrf_spark.sources.dwrf_datasource import (
+            _cast_partition_value,
+            _spark_to_arrow_type,
+        )
 
-        names = [f.name for f in self.schema.fields]
+        want = [f.name for f in self.schema.fields]
+        names, part_fields = _split_fields(self.schema)
+        raw = dict(getattr(partition, "part_values", ()) or ())
+
+        def _part_array(fld, n):
+            v = raw.get(fld.name)
+            if v is not None:
+                v = _cast_partition_value(v, fld.dataType)
+            return pa.array([v] * n, type=_spark_to_arrow_type(fld.dataType))
+
         with DwrfFile(partition.path) as f:
             for idx in partition.stripe_indices:
-                table = f.read_stripe(idx, columns=names)
-                if table is None:
+                if names:
+                    table = f.read_stripe(idx, columns=names)
+                    if table is None:
+                        continue
+                else:
+                    # projection kept only partition columns: row count
+                    # from the stripe directory, zero data bytes decoded
+                    n = f.footer.stripes[idx].numberOfRows
+                    table = pa.table(
+                        {
+                            pname: _part_array(fld, n)
+                            for pname, fld in part_fields.items()
+                        }
+                    )
+                    yield from table.select(want).to_batches()
                     continue
                 # Spark cannot consume ns timestamps; truncate at the edge
                 fields = []
@@ -271,8 +353,12 @@ class _DwrfPartitionStreamReader(DataSourceStreamReader):
                         fields.append(fld)
                 if changed:
                     table = table.cast(pa.schema(fields), safe=False)
-                if table.column_names != names:
-                    table = table.select(names)
+                for pname, fld in part_fields.items():
+                    table = table.append_column(
+                        pname, _part_array(fld, table.num_rows)
+                    )
+                if table.column_names != want:
+                    table = table.select(want)
                 yield from table.to_batches()
 
 
@@ -323,22 +409,53 @@ class DwrfStreamDataSource(DataSource):
     def schema(self):
         self._bootstrap()
         from hive_dwrf_spark.format.reader import DwrfFile
-        from hive_dwrf_spark.sources.dwrf_datasource import _arrow_to_spark_type
+        from hive_dwrf_spark.sources.dwrf_datasource import (
+            _arrow_to_spark_type,
+            _infer_partition_type,
+        )
         from pyspark.sql.types import StructField
 
-        files = _dwrf_files(self.options.get("path", ""))
+        path = self.options.get("path", "")
+        files = _dwrf_files(path)
         if not files:
             raise ValueError("dwrf_stream requires a path with at least one .dwrf file")
         with DwrfFile(files[0]) as f:
-            return StructType(
-                [
-                    StructField(
-                        f.schema.field(i).name,
-                        _arrow_to_spark_type(f.schema.field(i).type),
-                    )
-                    for i in range(len(f.schema))
-                ]
+            fields = [
+                StructField(
+                    f.schema.field(i).name,
+                    _arrow_to_spark_type(f.schema.field(i).type),
+                )
+                for i in range(len(f.schema))
+            ]
+        # hive-style partition columns from the directory layout, appended
+        # after data columns with the same marker the batch source uses
+        # (a tailed ingest dir is routinely date=/source=-partitioned;
+        # dropping those columns silently would lose the partition key)
+        part_cols: dict[str, list[str]] = {}
+        for fp in files:
+            for k, v in _part_values_from_rel(_rel_name(path, fp)):
+                part_cols.setdefault(k, []).append(v)
+        for name, values in part_cols.items():
+            fields.append(
+                StructField(
+                    name,
+                    _infer_partition_type(values),
+                    metadata={"dwrf.partition": True},
+                )
             )
+        columns_opt = self.options.get("columns")
+        if columns_opt:
+            # explicit projection: Spark cannot push column pruning into a
+            # Python stream source, so the option is the manual prune —
+            # only the named data columns decode. Case-insensitive like
+            # the batch reader; declared schema keeps canonical names.
+            by_name = {fl.name: fl for fl in fields}
+            by_lower = {fl.name.lower(): fl for fl in fields}
+            fields = [
+                by_name.get(c) or by_lower[c.lower()]
+                for c in columns_opt.split(",")
+            ]
+        return StructType(fields)
 
     def streamReader(self, schema: StructType):
         """The partition-planning executor-side reader (default). With

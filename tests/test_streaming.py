@@ -555,3 +555,65 @@ def test_simple_reader_fallback_option(spark, tmp_path):
     )
     offset = json.loads(open(last).read().splitlines()[-1])
     assert offset.get("processed") == ["x.dwrf"]
+
+
+def test_stream_partitioned_dir_and_projection(spark, tmp_path):
+    """Hive-partitioned stream dirs: partition columns surface in the
+    stream schema (typed from the directory values, zero data bytes) and
+    the columns option prunes decode — including the partition-only
+    projection, which reads just stripe row counts."""
+    from pyspark.sql import functions as F
+
+    from hive_dwrf_spark.sources import register
+    from hive_dwrf_spark.streaming import stream_dwrf_dir
+
+    register(spark)
+    src = str(tmp_path / "psrc")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(300)], "k long, b long, v string"
+    )
+    df.repartition(1).write.format("dwrf").option("path", src).option(
+        "partition_by", "b"
+    ).mode("overwrite").save()
+
+    def run(qname, **opts):
+        q = (
+            stream_dwrf_dir(spark, src, **opts)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .option(
+                "checkpointLocation", str(tmp_path / f"ckpt_{qname}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        while q.isActive:
+            q.awaitTermination(5)
+        q.awaitTermination()
+        return spark.table(qname)
+
+    out = run("pstream_full")
+    assert set(out.columns) == {"k", "v", "b"}
+    got = {
+        (r.b, r.cnt, r.sum_k)
+        for r in out.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("k").alias("sum_k"))
+        .collect()
+    }
+    want = {
+        (r.b, r.cnt, r.sum_k)
+        for r in df.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("k").alias("sum_k"))
+        .collect()
+    }
+    assert got == want
+    # projection: one data column + the partition column
+    out2 = run("pstream_proj", columns="k,b")
+    assert out2.columns == ["k", "b"]
+    assert out2.count() == 300
+    assert out2.filter("b = 2").count() == df.filter("b = 2").count()
+    # partition-only projection: no data bytes decoded at all
+    out3 = run("pstream_part_only", columns="b")
+    assert out3.columns == ["b"]
+    assert out3.groupBy("b").count().count() == 3
+    assert out3.count() == 300
