@@ -498,6 +498,86 @@ def streaming_roundtrip(spark, sf_dir):
 
 
 @query(
+    "streaming_exactly_once",
+    # the committedOnly read over a sink directory polluted with orphan,
+    # retried and torn-commit files must equal the SOURCE aggregate —
+    # exactly-once recovered at read time from at-least-once output
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_e4
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_exactly_once(spark, sf_dir):
+    """Exactly-once reads over the streaming sink's at-least-once
+    output: events stream through the DWRF sink (whose commit appends
+    its files + one '#end' marker per batch to the _batches log), then
+    the directory is polluted the three ways a cluster actually
+    produces orphans — a task file whose batch never committed, a
+    RETRIED batch's second complete commit (crash between log append
+    and offset-log advance), and a TORN append (crash mid-commit, no
+    marker). option("committedOnly","true") scans only complete,
+    first-seen commit groups, so the aggregate equals the source
+    exactly — Spark's own file sink does the same with _spark_metadata;
+    this is that protocol for DWRF dirs, with zero cleanup jobs."""
+    import shutil
+
+    import pyarrow as pa
+
+    from ..format import write_arrow_table
+    from ..sources import register
+    from ..streaming import stream_dwrf_dir
+
+    register(spark)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    src = f"/tmp/hive_dwrf_spark_x1_src_{base}"
+    out = f"/tmp/hive_dwrf_spark_x1_out_{base}"
+    ckpt = f"/tmp/hive_dwrf_spark_x1_ckpt_{base}"
+    for p in (src, out, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    e.write.format("dwrf").option("path", src).mode("overwrite").save()
+    q = (
+        stream_dwrf_dir(spark, src)
+        .writeStream.format("dwrf")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q)
+    junk = pa.table(
+        {"event_type": pa.array(["zzz_orphan"]), "value": pa.array([1e9])}
+    )
+    # orphan: written, never committed
+    write_arrow_table(os.path.join(out, "part-orphan.dwrf"), junk)
+    # retry: a second COMPLETE commit group for batch 0
+    write_arrow_table(os.path.join(out, "part-retry.dwrf"), junk)
+    # torn: logged without its end marker
+    write_arrow_table(os.path.join(out, "part-torn.dwrf"), junk)
+    with open(os.path.join(out, "_batches"), "a") as f:
+        f.write("0\tpart-retry.dwrf\t1\n#end\t0\n")
+        f.write("9\tpart-torn.dwrf\t1\n")
+    back = (
+        spark.read.format("dwrf").option("committedOnly", "true").load(out)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.floor(F.col("value") * 10000 + 0.5)).alias(
+                "sum_value_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "streaming_partitioned",
     # the partition column materialized from directory values must carry
     # the same per-key aggregate as the source column it was written from

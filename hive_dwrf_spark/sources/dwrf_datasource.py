@@ -79,6 +79,80 @@ def _list_dwrf_files(path: str) -> list[str]:
     return out
 
 
+def committed_files(path: str) -> set[str] | None:
+    """Relative paths of the COMMITTED data files under `path` per its
+    commit manifest, or None when no manifest exists.
+
+    Two manifests are recognized (both written through the fs seam):
+    - ``_batches`` — the streaming sink's append-only log, one
+      ``batchId\\trelpath\\trows`` line per committed file. Spark's sink
+      contract re-runs an uncommitted micro-batch after a crash, so the
+      log may carry a batchId twice (the first attempt committed but the
+      offset log didn't advance); the FIRST contiguous group per batchId
+      wins and later groups' files are orphans — this keep-first rule is
+      what upgrades the sink's at-least-once to exactly-once AT READ
+      TIME (Spark's own file sink does the same thing with its
+      _spark_metadata log).
+    - ``_SUCCESS`` — the batch writer's commit manifest
+      (``relpath\\trows`` lines).
+
+    Task files that were written but never committed (crashed executors,
+    aborted jobs, a retried batch's second attempt) appear in neither —
+    a committedOnly read skips them without any cleanup job having run."""
+    from ..format.fs import get_fs, join_path
+
+    fs = get_fs(path)
+    batches = join_path(path, "_batches")
+    if fs.exists(batches):
+        with fs.open(batches, "r") as f:
+            lines = [ln.rstrip("\n") for ln in f]
+        accepted: dict[str, set[str]] = {}
+        if any(ln.startswith("#end\t") for ln in lines):
+            # marker protocol (round 10+): each commit appends its file
+            # lines then one '#end\t<batchId>'. Only COMPLETE groups
+            # count (a torn append from a crash mid-commit is not a
+            # commit), and only the FIRST complete group per batchId (a
+            # retried batch's second commit produces orphans).
+            group: set[str] = set()
+            for ln in lines:
+                parts = ln.split("\t")
+                if parts[0] == "#end" and len(parts) >= 2:
+                    accepted.setdefault(parts[1], group or set())
+                    group = set()
+                elif len(parts) >= 2 and not parts[0].startswith("#"):
+                    group.add(parts[1])
+        else:
+            # legacy logs (no markers): contiguous same-batchId runs are
+            # groups; keep the first run per batchId (a retry is only
+            # detectable when another batch interleaves)
+            order: list[str] = []
+            runs: dict[str, set[str]] = {}
+            for ln in lines:
+                parts = ln.split("\t")
+                if len(parts) < 2:
+                    continue
+                bid, rel = parts[0], parts[1]
+                if bid not in runs:
+                    runs[bid] = {rel}
+                    order.append(bid)
+                elif bid == order[-1]:
+                    runs[bid].add(rel)
+            accepted = runs
+        if not accepted:
+            return set()
+        return set().union(*accepted.values())
+    success = join_path(path, "_SUCCESS")
+    if fs.exists(success):
+        out: set[str] = set()
+        with fs.open(success, "r") as f:
+            for line in f:
+                rel = line.rstrip("\n").split("\t")[0]
+                if rel:
+                    out.add(rel)
+        return out
+    return None
+
+
 # --- driver-side footer plan cache -------------------------------------------
 # Planning (schema() + partitions()) needs only a small footer-derived
 # summary per file: stripe sizes for split packing, top-level column stats
@@ -427,6 +501,13 @@ class DwrfReader(DataSourceReader):
                 "verifyOnRead", os.environ.get("SPARK_GRAFT_VERIFY_ON_READ", "")
             )
         ).lower() in ("true", "1", "yes")
+        # exactly-once reads over sink/batch output: scan only files the
+        # directory's commit manifest records (see committed_files)
+        self._committed_only = str(options.get("committedOnly", "")).lower() in (
+            "true",
+            "1",
+            "yes",
+        )
         # the driver's fs-scheme routing env travels INSIDE the pickled
         # reader so executor-side read() resolves the same filesystems
         # (workers' os.environ froze at JVM start — see fs.get_fs)
@@ -463,12 +544,27 @@ class DwrfReader(DataSourceReader):
                 return True
         return False
 
+    def _scan_files(self) -> list[str]:
+        files = _list_dwrf_files(self.path)
+        if not self._committed_only:
+            return files
+        from ..format.fs import rel_subpath
+
+        committed = committed_files(self.path)
+        if committed is None:
+            raise ValueError(
+                f"committedOnly read of {self.path}: no commit manifest "
+                "(_batches or _SUCCESS) found — the option only makes "
+                "sense over sink/batch-committed output"
+            )
+        return [f for f in files if rel_subpath(f, self.path) in committed]
+
     def partitions(self):
         import os as _os
 
         # pass 0: directory pruning needs no footer at all
         survivors = []  # (path, part_values)
-        for path in _list_dwrf_files(self.path):
+        for path in self._scan_files():
             part_values = (
                 _partition_values_from_path(self.path, path)
                 if self._part_fields
@@ -809,6 +905,11 @@ class DwrfStreamWriter(DwrfWriter, DataSourceStreamArrowWriter):
                                 f"{rel_subpath(norm(p), norm(self.path))}"
                                 f"\t{m.rows}\n"
                             )
+            # commit-complete marker: committedOnly reads accept only
+            # complete, first-seen groups (committed_files) — a crash
+            # mid-append leaves a torn group that never counts, and a
+            # retried batch's second '#end' loses keep-first
+            f.write(f"#end\t{batchId}\n")
 
     def abort(self, messages, batchId: int) -> None:
         from ..format.fs import get_fs

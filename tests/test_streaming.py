@@ -206,11 +206,17 @@ def test_stream_write_dwrf_sink(spark, tmp_path):
         back = spark.read.format("dwrf").load(out)
         assert back.count() == 150
         assert back.select("k").distinct().count() == 150
-        # commit log records every part file with its batch id
+        # commit log records every part file with its batch id, plus one
+        # '#end' commit-complete marker per batch (committedOnly protocol)
         log = open(f"{out}/_batches").read().strip().splitlines()
-        logged = {line.split("\t")[1] for line in log}
+        logged = {
+            line.split("\t")[1]
+            for line in log
+            if not line.startswith("#")
+        }
         on_disk = {p for p in os.listdir(out) if p.endswith(".dwrf")}
         assert logged == on_disk
+        assert sum(1 for line in log if line.startswith("#end\t")) >= 2
     finally:
         q.stop()
 
@@ -617,3 +623,89 @@ def test_stream_partitioned_dir_and_projection(spark, tmp_path):
     assert out3.columns == ["b"]
     assert out3.groupBy("b").count().count() == 3
     assert out3.count() == 300
+
+
+def test_committed_only_read_is_exactly_once(spark, tmp_path):
+    """The sink's at-least-once output upgrades to exactly-once AT READ
+    TIME: option('committedOnly','true') scans only files the _batches
+    log records, keep-FIRST per batchId — orphans from crashed tasks and
+    a retried batch's second commit are excluded with no cleanup job."""
+    import os
+    import shutil
+
+    from hive_dwrf_spark.format import write_arrow_table
+    from hive_dwrf_spark.sources import register
+    from hive_dwrf_spark.streaming import stream_dwrf_dir
+
+    register(spark)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    write_arrow_table(
+        f"{src}/a.dwrf", pa.table({"k": pa.array(np.arange(100))})
+    )
+    q = (
+        stream_dwrf_dir(spark, src)
+        .writeStream.format("dwrf")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    while q.isActive:
+        q.awaitTermination(5)
+    q.awaitTermination()
+    committed = [f for f in os.listdir(out) if f.endswith(".dwrf")]
+    assert committed
+    # orphan: a task wrote it, its batch never committed
+    write_arrow_table(
+        f"{out}/part-orphan.dwrf", pa.table({"k": pa.array([777])})
+    )
+    # retry: batch 0 commits AGAIN with a new file (crash between the
+    # log append and the offset-log advance) — keep-first must drop it
+    write_arrow_table(
+        f"{out}/part-retry.dwrf", pa.table({"k": pa.array([888])})
+    )
+    with open(f"{out}/_batches", "a") as f:
+        f.write("0\tpart-retry.dwrf\t1\n#end\t0\n")
+    # plus a TORN append (crash mid-commit): files logged, no #end — the
+    # group must not count either
+    write_arrow_table(
+        f"{out}/part-torn.dwrf", pa.table({"k": pa.array([999])})
+    )
+    with open(f"{out}/_batches", "a") as f:
+        f.write("7\tpart-torn.dwrf\t1\n")
+
+    plain = spark.read.format("dwrf").load(out)
+    assert plain.count() == 103  # at-least-once: orphans visible
+    exact = (
+        spark.read.format("dwrf").option("committedOnly", "true").load(out)
+    )
+    assert exact.count() == 100
+    assert sorted(r.k for r in exact.collect()) == list(range(100))
+
+    # _SUCCESS manifest path: batch-written dir with a dropped-in orphan
+    bout = str(tmp_path / "bout")
+    spark.range(50).selectExpr("id AS k").write.format("dwrf").mode(
+        "overwrite"
+    ).save(bout)
+    shutil.copy(f"{out}/part-orphan.dwrf", f"{bout}/part-orphan.dwrf")
+    assert spark.read.format("dwrf").load(bout).count() == 51
+    assert (
+        spark.read.format("dwrf")
+        .option("committedOnly", "true")
+        .load(bout)
+        .count()
+        == 50
+    )
+
+    # no manifest at all: the option must refuse, not silently scan
+    nolog = str(tmp_path / "nolog")
+    os.makedirs(nolog)
+    write_arrow_table(f"{nolog}/x.dwrf", pa.table({"k": pa.array([1])}))
+    import pytest
+
+    with pytest.raises(Exception, match="commit manifest"):
+        spark.read.format("dwrf").option("committedOnly", "true").load(
+            nolog
+        ).count()
