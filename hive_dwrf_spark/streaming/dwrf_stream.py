@@ -49,16 +49,34 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 
-def _dwrf_files(path: str) -> list[str]:
+def _dwrf_files(path: str, committed_only: bool = False) -> list[str]:
     """Data files under `path` through the fs seam (object-store dirs
-    list the same way local ones do), sorted for determinism."""
+    list the same way local ones do), sorted for determinism.
+
+    committed_only restricts to the directory's commit manifest
+    (_batches '#end'-complete first groups / _SUCCESS) — the tail end of
+    a dwrf->dwrf pipeline chain, where ingesting a crashed upstream
+    task's orphan part file would double rows downstream. Files the
+    manifest doesn't (yet) record simply aren't visible this batch; the
+    offset picks them up if a later commit records them."""
     DwrfStreamDataSource._bootstrap()
-    from hive_dwrf_spark.format.fs import get_fs
+    from hive_dwrf_spark.format.fs import get_fs, rel_subpath
 
     fs = get_fs(path)
     if hasattr(fs, "isfile") and not fs.exists(path):
         return []
-    return sorted(fs.list_files(path, (".dwrf",)))
+    files = sorted(fs.list_files(path, (".dwrf",)))
+    if committed_only and files:
+        from hive_dwrf_spark.sources.dwrf_datasource import committed_files
+
+        committed = committed_files(path)
+        if committed is None:
+            raise ValueError(
+                f"committedOnly stream over {path}: no commit manifest "
+                "(_batches or _SUCCESS) found"
+            )
+        files = [f for f in files if rel_subpath(f, path) in committed]
+    return files
 
 
 def _rel_name(root: str, full: str) -> str:
@@ -93,10 +111,19 @@ def _split_fields(schema: StructType) -> tuple[list, dict]:
     return data, part
 
 
+def _committed_opt(options) -> bool:
+    return str(options.get("committedOnly", "")).lower() in (
+        "true",
+        "1",
+        "yes",
+    )
+
+
 class _DwrfStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, schema: StructType, options):
         self.path = options.get("path")
         self.schema = schema
+        self.committed_only = _committed_opt(options)
 
     def initialOffset(self) -> dict:
         return {"processed": []}
@@ -106,7 +133,8 @@ class _DwrfStreamReader(SimpleDataSourceStreamReader):
         # map to "first N names of the current sorted listing" — best-effort
         if "file_index" in offset:
             listing = [
-                _rel_name(self.path, p) for p in _dwrf_files(self.path)
+                _rel_name(self.path, p)
+                for p in _dwrf_files(self.path, self.committed_only)
             ]
             return set(listing[: offset["file_index"]])
         # planner-reader offsets ({"files": {name: mtime}}) interchange
@@ -158,7 +186,7 @@ class _DwrfStreamReader(SimpleDataSourceStreamReader):
         done = self._processed(start)
         fresh = [
             p
-            for p in _dwrf_files(self.path)
+            for p in _dwrf_files(self.path, self.committed_only)
             if _rel_name(self.path, p) not in done
         ]
         end = {
@@ -202,6 +230,7 @@ class _DwrfPartitionStreamReader(DataSourceStreamReader):
             float(options.get("maxFileAgeSec", 7 * 24 * 3600)) * 1e9
         )
         self.max_files = int(options.get("maxFilesPerTrigger", 0) or 0)
+        self.committed_only = _committed_opt(options)
         # last end offset this planner instance returned — rate-limit
         # anchor only (correctness never depends on it; a fresh instance
         # after restart just plans one uncapped catch-up batch)
@@ -223,7 +252,7 @@ class _DwrfPartitionStreamReader(DataSourceStreamReader):
 
     def _listing(self) -> dict:
         out = {}
-        for p in _dwrf_files(self.path):
+        for p in _dwrf_files(self.path, self.committed_only):
             try:
                 out[_rel_name(self.path, p)] = _mtime_ns(p)
             except (FileNotFoundError, OSError):
@@ -416,7 +445,7 @@ class DwrfStreamDataSource(DataSource):
         from pyspark.sql.types import StructField
 
         path = self.options.get("path", "")
-        files = _dwrf_files(path)
+        files = _dwrf_files(path, _committed_opt(self.options))
         if not files:
             raise ValueError("dwrf_stream requires a path with at least one .dwrf file")
         with DwrfFile(files[0]) as f:

@@ -709,3 +709,51 @@ def test_committed_only_read_is_exactly_once(spark, tmp_path):
         spark.read.format("dwrf").option("committedOnly", "true").load(
             nolog
         ).count()
+
+
+def test_stream_committed_only_tails_sink_exactly_once(spark, tmp_path):
+    """A dwrf->dwrf pipeline CHAIN: the downstream stream tails the
+    upstream sink's directory with committedOnly, so upstream orphans
+    (crashed tasks, retried commits) never enter the downstream — the
+    streaming face of the committedOnly batch read."""
+    import os
+
+    from hive_dwrf_spark.format import write_arrow_table
+    from hive_dwrf_spark.sources import register
+    from hive_dwrf_spark.streaming import stream_dwrf_dir
+
+    register(spark)
+    src = str(tmp_path / "src")
+    mid = str(tmp_path / "mid")
+    os.makedirs(src)
+    write_arrow_table(
+        f"{src}/a.dwrf", pa.table({"k": pa.array(np.arange(50))})
+    )
+    q = (
+        stream_dwrf_dir(spark, src)
+        .writeStream.format("dwrf")
+        .option("path", mid)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    while q.isActive:
+        q.awaitTermination(5)
+    q.awaitTermination()
+    # upstream orphan lands in mid (never committed)
+    write_arrow_table(
+        f"{mid}/part-orphan.dwrf", pa.table({"k": pa.array([666])})
+    )
+    q2 = (
+        stream_dwrf_dir(spark, mid, committedOnly=True)
+        .writeStream.format("memory")
+        .queryName("chain_exact")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    while q2.isActive:
+        q2.awaitTermination(5)
+    q2.awaitTermination()
+    got = sorted(r.k for r in spark.table("chain_exact").collect())
+    assert got == list(range(50))  # orphan excluded
