@@ -22,6 +22,31 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 
+# the host-quietness threshold for the numpy-mod probe below; the quiet
+# steady state on this class of host is ~4.3 ns/elem (BASELINE.md §3),
+# noisy windows have measured 6-10+. Artifacts carry the raw numbers, so
+# the flag is advisory, not a gate.
+PROBE_QUIET_NS = 5.5
+
+
+def host_probe_ns_per_elem() -> float:
+    """ns per element of a numpy int64 modulo over 20M elements, min of
+    5 — the quiet-host probe (BASELINE.md §3). Recorded INSIDE every
+    artifact (start + end) so a bench that landed in a noisy host window
+    is visible in the artifact itself instead of reading as a phantom
+    per-query regression. Protocol: only stamp an artifact 'final' when
+    both probes are quiet; for any per-query delta >1.3x vs the prior
+    round, ABBA the two checkouts before accepting the delta as real."""
+    import numpy as np
+
+    arr = np.arange(20_000_000, dtype=np.int64)
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        arr % 7
+        best = min(best, time.perf_counter() - t0)
+    return round(best / arr.size * 1e9, 3)
+
 # Headline set: the relational core (scan/agg/joins/window/sort/distinct),
 # events aggregation, a DWRF round-trip, and the pipeline operators that
 # matter at scale. Heavy all-pairs verifiers (dedup_jaccard/dedup_cosine)
@@ -117,6 +142,7 @@ def main() -> None:
     from hive_dwrf_spark.queries import load_registry
     from hive_dwrf_spark.session import get_spark
 
+    probe_start = host_probe_ns_per_elem()
     spark = get_spark("hive-dwrf-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries, _ = load_registry()
@@ -391,18 +417,30 @@ def main() -> None:
         extras["format_error"] = str(ex)[:200]
 
     total = round(sum(per_query.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": os.path.basename(os.path.normpath(SF_DIR)),
-                "extras": extras,
-            }
-        )
-    )
+    probe_end = host_probe_ns_per_elem()
+    artifact = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "probe_ns_per_elem_start": probe_start,
+        "probe_ns_per_elem_end": probe_end,
+        "host_quiet": max(probe_start, probe_end) <= PROBE_QUIET_NS,
+        "extras": extras,
+    }
+    line = json.dumps(artifact)
+    print(line)
+    # harnesses that capture only a byte-truncated stdout tail lose the
+    # head of this (long) line; the sibling file is the lossless copy
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"),
+            "w",
+        ) as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
     spark.stop()
 
 

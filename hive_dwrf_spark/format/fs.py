@@ -140,6 +140,13 @@ class LocalFileSystem:
         except FileNotFoundError:
             pass
 
+    def replace(self, src: str, dst: str) -> None:
+        """Atomically move src over dst (manifest-compaction commit
+        point). OPTIONAL in the seam: filesystems without rename may omit
+        it and callers fall back to a single whole-object overwrite,
+        which object stores make atomic at the PUT level."""
+        os.replace(strip_file_uri(src), strip_file_uri(dst))
+
     def list_files(self, path: str, suffixes: tuple[str, ...]) -> list[str]:
         """All data files under `path` (or [path] if it is one file),
         skipping hidden/underscore names, in sorted walk order."""

@@ -35,6 +35,36 @@ def _await_done(q, timeout: float = 300.0) -> None:
     q.awaitTermination()
 
 
+def _await_committed_rows(q, out: str, expected: int, timeout: float = 240.0):
+    """Poll a running sink's _batches log until `expected` rows are
+    committed (the rows field every data line carries; compaction
+    preserves it). Used by the processingTime-trigger rows that exercise
+    capped admission — availableNow folds everything into one uncapped
+    catch-up batch by design, so multi-batch shapes need a live query
+    with mid-run arrivals. Fails loudly on timeout or a dead query."""
+    import time
+
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if not q.isActive:
+            q.awaitTermination()  # surfaces the query's exception
+            raise RuntimeError("streaming query terminated early")
+        total = 0
+        try:
+            with open(os.path.join(out, "_batches")) as f:
+                for ln in f:
+                    parts = ln.rstrip("\n").split("\t")
+                    if parts and not parts[0].startswith("#") and len(parts) >= 3:
+                        total += int(parts[2] or 0)
+        except FileNotFoundError:
+            total = 0
+        if total >= expected:
+            return
+        time.sleep(0.3)
+    q.stop()
+    raise TimeoutError(f"sink {out} never reached {expected} committed rows")
+
+
 def _roundtrip(spark, df, tag: str, sf_dir: str):
     """Write df as DWRF, read it back. Deterministic per (tag, sf).
 
@@ -1914,4 +1944,304 @@ def format_sql_verify(spark, sf_dir):
     ).option("checksums", "true").mode("overwrite").save()
     return spark.sql(
         f"SELECT stripes, status FROM dwrf_verify('{path}')"
+    )
+
+
+@query(
+    "streaming_manifest_compaction",
+    # a multi-batch stream whose commit log is COMPACTED in place must
+    # still read back exactly-once under committedOnly — compaction can
+    # drop history, never commits
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_e4
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_manifest_compaction(spark, sf_dir):
+    """Manifest compaction end-to-end (round 11): events flow through the
+    DWRF sink as MULTIPLE micro-batches — a seed file is streaming when
+    the query starts, the remaining files land MID-RUN and are admitted
+    one per trigger (maxFilesPerTrigger=1; per-trigger caps are
+    steady-state rate limiters — the first catch-up batch of a planner
+    is deliberately an uncapped superset, so new arrivals are the way to
+    exercise capped admission end-to-end). manifestCompactInterval=2
+    rewrites the _batches log to resolved form mid-stream several times.
+    The resolved-form invariant (one data line per committed live file)
+    is asserted inline; the directory is then polluted with an orphan, a
+    retried max-batchId commit, and a torn append, compact_manifest runs
+    AGAIN over the polluted log, and the committedOnly aggregate must
+    still equal the source exactly — compaction resolves history, it
+    never manufactures or loses commits. Reference analogy: the footer's
+    consolidated stripe directory (ReaderImpl.java:204-260) — readers
+    never replay a log."""
+    import os as _os
+    import shutil
+    import time as _time
+
+    import pyarrow as pa
+
+    from ..format import write_arrow_table
+    from ..sources import register
+    from ..sources.dwrf_datasource import committed_files, compact_manifest
+    from ..streaming import stream_dwrf_dir
+
+    register(spark)
+    base = _os.path.basename(_os.path.normpath(sf_dir))
+    src = f"/tmp/hive_dwrf_spark_mc_src_{base}"
+    out = f"/tmp/hive_dwrf_spark_mc_out_{base}"
+    ckpt = f"/tmp/hive_dwrf_spark_mc_ckpt_{base}"
+    stage = f"/tmp/hive_dwrf_spark_mc_stage_{base}"
+    for p in (src, out, ckpt, stage):
+        shutil.rmtree(p, ignore_errors=True)
+    e = load(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    seed = e.filter(F.col("event_id") % 5 == 0).drop("event_id")
+    backlog = e.filter(F.col("event_id") % 5 != 0).drop("event_id")
+    n_seed, n_total = seed.count(), e.count()
+    seed.coalesce(1).write.format("dwrf").option("path", src).mode(
+        "overwrite"
+    ).save()
+    backlog.repartition(4).write.format("dwrf").option(
+        "path", stage
+    ).mode("overwrite").save()
+    q = (
+        stream_dwrf_dir(spark, src, maxFilesPerTrigger=1)
+        .writeStream.format("dwrf")
+        .option("path", out)
+        .option("manifestCompactInterval", "2")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    _await_committed_rows(q, out, n_seed)
+    # backlog arrives mid-run, oldest-first order pinned by mtime;
+    # admission is now capped to one file per trigger
+    now = _time.time()
+    moved = [f for f in sorted(_os.listdir(stage)) if f.endswith(".dwrf")]
+    for i, fn in enumerate(moved):
+        _os.utime(f"{stage}/{fn}", (now - 10 + i, now - 10 + i))
+        _os.replace(f"{stage}/{fn}", f"{src}/backlog-{fn}")
+    _await_committed_rows(q, out, n_total)
+    q.stop()
+    q.awaitTermination()
+    # resolved form: one data line per committed live file
+    lines = open(f"{out}/_batches").read().splitlines()
+    data_lines = [ln for ln in lines if ln and not ln.startswith("#")]
+    committed = committed_files(out)
+    assert len(data_lines) == len(committed), (len(data_lines), committed)
+    n_end = sum(1 for ln in lines if ln.startswith("#end\t"))
+    assert n_end >= 5, f"expected >=5 batches, log has {n_end} groups"
+    # pollute: orphan, retried max-batchId commit, torn append
+    junk = pa.table(
+        {"event_type": pa.array(["zzz_junk"]), "value": pa.array([1e9])}
+    )
+    for n in ("orphan", "retry", "torn"):
+        write_arrow_table(f"{out}/part-{n}.dwrf", junk)
+    max_bid = max(
+        int(ln.split("\t")[1]) for ln in lines if ln.startswith("#end\t")
+    )
+    with open(f"{out}/_batches", "a") as f:
+        f.write(f"#begin\t{max_bid}\n{max_bid}\tpart-retry.dwrf\t1\n")
+        f.write(f"#end\t{max_bid}\n")
+        f.write(f"#begin\t{max_bid + 1}\n{max_bid + 1}\tpart-torn.dwrf\t1\n")
+    # compaction over the polluted log must not resurrect any of them
+    compact_manifest(out)
+    assert committed_files(out) == committed
+    text = open(f"{out}/_batches").read()
+    assert "part-retry.dwrf" not in text and "part-torn.dwrf" not in text
+    back = (
+        spark.read.format("dwrf").option("committedOnly", "true").load(out)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.floor(F.col("value") * 10000 + 0.5)).alias(
+                "sum_value_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "streaming_bytes_capped",
+    # byte-bounded admission must only change the micro-batch SLICING,
+    # never the data: the aggregate equals the source aggregate
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           CAST(sum(user_id) AS BIGINT) AS sum_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_bytes_capped(spark, sf_dir):
+    """maxBytesPerTrigger end-to-end (round 11): a backlog landing
+    MID-RUN is admitted oldest-first until the per-trigger byte budget
+    is spent, so the catch-up becomes several micro-batches (asserted
+    inline from the sink's commit groups; the first batch of a planner
+    stays an uncapped superset by design — restart correctness). A
+    training-ingest rate limiter has to bound BYTES — part files vary
+    1000x in size, so a count cap alone lets one fat file blow the
+    trigger budget."""
+    import os as _os
+    import shutil
+    import time as _time
+
+    from ..sources import register
+    from ..streaming import stream_dwrf_dir
+
+    register(spark)
+    base = _os.path.basename(_os.path.normpath(sf_dir))
+    src = f"/tmp/hive_dwrf_spark_bc_src_{base}"
+    out = f"/tmp/hive_dwrf_spark_bc_out_{base}"
+    ckpt = f"/tmp/hive_dwrf_spark_bc_ckpt_{base}"
+    stage = f"/tmp/hive_dwrf_spark_bc_stage_{base}"
+    for p in (src, out, ckpt, stage):
+        shutil.rmtree(p, ignore_errors=True)
+    e = load(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id"
+    )
+    seed = e.filter(F.col("event_id") % 7 == 0).drop("event_id")
+    backlog = e.filter(F.col("event_id") % 7 != 0).drop("event_id")
+    n_seed, n_total = seed.count(), e.count()
+    seed.coalesce(1).write.format("dwrf").option("path", src).mode(
+        "overwrite"
+    ).save()
+    backlog.repartition(6).write.format("dwrf").option(
+        "path", stage
+    ).mode("overwrite").save()
+    sizes = [
+        _os.path.getsize(f"{stage}/{fn}")
+        for fn in _os.listdir(stage)
+        if fn.endswith(".dwrf")
+    ]
+    cap = max(sum(sizes) // 3, 1)  # ~2 backlog files per trigger
+    q = (
+        stream_dwrf_dir(spark, src, maxBytesPerTrigger=cap)
+        .writeStream.format("dwrf")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    _await_committed_rows(q, out, n_seed)
+    now = _time.time()
+    moved = [f for f in sorted(_os.listdir(stage)) if f.endswith(".dwrf")]
+    for i, fn in enumerate(moved):
+        _os.utime(f"{stage}/{fn}", (now - 10 + i, now - 10 + i))
+        _os.replace(f"{stage}/{fn}", f"{src}/backlog-{fn}")
+    _await_committed_rows(q, out, n_total)
+    q.stop()
+    q.awaitTermination()
+    n_batches = sum(
+        1
+        for ln in open(f"{out}/_batches").read().splitlines()
+        if ln.startswith("#end\t")
+    )
+    assert n_batches >= 3, f"byte cap did not split admission: {n_batches}"
+    back = (
+        spark.read.format("dwrf").option("committedOnly", "true").load(out)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("user_id").cast("bigint").alias("sum_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "streaming_late_backfill",
+    # a backfilled below-watermark file admitted via allowLateFiles must
+    # contribute exactly once: the final aggregate equals the FULL source
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           CAST(sum(user_id) AS BIGINT) AS sum_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_late_backfill(spark, sf_dir):
+    """allowLateFiles end-to-end (round 11): tranche A streams through
+    the sink and the checkpoint's watermark advances past one hour ago;
+    tranche B is then BACKFILLED with an mtime below that watermark (the
+    copied-with-timestamps shape backfills actually have). The resumed
+    stream admits it through the offset's late registry — planned exactly
+    once, never replayed — so the union of both runs equals the full
+    source aggregate. Without the option the default refuses the file
+    (counted + logged), keeping offsets bounded; the registry trades that
+    bound for retention-bounded backfill ingest."""
+    import os as _os
+    import shutil
+    import time as _time
+
+    from ..sources import register
+    from ..streaming import stream_dwrf_dir
+
+    register(spark)
+    base = _os.path.basename(_os.path.normpath(sf_dir))
+    src = f"/tmp/hive_dwrf_spark_lb_src_{base}"
+    out = f"/tmp/hive_dwrf_spark_lb_out_{base}"
+    ckpt = f"/tmp/hive_dwrf_spark_lb_ckpt_{base}"
+    for p in (src, out, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    e = load(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id"
+    )
+    # tranche split on a stable key; BOTH tranches together = the table
+    a = e.filter(F.col("event_id") % 5 != 0).drop("event_id")
+    b = e.filter(F.col("event_id") % 5 == 0).drop("event_id")
+    a.write.format("dwrf").option("path", src).mode("overwrite").save()
+
+    def _run():
+        q = (
+            stream_dwrf_dir(
+                spark, src, allowLateFiles=True, maxFileAgeSec=60
+            )
+            .writeStream.format("dwrf")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_done(q)
+
+    _run()
+    # backfill: tranche B lands with an hour-old mtime, far below the
+    # checkpointed watermark (newest tranche-A mtime minus 60 s)
+    bdir = f"{src}_stage"
+    shutil.rmtree(bdir, ignore_errors=True)
+    b.coalesce(1).write.format("dwrf").option("path", bdir).mode(
+        "overwrite"
+    ).save()
+    t = _time.time() - 3600
+    for fn in _os.listdir(bdir):
+        if fn.endswith(".dwrf"):
+            _os.utime(f"{bdir}/{fn}", (t, t))
+            _os.replace(f"{bdir}/{fn}", f"{src}/backfill-{fn}")
+    _run()  # resume: the late registry admits the backfill exactly once
+    _run()  # and a third pass must add nothing (no replay)
+    back = (
+        spark.read.format("dwrf").option("committedOnly", "true").load(out)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("user_id").cast("bigint").alias("sum_users"),
+        )
+        .orderBy("event_type")
     )

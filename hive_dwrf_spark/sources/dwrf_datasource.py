@@ -70,6 +70,29 @@ from pyspark.sql.types import (
 )
 
 
+def _project_fields(fields: list, columns_opt: str) -> list:
+    """Resolve a comma-separated ``columns`` option against declared
+    fields: whitespace-tolerant, case-insensitive on fallback (the
+    reader's ObjectInspector semantics), canonical file names kept.
+    Unknown names raise with the available fields spelled out instead of
+    surfacing a raw KeyError on the lowered token."""
+    by_name = {fl.name: fl for fl in fields}
+    by_lower = {fl.name.lower(): fl for fl in fields}
+    out = []
+    for tok in columns_opt.split(","):
+        c = tok.strip()
+        if not c:
+            continue
+        fld = by_name.get(c) or by_lower.get(c.lower())
+        if fld is None:
+            raise ValueError(
+                f"unknown column {c!r} in 'columns' option; available: "
+                + ", ".join(fl.name for fl in fields)
+            )
+        out.append(fld)
+    return out
+
+
 def _list_dwrf_files(path: str) -> list[str]:
     from ..format.fs import get_fs
 
@@ -79,20 +102,69 @@ def _list_dwrf_files(path: str) -> list[str]:
     return out
 
 
+def _accepted_batch_groups(lines: list[str]) -> dict[str, dict[str, str]]:
+    """{batchId: {relpath: rows_field}} of COMPLETE, FIRST-seen commit
+    groups in a ``_batches`` log, in first-seen batch order (dict order).
+
+    Marker protocol (round 11): each commit appends ``#begin\\t<batchId>``,
+    its ``batchId\\trelpath\\trows`` file lines, then ``#end\\t<batchId>``.
+    - a torn append (crash mid-commit, no ``#end``) is not a commit;
+    - a RETRIED batch's second complete group loses keep-first;
+    - a torn append FOLLOWED by a retry of the same batchId is reset at
+      the retry's ``#begin`` — without the begin marker the torn lines
+      would merge into the retry's group (both precede its ``#end`` and
+      share the batchId) and a committedOnly read would double-count.
+    Round-10 logs (``#end`` only) parse identically except for that last
+    case; pre-marker logs fall back to contiguous-run detection."""
+    accepted: dict[str, dict[str, str]] = {}
+    if any(ln.startswith("#end\t") for ln in lines):
+        group: dict[str, str] = {}
+        begin_id: str | None = None
+        for ln in lines:
+            parts = ln.split("\t")
+            if parts[0] == "#begin" and len(parts) >= 2:
+                group = {}  # discard any torn lines before this commit
+                begin_id = parts[1]
+            elif parts[0] == "#end" and len(parts) >= 2:
+                # a begin/end batchId mismatch means interleaved torn
+                # groups — neither is a trustworthy commit, drop both
+                if begin_id is None or begin_id == parts[1]:
+                    accepted.setdefault(parts[1], group)
+                group = {}
+                begin_id = None
+            elif len(parts) >= 2 and not parts[0].startswith("#"):
+                group[parts[1]] = parts[2] if len(parts) > 2 else ""
+        return accepted
+    # legacy logs (no markers): contiguous same-batchId runs are
+    # groups; keep the first run per batchId (a retry is only
+    # detectable when another batch interleaves)
+    order: list[str] = []
+    for ln in lines:
+        parts = ln.split("\t")
+        if len(parts) < 2:
+            continue
+        bid, rel = parts[0], parts[1]
+        rows = parts[2] if len(parts) > 2 else ""
+        if bid not in accepted:
+            accepted[bid] = {rel: rows}
+            order.append(bid)
+        elif bid == order[-1]:
+            accepted[bid][rel] = rows
+    return accepted
+
+
 def committed_files(path: str) -> set[str] | None:
     """Relative paths of the COMMITTED data files under `path` per its
     commit manifest, or None when no manifest exists.
 
     Two manifests are recognized (both written through the fs seam):
-    - ``_batches`` — the streaming sink's append-only log, one
-      ``batchId\\trelpath\\trows`` line per committed file. Spark's sink
-      contract re-runs an uncommitted micro-batch after a crash, so the
-      log may carry a batchId twice (the first attempt committed but the
-      offset log didn't advance); the FIRST contiguous group per batchId
-      wins and later groups' files are orphans — this keep-first rule is
-      what upgrades the sink's at-least-once to exactly-once AT READ
-      TIME (Spark's own file sink does the same thing with its
-      _spark_metadata log).
+    - ``_batches`` — the streaming sink's commit log; see
+      _accepted_batch_groups for the begin/end marker protocol that
+      upgrades the sink's at-least-once to exactly-once AT READ TIME
+      (Spark's own file sink does the same thing with its
+      _spark_metadata log). The sink compacts the log in place every
+      ``manifestCompactInterval`` batches (compact_manifest), so parse
+      cost tracks LIVE files, not batches-ever.
     - ``_SUCCESS`` — the batch writer's commit manifest
       (``relpath\\trows`` lines).
 
@@ -106,44 +178,14 @@ def committed_files(path: str) -> set[str] | None:
     if fs.exists(batches):
         with fs.open(batches, "r") as f:
             lines = [ln.rstrip("\n") for ln in f]
-        accepted: dict[str, set[str]] = {}
-        if any(ln.startswith("#end\t") for ln in lines):
-            # marker protocol (round 10+): each commit appends its file
-            # lines then one '#end\t<batchId>'. Only COMPLETE groups
-            # count (a torn append from a crash mid-commit is not a
-            # commit), and only the FIRST complete group per batchId (a
-            # retried batch's second commit produces orphans).
-            group: set[str] = set()
-            for ln in lines:
-                parts = ln.split("\t")
-                if parts[0] == "#end" and len(parts) >= 2:
-                    accepted.setdefault(parts[1], group or set())
-                    group = set()
-                elif len(parts) >= 2 and not parts[0].startswith("#"):
-                    group.add(parts[1])
-        else:
-            # legacy logs (no markers): contiguous same-batchId runs are
-            # groups; keep the first run per batchId (a retry is only
-            # detectable when another batch interleaves)
-            order: list[str] = []
-            runs: dict[str, set[str]] = {}
-            for ln in lines:
-                parts = ln.split("\t")
-                if len(parts) < 2:
-                    continue
-                bid, rel = parts[0], parts[1]
-                if bid not in runs:
-                    runs[bid] = {rel}
-                    order.append(bid)
-                elif bid == order[-1]:
-                    runs[bid].add(rel)
-            accepted = runs
-        if not accepted:
-            return set()
-        return set().union(*accepted.values())
+        accepted = _accepted_batch_groups(lines)
+        out: set[str] = set()
+        for rels in accepted.values():
+            out.update(rels)
+        return out
     success = join_path(path, "_SUCCESS")
     if fs.exists(success):
-        out: set[str] = set()
+        out = set()
         with fs.open(success, "r") as f:
             for line in f:
                 rel = line.rstrip("\n").split("\t")[0]
@@ -151,6 +193,76 @@ def committed_files(path: str) -> set[str] | None:
                     out.add(rel)
         return out
     return None
+
+
+def compact_manifest(path: str) -> tuple[int, int] | None:
+    """Rewrite ``path``'s ``_batches`` commit log as its RESOLVED state:
+    one complete begin/end group per accepted batch, entries whose data
+    file no longer exists (retention/compaction deleted it) dropped, and
+    every orphan/torn/superseded-retry line gone. Returns
+    (lines_after, lines_before), or None when there is no log.
+
+    This is Spark's ``_spark_metadata`` compaction discipline re-expressed
+    for the in-place log: without it the log grows with batches-EVER and
+    committed_files re-parses the whole history per listing — on a
+    months-old sink, trigger latency and listing cost climb without bound
+    (the same disease the stream source's offsets were cured of with
+    age-retirement). After compaction both track LIVE files only.
+    Reference analogy: the footer's consolidated stripe directory
+    (ReaderImpl.java:204-260) — readers never replay a log.
+
+    Crash-safe: the rewrite goes to a ``_batches.<uuid>.tmp`` sibling and
+    lands via atomic ``fs.replace`` (object stores without rename fall
+    back to a single whole-object PUT — atomic there by store semantics).
+    Concurrent committed_files readers see either the old or the new log,
+    both of which resolve to the same accepted set.
+
+    Keep-first safety across compaction: an accepted batch whose files
+    were ALL pruned is still kept as an empty group when it is the
+    HIGHEST batchId — Spark only ever re-runs the latest uncommitted
+    batch, so that is the only id a post-compaction retry could reuse and
+    the empty group preserves the keep-first rejection of the retry's
+    orphan files. Lower empty ids can never be retried (their offsets are
+    committed) and are dropped, which is what bounds the log."""
+    from ..format.fs import get_fs, join_path, rel_subpath
+
+    fs = get_fs(path)
+    log = join_path(path, "_batches")
+    if not fs.exists(log):
+        return None
+    with fs.open(log, "r") as f:
+        lines = [ln.rstrip("\n") for ln in f if ln.strip()]
+    accepted = _accepted_batch_groups(lines)
+    live = {
+        rel_subpath(fp, path)
+        for fp in fs.list_files(path, (".dwrf", ".orc"))
+    }
+
+    def _bid_key(b: str):
+        try:
+            return int(b)
+        except ValueError:
+            return -1
+
+    max_bid = max(accepted, key=_bid_key, default=None)
+    out_lines: list[str] = []
+    for bid, rels in accepted.items():
+        kept = {rel: rows for rel, rows in rels.items() if rel in live}
+        if not kept and bid != max_bid:
+            continue
+        out_lines.append(f"#begin\t{bid}")
+        out_lines.extend(f"{bid}\t{rel}\t{rows}" for rel, rows in kept.items())
+        out_lines.append(f"#end\t{bid}")
+    body = "".join(ln + "\n" for ln in out_lines)
+    if hasattr(fs, "replace"):
+        tmp = join_path(path, f"_batches.{uuid.uuid4().hex[:12]}.tmp")
+        with fs.open(tmp, "w") as f:
+            f.write(body)
+        fs.replace(tmp, log)
+    else:
+        with fs.open(log, "w") as f:
+            f.write(body)
+    return (len(out_lines), len(lines))
 
 
 # --- driver-side footer plan cache -------------------------------------------
@@ -483,7 +595,11 @@ class DwrfReader(DataSourceReader):
             raise ValueError("dwrf reader requires a path")
         self.schema = schema
         columns_opt = options.get("columns")
-        self.columns = columns_opt.split(",") if columns_opt else None
+        self.columns = (
+            [c.strip() for c in columns_opt.split(",") if c.strip()]
+            if columns_opt
+            else None
+        )
         self._merge = str(options.get("mergeSchema", "false")).lower() in (
             "true",
             "1",
@@ -876,13 +992,15 @@ class DwrfStreamWriter(DwrfWriter, DataSourceStreamArrowWriter):
     Each microbatch task writes one part-<uuid>.dwrf via the batch write
     path (inherited); only commit/abort differ — a streaming sink appends,
     so commit must never garbage-collect the directory the way the batch
-    overwrite commit does. Committed batches are recorded in a _batches log
-    (one line per file with its batch id and row count) for observability;
-    the DWRF *stream reader*'s name-set offsets make a dwrf-dir -> transform
+    overwrite commit does. Committed batches are recorded in a _batches
+    log (begin/end-marked groups of file lines — see committed_files),
+    periodically compacted in place to live files (compact_manifest); the
+    DWRF *stream reader*'s name-set offsets make a dwrf-dir -> transform
     -> dwrf-dir pipeline pick each part file up exactly once. Spark's own
     checkpointing dedups re-run batches at the source side; a re-written
-    batch after a crash lands as new uuid files (at-least-once, like
-    Spark's file sink without its _spark_metadata protocol)."""
+    batch after a crash lands as new uuid files — at-least-once on disk,
+    upgraded to exactly-once by committedOnly reads over the log (the
+    _spark_metadata discipline re-expressed for DWRF dirs)."""
 
     def commit(self, messages, batchId: int) -> None:
         from ..format.fs import get_fs, join_path, path_scheme, rel_subpath
@@ -896,6 +1014,14 @@ class DwrfStreamWriter(DwrfWriter, DataSourceStreamArrowWriter):
             return p if path_scheme(p) else os.path.abspath(p)
 
         with fs.open(join_path(self.path, "_batches"), "a") as f:
+            # begin/end markers: committedOnly reads accept only complete,
+            # first-seen groups (committed_files). '#end' makes a torn
+            # append (crash mid-commit) not count and a retried batch's
+            # second commit lose keep-first; '#begin' resets the parser's
+            # accumulating group so a torn append followed by a retry of
+            # the SAME batchId cannot merge the torn attempt's files into
+            # the retry's accepted group (read-time double count).
+            f.write(f"#begin\t{batchId}\n")
             for m in messages:
                 if m is not None:
                     for p in m.path.split("\x00"):
@@ -905,11 +1031,15 @@ class DwrfStreamWriter(DwrfWriter, DataSourceStreamArrowWriter):
                                 f"{rel_subpath(norm(p), norm(self.path))}"
                                 f"\t{m.rows}\n"
                             )
-            # commit-complete marker: committedOnly reads accept only
-            # complete, first-seen groups (committed_files) — a crash
-            # mid-append leaves a torn group that never counts, and a
-            # retried batch's second '#end' loses keep-first
             f.write(f"#end\t{batchId}\n")
+        # periodic in-place log compaction (compact_manifest): every
+        # interval-th batch, same cadence rule as Spark's file-sink
+        # metadata log (batchId % interval == interval - 1). Keeps
+        # committedOnly listing cost proportional to LIVE files on
+        # unbounded streams. 0 disables.
+        interval = int(self.options.get("manifestCompactInterval", 10) or 0)
+        if interval > 0 and batchId % interval == interval - 1:
+            compact_manifest(self.path)
 
     def abort(self, messages, batchId: int) -> None:
         from ..format.fs import get_fs
@@ -981,14 +1111,7 @@ class DwrfDataSource(DataSource):
             )
         columns_opt = self.options.get("columns")
         if columns_opt:
-            # case-insensitive like the reader (ObjectInspector semantics);
-            # the declared schema keeps the file's canonical names
-            by_name = {fl.name: fl for fl in fields}
-            by_lower = {fl.name.lower(): fl for fl in fields}
-            fields = [
-                by_name.get(c) or by_lower[c.lower()]
-                for c in columns_opt.split(",")
-            ]
+            fields = _project_fields(fields, columns_opt)
         return StructType(fields)
 
     def reader(self, schema: StructType) -> DwrfReader:

@@ -37,6 +37,7 @@ regressed listing can never re-emit a retired file.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -121,7 +122,13 @@ def _committed_opt(options) -> bool:
 
 class _DwrfStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, schema: StructType, options):
-        self.path = options.get("path")
+        DwrfStreamDataSource._bootstrap()
+        from hive_dwrf_spark.format.fs import strip_file_uri
+
+        # SQL/managed surfaces hand a file: URI; list_files answers with
+        # stripped os paths either way, so normalize up front or
+        # _rel_name would raise "not under" on every listing entry
+        self.path = strip_file_uri(options.get("path"))
         self.schema = schema
         self.committed_only = _committed_opt(options)
 
@@ -129,17 +136,20 @@ class _DwrfStreamReader(SimpleDataSourceStreamReader):
         return {"processed": []}
 
     def _processed(self, offset: dict) -> set[str]:
-        # legacy index offsets ({"file_index": N}) from pre-fix checkpoints
-        # map to "first N names of the current sorted listing" — best-effort
+        # legacy index offsets ({"file_index": N}) from pre-fix
+        # checkpoints map to "first N names of the current sorted
+        # listing" — those N replay once on upgrade, then the name-set
+        # offset is exact from there on
         if "file_index" in offset:
             listing = [
                 _rel_name(self.path, p)
                 for p in _dwrf_files(self.path, self.committed_only)
             ]
             return set(listing[: offset["file_index"]])
-        # planner-reader offsets ({"files": {name: mtime}}) interchange
+        # planner-reader offsets ({"files": {name: mtime}}) interchange;
+        # a planner "late" registry is processed-or-accounted-for too
         processed = offset.get("processed", offset.get("files", []))
-        return set(processed)
+        return set(processed) | set(offset.get("late", []))
 
     def _rows_for(self, paths: list[str]):
         # returns a materialized list: Spark pickles the prefetched batch
@@ -184,14 +194,26 @@ class _DwrfStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         done = self._processed(start)
-        fresh = [
-            p
-            for p in _dwrf_files(self.path, self.committed_only)
-            if _rel_name(self.path, p) not in done
-        ]
+        # planner-form checkpoints carry a retirement watermark: names
+        # the planner retired are NOT in its "files" map but WERE
+        # processed — re-emitting them on a simpleReader=true switch
+        # would duplicate rows. Anything at/below the watermark counts
+        # as processed; the simple-form end offset then carries those
+        # names explicitly (it has no watermark of its own).
+        wm = int(start.get("watermark_ns", 0)) if "files" in start else 0
+        fresh: list[str] = []
+        below_wm: set[str] = set()
+        for p in _dwrf_files(self.path, self.committed_only):
+            n = _rel_name(self.path, p)
+            if n in done:
+                continue
+            if wm and _mtime_ns(p) < wm:
+                below_wm.add(n)
+            else:
+                fresh.append(p)
         end = {
             "processed": sorted(
-                done | {_rel_name(self.path, p) for p in fresh}
+                done | below_wm | {_rel_name(self.path, p) for p in fresh}
             )
         }
         return self._rows_for(fresh), end
@@ -202,9 +224,21 @@ class _DwrfStreamReader(SimpleDataSourceStreamReader):
 
         done = self._processed(start)
         batch = self._processed(end) - done
-        return self._rows_for(
-            sorted(join_path(self.path, name) for name in batch)
-        )
+        paths = sorted(join_path(self.path, name) for name in batch)
+        # mirror read(): names below a planner-form start watermark were
+        # folded into end's processed set WITHOUT being emitted, so a
+        # replay of this range must skip them too
+        wm = int(start.get("watermark_ns", 0)) if "files" in start else 0
+        if wm:
+
+            def _at_or_above(p: str) -> bool:
+                try:
+                    return _mtime_ns(p) >= wm
+                except (FileNotFoundError, OSError):
+                    return True  # vanished: fail in _rows_for as before
+
+            paths = [p for p in paths if _at_or_above(p)]
+        return self._rows_for(paths)
 
 
 class _DwrfPartitionStreamReader(DataSourceStreamReader):
@@ -224,37 +258,82 @@ class _DwrfPartitionStreamReader(DataSourceStreamReader):
     """
 
     def __init__(self, schema: StructType, options):
-        self.path = options.get("path")
+        DwrfStreamDataSource._bootstrap()
+        from hive_dwrf_spark.format.fs import strip_file_uri
+
+        # SQL/managed surfaces hand a file: URI; normalize like the batch
+        # reader or _rel_name raises on every stripped listing entry
+        self.path = strip_file_uri(options.get("path"))
         self.schema = schema
         self.max_age_ns = int(
             float(options.get("maxFileAgeSec", 7 * 24 * 3600)) * 1e9
         )
         self.max_files = int(options.get("maxFilesPerTrigger", 0) or 0)
+        # byte-based admission cap: files vary 1000x in size, so a count
+        # cap is a weak rate limiter for a training-ingest pipeline; the
+        # byte cap bounds per-trigger scan work directly (file sizes come
+        # from the same stat the mtime clock already pays for)
+        self.max_bytes = int(options.get("maxBytesPerTrigger", 0) or 0)
+        # admit files whose mtime is BELOW the watermark (a backfill into
+        # an old directory) instead of dropping them. Trade-off: the
+        # offset then tracks every on-disk below-watermark name in a
+        # "late" registry (entries leave when the file does), so offset
+        # size follows directory retention rather than maxFileAgeSec.
+        self.allow_late = str(options.get("allowLateFiles", "")).lower() in (
+            "true",
+            "1",
+            "yes",
+        )
         self.committed_only = _committed_opt(options)
         # last end offset this planner instance returned — rate-limit
         # anchor only (correctness never depends on it; a fresh instance
-        # after restart just plans one uncapped catch-up batch)
+        # resuming a checkpoint plans one uncapped catch-up batch, which
+        # must be a SUPERSET of the checkpointed offset — capping it
+        # would drop processed names from the offset and replay them)
         self._last: dict | None = None
+        # late-arrival observability: total names refused by the
+        # watermark rule (allowLateFiles off) and the set already
+        # counted/logged, so a backfilled file logs once, not per trigger
+        self.late_files_dropped = 0
+        self._late_logged: set[str] = set()
 
     # -- offset algebra ----------------------------------------------------
 
     @staticmethod
-    def _norm(offset: dict) -> tuple[dict, int]:
-        """(files, watermark_ns) from any historical offset shape: the
-        planner form {"files": {...}, "watermark_ns": W}, the simple
-        reader's {"processed": [names]} (checkpoint interchange), or the
-        pre-fix {"file_index": N} (treated as empty — best-effort)."""
+    def _norm(offset: dict) -> tuple[dict, int, dict]:
+        """(files, watermark_ns, late) from any historical offset shape:
+        the planner form {"files": {...}, "watermark_ns": W, "late":
+        {...}}, the simple reader's {"processed": [names]} (checkpoint
+        interchange), or the pre-fix {"file_index": N} — mapped to empty,
+        so those files replay ONCE on upgrade and the name-set offset is
+        exact from there on."""
         if "files" in offset:
-            return dict(offset["files"]), int(offset.get("watermark_ns", 0))
+            return (
+                dict(offset["files"]),
+                int(offset.get("watermark_ns", 0)),
+                dict(offset.get("late", {})),
+            )
         if "processed" in offset:
-            return {n: 0 for n in offset["processed"]}, 0
-        return {}, 0
+            return {n: 0 for n in offset["processed"]}, 0, {}
+        return {}, 0, {}
 
     def _listing(self) -> dict:
+        """{rel_name: (mtime_ns, size_bytes)} of the current directory
+        state — one stat per file covers both the age clock and the
+        byte-cap admission weights."""
+        from hive_dwrf_spark.format.fs import get_fs
+
         out = {}
         for p in _dwrf_files(self.path, self.committed_only):
             try:
-                out[_rel_name(self.path, p)] = _mtime_ns(p)
+                fs = get_fs(p)
+                size, mtime = 0, 0
+                if hasattr(fs, "stat_key"):
+                    key = fs.stat_key(p)
+                    size, mtime = int(key[0]), int(key[-1])
+                else:
+                    mtime = _mtime_ns(p)
+                out[_rel_name(self.path, p)] = (mtime, size)
             except (FileNotFoundError, OSError):
                 # vanished between list and stat (compaction/retention
                 # deleting behind the stream) — as if never listed
@@ -262,23 +341,77 @@ class _DwrfPartitionStreamReader(DataSourceStreamReader):
         return out
 
     def initialOffset(self) -> dict:
-        return {"files": {}, "watermark_ns": 0}
+        # a NEW query (no checkpoint) starts from the empty offset; anchor
+        # the rate limiter on it so maxFiles/maxBytesPerTrigger bound the
+        # very first catch-up batch too. (On a RESTART Spark never calls
+        # this, self._last stays None, and the first latestOffset returns
+        # an uncapped superset — see __init__.)
+        self._last = {"files": {}, "watermark_ns": 0}
+        return self._last
+
+    def _cap_admission(self, fresh: list[tuple]) -> list[tuple]:
+        """Apply maxFilesPerTrigger/maxBytesPerTrigger to the
+        mtime-ordered (mtime, name, size) candidates: admission stops at
+        whichever budget runs out first, but always takes at least one
+        file (a single file above maxBytes must still flow)."""
+        if not (self.max_files or self.max_bytes):
+            return fresh
+        out: list[tuple] = []
+        spent = 0
+        for cand in fresh:
+            if out:
+                if self.max_files and len(out) >= self.max_files:
+                    break
+                if self.max_bytes and spent + cand[2] > self.max_bytes:
+                    break
+            out.append(cand)
+            spent += cand[2]
+        return out
 
     def latestOffset(self) -> dict:
         listed = self._listing()
-        prev_files, prev_wm = (
-            self._norm(self._last) if self._last else ({}, 0)
+        prev_files, prev_wm, prev_late = (
+            self._norm(self._last) if self._last else ({}, 0, {})
         )
-        # admit files not already in the last offset, oldest first; the
-        # optional per-trigger cap bounds catch-up batch size (files
-        # beyond the cap stay unadmitted and keep their arrival order)
+        unseen = {
+            n: ms
+            for n, ms in listed.items()
+            if n not in prev_files and n not in prev_late
+        }
+        # candidates: unseen names at/above the previous watermark,
+        # oldest first. Below-watermark names MUST be excluded before the
+        # per-trigger cap: they are retired (already processed) or late,
+        # and letting them occupy cap slots only to be watermark-filtered
+        # afterwards starves admission permanently (the offset never
+        # advances while retired files remain on disk).
         fresh = sorted(
-            ((m, n) for n, m in listed.items() if n not in prev_files),
+            (m, n, sz) for n, (m, sz) in unseen.items() if m >= prev_wm
         )
-        if self.max_files and self._last is not None:
-            fresh = fresh[: self.max_files]
+        late = {n: ms for n, ms in unseen.items() if ms[0] < prev_wm}
+        if self.allow_late:
+            # backfilled names are admitted oldest-first ahead of fresh
+            # ones (they have waited longest) under the same caps
+            fresh = sorted(
+                (m, n, sz) for n, (m, sz) in unseen.items()
+            )
+        elif late:
+            new_late = [n for n in late if n not in self._late_logged]
+            if new_late:
+                self.late_files_dropped += len(new_late)
+                self._late_logged.update(new_late)
+                logging.getLogger(__name__).warning(
+                    "dwrf_stream %s: %d file(s) below the retirement "
+                    "watermark refused (total %d); set allowLateFiles="
+                    "true to admit backfills, or raise maxFileAgeSec: %s",
+                    self.path,
+                    len(new_late),
+                    self.late_files_dropped,
+                    ", ".join(sorted(new_late)[:5]),
+                )
+        if self._last is not None:
+            fresh = self._cap_admission(fresh)
         admitted = dict(prev_files)
-        admitted.update({n: m for m, n in fresh})
+        admitted.update({n: m for m, n, _sz in fresh})
         # directory watermark: newest ADMITTED mtime minus the age
         # allowance; monotonic, so a deleted newest file can't regress it
         newest = max(admitted.values(), default=0)
@@ -288,6 +421,21 @@ class _DwrfPartitionStreamReader(DataSourceStreamReader):
         # files-ever-seen (bounded offsets on unbounded streams)
         live = {n: m for n, m in sorted(admitted.items()) if m >= wm}
         end = {"files": live, "watermark_ns": wm}
+        if self.allow_late:
+            # the late registry carries every accounted-for below-
+            # watermark name still on disk: admitted backfills land here
+            # (their mtime is below wm, so "files" would retire them
+            # before partitions() ever planned them) and retired names
+            # move here instead of vanishing (a vanished retiree would
+            # re-qualify as an unseen backfill next trigger and replay)
+            reg = {
+                n: m for n, m in prev_late.items() if n in listed
+            }
+            reg.update(
+                {n: m for n, m in admitted.items() if m < wm}
+            )
+            if reg:
+                end["late"] = dict(sorted(reg.items()))
         self._last = end
         return end
 
@@ -301,14 +449,23 @@ class _DwrfPartitionStreamReader(DataSourceStreamReader):
             _pack_stripe_runs,
         )
 
-        start_files, start_wm = self._norm(start)
-        end_files, _ = self._norm(end)
+        start_files, start_wm, start_late = self._norm(start)
+        end_files, _, end_late = self._norm(end)
         # a name below the START watermark was either processed-and-
-        # retired or arrived too late — either way it must not replay
+        # retired or arrived too late — either way it must not replay.
+        # Admitted backfills travel in the late registry instead (new
+        # entries there are exactly this batch's admitted late files).
         fresh = sorted(
-            n
-            for n, m in end_files.items()
-            if n not in start_files and m >= start_wm
+            {
+                n
+                for n, m in end_files.items()
+                if n not in start_files and m >= start_wm
+            }
+            | {
+                n
+                for n in end_late
+                if n not in start_late and n not in start_files
+            }
         )
         if not fresh:
             return []
@@ -437,14 +594,16 @@ class DwrfStreamDataSource(DataSource):
 
     def schema(self):
         self._bootstrap()
+        from hive_dwrf_spark.format.fs import strip_file_uri
         from hive_dwrf_spark.format.reader import DwrfFile
         from hive_dwrf_spark.sources.dwrf_datasource import (
             _arrow_to_spark_type,
             _infer_partition_type,
+            _project_fields,
         )
         from pyspark.sql.types import StructField
 
-        path = self.options.get("path", "")
+        path = strip_file_uri(self.options.get("path", ""))
         files = _dwrf_files(path, _committed_opt(self.options))
         if not files:
             raise ValueError("dwrf_stream requires a path with at least one .dwrf file")
@@ -476,14 +635,9 @@ class DwrfStreamDataSource(DataSource):
         if columns_opt:
             # explicit projection: Spark cannot push column pruning into a
             # Python stream source, so the option is the manual prune —
-            # only the named data columns decode. Case-insensitive like
-            # the batch reader; declared schema keeps canonical names.
-            by_name = {fl.name: fl for fl in fields}
-            by_lower = {fl.name.lower(): fl for fl in fields}
-            fields = [
-                by_name.get(c) or by_lower[c.lower()]
-                for c in columns_opt.split(",")
-            ]
+            # only the named data columns decode (same resolution rules
+            # as the batch source: _project_fields)
+            fields = _project_fields(fields, columns_opt)
         return StructType(fields)
 
     def streamReader(self, schema: StructType):
@@ -513,7 +667,12 @@ def stream_dwrf_dir(spark: SparkSession, path: str, **options) -> DataFrame:
 
     Options pass through to the source: ``simpleReader`` (driver-side
     fallback reader), ``maxFileAgeSec`` (offset retirement window,
-    default 7 days), ``maxFilesPerTrigger`` (per-batch admission cap)."""
+    default 7 days), ``maxFilesPerTrigger`` / ``maxBytesPerTrigger``
+    (per-batch admission caps — whichever budget runs out first),
+    ``allowLateFiles`` (admit backfilled below-watermark files instead
+    of refusing them; refusals are counted and logged either way),
+    ``committedOnly`` (tail only manifest-committed files),
+    ``columns`` (explicit projection)."""
     import sys
 
     from pyspark import cloudpickle

@@ -757,3 +757,379 @@ def test_stream_committed_only_tails_sink_exactly_once(spark, tmp_path):
     q2.awaitTermination()
     got = sorted(r.k for r in spark.table("chain_exact").collect())
     assert got == list(range(50))  # orphan excluded
+
+
+# --- round-11 hardening: commit-log begin markers, manifest compaction,
+# --- watermark-aware admission, late files, byte caps ------------------------
+
+
+def test_committed_files_torn_then_retried_same_batch(tmp_path):
+    """The realistic crash-retry sequence: a TORN commit (file lines
+    appended, crash before '#end') followed by Spark re-running the SAME
+    batch. The retry's '#begin' resets the parser's group, so the torn
+    attempt's files cannot merge into the retry's accepted group — the
+    round-10 protocol (end markers only) double-counted here."""
+    import os
+
+    from hive_dwrf_spark.format import write_arrow_table
+    from hive_dwrf_spark.sources.dwrf_datasource import committed_files
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    for n in ("b1", "b2", "a1"):
+        write_arrow_table(f"{out}/{n}.dwrf", pa.table({"k": pa.array([1])}))
+    with open(f"{out}/_batches", "w") as f:
+        # batch 8: clean commit
+        f.write("#begin\t8\n8\ta1.dwrf\t1\n#end\t8\n")
+        # batch 9 attempt 1: torn (crash before #end)
+        f.write("#begin\t9\n9\tb1.dwrf\t1\n")
+        # batch 9 attempt 2 (Spark re-runs the same batchId): complete
+        f.write("#begin\t9\n9\tb2.dwrf\t1\n#end\t9\n")
+    assert committed_files(out) == {"a1.dwrf", "b2.dwrf"}
+
+    # keep-first still holds for a LATER duplicate commit of batch 9
+    with open(f"{out}/_batches", "a") as f:
+        f.write("#begin\t9\n9\tb1.dwrf\t1\n#end\t9\n")
+    assert committed_files(out) == {"a1.dwrf", "b2.dwrf"}
+
+    # a torn group at the log tail never counts
+    with open(f"{out}/_batches", "a") as f:
+        f.write("#begin\t10\n10\tb1.dwrf\t1\n")
+    assert committed_files(out) == {"a1.dwrf", "b2.dwrf"}
+
+    # round-10 logs (no #begin) parse unchanged: complete groups count
+    with open(f"{out}/_batches", "w") as f:
+        f.write("0\ta1.dwrf\t1\n#end\t0\n1\tb1.dwrf\t1\n#end\t1\n")
+        f.write("2\tb2.dwrf\t1\n")  # torn tail
+    assert committed_files(out) == {"a1.dwrf", "b1.dwrf"}
+
+
+def test_compact_manifest_resolves_and_bounds_the_log(tmp_path):
+    """compact_manifest rewrites _batches as its resolved state: orphan/
+    torn/superseded lines gone, entries for deleted files dropped, and
+    committed_files unchanged across the rewrite. The highest batchId
+    survives even when emptied (keep-first protection for a
+    post-compaction retry of the only retryable batch)."""
+    import os
+
+    from hive_dwrf_spark.format import write_arrow_table
+    from hive_dwrf_spark.sources.dwrf_datasource import (
+        committed_files,
+        compact_manifest,
+    )
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    for n in ("f0", "f1", "f2", "retry", "torn"):
+        write_arrow_table(f"{out}/{n}.dwrf", pa.table({"k": pa.array([1])}))
+    with open(f"{out}/_batches", "w") as f:
+        f.write("#begin\t0\n0\tf0.dwrf\t1\n#end\t0\n")
+        f.write("#begin\t1\n1\tf1.dwrf\t1\n#end\t1\n")
+        # a retried batch 1 (orphan) and a torn batch 2
+        f.write("#begin\t1\n1\tretry.dwrf\t1\n#end\t1\n")
+        f.write("#begin\t2\n2\ttorn.dwrf\t1\n")
+        f.write("#begin\t3\n3\tf2.dwrf\t1\n#end\t3\n")
+    before = committed_files(out)
+    assert before == {"f0.dwrf", "f1.dwrf", "f2.dwrf"}
+    n_after, n_before = compact_manifest(out)
+    assert n_after < n_before
+    assert committed_files(out) == before
+    # the compacted log has no trace of the orphan/torn lines
+    text = open(f"{out}/_batches").read()
+    assert "retry.dwrf" not in text and "torn.dwrf" not in text
+
+    # retention deletes f0 and f1 -> their entries compact away; batch 3
+    # (the max batchId) stays even if emptied
+    os.remove(f"{out}/f0.dwrf")
+    os.remove(f"{out}/f1.dwrf")
+    os.remove(f"{out}/f2.dwrf")
+    compact_manifest(out)
+    assert committed_files(out) == set()
+    text = open(f"{out}/_batches").read()
+    assert "f0.dwrf" not in text and "#end\t3" in text
+    # a post-compaction retry of batch 3 is still rejected (keep-first)
+    write_arrow_table(f"{out}/late3.dwrf", pa.table({"k": pa.array([9])}))
+    with open(f"{out}/_batches", "a") as f:
+        f.write("#begin\t3\n3\tlate3.dwrf\t1\n#end\t3\n")
+    assert committed_files(out) == set()
+
+
+def test_stream_sink_compacts_manifest_end_to_end(spark, tmp_path):
+    """A multi-batch stream through the DWRF sink with
+    manifestCompactInterval=2: the _batches log ends up in resolved form
+    (line count tracks live files, not batches-ever) and the
+    committedOnly read still returns exactly the source rows. The
+    multi-batch shape comes from maxFilesPerTrigger=1 on the source."""
+    import os
+
+    from hive_dwrf_spark.format import write_arrow_table
+    from hive_dwrf_spark.sources import register
+    from hive_dwrf_spark.streaming import stream_dwrf_dir
+
+    register(spark)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    now = time.time()
+    for i in range(4):
+        fp = f"{src}/f{i}.dwrf"
+        write_arrow_table(
+            fp, pa.table({"k": pa.array(np.arange(i * 10, i * 10 + 10))})
+        )
+        os.utime(fp, (now - 40 + i, now - 40 + i))
+    q = (
+        stream_dwrf_dir(spark, src, maxFilesPerTrigger=1)
+        .writeStream.format("dwrf")
+        .option("path", out)
+        .option("manifestCompactInterval", "2")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    while q.isActive:
+        q.awaitTermination(5)
+    q.awaitTermination()
+    lines = [
+        ln for ln in open(f"{out}/_batches").read().splitlines() if ln
+    ]
+    data_lines = [ln for ln in lines if not ln.startswith("#")]
+    live = [f for f in os.listdir(out) if f.endswith(".dwrf")]
+    # resolved form: one line per live file (plus group markers)
+    assert len(data_lines) == len(live)
+    exact = (
+        spark.read.format("dwrf").option("committedOnly", "true").load(out)
+    )
+    assert sorted(r.k for r in exact.collect()) == list(range(40))
+
+
+def test_planner_admission_not_starved_by_retired_files(tmp_path):
+    """Retired (below-watermark) names on disk must not consume the
+    maxFilesPerTrigger budget: pre-fix they re-qualified as 'fresh' every
+    trigger, filled the cap, then got watermark-filtered — the offset
+    never advanced and newly arriving files were never admitted."""
+    import os
+
+    from hive_dwrf_spark.format import write_arrow_table
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    now_ns = time.time_ns()
+    rdr = _planner_reader(src, maxFileAgeSec=60, maxFilesPerTrigger=2)
+    rdr.initialOffset()
+    write_arrow_table(f"{src}/anchor.dwrf", pa.table({"k": pa.array([0])}))
+    end = rdr.latestOffset()
+    assert set(end["files"]) == {"anchor.dwrf"}
+    assert end["watermark_ns"] > 0
+    # 5 below-watermark files land on disk (backfill/regressed listing)
+    for i in range(5):
+        fp = f"{src}/old{i}.dwrf"
+        write_arrow_table(fp, pa.table({"k": pa.array([i])}))
+        t = (now_ns - 1000 * 10**9) / 1e9
+        os.utime(fp, (t, t))
+    # three new files arrive; the old retired names are still on disk.
+    # Each trigger must admit up to 2 NEW names (pre-fix: permanently 0).
+    for i in range(3):
+        write_arrow_table(f"{src}/new{i}.dwrf", pa.table({"k": pa.array([i])}))
+    end2 = rdr.latestOffset()
+    assert {"new0.dwrf", "new1.dwrf"} <= set(end2["files"]) or len(
+        set(end2["files"]) - set(end["files"])
+    ) == 2
+    end3 = rdr.latestOffset()
+    admitted = set(end3["files"]) - set(end["files"])
+    assert {"new0.dwrf", "new1.dwrf", "new2.dwrf"} <= admitted | set(
+        end2["files"]
+    )
+    # the dropped-late counter saw the 5 old names exactly once
+    assert rdr.late_files_dropped == 5
+
+
+def test_planner_allow_late_files_admits_backfills_once(tmp_path):
+    """allowLateFiles=true: a backfilled below-watermark file is admitted
+    in the next batch via the offset's late registry, planned exactly
+    once, and never replayed while it stays on disk; the registry drains
+    when the file is deleted."""
+    import os
+
+    from hive_dwrf_spark.format import write_arrow_table
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rdr = _planner_reader(src, maxFileAgeSec=60, allowLateFiles=True)
+    rdr.initialOffset()
+    write_arrow_table(f"{src}/anchor.dwrf", pa.table({"k": pa.array([0])}))
+    end1 = rdr.latestOffset()
+    assert end1["watermark_ns"] > 0
+    # backfill: an old-mtime file lands after the watermark advanced
+    late = f"{src}/backfill.dwrf"
+    write_arrow_table(late, pa.table({"k": pa.array([42])}))
+    t = (time.time_ns() - 3600 * 10**9) / 1e9
+    os.utime(late, (t, t))
+    end2 = rdr.latestOffset()
+    assert "backfill.dwrf" in end2.get("late", {})
+    planned = {
+        os.path.basename(p.path) for p in rdr.partitions(end1, end2)
+    }
+    assert planned == {"backfill.dwrf"}
+    # subsequent triggers do not replay it
+    end3 = rdr.latestOffset()
+    assert rdr.partitions(end2, end3) == []
+    assert "backfill.dwrf" in end3.get("late", {})
+    assert rdr.late_files_dropped == 0
+    # deletion drains the registry (bounded by on-disk late names)
+    os.remove(late)
+    end4 = rdr.latestOffset()
+    assert "backfill.dwrf" not in end4.get("late", {})
+
+
+def test_planner_max_bytes_per_trigger(tmp_path):
+    """maxBytesPerTrigger splits a catch-up into byte-bounded admission
+    batches (oldest first); a single file larger than the cap still
+    flows (always-admit-one). Applies from the FIRST batch of a new
+    query (initialOffset anchors the limiter)."""
+    import os
+
+    from hive_dwrf_spark.format import write_arrow_table
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    now = time.time()
+    rng = np.random.default_rng(3)
+    sizes = {}
+    for i in range(6):
+        fp = f"{src}/f{i}.dwrf"
+        # ~80 KB each of incompressible noise
+        write_arrow_table(
+            fp,
+            pa.table({"k": pa.array(rng.integers(0, 2**62, 10_000))}),
+            compression="none",
+        )
+        os.utime(fp, (now - 60 + i, now - 60 + i))
+        sizes[f"f{i}.dwrf"] = os.path.getsize(fp)
+    cap = int(sum(sizes.values()) / 3)  # ~2 files per trigger
+    rdr = _planner_reader(src, maxBytesPerTrigger=cap)
+    rdr.initialOffset()
+    batches = []
+    prev = rdr.initialOffset()
+    for _ in range(8):
+        end = rdr.latestOffset()
+        fresh = sorted(set(end["files"]) - set(prev["files"]))
+        if not fresh:
+            break
+        batches.append(fresh)
+        prev = end
+    assert [n for b in batches for n in b] == sorted(sizes)  # all, in order
+    assert len(batches) >= 3  # split, not one catch-up
+    for b in batches:
+        assert len(b) == 1 or sum(sizes[n] for n in b) <= cap
+    # always-admit-one: a cap below every file size still makes progress
+    rdr2 = _planner_reader(src, maxBytesPerTrigger=1)
+    rdr2.initialOffset()
+    end = rdr2.latestOffset()
+    assert len(end["files"]) == 1
+
+
+def test_simple_reader_honors_planner_watermark(spark, tmp_path):
+    """Checkpoint interchange planner -> simple reader: names the planner
+    RETIRED (below watermark_ns, absent from 'files') were processed —
+    the simple reader must fold them into processed, not re-emit them."""
+    import os
+
+    from hive_dwrf_spark.streaming.dwrf_stream import _DwrfStreamReader
+    from hive_dwrf_spark.format import write_arrow_table
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    now_ns = time.time_ns()
+    retired = f"{src}/retired.dwrf"
+    write_arrow_table(retired, pa.table({"k": pa.array([1])}))
+    t = (now_ns - 1000 * 10**9) / 1e9
+    os.utime(retired, (t, t))
+    write_arrow_table(f"{src}/live.dwrf", pa.table({"k": pa.array([2])}))
+    fresh_name = f"{src}/fresh.dwrf"
+    write_arrow_table(fresh_name, pa.table({"k": pa.array([3])}))
+    schema = StructType([StructField("k", LongType())])
+    rdr = _DwrfStreamReader(schema, {"path": src})
+    # planner-form checkpoint: live.dwrf processed, retired.dwrf retired
+    start = {
+        "files": {"live.dwrf": now_ns},
+        "watermark_ns": now_ns - 60 * 10**9,
+    }
+    rows, end = rdr.read(start)
+    got = [r[0] for r in rows]
+    assert got == [3]  # fresh only: retired NOT re-emitted
+    assert "retired.dwrf" in end["processed"]
+    # replay of the same range skips the retired name too
+    replay = [r[0] for r in rdr.readBetweenOffsets(start, end)]
+    assert replay == [3]
+
+
+def test_stream_path_accepts_file_uri(spark, tmp_path):
+    """A file: URI path (what SQL/managed surfaces hand the source) must
+    work end-to-end: schema(), offsets and reads all normalize it the
+    way the batch source does."""
+    import os
+
+    from hive_dwrf_spark.sources import register
+    from hive_dwrf_spark.streaming import stream_dwrf_dir
+
+    register(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    write_arrow_table_path = f"{src}/a.dwrf"
+    from hive_dwrf_spark.format import write_arrow_table
+
+    write_arrow_table(
+        write_arrow_table_path, pa.table({"k": pa.array(np.arange(10))})
+    )
+    q = (
+        stream_dwrf_dir(spark, f"file://{src}")
+        .writeStream.format("memory")
+        .queryName("file_uri_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    while q.isActive:
+        q.awaitTermination(5)
+    q.awaitTermination()
+    got = sorted(r.k for r in spark.table("file_uri_stream").collect())
+    assert got == list(range(10))
+
+
+def test_columns_option_whitespace_and_unknown_names(spark, tmp_path):
+    """'columns' tokens tolerate whitespace ('k, v' selects v, not ' v');
+    unknown names raise a clear error naming the column and the available
+    fields — not a raw KeyError. Same resolution on batch and stream."""
+    import os
+
+    import pytest
+
+    from hive_dwrf_spark.format import write_arrow_table
+    from hive_dwrf_spark.sources import register
+    from hive_dwrf_spark.sources.dwrf_datasource import _project_fields
+    from pyspark.sql.types import LongType, StructField
+
+    register(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    write_arrow_table(
+        f"{src}/a.dwrf",
+        pa.table(
+            {"k": pa.array([1, 2]), "v": pa.array([10, 20])}
+        ),
+    )
+    df = (
+        spark.read.format("dwrf")
+        .option("columns", " v , k ")
+        .load(src)
+    )
+    assert df.columns == ["v", "k"]
+    assert sorted((r.k, r.v) for r in df.collect()) == [(1, 10), (2, 20)]
+    with pytest.raises(Exception, match="unknown column 'nope'.*available"):
+        spark.read.format("dwrf").option("columns", "k,nope").load(
+            src
+        ).schema
+    fields = [StructField("k", LongType()), StructField("v", LongType())]
+    with pytest.raises(ValueError, match="available: k, v"):
+        _project_fields(fields, "missing")
