@@ -19,6 +19,12 @@ runbook against a table directory.
                                         checksums=true); exit 1 on any
                                         damage, reports files without
                                         checksums
+    compact-manifest <dir>              rewrite the streaming sink's
+                                        _batches commit log to resolved
+                                        state (live files only; orphan/
+                                        torn/superseded lines dropped) —
+                                        the runbook form of the sink's
+                                        automatic manifestCompactInterval
 """
 
 from __future__ import annotations
@@ -134,12 +140,28 @@ def _cmd_verify(args: list[str]) -> int:
     return 1 if bad else 0
 
 
+def _cmd_compact_manifest(args: list[str]) -> int:
+    from .sources.dwrf_datasource import compact_manifest
+
+    if len(args) != 1:
+        print("usage: compact-manifest <dir>", file=sys.stderr)
+        return 2
+    res = compact_manifest(args[0])
+    if res is None:
+        print(f"no _batches log under {args[0]}", file=sys.stderr)
+        return 2
+    after, before = res
+    print(f"compacted _batches: {before} -> {after} lines")
+    return 0
+
+
 _COMMANDS = {
     "dump": _cmd_dump,
     "stats": _cmd_stats,
     "lookup": _cmd_lookup,
     "compact": _cmd_compact,
     "verify": _cmd_verify,
+    "compact-manifest": _cmd_compact_manifest,
 }
 
 

@@ -95,3 +95,28 @@ def test_stats_columns_empty_sum_matches_tvf(tmp_path, capsys):
     got = json.loads(capsys.readouterr().out)
     assert got["columns"]["n"]["count"] == 0
     assert got["columns"]["n"]["sum"] is None
+
+
+def test_compact_manifest(tmp_path, capsys):
+    """compact-manifest rewrites a sink's _batches log to resolved state
+    and reports the line delta; missing log is a usage error."""
+    import pyarrow as pa
+
+    from hive_dwrf_spark.format import write_arrow_table
+    from hive_dwrf_spark.sources.dwrf_datasource import committed_files
+
+    out = str(tmp_path / "sink")
+    import os
+
+    os.makedirs(out)
+    write_arrow_table(f"{out}/a.dwrf", pa.table({"k": pa.array([1])}))
+    with open(f"{out}/_batches", "w") as f:
+        f.write("#begin\t0\n0\ta.dwrf\t1\n#end\t0\n")
+        f.write("#begin\t1\n1\tgone.dwrf\t1\n#end\t1\n")  # deleted file
+        f.write("#begin\t2\n2\ttorn.dwrf\t1\n")  # torn tail
+    assert main(["compact-manifest", out]) == 0
+    assert "compacted _batches" in capsys.readouterr().out
+    assert committed_files(out) == {"a.dwrf"}
+    assert "gone.dwrf" not in open(f"{out}/_batches").read()
+    assert main(["compact-manifest", str(tmp_path / "nope")]) == 2
+    assert main(["compact-manifest"]) == 2

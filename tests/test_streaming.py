@@ -984,8 +984,11 @@ def test_planner_allow_late_files_admits_backfills_once(tmp_path):
 def test_planner_max_bytes_per_trigger(tmp_path):
     """maxBytesPerTrigger splits a catch-up into byte-bounded admission
     batches (oldest first); a single file larger than the cap still
-    flows (always-admit-one). Applies from the FIRST batch of a new
-    query (initialOffset anchors the limiter)."""
+    flows (always-admit-one). The limiter needs an anchor (initialOffset
+    here, a prior trigger in-engine — Spark calls latestOffset before
+    initialOffset on a new query, so the engine's first catch-up batch
+    is an uncapped superset by design; streaming_bytes_capped covers the
+    in-engine mid-run shape)."""
     import os
 
     from hive_dwrf_spark.format import write_arrow_table
@@ -1133,3 +1136,49 @@ def test_columns_option_whitespace_and_unknown_names(spark, tmp_path):
     fields = [StructField("k", LongType()), StructField("v", LongType())]
     with pytest.raises(ValueError, match="available: k, v"):
         _project_fields(fields, "missing")
+
+
+def test_compact_manifest_routes_through_fs_seam(tmp_path, monkeypatch):
+    """Manifest compaction on an object-store sink dir: listing, log
+    read, rewrite and the commit point all route through the fs seam.
+    PrefixMappedFS has no `replace`, so this also exercises the
+    whole-object-overwrite fallback (atomic at the PUT level on real
+    stores)."""
+    import os
+
+    import pyarrow as pa
+
+    from hive_dwrf_spark.format import write_arrow_table
+    from hive_dwrf_spark.format.fs import _SCHEME_FS, get_fs
+    from hive_dwrf_spark.sources.dwrf_datasource import (
+        committed_files,
+        compact_manifest,
+    )
+
+    root = str(tmp_path / "store")
+    monkeypatch.setenv("SPARK_GRAFT_FS_MAPPED_ROOT", root)
+    monkeypatch.setenv(
+        "SPARK_GRAFT_FS_FACTORIES",
+        "mock=hive_dwrf_spark.format.memfs:factory",
+    )
+    _SCHEME_FS.pop("mock", None)
+    try:
+        out = "mock://bucket/sink"
+        write_arrow_table(f"{out}/a.dwrf", pa.table({"k": pa.array([1])}))
+        write_arrow_table(f"{out}/b.dwrf", pa.table({"k": pa.array([2])}))
+        fs = get_fs(out)
+        with fs.open(f"{out}/_batches", "w") as f:
+            f.write("#begin\t0\n0\ta.dwrf\t1\n#end\t0\n")
+            f.write("#begin\t1\n1\tgone.dwrf\t1\n#end\t1\n")
+            f.write("#begin\t2\n2\tb.dwrf\t1\n#end\t2\n")
+            f.write("#begin\t3\n3\ttorn.dwrf\t1\n")
+        after, before = compact_manifest(out)
+        assert after < before
+        assert committed_files(out) == {"a.dwrf", "b.dwrf"}
+        with fs.open(f"{out}/_batches", "r") as f:
+            text = f.read()
+        assert "gone.dwrf" not in text and "torn.dwrf" not in text
+        # no bare-os artifacts leaked outside the mapped root
+        assert not os.path.exists("mock:")
+    finally:
+        _SCHEME_FS.pop("mock", None)
