@@ -24,7 +24,14 @@ runbook against a table directory.
                                         state (live files only; orphan/
                                         torn/superseded lines dropped) —
                                         the runbook form of the sink's
-                                        automatic manifestCompactInterval
+                                        automatic manifestCompactInterval.
+                                        QUIESCENT DIRS ONLY: against a
+                                        live stream the read-and-replace
+                                        races the sink's append and can
+                                        drop an in-flight commit group
+                                        (the sink's own compaction runs
+                                        inside commit, where batches are
+                                        serialized, so it has no race)
 """
 
 from __future__ import annotations

@@ -215,7 +215,12 @@ def compact_manifest(path: str) -> tuple[int, int] | None:
     lands via atomic ``fs.replace`` (object stores without rename fall
     back to a single whole-object PUT — atomic there by store semantics).
     Concurrent committed_files readers see either the old or the new log,
-    both of which resolve to the same accepted set.
+    both of which resolve to the same accepted set. Concurrent WRITERS
+    are not supported: against a live sink an external call races the
+    commit append (read-and-replace could drop an in-flight group), so
+    run this only on quiescent directories — the sink's own periodic
+    compaction runs inside commit(), where Spark serializes batches, and
+    has no such race.
 
     Keep-first safety across compaction: an accepted batch whose files
     were ALL pruned is still kept as an empty group when it is the
