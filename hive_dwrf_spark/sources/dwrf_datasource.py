@@ -117,7 +117,10 @@ def _accepted_batch_groups(lines: list[str]) -> dict[str, dict[str, str]]:
     Round-10 logs (``#end`` only) parse identically except for that last
     case; pre-marker logs fall back to contiguous-run detection."""
     accepted: dict[str, dict[str, str]] = {}
-    if any(ln.startswith("#end\t") for ln in lines):
+    # any marker (not just #end) selects the marker protocol: a log whose
+    # ONLY commit attempt tore after '#begin' has no '#end' line, and the
+    # legacy fallback would wrongly accept the torn lines as a run
+    if any(ln.startswith(("#end\t", "#begin\t")) for ln in lines):
         group: dict[str, str] = {}
         begin_id: str | None = None
         for ln in lines:
@@ -141,7 +144,7 @@ def _accepted_batch_groups(lines: list[str]) -> dict[str, dict[str, str]]:
     order: list[str] = []
     for ln in lines:
         parts = ln.split("\t")
-        if len(parts) < 2:
+        if len(parts) < 2 or parts[0].startswith("#"):
             continue
         bid, rel = parts[0], parts[1]
         rows = parts[2] if len(parts) > 2 else ""
