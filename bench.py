@@ -23,10 +23,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 
 # the host-quietness threshold for the numpy-mod probe below; the quiet
-# steady state on this class of host is ~4.3 ns/elem (BASELINE.md §3),
-# noisy windows have measured 6-10+. Artifacts carry the raw numbers, so
-# the flag is advisory, not a gate.
-PROBE_QUIET_NS = 5.5
+# steady state on this class of host is ~4.3 ns/elem (BASELINE.md §3).
+# Calibration (round 11): a run with probes at 5.0-5.1 showed the full
+# control-triad inflation (q04 1.26, pagerank 2.74, total +18%), so even
+# modest probe excursions mean a noisy window — the threshold hugs the
+# steady state. Artifacts carry the raw numbers; the flag is advisory.
+PROBE_QUIET_NS = 4.8
 
 
 def host_probe_ns_per_elem() -> float:
