@@ -32,6 +32,17 @@ runbook against a table directory.
                                         (the sink's own compaction runs
                                         inside commit, where batches are
                                         serialized, so it has no race)
+    compact-sink <dir> [--target-mb N]  merge a sink's committed small
+                                        files per directory up to the
+                                        target (stripe copy, no decode)
+                                        AND rewrite the _batches manifest
+                                        atomically, so committedOnly
+                                        reads stay exactly-once across
+                                        the compaction. Quiescent/cold
+                                        dirs only — a committedOnly
+                                        STREAM tailing the dir would
+                                        re-ingest merged files as new
+                                        names
 """
 
 from __future__ import annotations
@@ -147,6 +158,31 @@ def _cmd_verify(args: list[str]) -> int:
     return 1 if bad else 0
 
 
+def _cmd_compact_sink(args: list[str]) -> int:
+    from .sources.dwrf_datasource import compact_sink
+
+    target = 128 << 20
+    args = list(args)
+    if "--target-mb" in args:
+        i = args.index("--target-mb")
+        try:
+            target = int(args[i + 1]) << 20
+        except (IndexError, ValueError):
+            print("usage: compact-sink <dir> [--target-mb N]", file=sys.stderr)
+            return 2
+        del args[i : i + 2]
+    if len(args) != 1:
+        print("usage: compact-sink <dir> [--target-mb N]", file=sys.stderr)
+        return 2
+    try:
+        rep = compact_sink(args[0], target_bytes=target)
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    print(json.dumps(rep))
+    return 0
+
+
 def _cmd_compact_manifest(args: list[str]) -> int:
     from .sources.dwrf_datasource import compact_manifest
 
@@ -169,6 +205,7 @@ _COMMANDS = {
     "compact": _cmd_compact,
     "verify": _cmd_verify,
     "compact-manifest": _cmd_compact_manifest,
+    "compact-sink": _cmd_compact_sink,
 }
 
 

@@ -2245,3 +2245,84 @@ def streaming_late_backfill(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "format_sink_compact",
+    # merging a sink's small files + rewriting its manifest must be
+    # value-transparent: the committedOnly aggregate equals the source
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_e4
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def format_sink_compact(spark, sf_dir):
+    """In-place sink compaction (round 11): events stream through the
+    DWRF sink (several per-task part files), compact_sink stripe-copy
+    merges the committed files and atomically rewrites the _batches
+    manifest (synthetic m-<uuid> commit groups, row counts carried), an
+    orphan dropped in before compaction stays excluded, and the
+    committedOnly read over the COMPACTED directory equals the source —
+    the small-file remedy for high-frequency triggers (SCALE.md
+    "Streaming DWRF sink") without giving up read-time exactly-once."""
+    import os as _os
+    import shutil
+
+    import pyarrow as pa
+
+    from ..format import write_arrow_table
+    from ..sources import register
+    from ..sources.dwrf_datasource import compact_sink
+    from ..streaming import stream_dwrf_dir
+
+    register(spark)
+    base = _os.path.basename(_os.path.normpath(sf_dir))
+    src = f"/tmp/hive_dwrf_spark_sc_src_{base}"
+    out = f"/tmp/hive_dwrf_spark_sc_out_{base}"
+    ckpt = f"/tmp/hive_dwrf_spark_sc_ckpt_{base}"
+    for p in (src, out, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    e.repartition(4).write.format("dwrf").option("path", src).mode(
+        "overwrite"
+    ).save()
+    q = (
+        stream_dwrf_dir(spark, src)
+        .writeStream.format("dwrf")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q)
+    write_arrow_table(
+        f"{out}/part-orphan.dwrf",
+        pa.table(
+            {"event_type": pa.array(["zzz_junk"]), "value": pa.array([1e9])}
+        ),
+    )
+    n_before = sum(
+        1 for f in _os.listdir(out) if f.endswith(".dwrf")
+    )
+    rep = compact_sink(out, target_bytes=256 << 20)
+    assert rep["merged_files"] >= 1, rep
+    n_after = sum(1 for f in _os.listdir(out) if f.endswith(".dwrf"))
+    assert n_after < n_before, (n_before, n_after)
+    back = (
+        spark.read.format("dwrf").option("committedOnly", "true").load(out)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.floor(F.col("value") * 10000 + 0.5)).alias(
+                "sum_value_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -262,6 +262,17 @@ def compact_manifest(path: str) -> tuple[int, int] | None:
         out_lines.extend(f"{bid}\t{rel}\t{rows}" for rel, rows in kept.items())
         out_lines.append(f"#end\t{bid}")
     body = "".join(ln + "\n" for ln in out_lines)
+    _swap_manifest(fs, path, body)
+    return (len(out_lines), len(lines))
+
+
+def _swap_manifest(fs, path: str, body: str) -> None:
+    """Land a rewritten _batches log: temp + atomic fs.replace, or a
+    single whole-object overwrite where the fs has no rename (atomic at
+    the PUT level on object stores)."""
+    from ..format.fs import join_path
+
+    log = join_path(path, "_batches")
     if hasattr(fs, "replace"):
         tmp = join_path(path, f"_batches.{uuid.uuid4().hex[:12]}.tmp")
         with fs.open(tmp, "w") as f:
@@ -270,7 +281,146 @@ def compact_manifest(path: str) -> tuple[int, int] | None:
     else:
         with fs.open(log, "w") as f:
             f.write(body)
-    return (len(out_lines), len(lines))
+
+
+def compact_sink(
+    path: str, target_bytes: int = 128 << 20, min_group: int = 2
+) -> dict:
+    """In-place small-file compaction for a streaming-sink directory,
+    preserving committedOnly exactly-once semantics across the rewrite.
+
+    High-frequency triggers leave a sink as thousands of per-task part
+    files (SCALE.md "Streaming DWRF sink" names this the known cost and
+    the stripe-copy merge the remedy). A bare ``compact_directory`` on a
+    sink dir would break its ``_batches`` manifest — merged files would
+    be invisible orphans to committedOnly reads and stale source entries
+    would dangle. This job does the merge manifest-first-safe:
+
+    1. committed files are greedily grouped per DIRECTORY (hive
+       partition values live in the path, never merged across) up to
+       ``target_bytes``; groups smaller than ``min_group`` files and
+       files already at/over target are left alone;
+    2. each group is stripe-copy merged (``format/merge.py`` — IO only,
+       CRC-preserving) into ``part-merged-<uuid>.dwrf``, an ORPHAN until
+       the manifest says otherwise — a crash here leaks only excluded
+       bytes;
+    3. the manifest is rewritten atomically: source entries drop, one
+       synthetic commit group per merged file lands (batchId
+       ``m-<uuid>`` — collision-free with Spark's integer ids, so
+       keep-first still holds), row counts carried over;
+    4. only then are the source files deleted. A crash between 3 and 4
+       leaves sources on disk as manifest-orphans: committedOnly reads
+       stay exact, and a re-run does not re-merge them (no longer in the
+       manifest, so no longer candidates).
+
+    QUIESCENT/COLD DIRS ONLY, like compact_manifest: against a live sink
+    the rewrite races the commit append. And because the stream source's
+    offsets are name sets, a committedOnly STREAM tailing this directory
+    would see each merged file as a NEW name and re-ingest its rows —
+    compact only directories (or date partitions) no tail reads anymore.
+    Groups whose files disagree on schema/compression (sink schema
+    evolution) are skipped, not errors.
+
+    Returns {"merged_files", "groups", "skipped_groups", "files_before",
+    "files_after"}."""
+    from ..format.fs import get_fs, join_path
+    from ..format.merge import merge_files
+
+    fs = get_fs(path)
+    log = join_path(path, "_batches")
+    if not fs.exists(log):
+        raise ValueError(
+            f"compact_sink({path}): no _batches manifest — this job is "
+            "for streaming-sink dirs; use compact_directory/compact_table "
+            "for plain table dirs"
+        )
+    with fs.open(log, "r") as f:
+        lines = [ln.rstrip("\n") for ln in f if ln.strip()]
+    accepted = _accepted_batch_groups(lines)
+    # rel -> (size, rows) for committed files still on disk, per directory
+    by_dir: dict[str, list[tuple[str, int, str]]] = {}
+    rel_rows = {}
+    for rels in accepted.values():
+        rel_rows.update(rels)
+    for rel in sorted(rel_rows):
+        fp = join_path(path, rel)
+        if not fs.exists(fp):
+            continue
+        d = rel.rpartition("/")[0]
+        by_dir.setdefault(d, []).append((rel, fs.size(fp), rel_rows[rel]))
+
+    groups: list[list[tuple[str, int, str]]] = []
+    for d in sorted(by_dir):
+        cur: list[tuple[str, int, str]] = []
+        cur_bytes = 0
+        for item in by_dir[d]:
+            if item[1] >= target_bytes:
+                continue
+            if cur and cur_bytes + item[1] > target_bytes:
+                if len(cur) >= min_group:
+                    groups.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(item)
+            cur_bytes += item[1]
+        if len(cur) >= min_group:
+            groups.append(cur)
+
+    merged: dict[str, list[tuple[str, int, str]]] = {}
+    skipped = 0
+    for grp in groups:
+        d = grp[0][0].rpartition("/")[0]
+        out_rel = (d + "/" if d else "") + f"part-merged-{uuid.uuid4().hex[:16]}.dwrf"
+        try:
+            merge_files(
+                [join_path(path, rel) for rel, _sz, _rw in grp],
+                join_path(path, out_rel),
+            )
+        except ValueError:
+            # schema/compression mismatch inside the group (sink schema
+            # evolution): leave those files as they are
+            skipped += 1
+            fs.remove(join_path(path, out_rel))
+            continue
+        merged[out_rel] = grp
+
+    if merged:
+        gone = {rel for grp in merged.values() for rel, _sz, _rw in grp}
+        out_lines: list[str] = []
+        # every batch group survives (possibly emptied) — keep-first
+        # protection for ALL ids here; a later compact_manifest applies
+        # its max-bid-only policy to the empties
+        for bid, rels in accepted.items():
+            kept = {r: rows for r, rows in rels.items() if r not in gone}
+            out_lines.append(f"#begin\t{bid}")
+            out_lines.extend(
+                f"{bid}\t{r}\t{rows}" for r, rows in kept.items()
+            )
+            out_lines.append(f"#end\t{bid}")
+        for out_rel, grp in merged.items():
+            mid = f"m-{uuid.uuid4().hex[:12]}"
+            total_rows = 0
+            for _rel, _sz, rows in grp:
+                try:
+                    total_rows += int(rows or 0)
+                except ValueError:
+                    pass
+            out_lines.append(f"#begin\t{mid}")
+            out_lines.append(f"{mid}\t{out_rel}\t{total_rows}")
+            out_lines.append(f"#end\t{mid}")
+        _swap_manifest(fs, path, "".join(ln + "\n" for ln in out_lines))
+        # manifest no longer references the sources: delete them last
+        for rel in gone:
+            fs.remove(join_path(path, rel))
+
+    return {
+        "merged_files": len(merged),
+        "groups": len(groups),
+        "skipped_groups": skipped,
+        "files_before": sum(len(v) for v in by_dir.values()),
+        "files_after": sum(len(v) for v in by_dir.values())
+        - sum(len(g) for g in merged.values())
+        + len(merged),
+    }
 
 
 # --- driver-side footer plan cache -------------------------------------------

@@ -120,3 +120,30 @@ def test_compact_manifest(tmp_path, capsys):
     assert "gone.dwrf" not in open(f"{out}/_batches").read()
     assert main(["compact-manifest", str(tmp_path / "nope")]) == 2
     assert main(["compact-manifest"]) == 2
+
+
+def test_compact_sink_cli(tmp_path, capsys):
+    """compact-sink merges a sink's committed files and reports JSON;
+    a non-sink dir (no _batches) is a usage error."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+
+    from hive_dwrf_spark.format import write_arrow_table
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    with open(f"{out}/_batches", "w") as log:
+        log.write("#begin\t0\n")
+        for j in range(3):
+            write_arrow_table(
+                f"{out}/f{j}.dwrf", pa.table({"k": pa.array([j])})
+            )
+            log.write(f"0\tf{j}.dwrf\t1\n")
+        log.write("#end\t0\n")
+    assert main(["compact-sink", out, "--target-mb", "64"]) == 0
+    rep = _json.loads(capsys.readouterr().out)
+    assert rep["merged_files"] == 1 and rep["files_after"] == 1
+    assert main(["compact-sink", str(tmp_path)]) == 2  # no manifest
+    assert main(["compact-sink"]) == 2

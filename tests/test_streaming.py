@@ -1182,3 +1182,123 @@ def test_compact_manifest_routes_through_fs_seam(tmp_path, monkeypatch):
         assert not os.path.exists("mock:")
     finally:
         _SCHEME_FS.pop("mock", None)
+
+
+def test_compact_sink_preserves_exactly_once(spark, tmp_path):
+    """In-place sink compaction: committed small files merge per
+    directory (stripe copy), the manifest rewrite keeps committedOnly
+    reads exactly-once across the swap, orphans never merge, and the
+    crash window between manifest swap and source deletion only leaves
+    excluded bytes behind."""
+    import os
+
+    from hive_dwrf_spark.format import write_arrow_table
+    from hive_dwrf_spark.sources import register
+    from hive_dwrf_spark.sources.dwrf_datasource import (
+        committed_files,
+        compact_manifest,
+        compact_sink,
+    )
+
+    register(spark)
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    # 6 committed files across 3 batches + 1 orphan + 1 torn
+    rels = []
+    with open(f"{out}/_batches", "w") as log:
+        k = 0
+        for bid in range(3):
+            log.write(f"#begin\t{bid}\n")
+            for j in range(2):
+                rel = f"part-{bid}{j}.dwrf"
+                write_arrow_table(
+                    f"{out}/{rel}",
+                    pa.table({"k": pa.array(np.arange(k, k + 50))}),
+                )
+                log.write(f"{bid}\t{rel}\t50\n")
+                rels.append(rel)
+                k += 50
+            log.write(f"#end\t{bid}\n")
+        log.write("#begin\t3\n3\tpart-torn.dwrf\t1\n")
+    write_arrow_table(f"{out}/part-orphan.dwrf", pa.table({"k": pa.array([999])}))
+    write_arrow_table(f"{out}/part-torn.dwrf", pa.table({"k": pa.array([998])}))
+
+    before = sorted(
+        r.k
+        for r in spark.read.format("dwrf")
+        .option("committedOnly", "true")
+        .load(out)
+        .collect()
+    )
+    assert before == list(range(300))
+    rep = compact_sink(out, target_bytes=10 << 20)
+    assert rep["merged_files"] == 1 and rep["files_after"] == 1
+    # sources deleted, merged file present, orphan/torn untouched
+    disk = {f for f in os.listdir(out) if f.endswith(".dwrf")}
+    assert not (disk & set(rels))
+    assert "part-orphan.dwrf" in disk and "part-torn.dwrf" in disk
+    after = sorted(
+        r.k
+        for r in spark.read.format("dwrf")
+        .option("committedOnly", "true")
+        .load(out)
+        .collect()
+    )
+    assert after == before
+    # manifest carries the summed row count for the merged entry
+    data = [
+        ln.rstrip("\n").split("\t")
+        for ln in open(f"{out}/_batches")
+        if not ln.startswith("#") and ln.strip()
+    ]
+    merged_line = [p for p in data if p[1].startswith("part-merged-")]
+    assert merged_line and merged_line[0][2] == "300"
+    # idempotent: nothing left to merge; later compact_manifest keeps it
+    rep2 = compact_sink(out, target_bytes=10 << 20)
+    assert rep2["merged_files"] == 0
+    compact_manifest(out)
+    assert committed_files(out) & disk == {merged_line[0][1]}
+
+
+def test_compact_sink_respects_partitions_and_schema(tmp_path):
+    """Groups never span hive-partition subdirectories (directory-encoded
+    values), and a group with a schema mismatch (sink schema evolution)
+    is skipped rather than failing the job."""
+    import os
+
+    from hive_dwrf_spark.format import write_arrow_table
+    from hive_dwrf_spark.sources.dwrf_datasource import compact_sink
+
+    out = str(tmp_path / "sink")
+    for part in ("p=a", "p=b"):
+        os.makedirs(f"{out}/{part}")
+    with open(f"{out}/_batches", "w") as log:
+        log.write("#begin\t0\n")
+        for part in ("p=a", "p=b"):
+            for j in range(2):
+                rel = f"{part}/f{j}.dwrf"
+                write_arrow_table(
+                    f"{out}/{rel}", pa.table({"k": pa.array([1, 2])})
+                )
+                log.write(f"0\t{rel}\t2\n")
+        # schema-evolved pair in its own directory: must be SKIPPED
+        os.makedirs(f"{out}/p=c")
+        write_arrow_table(f"{out}/p=c/g0.dwrf", pa.table({"k": pa.array([3])}))
+        write_arrow_table(
+            f"{out}/p=c/g1.dwrf",
+            pa.table({"k": pa.array([4]), "extra": pa.array([5])}),
+        )
+        log.write("0\tp=c/g0.dwrf\t1\n0\tp=c/g1.dwrf\t1\n")
+        log.write("#end\t0\n")
+    rep = compact_sink(out, target_bytes=10 << 20)
+    assert rep["merged_files"] == 2  # one per partition a/b
+    assert rep["skipped_groups"] == 1  # the evolved pair
+    merged_dirs = set()
+    for root, _d, files in os.walk(out):
+        for fn in files:
+            if fn.startswith("part-merged-"):
+                merged_dirs.add(os.path.basename(root))
+    assert merged_dirs == {"p=a", "p=b"}
+    # the evolved files are untouched
+    assert os.path.exists(f"{out}/p=c/g0.dwrf")
+    assert os.path.exists(f"{out}/p=c/g1.dwrf")
