@@ -30,6 +30,16 @@ RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 # steady state. Artifacts carry the raw numbers; the flag is advisory.
 PROBE_QUIET_NS = 4.8
 
+# The decisive quiet gate (BASELINE.md §3, round-11 calibration): three
+# stable headline queries whose quiet-window medians are pinned across
+# rounds. Probes and JVM throughput DECOUPLE on this host (round 11:
+# probes 5.4-5.8 with clean controls, total below the prior round), so
+# an artifact is judged quiet by the CONTROL TRIAD; the probe fields are
+# recorded context. Bands: quiet medians r10/r11 were q04 1.0-1.05,
+# q18 1.1-1.35, graph_pagerank 1.5-2.3; the noisy-window signature is
+# q04 >=1.26 / q18 >=1.44 / pagerank >=2.74 (all three inflate together).
+CONTROL_BANDS = {"q04": 1.15, "q18": 1.40, "graph_pagerank": 2.45}
+
 
 def host_probe_ns_per_elem() -> float:
     """ns per element of a numpy int64 modulo over 20M elements, min of
@@ -420,6 +430,19 @@ def main() -> None:
 
     total = round(sum(per_query.values()), 4)
     probe_end = host_probe_ns_per_elem()
+    # in-artifact control-triad verdict: an artifact with host_quiet
+    # false but clean controls is self-explaining without BASELINE.md
+    controls = {
+        name: {
+            "sec": per_query.get(name),
+            "band_max_sec": band,
+            "within": (
+                per_query.get(name) is not None
+                and per_query[name] <= band
+            ),
+        }
+        for name, band in CONTROL_BANDS.items()
+    }
     artifact = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -429,6 +452,10 @@ def main() -> None:
         "probe_ns_per_elem_start": probe_start,
         "probe_ns_per_elem_end": probe_end,
         "host_quiet": max(probe_start, probe_end) <= PROBE_QUIET_NS,
+        "controls_quiet": {
+            "triad": controls,
+            "quiet": all(c["within"] for c in controls.values()),
+        },
         "extras": extras,
     }
     line = json.dumps(artifact)

@@ -19,7 +19,7 @@ runbook against a table directory.
                                         checksums=true); exit 1 on any
                                         damage, reports files without
                                         checksums
-    compact-manifest <dir>              rewrite the streaming sink's
+    compact-manifest <dir> [--force]    rewrite the streaming sink's
                                         _batches commit log to resolved
                                         state (live files only; orphan/
                                         torn/superseded lines dropped) —
@@ -32,7 +32,8 @@ runbook against a table directory.
                                         (the sink's own compaction runs
                                         inside commit, where batches are
                                         serialized, so it has no race)
-    compact-sink <dir> [--target-mb N]  merge a sink's committed small
+    compact-sink <dir> [--target-mb N] [--force]
+                                        merge a sink's committed small
                                         files per directory up to the
                                         target (stripe copy, no decode)
                                         AND rewrite the _batches manifest
@@ -163,19 +164,28 @@ def _cmd_compact_sink(args: list[str]) -> int:
 
     target = 128 << 20
     args = list(args)
+    force = "--force" in args
+    if force:
+        args.remove("--force")
     if "--target-mb" in args:
         i = args.index("--target-mb")
         try:
             target = int(args[i + 1]) << 20
         except (IndexError, ValueError):
-            print("usage: compact-sink <dir> [--target-mb N]", file=sys.stderr)
+            print(
+                "usage: compact-sink <dir> [--target-mb N] [--force]",
+                file=sys.stderr,
+            )
             return 2
         del args[i : i + 2]
     if len(args) != 1:
-        print("usage: compact-sink <dir> [--target-mb N]", file=sys.stderr)
+        print(
+            "usage: compact-sink <dir> [--target-mb N] [--force]",
+            file=sys.stderr,
+        )
         return 2
     try:
-        rep = compact_sink(args[0], target_bytes=target)
+        rep = compact_sink(args[0], target_bytes=target, force=force)
     except ValueError as e:
         print(str(e), file=sys.stderr)
         return 2
@@ -186,10 +196,18 @@ def _cmd_compact_sink(args: list[str]) -> int:
 def _cmd_compact_manifest(args: list[str]) -> int:
     from .sources.dwrf_datasource import compact_manifest
 
+    args = list(args)
+    force = "--force" in args
+    if force:
+        args.remove("--force")
     if len(args) != 1:
-        print("usage: compact-manifest <dir>", file=sys.stderr)
+        print("usage: compact-manifest <dir> [--force]", file=sys.stderr)
         return 2
-    res = compact_manifest(args[0])
+    try:
+        res = compact_manifest(args[0], force=force)
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
     if res is None:
         print(f"no _batches log under {args[0]}", file=sys.stderr)
         return 2

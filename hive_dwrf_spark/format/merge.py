@@ -18,7 +18,13 @@ from .stats import stats_from_proto
 from .types import TypeKind
 
 
-def merge_files(paths: list[str], out_path: str) -> None:
+def merge_files(paths: list[str], out_path: str) -> list[tuple[str, int, int]]:
+    """Merge `paths` into `out_path` by raw stripe copy; returns the
+    per-source stripe spans ``[(path, lo, hi), ...]`` — source i's
+    stripes land verbatim as out stripes [lo, hi). The spans are what
+    lets a consumer that has already read SOME of the sources (e.g. a
+    committedOnly stream tail whose offset covers part of a compacted
+    group — compact_sink's ``#src`` lineage) plan exactly the remainder."""
     if not paths:
         raise ValueError("no input files")
     readers = [DwrfFile(p) for p in paths]
@@ -52,10 +58,14 @@ def merge_files(paths: list[str], out_path: str) -> None:
 
         from .fs import get_fs
 
+        spans: list[tuple[str, int, int]] = []
         with get_fs(out_path).open(out_path, "wb") as out:
             out.write(MAGIC)
             pos = len(MAGIC)
             for idx, r in enumerate(readers):
+                spans.append(
+                    (r.path, len(stripes), len(stripes) + len(r.footer.stripes))
+                )
                 if idx > 0:
                     for i in range(len(r.types)):
                         merged_stats[i].merge(
@@ -114,6 +124,7 @@ def merge_files(paths: list[str], out_path: str) -> None:
             ps_bytes = proto.encode_message(ps)
             out.write(ps_bytes)
             out.write(bytes([len(ps_bytes)]))
+        return spans
     finally:
         for r in readers:
             r.close()

@@ -2050,8 +2050,16 @@ def streaming_manifest_compaction(spark, sf_dir):
         f.write(f"#begin\t{max_bid}\n{max_bid}\tpart-retry.dwrf\t1\n")
         f.write(f"#end\t{max_bid}\n")
         f.write(f"#begin\t{max_bid + 1}\n{max_bid + 1}\tpart-torn.dwrf\t1\n")
-    # compaction over the polluted log must not resurrect any of them
-    compact_manifest(out)
+    # the live-writer guard first: the log was appended to seconds ago,
+    # so an unforced call must refuse (round-12 quiesce guard) …
+    try:
+        compact_manifest(out)
+        raise AssertionError("quiesce guard did not trip on a fresh log")
+    except ValueError as e:
+        assert "live writer" in str(e), e
+    # … then compaction over the polluted log must not resurrect any of
+    # them (the stream is stopped, so force is the truthful override)
+    compact_manifest(out, force=True)
     assert committed_files(out) == committed
     text = open(f"{out}/_batches").read()
     assert "part-retry.dwrf" not in text and "part-torn.dwrf" not in text
@@ -2309,7 +2317,14 @@ def format_sink_compact(spark, sf_dir):
     n_before = sum(
         1 for f in _os.listdir(out) if f.endswith(".dwrf")
     )
-    rep = compact_sink(out, target_bytes=256 << 20)
+    # live-writer guard (round 12): the sink committed seconds ago, so
+    # the unforced call refuses; the stream is stopped, so force is true
+    try:
+        compact_sink(out, target_bytes=256 << 20)
+        raise AssertionError("quiesce guard did not trip on a fresh log")
+    except ValueError as e:
+        assert "live writer" in str(e), e
+    rep = compact_sink(out, target_bytes=256 << 20, force=True)
     assert rep["merged_files"] >= 1, rep
     n_after = sum(1 for f in _os.listdir(out) if f.endswith(".dwrf"))
     assert n_after < n_before, (n_before, n_after)

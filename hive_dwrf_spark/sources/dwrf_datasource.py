@@ -26,8 +26,10 @@ the file listing itself.
 
 from __future__ import annotations
 
+import logging
 import os
 import threading
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -198,7 +200,115 @@ def committed_files(path: str) -> set[str] | None:
     return None
 
 
-def compact_manifest(path: str) -> tuple[int, int] | None:
+def _parse_lineage(
+    lines: list[str],
+) -> dict[str, list[tuple[str, int, int, int]]]:
+    """{merged_rel: [(src_rel, stripe_lo, stripe_hi, src_mtime_ns)]}
+    from a _batches log's ``#src`` lineage lines (compact_sink writes
+    one per merged source: the source's verbatim stripe span inside the
+    merged file plus its last mtime). Both commit-group parsers ignore
+    '#'-prefixed lines, so lineage coexists with every historical log
+    shape."""
+    out: dict[str, list[tuple[str, int, int, int]]] = {}
+    for ln in lines:
+        parts = ln.split("\t")
+        if parts[0] != "#src" or len(parts) < 6:
+            continue
+        try:
+            span = (parts[2], int(parts[3]), int(parts[4]), int(parts[5]))
+        except ValueError:
+            continue
+        out.setdefault(parts[1], []).append(span)
+    return out
+
+
+def manifest_lineage(
+    path: str,
+) -> dict[str, list[tuple[str, int, int, int]]]:
+    """Merged-file lineage recorded in `path`'s ``_batches`` manifest —
+    see _parse_lineage; empty when there is no log or no ``#src`` lines
+    (nothing was ever sink-compacted)."""
+    from ..format.fs import get_fs, join_path
+
+    fs = get_fs(path)
+    log = join_path(path, "_batches")
+    if not fs.exists(log):
+        return {}
+    with fs.open(log, "r") as f:
+        return _parse_lineage([ln.rstrip("\n") for ln in f])
+
+
+def _reachable_lineage(
+    lineage: dict[str, list[tuple[str, int, int, int]]],
+    roots,
+) -> dict[str, list[tuple[str, int, int, int]]]:
+    """The lineage entries still worth carrying in a rewritten log: those
+    for a ROOT (live committed file) plus, transitively, entries for any
+    merged name a kept entry references as a source — a re-compacted
+    merged file's sources must stay resolvable so a stream tail that
+    never saw the intermediate generation can still map its offset names
+    onto the newest merged file's stripes."""
+    keep: dict[str, list[tuple[str, int, int, int]]] = {}
+    stack = [r for r in roots if r in lineage]
+    while stack:
+        m = stack.pop()
+        if m in keep:
+            continue
+        keep[m] = lineage[m]
+        for src, _lo, _hi, _mt in lineage[m]:
+            if src in lineage and src not in keep:
+                stack.append(src)
+    return keep
+
+
+def _lineage_lines(
+    lineage: dict[str, list[tuple[str, int, int, int]]]
+) -> list[str]:
+    return [
+        f"#src\t{m}\t{src}\t{lo}\t{hi}\t{mt}"
+        for m in sorted(lineage)
+        for src, lo, hi, mt in lineage[m]
+    ]
+
+
+def _guard_quiescent(fs, path: str, quiesce_sec: float, force: bool, op: str) -> None:
+    """Refuse in-place manifest surgery when the ``_batches`` log was
+    modified within the last ``quiesce_sec`` seconds — cheap evidence of
+    a LIVE writer. compact_manifest and compact_sink are exactly-once-
+    destroying if they race a commit append (the read-and-replace could
+    drop an in-flight group), so an external call must find a quiescent
+    log or say so explicitly (force=True / --force on the CLI). The
+    sink's own periodic compaction runs INSIDE commit(), where Spark
+    serializes batches, and bypasses the guard."""
+    if force or quiesce_sec <= 0:
+        return
+    from ..format.fs import join_path
+
+    log = join_path(path, "_batches")
+    if not fs.exists(log):
+        return
+    try:
+        mtime_ns = (
+            fs.mtime_ns(log)
+            if hasattr(fs, "mtime_ns")
+            else int(fs.stat_key(log)[-1])
+        )
+    except (FileNotFoundError, OSError):
+        return
+    age = time.time() - mtime_ns / 1e9
+    if age < quiesce_sec:
+        raise ValueError(
+            f"{op}({path}): _batches was modified {age:.1f}s ago — a "
+            "live writer may be mid-commit, and racing it corrupts "
+            f"exactly-once reads. Re-run after {quiesce_sec:.0f}s of "
+            "quiescence, or pass force=True (--force) if the sink is "
+            "known to be stopped."
+        )
+
+
+def compact_manifest(
+    path: str, *, quiesce_sec: float = 60.0, force: bool = False
+) -> tuple[int, int] | None:
     """Rewrite ``path``'s ``_batches`` commit log as its RESOLVED state:
     one complete begin/end group per accepted batch, entries whose data
     file no longer exists (retention/compaction deleted it) dropped, and
@@ -231,10 +341,18 @@ def compact_manifest(path: str) -> tuple[int, int] | None:
     batch, so that is the only id a post-compaction retry could reuse and
     the empty group preserves the keep-first rejection of the retry's
     orphan files. Lower empty ids can never be retried (their offsets are
-    committed) and are dropped, which is what bounds the log."""
+    committed) and are dropped, which is what bounds the log.
+
+    A fresh log mtime (within ``quiesce_sec``, default 60) refuses the
+    call as live-writer evidence — see _guard_quiescent; ``force=True``
+    overrides."""
     from ..format.fs import get_fs, join_path, rel_subpath
 
+    # SQL/managed surfaces hand file: URIs; list_files answers stripped
+    # os paths, so normalize before rel_subpath compares against the base
+    path = strip_file_uri(path)
     fs = get_fs(path)
+    _guard_quiescent(fs, path, quiesce_sec, force, "compact_manifest")
     log = join_path(path, "_batches")
     if not fs.exists(log):
         return None
@@ -254,13 +372,21 @@ def compact_manifest(path: str) -> tuple[int, int] | None:
 
     max_bid = max(accepted, key=_bid_key, default=None)
     out_lines: list[str] = []
+    kept_rels: set[str] = set()
     for bid, rels in accepted.items():
         kept = {rel: rows for rel, rows in rels.items() if rel in live}
+        kept_rels.update(kept)
         if not kept and bid != max_bid:
             continue
         out_lines.append(f"#begin\t{bid}")
         out_lines.extend(f"{bid}\t{rel}\t{rows}" for rel, rows in kept.items())
         out_lines.append(f"#end\t{bid}")
+    # carry forward ``#src`` merged-lineage for files that survive (plus
+    # the transitive entries their sources need) — a stream tail resolves
+    # merged names against this map, so compaction must not orphan it
+    out_lines.extend(
+        _lineage_lines(_reachable_lineage(_parse_lineage(lines), kept_rels))
+    )
     body = "".join(ln + "\n" for ln in out_lines)
     _swap_manifest(fs, path, body)
     return (len(out_lines), len(lines))
@@ -284,7 +410,12 @@ def _swap_manifest(fs, path: str, body: str) -> None:
 
 
 def compact_sink(
-    path: str, target_bytes: int = 128 << 20, min_group: int = 2
+    path: str,
+    target_bytes: int = 128 << 20,
+    min_group: int = 2,
+    *,
+    quiesce_sec: float = 60.0,
+    force: bool = False,
 ) -> dict:
     """In-place small-file compaction for a streaming-sink directory,
     preserving committedOnly exactly-once semantics across the rewrite.
@@ -326,7 +457,9 @@ def compact_sink(
     from ..format.fs import get_fs, join_path
     from ..format.merge import merge_files
 
+    path = strip_file_uri(path)
     fs = get_fs(path)
+    _guard_quiescent(fs, path, quiesce_sec, force, "compact_sink")
     log = join_path(path, "_batches")
     if not fs.exists(log):
         raise ValueError(
@@ -403,7 +536,18 @@ def compact_sink(
                 try:
                     total_rows += int(rows or 0)
                 except ValueError:
-                    pass
+                    # advisory data (committedOnly reads never consume
+                    # the count), but a corrupt field silently
+                    # understating the group's tally deserves a trace
+                    logging.getLogger(__name__).warning(
+                        "compact_sink %s: unparsable row count %r for "
+                        "%s — synthetic group %s row tally will "
+                        "understate",
+                        path,
+                        rows,
+                        _rel,
+                        mid,
+                    )
             out_lines.append(f"#begin\t{mid}")
             out_lines.append(f"{mid}\t{out_rel}\t{total_rows}")
             out_lines.append(f"#end\t{mid}")
@@ -1197,7 +1341,9 @@ class DwrfStreamWriter(DwrfWriter, DataSourceStreamArrowWriter):
         # unbounded streams. 0 disables.
         interval = int(self.options.get("manifestCompactInterval", 10) or 0)
         if interval > 0 and batchId % interval == interval - 1:
-            compact_manifest(self.path)
+            # force: THIS is the live writer — Spark serializes batches,
+            # so inside commit() the quiesce guard's race cannot exist
+            compact_manifest(self.path, force=True)
 
     def abort(self, messages, batchId: int) -> None:
         from ..format.fs import get_fs

@@ -296,6 +296,7 @@ class _DwrfPartitionStreamReader(DataSourceStreamReader):
         # counted/logged, so a backfilled file logs once, not per trigger
         self.late_files_dropped = 0
         self._late_logged: set[str] = set()
+        self._warned_no_size = False
 
     # -- offset algebra ----------------------------------------------------
 
@@ -333,6 +334,21 @@ class _DwrfPartitionStreamReader(DataSourceStreamReader):
                     size, mtime = int(key[0]), int(key[-1])
                 else:
                     mtime = _mtime_ns(p)
+                    # a seam with only mtime_ns would otherwise report
+                    # size 0 and silently turn maxBytesPerTrigger into a
+                    # no-op (spent + 0 never exceeds the cap); fs.size is
+                    # part of the seam (compact_sink relies on it)
+                    if self.max_bytes and hasattr(fs, "size"):
+                        size = int(fs.size(p))
+                    elif self.max_bytes and not self._warned_no_size:
+                        self._warned_no_size = True
+                        logging.getLogger(__name__).warning(
+                            "dwrf_stream %s: filesystem for %s exposes "
+                            "neither stat_key nor size — "
+                            "maxBytesPerTrigger is inactive",
+                            self.path,
+                            p,
+                        )
                 out[_rel_name(self.path, p)] = (mtime, size)
             except (FileNotFoundError, OSError):
                 # vanished between list and stat (compaction/retention

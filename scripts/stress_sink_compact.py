@@ -61,7 +61,7 @@ def main() -> int:
 
     total_rows = N_FILES * ROWS_PER_FILE
     t0 = time.perf_counter()
-    rep = compact_sink(sink, target_bytes=64 << 20)
+    rep = compact_sink(sink, target_bytes=64 << 20, force=True)
     compact_sec = time.perf_counter() - t0
 
     # value identity across the rewrite

@@ -114,7 +114,11 @@ def test_compact_manifest(tmp_path, capsys):
         f.write("#begin\t0\n0\ta.dwrf\t1\n#end\t0\n")
         f.write("#begin\t1\n1\tgone.dwrf\t1\n#end\t1\n")  # deleted file
         f.write("#begin\t2\n2\ttorn.dwrf\t1\n")  # torn tail
-    assert main(["compact-manifest", out]) == 0
+    # the log was written milliseconds ago: the live-writer quiesce
+    # guard refuses the unforced call (exit 2, explanatory message)
+    assert main(["compact-manifest", out]) == 2
+    assert "live writer" in capsys.readouterr().err
+    assert main(["compact-manifest", out, "--force"]) == 0
     assert "compacted _batches" in capsys.readouterr().out
     assert committed_files(out) == {"a.dwrf"}
     assert "gone.dwrf" not in open(f"{out}/_batches").read()
@@ -142,7 +146,10 @@ def test_compact_sink_cli(tmp_path, capsys):
             )
             log.write(f"0\tf{j}.dwrf\t1\n")
         log.write("#end\t0\n")
-    assert main(["compact-sink", out, "--target-mb", "64"]) == 0
+    # fresh log -> quiesce guard refuses unforced; --force proceeds
+    assert main(["compact-sink", out, "--target-mb", "64"]) == 2
+    assert "live writer" in capsys.readouterr().err
+    assert main(["compact-sink", out, "--target-mb", "64", "--force"]) == 0
     rep = _json.loads(capsys.readouterr().out)
     assert rep["merged_files"] == 1 and rep["files_after"] == 1
     assert main(["compact-sink", str(tmp_path)]) == 2  # no manifest

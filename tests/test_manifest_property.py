@@ -80,7 +80,7 @@ def test_commit_log_resolves_first_complete_group(tmp_path_factory, hist):
             os.remove(os.path.join(out, victim))
             on_disk.discard(victim)
         if compact_after:
-            compact_manifest(out)
+            compact_manifest(out, force=True)
     # spurious duplicate complete groups land after everything — the
     # keep-first entries (still live) must win
     for bid, retry in dups:
@@ -96,4 +96,4 @@ def test_commit_log_resolves_first_complete_group(tmp_path_factory, hist):
         # committedOnly read intersects with the listing
         assert got & on_disk == want & on_disk
         assert got <= want
-        compact_manifest(out)
+        compact_manifest(out, force=True)

@@ -831,7 +831,7 @@ def test_compact_manifest_resolves_and_bounds_the_log(tmp_path):
         f.write("#begin\t3\n3\tf2.dwrf\t1\n#end\t3\n")
     before = committed_files(out)
     assert before == {"f0.dwrf", "f1.dwrf", "f2.dwrf"}
-    n_after, n_before = compact_manifest(out)
+    n_after, n_before = compact_manifest(out, force=True)
     assert n_after < n_before
     assert committed_files(out) == before
     # the compacted log has no trace of the orphan/torn lines
@@ -843,7 +843,7 @@ def test_compact_manifest_resolves_and_bounds_the_log(tmp_path):
     os.remove(f"{out}/f0.dwrf")
     os.remove(f"{out}/f1.dwrf")
     os.remove(f"{out}/f2.dwrf")
-    compact_manifest(out)
+    compact_manifest(out, force=True)
     assert committed_files(out) == set()
     text = open(f"{out}/_batches").read()
     assert "f0.dwrf" not in text and "#end\t3" in text
@@ -1172,7 +1172,7 @@ def test_compact_manifest_routes_through_fs_seam(tmp_path, monkeypatch):
             f.write("#begin\t1\n1\tgone.dwrf\t1\n#end\t1\n")
             f.write("#begin\t2\n2\tb.dwrf\t1\n#end\t2\n")
             f.write("#begin\t3\n3\ttorn.dwrf\t1\n")
-        after, before = compact_manifest(out)
+        after, before = compact_manifest(out, force=True)
         assert after < before
         assert committed_files(out) == {"a.dwrf", "b.dwrf"}
         with fs.open(f"{out}/_batches", "r") as f:
@@ -1231,7 +1231,7 @@ def test_compact_sink_preserves_exactly_once(spark, tmp_path):
         .collect()
     )
     assert before == list(range(300))
-    rep = compact_sink(out, target_bytes=10 << 20)
+    rep = compact_sink(out, target_bytes=10 << 20, force=True)
     assert rep["merged_files"] == 1 and rep["files_after"] == 1
     # sources deleted, merged file present, orphan/torn untouched
     disk = {f for f in os.listdir(out) if f.endswith(".dwrf")}
@@ -1254,9 +1254,9 @@ def test_compact_sink_preserves_exactly_once(spark, tmp_path):
     merged_line = [p for p in data if p[1].startswith("part-merged-")]
     assert merged_line and merged_line[0][2] == "300"
     # idempotent: nothing left to merge; later compact_manifest keeps it
-    rep2 = compact_sink(out, target_bytes=10 << 20)
+    rep2 = compact_sink(out, target_bytes=10 << 20, force=True)
     assert rep2["merged_files"] == 0
-    compact_manifest(out)
+    compact_manifest(out, force=True)
     assert committed_files(out) & disk == {merged_line[0][1]}
 
 
@@ -1290,7 +1290,7 @@ def test_compact_sink_respects_partitions_and_schema(tmp_path):
         )
         log.write("0\tp=c/g0.dwrf\t1\n0\tp=c/g1.dwrf\t1\n")
         log.write("#end\t0\n")
-    rep = compact_sink(out, target_bytes=10 << 20)
+    rep = compact_sink(out, target_bytes=10 << 20, force=True)
     assert rep["merged_files"] == 2  # one per partition a/b
     assert rep["skipped_groups"] == 1  # the evolved pair
     merged_dirs = set()
@@ -1302,3 +1302,53 @@ def test_compact_sink_respects_partitions_and_schema(tmp_path):
     # the evolved files are untouched
     assert os.path.exists(f"{out}/p=c/g0.dwrf")
     assert os.path.exists(f"{out}/p=c/g1.dwrf")
+
+
+def test_compaction_quiesce_guard_and_file_uri(tmp_path):
+    """The live-writer quiesce guard (round 12): a _batches log modified
+    within quiesce_sec refuses compact_manifest/compact_sink unless
+    force=True; a backdated log passes; quiesce_sec=0 disables the
+    check. compact_manifest also normalizes file: URIs the way the rest
+    of the sink surface does (a file:///dir path used to raise 'not
+    under' from rel_subpath)."""
+    import os
+    import time
+
+    import pytest
+
+    from hive_dwrf_spark.format import write_arrow_table
+    from hive_dwrf_spark.sources.dwrf_datasource import (
+        committed_files,
+        compact_manifest,
+        compact_sink,
+    )
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    for j in range(2):
+        write_arrow_table(f"{out}/f{j}.dwrf", pa.table({"k": pa.array([j])}))
+    with open(f"{out}/_batches", "w") as f:
+        f.write("#begin\t0\n0\tf0.dwrf\t1\n0\tf1.dwrf\t1\n#end\t0\n")
+        f.write("#begin\t1\n1\tgone.dwrf\t1\n#end\t1\n")
+
+    # fresh mtime: both entry points refuse without force
+    with pytest.raises(ValueError, match="live writer"):
+        compact_manifest(out)
+    with pytest.raises(ValueError, match="live writer"):
+        compact_sink(out)
+    # quiesce_sec=0 disables; force=True overrides — and a file: URI
+    # path resolves (rel_subpath comparison happens on stripped paths)
+    after, n_before = compact_manifest(f"file://{out}", quiesce_sec=0)
+    assert after < n_before
+    # entries whose data file is gone prune away; live files survive
+    assert committed_files(out) == {"f0.dwrf", "f1.dwrf"}
+
+    # a quiescent log (backdated mtime) passes without force
+    with open(f"{out}/_batches", "a") as f:
+        f.write("")  # touch
+    old = time.time() - 3600
+    os.utime(f"{out}/_batches", (old, old))
+    rep = compact_sink(f"file://{out}", target_bytes=64 << 20)
+    assert rep["merged_files"] == 1
+    back = committed_files(out)
+    assert len(back) == 1 and next(iter(back)).startswith("part-merged-")
