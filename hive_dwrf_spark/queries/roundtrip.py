@@ -2341,3 +2341,126 @@ def format_sink_compact(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "streaming_compact_tail",
+    # compacting a sink dir BEHIND a committedOnly stream tail must be
+    # invisible to the tail: merged names resolve through #src lineage,
+    # so the final aggregate equals the full source exactly
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           CAST(sum(user_id) AS BIGINT) AS sum_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_compact_tail(spark, sf_dir):
+    """Merged-lineage stream tails (round 12): tranche A flows S -> U
+    (DWRF sink) and a committedOnly tail ingests it U -> out. compact_sink
+    then merges U's part files into one — a name the tail has never seen.
+    The tail's next run ABSORBS it (every source resolves to its offset
+    through the manifest's #src lineage) and emits nothing. Tranche B
+    lands in U, a SECOND compaction folds merged-gen-1 + B into one file,
+    and the tail's next run plans ONLY B's stripe spans (partial
+    coverage, resolved transitively through generation 1). Total equals
+    the source exactly — the round-11 cold-dirs-only restriction on
+    compact_sink is lifted by lineage, not by luck. Reference analogy:
+    readers carry positions into a consolidated stripe directory
+    (ReaderImpl.java:204-260), never a file list."""
+    import os as _os
+    import shutil
+
+    from ..sources import register
+    from ..sources.dwrf_datasource import (
+        committed_files,
+        compact_sink,
+        manifest_lineage,
+    )
+    from ..streaming import stream_dwrf_dir
+
+    register(spark)
+    base = _os.path.basename(_os.path.normpath(sf_dir))
+    src = f"/tmp/hive_dwrf_spark_ct_src_{base}"
+    mid = f"/tmp/hive_dwrf_spark_ct_mid_{base}"
+    out = f"/tmp/hive_dwrf_spark_ct_out_{base}"
+    ck_u = f"/tmp/hive_dwrf_spark_ct_ckU_{base}"
+    ck_t = f"/tmp/hive_dwrf_spark_ct_ckT_{base}"
+    stage = f"/tmp/hive_dwrf_spark_ct_stage_{base}"
+    for p in (src, mid, out, ck_u, ck_t, stage):
+        shutil.rmtree(p, ignore_errors=True)
+    e = load(spark, sf_dir, "events").select("event_type", "user_id", "event_id")
+    a = e.filter(F.col("event_id") % 3 != 0).drop("event_id")
+    b = e.filter(F.col("event_id") % 3 == 0).drop("event_id")
+    n_a, n_total = a.count(), e.count()
+    a.repartition(2).write.format("dwrf").option("path", src).mode(
+        "overwrite"
+    ).save()
+
+    def _upstream():
+        q = (
+            stream_dwrf_dir(spark, src)
+            .writeStream.format("dwrf")
+            .option("path", mid)
+            .option("checkpointLocation", ck_u)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_done(q)
+
+    def _tail():
+        q = (
+            stream_dwrf_dir(spark, mid, committedOnly=True)
+            .writeStream.format("dwrf")
+            .option("path", out)
+            .option("checkpointLocation", ck_t)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_done(q)
+
+    def _out_rows() -> int:
+        total = 0
+        with open(f"{out}/_batches") as f:
+            for ln in f:
+                parts = ln.rstrip("\n").split("\t")
+                if parts and not parts[0].startswith("#") and len(parts) >= 3:
+                    total += int(parts[2] or 0)
+        return total
+
+    _upstream()
+    _tail()
+    assert _out_rows() == n_a, (_out_rows(), n_a)
+    # generation 1: compact behind the tail (merged name, sources gone)
+    compact_sink(mid, target_bytes=256 << 20, force=True)
+    assert manifest_lineage(mid), "compaction recorded no lineage"
+    _tail()  # absorbed: every source resolves to the tail's offset
+    assert _out_rows() == n_a, (_out_rows(), n_a)
+    # tranche B arrives; generation 2 folds gen-1 + B into ONE file, so
+    # the tail must plan only B's spans (transitive partial coverage)
+    b.repartition(2).write.format("dwrf").option("path", stage).mode(
+        "overwrite"
+    ).save()
+    for fn in sorted(_os.listdir(stage)):
+        if fn.endswith(".dwrf"):
+            _os.replace(f"{stage}/{fn}", f"{src}/b-{fn}")
+    _upstream()
+    compact_sink(mid, target_bytes=256 << 20, force=True)
+    assert len(committed_files(mid)) == 1, committed_files(mid)
+    _tail()
+    assert _out_rows() == n_total, (_out_rows(), n_total)
+    _tail()  # and one more pass adds nothing
+    assert _out_rows() == n_total, (_out_rows(), n_total)
+    back = (
+        spark.read.format("dwrf").option("committedOnly", "true").load(out)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("user_id").cast("bigint").alias("sum_users"),
+        )
+        .orderBy("event_type")
+    )

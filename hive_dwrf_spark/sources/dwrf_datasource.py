@@ -444,13 +444,17 @@ def compact_sink(
        stay exact, and a re-run does not re-merge them (no longer in the
        manifest, so no longer candidates).
 
-    QUIESCENT/COLD DIRS ONLY, like compact_manifest: against a live sink
-    the rewrite races the commit append. And because the stream source's
-    offsets are name sets, a committedOnly STREAM tailing this directory
-    would see each merged file as a NEW name and re-ingest its rows —
-    compact only directories (or date partitions) no tail reads anymore.
-    Groups whose files disagree on schema/compression (sink schema
-    evolution) are skipped, not errors.
+    QUIESCENT DIRS ONLY for the WRITER side, like compact_manifest:
+    against a live sink the rewrite races the commit append (the
+    _guard_quiescent mtime check refuses fresh logs unless force=True).
+    Stream TAILS are safe as of round 12: each synthetic group carries
+    ``#src`` lineage lines (source name, verbatim stripe span, mtime),
+    and a committedOnly stream source resolves an unseen merged name
+    against its offset — fully-covered names are absorbed without
+    emission, partially-covered ones plan only the uncovered sources'
+    stripes — so compacting behind (or even across) a tail's progress
+    never double-ingests. Groups whose files disagree on
+    schema/compression (sink schema evolution) are skipped, not errors.
 
     Returns {"merged_files", "groups", "skipped_groups", "files_before",
     "files_after"}."""
@@ -498,13 +502,22 @@ def compact_sink(
         if len(cur) >= min_group:
             groups.append(cur)
 
+    def _mtime_of(fp: str) -> int:
+        try:
+            if hasattr(fs, "mtime_ns"):
+                return int(fs.mtime_ns(fp))
+            return int(fs.stat_key(fp)[-1])
+        except (FileNotFoundError, OSError):
+            return 0
+
     merged: dict[str, list[tuple[str, int, str]]] = {}
+    lineage_new: dict[str, list[tuple[str, int, int, int]]] = {}
     skipped = 0
     for grp in groups:
         d = grp[0][0].rpartition("/")[0]
         out_rel = (d + "/" if d else "") + f"part-merged-{uuid.uuid4().hex[:16]}.dwrf"
         try:
-            merge_files(
+            spans = merge_files(
                 [join_path(path, rel) for rel, _sz, _rw in grp],
                 join_path(path, out_rel),
             )
@@ -515,6 +528,14 @@ def compact_sink(
             fs.remove(join_path(path, out_rel))
             continue
         merged[out_rel] = grp
+        # lineage: each source's verbatim stripe span inside the merged
+        # file plus its mtime — what lets a committedOnly stream tail
+        # whose offset already covers some sources plan EXACTLY the
+        # remainder instead of re-ingesting the merged name wholesale
+        lineage_new[out_rel] = [
+            (rel, lo, hi, _mtime_of(join_path(path, rel)))
+            for (rel, _sz, _rw), (_sp, lo, hi) in zip(grp, spans)
+        ]
 
     if merged:
         gone = {rel for grp in merged.values() for rel, _sz, _rw in grp}
@@ -551,6 +572,16 @@ def compact_sink(
             out_lines.append(f"#begin\t{mid}")
             out_lines.append(f"{mid}\t{out_rel}\t{total_rows}")
             out_lines.append(f"#end\t{mid}")
+        # merged-file lineage (#src lines, ignored by the group parsers):
+        # new spans plus the still-reachable prior generations, so a
+        # stream whose offset predates several compactions can resolve a
+        # merged name transitively down to names it actually processed
+        all_lineage = _parse_lineage(lines)
+        all_lineage.update(lineage_new)
+        roots = (set(rel_rows) - gone) | set(merged)
+        out_lines.extend(
+            _lineage_lines(_reachable_lineage(all_lineage, roots))
+        )
         _swap_manifest(fs, path, "".join(ln + "\n" for ln in out_lines))
         # manifest no longer references the sources: delete them last
         for rel in gone:

@@ -33,6 +33,22 @@ file's mtime, or it is treated as already processed. Restarts from a
 checkpoint remain exact for every non-retired name; ``partitions(start,
 end)`` additionally refuses mtimes below the start watermark, so a
 regressed listing can never re-emit a retired file.
+
+Offsets also stay SMALL on wide directories (round 12): past
+``offsetDeltaThreshold`` live names (default 4096) the planner persists
+the catalog ONCE as a compacted base file under ``offsetBaseDir``
+(default ``<path>/_dwrf_offsets``, atomic tmp+replace, newest 8 kept)
+and each trigger's offset is ``{base_ref, adds, removes, late_adds,
+late_removes, watermark_ns}`` — a delta whose size tracks the ARRIVAL
+RATE, not the live-name count. The base rewrites only when the delta
+outgrows max(64, len(base)/100) names, so a 100k-name firehose pays a
+few-KB offset per trigger instead of the measured 4.1 MB full catalog
+(STRESS `_offset_catalog_100k`, round 11). Every consumer of an offset
+(partitions on restart, the simple reader on checkpoint interchange)
+resolves base+delta back to the full catalog; all historical offset
+shapes still normalize. Reference analogy: readers carry a position
+into the footer's consolidated stripe directory, never the directory
+itself (ReaderImpl.java:204-260).
 """
 
 from __future__ import annotations
@@ -112,12 +128,144 @@ def _split_fields(schema: StructType) -> tuple[list, dict]:
     return data, part
 
 
+def _uncovered_stripes(name: str, lineage: dict, accounted) -> list[int] | None:
+    """Stripe indices of merged file `name` (a compact_sink output) whose
+    source data the consumer has NOT already ingested, resolved through
+    the manifest's ``#src`` lineage — recursively, so a name compacted
+    across several generations still maps onto offsets that only ever saw
+    the leaves. Returns None when `name` has no lineage (an ordinary part
+    file; the caller treats it as all-new). ``accounted(src, mtime_ns)``
+    answers from the consumer's offset (processed/late/retired-below-
+    watermark). Stripe spans compose because merge_files copies source
+    stripes verbatim in order: source stripe k lands at merged index
+    lo + k."""
+    spans = lineage.get(name)
+    if spans is None:
+        return None
+    out: list[int] = []
+    for src, lo, hi, mt in spans:
+        if accounted(src, mt):
+            continue
+        sub = _uncovered_stripes(src, lineage, accounted)
+        if sub is None:
+            out.extend(range(lo, hi))
+        else:
+            out.extend(lo + k for k in sub)
+    return sorted(out)
+
+
+def _lineage_stripe_count(lineage: dict, name: str) -> int:
+    return max(hi for _src, _lo, hi, _mt in lineage[name])
+
+
+def _pack_index_runs(idxs: list[int], sizes, max_split: int) -> list[tuple]:
+    """Bin-pack an arbitrary (sorted) subset of stripe indices into
+    CONSECUTIVE runs of at most max_split bytes — the partial-coverage
+    analog of _pack_stripe_runs (a gap in the subset always breaks the
+    run; reads stay sequential within each split)."""
+    runs: list[tuple] = []
+    run: list[int] = []
+    run_bytes = 0
+    prev = None
+    for i in idxs:
+        sz = sizes[i] if i < len(sizes) else 0
+        if run and (i != prev + 1 or run_bytes + sz > max_split):
+            runs.append(tuple(run))
+            run, run_bytes = [], 0
+        run.append(i)
+        run_bytes += sz
+        prev = i
+    if run:
+        runs.append(tuple(run))
+    return runs
+
+
 def _committed_opt(options) -> bool:
     return str(options.get("committedOnly", "")).lower() in (
         "true",
         "1",
         "yes",
     )
+
+
+def _offset_base_dir(options) -> str:
+    from hive_dwrf_spark.format.fs import join_path, strip_file_uri
+
+    d = options.get("offsetBaseDir")
+    if d:
+        return strip_file_uri(str(d))
+    return join_path(strip_file_uri(options.get("path", "")), "_dwrf_offsets")
+
+
+#: resolved base catalogs keyed by (dir, ref) — offsets reference a base
+#: many triggers in a row, and a restart resolves the same ref from both
+#: partitions() and the simple reader; tiny (each entry is one dict)
+_BASE_CACHE: dict[tuple, tuple[dict, dict]] = {}
+_BASE_CACHE_MAX = 8
+
+
+def _load_base_catalog(offset: dict, default_dir: str) -> tuple[dict, dict]:
+    """(files, late) of the base catalog a delta-form offset references.
+    Tries the reader's own base dir first (derived from options, so the
+    checkpoint stays valid if the directory tree moved), then the dir
+    recorded in the offset. A missing base is a hard, explained error:
+    only a checkpoint rolled back further than the retained generations
+    (newest 8) can hit it."""
+    import json
+
+    from hive_dwrf_spark.format.fs import get_fs, join_path
+
+    ref = offset["base_ref"]
+    dirs = [d for d in (default_dir, offset.get("base_dir")) if d]
+    for d in dirs:
+        key = (d, ref)
+        hit = _BASE_CACHE.get(key)
+        if hit is not None:
+            return hit
+    last_err = None
+    for d in dirs:
+        fp = join_path(d, ref)
+        try:
+            fs = get_fs(fp)
+            if not fs.exists(fp):
+                continue
+            with fs.open(fp, "r") as f:
+                doc = json.load(f)
+            out = (dict(doc.get("files", {})), dict(doc.get("late", {})))
+            if len(_BASE_CACHE) >= _BASE_CACHE_MAX:
+                _BASE_CACHE.pop(next(iter(_BASE_CACHE)))
+            _BASE_CACHE[(d, ref)] = out
+            return out
+        except (OSError, ValueError) as e:
+            last_err = e
+    raise ValueError(
+        f"stream offset references base catalog {ref!r}, not found under "
+        f"{dirs} ({last_err!r}). The base-retention window keeps the "
+        "newest 8 generations; a checkpoint rolled back past that (or a "
+        "deleted offsetBaseDir) cannot resolve. Restart with a fresh "
+        "checkpoint, or restore the base file."
+    )
+
+
+def _resolve_offset_shape(
+    offset: dict, norm, default_dir: str
+) -> tuple[dict, int, dict]:
+    """(files, watermark_ns, late) from ANY offset shape, including the
+    round-12 delta form {base_ref, adds, removes, late_adds,
+    late_removes, watermark_ns}; `norm` handles the historical inline
+    shapes."""
+    if "base_ref" not in offset:
+        return norm(offset)
+    bfiles, blate = _load_base_catalog(offset, default_dir)
+    files = dict(bfiles)
+    files.update(offset.get("adds", {}))
+    for k in offset.get("removes", ()):
+        files.pop(k, None)
+    late = dict(blate)
+    late.update(offset.get("late_adds", {}))
+    for k in offset.get("late_removes", ()):
+        late.pop(k, None)
+    return files, int(offset.get("watermark_ns", 0)), late
 
 
 class _DwrfStreamReader(SimpleDataSourceStreamReader):
@@ -151,8 +299,11 @@ class _DwrfStreamReader(SimpleDataSourceStreamReader):
         processed = offset.get("processed", offset.get("files", []))
         return set(processed) | set(offset.get("late", []))
 
-    def _rows_for(self, paths: list[str]):
-        # returns a materialized list: Spark pickles the prefetched batch
+    def _rows_for(self, items: list[tuple]):
+        # items: (path, stripe_indices|None) — None reads the whole
+        # file; an index list reads only those stripes (the uncovered
+        # remainder of a partially-ingested compact_sink merged file).
+        # Returns a materialized list: Spark pickles the prefetched batch
         # between read() and commit(), so the result must be serializable
         DwrfStreamDataSource._bootstrap()
         from hive_dwrf_spark.format.reader import DwrfFile
@@ -163,7 +314,7 @@ class _DwrfStreamReader(SimpleDataSourceStreamReader):
         want = [f.name for f in self.schema.fields]
         names, part_fields = _split_fields(self.schema)
         rows: list[tuple] = []
-        for fp in paths:
+        for fp, stripes in items:
             raw = dict(_part_values_from_rel(_rel_name(self.path, fp)))
             pvals = {
                 pname: (
@@ -175,18 +326,37 @@ class _DwrfStreamReader(SimpleDataSourceStreamReader):
             }
             with DwrfFile(fp) as f:
                 if names:
-                    table = f.read(columns=names)
-                    rows.extend(
-                        tuple(
-                            pvals[c] if c in part_fields else row[c]
-                            for c in want
+                    if stripes is None:
+                        tables = [f.read(columns=names)]
+                    else:
+                        tables = [
+                            t
+                            for t in (
+                                f.read_stripe(i, columns=names)
+                                for i in stripes
+                            )
+                            if t is not None
+                        ]
+                    for table in tables:
+                        rows.extend(
+                            tuple(
+                                pvals[c] if c in part_fields else row[c]
+                                for c in want
+                            )
+                            for row in table.to_pylist()
                         )
-                        for row in table.to_pylist()
-                    )
                 else:
+                    nrows = (
+                        f.num_rows
+                        if stripes is None
+                        else sum(
+                            f.footer.stripes[i].numberOfRows
+                            for i in stripes
+                        )
+                    )
                     rows.extend(
                         tuple(pvals[c] for c in want)
-                        for _ in range(f.num_rows)
+                        for _ in range(nrows)
                     )
         # list_iterator: a real iterator (Spark requires one) that still
         # pickles for the prefetch cache
@@ -201,21 +371,56 @@ class _DwrfStreamReader(SimpleDataSourceStreamReader):
         # as processed; the simple-form end offset then carries those
         # names explicitly (it has no watermark of its own).
         wm = int(start.get("watermark_ns", 0)) if "files" in start else 0
-        fresh: list[str] = []
+        lineage: dict = {}
+        if self.committed_only:
+            from hive_dwrf_spark.sources.dwrf_datasource import (
+                manifest_lineage,
+            )
+
+            lineage = manifest_lineage(self.path)
+
+        def _acct(src: str, mt: int) -> bool:
+            return src in done or bool(wm and mt and mt < wm)
+
+        fresh: list[tuple] = []  # (path, stripe_indices|None)
+        absorbed: set[str] = set()
+        partial: dict[str, list[int]] = {}
         below_wm: set[str] = set()
         for p in _dwrf_files(self.path, self.committed_only):
             n = _rel_name(self.path, p)
             if n in done:
                 continue
+            if n in lineage:
+                # a compact_sink output: emit only what the offset does
+                # not already cover (nothing / the uncovered stripes /
+                # everything) — merged names must never double-ingest
+                unc = _uncovered_stripes(n, lineage, _acct)
+                if not unc:
+                    absorbed.add(n)
+                    continue
+                if len(unc) < _lineage_stripe_count(lineage, n):
+                    partial[n] = unc
+                    fresh.append((p, unc))
+                    continue
             if wm and _mtime_ns(p) < wm:
                 below_wm.add(n)
             else:
-                fresh.append(p)
+                fresh.append((p, None))
         end = {
             "processed": sorted(
-                done | below_wm | {_rel_name(self.path, p) for p in fresh}
+                done
+                | below_wm
+                | absorbed
+                | {_rel_name(self.path, p) for p, _s in fresh}
             )
         }
+        # replay fidelity (readBetweenOffsets must emit the same rows
+        # even if the manifest compacts again in between): the absorbed
+        # names and partial stripe lists ride in the end offset
+        if absorbed:
+            end["absorbed"] = sorted(absorbed)
+        if partial:
+            end["partial"] = {k: list(v) for k, v in sorted(partial.items())}
         return self._rows_for(fresh), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
@@ -224,21 +429,27 @@ class _DwrfStreamReader(SimpleDataSourceStreamReader):
 
         done = self._processed(start)
         batch = self._processed(end) - done
-        paths = sorted(join_path(self.path, name) for name in batch)
-        # mirror read(): names below a planner-form start watermark were
-        # folded into end's processed set WITHOUT being emitted, so a
-        # replay of this range must skip them too
+        # mirror read(): absorbed names were folded without emission;
+        # partial names emitted only their uncovered stripes; names below
+        # a planner-form start watermark were folded silently too
+        absorbed = set(end.get("absorbed", ()))
+        partial = end.get("partial", {}) or {}
         wm = int(start.get("watermark_ns", 0)) if "files" in start else 0
-        if wm:
 
-            def _at_or_above(p: str) -> bool:
-                try:
-                    return _mtime_ns(p) >= wm
-                except (FileNotFoundError, OSError):
-                    return True  # vanished: fail in _rows_for as before
+        def _at_or_above(p: str) -> bool:
+            try:
+                return _mtime_ns(p) >= wm
+            except (FileNotFoundError, OSError):
+                return True  # vanished: fail in _rows_for as before
 
-            paths = [p for p in paths if _at_or_above(p)]
-        return self._rows_for(paths)
+        items: list[tuple] = []
+        for name in sorted(batch - absorbed):
+            p = join_path(self.path, name)
+            if name in partial:
+                items.append((p, list(partial[name])))
+            elif not wm or _at_or_above(p):
+                items.append((p, None))
+        return self._rows_for(items)
 
 
 class _DwrfPartitionStreamReader(DataSourceStreamReader):
@@ -384,6 +595,16 @@ class _DwrfPartitionStreamReader(DataSourceStreamReader):
             spent += cand[2]
         return out
 
+    def _lineage(self) -> dict:
+        """The tailed directory's merged-file lineage (compact_sink
+        ``#src`` records) — only meaningful under committedOnly (lineage
+        lives in the sink manifest the committed listing already reads)."""
+        if not self.committed_only:
+            return {}
+        from hive_dwrf_spark.sources.dwrf_datasource import manifest_lineage
+
+        return manifest_lineage(self.path)
+
     def latestOffset(self) -> dict:
         listed = self._listing()
         prev_files, prev_wm, prev_late = (
@@ -394,6 +615,29 @@ class _DwrfPartitionStreamReader(DataSourceStreamReader):
             for n, ms in listed.items()
             if n not in prev_files and n not in prev_late
         }
+        # compact_sink outputs whose sources this planner already
+        # admitted are ZERO new work: absorb them into the offset
+        # directly, bypassing the admission caps — otherwise a compaction
+        # behind the tail would spend trigger budget re-admitting data
+        # the offset already covers. (Emission-side coverage is decided
+        # in partitions() against the TRUE start offset — after a restart
+        # the anchor here is empty and absorbed names must still resolve
+        # against the checkpoint, not this planner instance's memory.)
+        absorbed: dict[str, tuple] = {}
+        if unseen:
+            lineage = self._lineage()
+            if lineage:
+
+                def _acct(src: str, mt: int) -> bool:
+                    return (
+                        src in prev_files
+                        or src in prev_late
+                        or bool(prev_wm and mt and mt < prev_wm)
+                    )
+
+                for n in [x for x in unseen if x in lineage]:
+                    if not _uncovered_stripes(n, lineage, _acct):
+                        absorbed[n] = unseen.pop(n)
         # candidates: unseen names at/above the previous watermark,
         # oldest first. Below-watermark names MUST be excluded before the
         # per-trigger cap: they are retired (already processed) or late,
@@ -428,6 +672,7 @@ class _DwrfPartitionStreamReader(DataSourceStreamReader):
             fresh = self._cap_admission(fresh)
         admitted = dict(prev_files)
         admitted.update({n: m for m, n, _sz in fresh})
+        admitted.update({n: ms[0] for n, ms in absorbed.items()})
         # directory watermark: newest ADMITTED mtime minus the age
         # allowance; monotonic, so a deleted newest file can't regress it
         newest = max(admitted.values(), default=0)
@@ -485,6 +730,40 @@ class _DwrfPartitionStreamReader(DataSourceStreamReader):
         )
         if not fresh:
             return []
+        # merged-lineage resolution AGAINST THE TRUE START (committedOnly
+        # sink tails): a compact_sink output whose sources the start
+        # offset already covers plans NOTHING; one it covers partially
+        # plans only the uncovered sources' stripe spans. Decided here —
+        # not at admission — because after a restart the checkpointed
+        # start, not this planner instance's memory, says what was
+        # processed. Deterministic across a replay of the same range as
+        # long as the lineage records survive (compact_manifest and
+        # compact_sink both carry reachable #src lines forward).
+        partial: dict[str, list[int]] = {}
+        lineage = self._lineage() if fresh else {}
+        if lineage:
+
+            def _acct(src: str, mt: int) -> bool:
+                return (
+                    src in start_files
+                    or src in start_late
+                    or bool(start_wm and mt and mt < start_wm)
+                )
+
+            kept: list[str] = []
+            for n in fresh:
+                unc = _uncovered_stripes(n, lineage, _acct)
+                if unc is None:
+                    kept.append(n)
+                    continue
+                if not unc:
+                    continue  # fully covered: absorb without emission
+                if len(unc) < _lineage_stripe_count(lineage, n):
+                    partial[n] = unc
+                kept.append(n)
+            fresh = kept
+            if not fresh:
+                return []
         by_path = {join_path(self.path, n): n for n in fresh}
         paths = sorted(by_path)
         plans = _file_plans(paths)
@@ -492,8 +771,14 @@ class _DwrfPartitionStreamReader(DataSourceStreamReader):
         max_split = _derive_max_split(total, os.cpu_count() or 8)
         parts = []
         for fp in paths:
-            pv = _part_values_from_rel(by_path[fp])
-            for run in _pack_stripe_runs(plans[fp].stripe_sizes, max_split):
+            rel = by_path[fp]
+            pv = _part_values_from_rel(rel)
+            sizes = plans[fp].stripe_sizes
+            if rel in partial:
+                runs = _pack_index_runs(partial[rel], sizes, max_split)
+            else:
+                runs = _pack_stripe_runs(sizes, max_split)
+            for run in runs:
                 parts.append(
                     _StripePartition(
                         path=fp, stripe_indices=run, part_values=pv

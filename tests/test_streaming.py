@@ -1352,3 +1352,207 @@ def test_compaction_quiesce_guard_and_file_uri(tmp_path):
     assert rep["merged_files"] == 1
     back = committed_files(out)
     assert len(back) == 1 and next(iter(back)).startswith("part-merged-")
+
+
+def _mk_sink(out, names, rows_per=3, batch0=True):
+    """A fake quiescent sink dir: one committed batch per name, each file
+    holding `rows_per` rows with a distinguishable key column."""
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    from hive_dwrf_spark.format import write_arrow_table
+
+    with open(f"{out}/_batches", "a") as log:
+        for i, n in enumerate(names):
+            write_arrow_table(
+                f"{out}/{n}",
+                pa.table(
+                    {"k": pa.array([f"{n}:{j}" for j in range(rows_per)])}
+                ),
+            )
+            log.write(f"#begin\t{i}\n{i}\t{n}\t{rows_per}\n#end\t{i}\n")
+
+
+def test_compact_sink_records_lineage(tmp_path):
+    """compact_sink writes #src lineage lines (source name, verbatim
+    stripe span, mtime); manifest_lineage parses them; compact_manifest
+    carries reachable entries forward and a second compaction keeps the
+    prior generation resolvable (transitive chain)."""
+    from hive_dwrf_spark.sources.dwrf_datasource import (
+        committed_files,
+        compact_sink,
+        manifest_lineage,
+    )
+
+    out = str(tmp_path / "sink")
+    _mk_sink(out, ["a.dwrf", "b.dwrf", "c.dwrf"])
+    rep = compact_sink(out, target_bytes=64 << 20, quiesce_sec=0)
+    assert rep["merged_files"] == 1
+    (m1,) = committed_files(out)
+    lin = manifest_lineage(out)
+    assert set(lin) == {m1}
+    spans = sorted(lin[m1])
+    # one stripe per tiny source file, copied in order
+    assert [(s[0], s[1], s[2]) for s in spans] == [
+        ("a.dwrf", 0, 1),
+        ("b.dwrf", 1, 2),
+        ("c.dwrf", 2, 3),
+    ]
+    assert all(s[3] > 0 for s in spans)  # mtimes recorded
+
+    # generation 2: new committed file + re-compaction; m1's lineage must
+    # survive (reachable as a source of m2's entry)
+    from hive_dwrf_spark.format import write_arrow_table
+
+    write_arrow_table(
+        f"{out}/d.dwrf", pa.table({"k": pa.array(["d:0", "d:1", "d:2"])})
+    )
+    with open(f"{out}/_batches", "a") as log:
+        log.write("#begin\t9\n9\td.dwrf\t3\n#end\t9\n")
+    rep2 = compact_sink(out, target_bytes=64 << 20, quiesce_sec=0)
+    assert rep2["merged_files"] == 1
+    (m2,) = committed_files(out)
+    lin2 = manifest_lineage(out)
+    assert set(lin2) == {m1, m2}, lin2
+    assert {s[0] for s in lin2[m2]} == {m1, "d.dwrf"}
+    assert lin2[m1] == lin[m1]
+
+    # compact_manifest keeps the reachable chain too
+    from hive_dwrf_spark.sources.dwrf_datasource import compact_manifest
+
+    compact_manifest(out, quiesce_sec=0)
+    assert manifest_lineage(out) == lin2
+
+
+def test_uncovered_stripes_resolution():
+    """_uncovered_stripes maps offset coverage onto merged stripe
+    indices, recursively through generations."""
+    from hive_dwrf_spark.streaming.dwrf_stream import _uncovered_stripes
+
+    lineage = {
+        "m1": [("a", 0, 2, 100), ("b", 2, 3, 200)],
+        "m2": [("m1", 0, 3, 300), ("c", 3, 5, 400)],
+    }
+    acct = lambda names: (lambda src, mt: src in names)  # noqa: E731
+    # plain file: no lineage -> None (caller emits whole file)
+    assert _uncovered_stripes("a", lineage, acct(set())) is None
+    # all sources covered -> absorb
+    assert _uncovered_stripes("m1", lineage, acct({"a", "b"})) == []
+    # partial: only b uncovered -> m1 stripe 2
+    assert _uncovered_stripes("m1", lineage, acct({"a"})) == [2]
+    # chain: m1 itself covered (it was absorbed into the offset earlier)
+    assert _uncovered_stripes("m2", lineage, acct({"m1"})) == [3, 4]
+    # chain: m1 NOT in offset but its leaves partially are -> recurse:
+    # a covered => m1's uncovered is [2] => m2 index 0+2; plus c [3,4]
+    assert _uncovered_stripes("m2", lineage, acct({"a"})) == [2, 3, 4]
+    # watermark-style accounting via mtime
+    wm_acct = lambda src, mt: mt < 250  # noqa: E731
+    assert _uncovered_stripes("m1", lineage, wm_acct) == []
+    assert _uncovered_stripes("m2", lineage, wm_acct) == [3, 4]
+
+
+def test_planner_absorbs_and_partially_plans_merged_files(tmp_path):
+    """The partition planner under committedOnly: a compact_sink merged
+    file whose sources the offset covers plans NOTHING; after another
+    commit + re-compaction, only the uncovered source's stripes plan."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from hive_dwrf_spark.format import write_arrow_table
+    from hive_dwrf_spark.sources.dwrf_datasource import (
+        committed_files,
+        compact_sink,
+    )
+    from hive_dwrf_spark.streaming.dwrf_stream import (
+        _DwrfPartitionStreamReader,
+    )
+
+    out = str(tmp_path / "sink")
+    _mk_sink(out, ["a.dwrf", "b.dwrf"])
+    schema = StructType([StructField("k", StringType())])
+    rdr = _DwrfPartitionStreamReader(
+        schema, {"path": out, "committedOnly": "true"}
+    )
+    rdr.initialOffset()
+    o1 = rdr.latestOffset()
+    assert set(o1["files"]) == {"a.dwrf", "b.dwrf"}
+    assert len(rdr.partitions(rdr.initialOffset(), o1)) >= 1
+
+    # compaction behind the tail: merged name appears, sources vanish
+    compact_sink(out, target_bytes=64 << 20, quiesce_sec=0)
+    (m1,) = committed_files(out)
+    o2 = rdr.latestOffset()
+    assert m1 in o2["files"]  # absorbed into the offset (cap bypass)
+    assert rdr.partitions(o1, o2) == []  # nothing re-ingests
+
+    # new data + re-compaction into one file: partial planning
+    write_arrow_table(
+        f"{out}/d.dwrf", pa.table({"k": pa.array(["d:0", "d:1"])})
+    )
+    with open(f"{out}/_batches", "a") as log:
+        log.write("#begin\t9\n9\td.dwrf\t2\n#end\t9\n")
+    compact_sink(out, target_bytes=64 << 20, quiesce_sec=0)
+    (m2,) = committed_files(out)
+    o3 = rdr.latestOffset()
+    parts = rdr.partitions(o2, o3)
+    # m2 merges m1 (2 stripes, covered by the offset) + d (1 stripe,
+    # uncovered): exactly ONE of m2's three stripes may plan, and the
+    # emitted rows must be exactly d's
+    from hive_dwrf_spark.streaming.dwrf_stream import (
+        _lineage_stripe_count,
+    )
+    from hive_dwrf_spark.sources.dwrf_datasource import manifest_lineage
+
+    total = _lineage_stripe_count(manifest_lineage(out), m2)
+    idxs = sorted(i for p in parts for i in p.stripe_indices)
+    assert len(idxs) == 1 and total == 3, (idxs, total)
+    rows = []
+    for p in parts:
+        for b in rdr.read(p):
+            rows.extend(b.to_pylist())
+    assert sorted(r["k"] for r in rows) == ["d:0", "d:1"]
+
+    # a RESTARTED planner resolving from the checkpointed offset makes
+    # the same decision (coverage is computed in partitions vs START)
+    rdr2 = _DwrfPartitionStreamReader(
+        schema, {"path": out, "committedOnly": "true"}
+    )
+    parts2 = rdr2.partitions(o2, rdr2.latestOffset())
+    idxs2 = sorted(i for p in parts2 for i in p.stripe_indices)
+    assert idxs2 == idxs, parts2
+
+
+def test_simple_reader_honors_merged_lineage(tmp_path):
+    """The simple (driver-side) reader: absorbed merged names emit
+    nothing; partially-covered ones emit only uncovered stripes; a
+    replay (readBetweenOffsets) of that range emits the same rows."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from hive_dwrf_spark.format import write_arrow_table
+    from hive_dwrf_spark.sources.dwrf_datasource import compact_sink
+    from hive_dwrf_spark.streaming.dwrf_stream import _DwrfStreamReader
+
+    out = str(tmp_path / "sink")
+    _mk_sink(out, ["a.dwrf", "b.dwrf"], rows_per=2)
+    schema = StructType([StructField("k", StringType())])
+    rdr = _DwrfStreamReader(schema, {"path": out, "committedOnly": "true"})
+    it1, o1 = rdr.read(rdr.initialOffset())
+    assert len(list(it1)) == 4
+
+    compact_sink(out, target_bytes=64 << 20, quiesce_sec=0)
+    it2, o2 = rdr.read(o1)
+    assert list(it2) == []  # fully covered -> absorbed
+    assert o2.get("absorbed"), o2
+
+    write_arrow_table(
+        f"{out}/d.dwrf", pa.table({"k": pa.array(["d:0"])})
+    )
+    with open(f"{out}/_batches", "a") as log:
+        log.write("#begin\t9\n9\td.dwrf\t1\n#end\t9\n")
+    compact_sink(out, target_bytes=64 << 20, quiesce_sec=0)
+    it3, o3 = rdr.read(o2)
+    got = [r[0] for r in it3]
+    assert got == ["d:0"], got  # only the uncovered source's stripes
+    assert o3.get("partial"), o3
+    # replay of the same range (prefetch-cache contract)
+    replay = [r[0] for r in rdr.readBetweenOffsets(o2, o3)]
+    assert replay == ["d:0"], replay
