@@ -2464,3 +2464,143 @@ def streaming_compact_tail(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "streaming_delta_offsets",
+    # delta-form offsets (base catalog + adds/removes) must only change
+    # the offset ENCODING, never the data: the final aggregate equals
+    # the full source aggregate across caps, restarts and backfills
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           CAST(sum(user_id) AS BIGINT) AS sum_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_delta_offsets(spark, sf_dir):
+    """Delta offsets end-to-end (round 12): a seed directory wider than
+    ``offsetDeltaThreshold`` makes the planner persist a base catalog
+    under ``_dwrf_offsets`` and checkpoint ``{base_ref, adds, removes}``
+    offsets — bytes tracking the ARRIVAL RATE, not the live-name count
+    (the round-11 ceiling was a measured 4.1 MB per trigger at 100k
+    names). A mid-run backlog lands under maxFilesPerTrigger=2, so
+    steady-state triggers checkpoint small ``adds`` against the SAME
+    base generation (asserted from the checkpoint's own offset log). A
+    RESTARTED query then resolves the checkpointed delta offset through
+    the base file on disk and ingests a post-restart tranche exactly
+    once. Reference analogy: readers carry a position into the footer's
+    consolidated stripe directory, never the directory itself
+    (ReaderImpl.java:204-260)."""
+    import json as _json
+    import os as _os
+    import shutil
+    import time as _time
+
+    from ..sources import register
+    from ..streaming import stream_dwrf_dir
+
+    register(spark)
+    base = _os.path.basename(_os.path.normpath(sf_dir))
+    src = f"/tmp/hive_dwrf_spark_do_src_{base}"
+    out = f"/tmp/hive_dwrf_spark_do_out_{base}"
+    ckpt = f"/tmp/hive_dwrf_spark_do_ckpt_{base}"
+    stage = f"/tmp/hive_dwrf_spark_do_stage_{base}"
+    for p in (src, out, ckpt, stage):
+        shutil.rmtree(p, ignore_errors=True)
+    e = load(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id"
+    )
+    seed = e.filter(F.col("event_id") % 4 == 0).drop("event_id")
+    mid = e.filter(F.col("event_id") % 4 == 1).drop("event_id")
+    tail_t = e.filter(F.col("event_id") % 4 > 1).drop("event_id")
+    n_seed = seed.count()
+    n_mid = n_seed + mid.count()
+    n_total = e.count()
+    seed.repartition(8).write.format("dwrf").option("path", src).mode(
+        "overwrite"
+    ).save()
+    mid.repartition(4).write.format("dwrf").option(
+        "path", stage
+    ).mode("overwrite").save()
+
+    opts = {"offsetDeltaThreshold": 6, "maxFilesPerTrigger": 2}
+    q = (
+        stream_dwrf_dir(spark, src, **opts)
+        .writeStream.format("dwrf")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    _await_committed_rows(q, out, n_seed)
+    now = _time.time()
+    moved = [f for f in sorted(_os.listdir(stage)) if f.endswith(".dwrf")]
+    for i, fn in enumerate(moved):
+        _os.utime(f"{stage}/{fn}", (now - 10 + i, now - 10 + i))
+        _os.replace(f"{stage}/{fn}", f"{src}/mid-{fn}")
+    _await_committed_rows(q, out, n_mid)
+    q.stop()
+    q.awaitTermination()
+
+    # the checkpoint's own offset log must show the delta encoding:
+    # every offset past the threshold is base_ref-form (no inline
+    # catalog), steady-state ones carry small adds against ONE base
+    def _offsets():
+        odir = f"{ckpt}/offsets"
+        offs = []
+        for fn in sorted(_os.listdir(odir), key=lambda s: (len(s), s)):
+            if fn.startswith("."):
+                continue
+            for ln in open(f"{odir}/{fn}"):
+                ln = ln.strip()
+                if ln.startswith("{") and (
+                    '"base_ref"' in ln or '"files"' in ln
+                ):
+                    offs.append(_json.loads(ln))
+        return offs
+
+    offs = _offsets()
+    delta_offs = [o for o in offs if "base_ref" in o]
+    assert delta_offs, f"no delta-form offsets in {len(offs)}"
+    assert all("files" not in o for o in delta_offs)
+    steady = [o for o in delta_offs if o.get("adds")]
+    assert steady, "no steady-state adds-only offset observed"
+    assert len({o["base_ref"] for o in delta_offs}) <= 2, delta_offs
+    assert _os.listdir(f"{src}/_dwrf_offsets"), "no base catalog on disk"
+
+    # restart: a fresh planner must resolve the checkpointed delta
+    # offset through the base file and ingest ONLY the new tranche
+    tail_t.repartition(2).write.format("dwrf").option(
+        "path", stage
+    ).mode("overwrite").save()
+    for fn in sorted(_os.listdir(stage)):
+        if fn.endswith(".dwrf"):
+            _os.replace(f"{stage}/{fn}", f"{src}/tail-{fn}")
+
+    def _run_once():
+        q2 = (
+            stream_dwrf_dir(spark, src, **opts)
+            .writeStream.format("dwrf")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_done(q2)
+
+    _run_once()
+    _run_once()  # and one more pass adds nothing
+    back = (
+        spark.read.format("dwrf").option("committedOnly", "true").load(out)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("user_id").cast("bigint").alias("sum_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -279,6 +279,18 @@ class _DwrfStreamReader(SimpleDataSourceStreamReader):
         self.path = strip_file_uri(options.get("path"))
         self.schema = schema
         self.committed_only = _committed_opt(options)
+        self._base_dir = _offset_base_dir(options)
+        # emit (rather than silently fold) below-watermark backfills on
+        # a planner-to-simpleReader checkpoint switch; mirrors the
+        # planner's allowLateFiles. Caveat (documented trade, same as a
+        # pre-r11 planner checkpoint): a file the PLANNER processed and
+        # then retired while it stayed on disk is indistinguishable from
+        # a backfill here and replays once — duplicate-once, never lose.
+        self.allow_late = str(options.get("allowLateFiles", "")).lower() in (
+            "true",
+            "1",
+            "yes",
+        )
 
     def initialOffset(self) -> dict:
         return {"processed": []}
@@ -294,6 +306,12 @@ class _DwrfStreamReader(SimpleDataSourceStreamReader):
                 for p in _dwrf_files(self.path, self.committed_only)
             ]
             return set(listing[: offset["file_index"]])
+        # delta-form planner offsets resolve through the base catalog
+        if "base_ref" in offset:
+            files, _wm, late = _resolve_offset_shape(
+                offset, lambda o: ({}, 0, {}), self._base_dir
+            )
+            return set(files) | set(late)
         # planner-reader offsets ({"files": {name: mtime}}) interchange;
         # a planner "late" registry is processed-or-accounted-for too
         processed = offset.get("processed", offset.get("files", []))
@@ -368,9 +386,14 @@ class _DwrfStreamReader(SimpleDataSourceStreamReader):
         # the planner retired are NOT in its "files" map but WERE
         # processed — re-emitting them on a simpleReader=true switch
         # would duplicate rows. Anything at/below the watermark counts
-        # as processed; the simple-form end offset then carries those
-        # names explicitly (it has no watermark of its own).
-        wm = int(start.get("watermark_ns", 0)) if "files" in start else 0
+        # as processed (unless allowLateFiles says backfills should
+        # flow); the simple-form end offset then carries those names
+        # explicitly (it has no watermark of its own).
+        wm = (
+            int(start.get("watermark_ns", 0))
+            if ("files" in start or "base_ref" in start)
+            else 0
+        )
         lineage: dict = {}
         if self.committed_only:
             from hive_dwrf_spark.sources.dwrf_datasource import (
@@ -402,7 +425,7 @@ class _DwrfStreamReader(SimpleDataSourceStreamReader):
                     partial[n] = unc
                     fresh.append((p, unc))
                     continue
-            if wm and _mtime_ns(p) < wm:
+            if wm and not self.allow_late and _mtime_ns(p) < wm:
                 below_wm.add(n)
             else:
                 fresh.append((p, None))
@@ -434,7 +457,15 @@ class _DwrfStreamReader(SimpleDataSourceStreamReader):
         # a planner-form start watermark were folded silently too
         absorbed = set(end.get("absorbed", ()))
         partial = end.get("partial", {}) or {}
-        wm = int(start.get("watermark_ns", 0)) if "files" in start else 0
+        wm = (
+            0
+            if self.allow_late
+            else (
+                int(start.get("watermark_ns", 0))
+                if ("files" in start or "base_ref" in start)
+                else 0
+            )
+        )
 
         def _at_or_above(p: str) -> bool:
             try:
@@ -496,11 +527,25 @@ class _DwrfPartitionStreamReader(DataSourceStreamReader):
             "yes",
         )
         self.committed_only = _committed_opt(options)
-        # last end offset this planner instance returned — rate-limit
-        # anchor only (correctness never depends on it; a fresh instance
-        # resuming a checkpoint plans one uncapped catch-up batch, which
-        # must be a SUPERSET of the checkpointed offset — capping it
-        # would drop processed names from the offset and replay them)
+        # delta offsets (module docstring): past this many live+late
+        # names the catalog persists as a base file and offsets become
+        # deltas; 0 disables (always-inline, the pre-round-12 shape)
+        self._delta_threshold = int(
+            options.get("offsetDeltaThreshold", 4096) or 0
+        )
+        self._base_dir = _offset_base_dir(options)
+        #: (ref, files, late) of the base the next delta diffs against;
+        #: None until the first base write (or after a restart — the
+        #: first emit past the threshold writes a fresh generation)
+        self._base: tuple | None = None
+        self._base_seq: int | None = None
+        self._warned_base_dir = False
+        # last end offset this planner instance returned, ALWAYS in the
+        # resolved inline form — rate-limit anchor only (correctness
+        # never depends on it; a fresh instance resuming a checkpoint
+        # plans one uncapped catch-up batch, which must be a SUPERSET of
+        # the checkpointed offset — capping it would drop processed
+        # names from the offset and replay them)
         self._last: dict | None = None
         # late-arrival observability: total names refused by the
         # watermark rule (allowLateFiles off) and the set already
@@ -508,6 +553,13 @@ class _DwrfPartitionStreamReader(DataSourceStreamReader):
         self.late_files_dropped = 0
         self._late_logged: set[str] = set()
         self._warned_no_size = False
+        # names this planner RETIRED (aged out of the offset) that are
+        # still on disk: they re-surface as 'unseen below-watermark'
+        # every trigger, and without this set the late-refusal counter
+        # would recount already-ingested data as loss. Pruned to the
+        # live listing each trigger, so it tracks on-disk retirees, not
+        # names-ever.
+        self._retired: set[str] = set()
 
     # -- offset algebra ----------------------------------------------------
 
@@ -528,6 +580,11 @@ class _DwrfPartitionStreamReader(DataSourceStreamReader):
         if "processed" in offset:
             return {n: 0 for n in offset["processed"]}, 0, {}
         return {}, 0, {}
+
+    def _resolve(self, offset: dict) -> tuple[dict, int, dict]:
+        """_norm plus the round-12 delta form (base_ref + adds/removes
+        resolved against the persisted base catalog)."""
+        return _resolve_offset_shape(offset, self._norm, self._base_dir)
 
     def _listing(self) -> dict:
         """{rel_name: (mtime_ns, size_bytes)} of the current directory
@@ -568,13 +625,24 @@ class _DwrfPartitionStreamReader(DataSourceStreamReader):
         return out
 
     def initialOffset(self) -> dict:
-        # a NEW query (no checkpoint) starts from the empty offset; anchor
-        # the rate limiter on it so maxFiles/maxBytesPerTrigger bound the
-        # very first catch-up batch too. (On a RESTART Spark never calls
-        # this, self._last stays None, and the first latestOffset returns
-        # an uncapped superset — see __init__.)
-        self._last = {"files": {}, "watermark_ns": 0}
-        return self._last
+        # a NEW query (no checkpoint) starts from the empty offset.
+        # NEVER clobber an existing anchor: the engine calls
+        # latestOffset BEFORE initialOffset on a new query (verified
+        # against python_streaming_source_runner), so by the time this
+        # runs the first uncapped latestOffset may already have admitted
+        # the whole catalog — resetting self._last to empty here made
+        # every later capped trigger re-admit already-ingested names
+        # oldest-first, and the emitted offsets stopped being supersets
+        # of the checkpoint (observed as duplicated rows whenever a
+        # backdated backfill sorted below the seed files; round-12 fix,
+        # latent since the rate limiter landed). When latestOffset has
+        # not run yet, anchoring on empty still lets the caps bound the
+        # very first catch-up batch. (On a RESTART Spark never calls
+        # this, self._last stays None, and the first latestOffset
+        # returns an uncapped superset — see __init__.)
+        if self._last is None:
+            self._last = {"files": {}, "watermark_ns": 0}
+        return {"files": {}, "watermark_ns": 0}
 
     def _cap_admission(self, fresh: list[tuple]) -> list[tuple]:
         """Apply maxFilesPerTrigger/maxBytesPerTrigger to the
@@ -607,6 +675,8 @@ class _DwrfPartitionStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         listed = self._listing()
+        # on-disk retirees only (names deleted since last trigger leave)
+        self._retired.intersection_update(listed)
         prev_files, prev_wm, prev_late = (
             self._norm(self._last) if self._last else ({}, 0, {})
         )
@@ -655,7 +725,14 @@ class _DwrfPartitionStreamReader(DataSourceStreamReader):
                 (m, n, sz) for n, (m, sz) in unseen.items()
             )
         elif late:
-            new_late = [n for n in late if n not in self._late_logged]
+            # names THIS planner retired while they sat on disk are not
+            # data loss — they were ingested before aging out — so they
+            # never enter the refusal counter or the warning
+            new_late = [
+                n
+                for n in late
+                if n not in self._late_logged and n not in self._retired
+            ]
             if new_late:
                 self.late_files_dropped += len(new_late)
                 self._late_logged.update(new_late)
@@ -681,6 +758,11 @@ class _DwrfPartitionStreamReader(DataSourceStreamReader):
         # the name set tracks the files inside the age window, not
         # files-ever-seen (bounded offsets on unbounded streams)
         live = {n: m for n, m in sorted(admitted.items()) if m >= wm}
+        if not self.allow_late:
+            # remember retirees still on disk (late-counter correction)
+            self._retired.update(
+                n for n, m in admitted.items() if m < wm and n in listed
+            )
         end = {"files": live, "watermark_ns": wm}
         if self.allow_late:
             # the late registry carries every accounted-for below-
@@ -698,7 +780,113 @@ class _DwrfPartitionStreamReader(DataSourceStreamReader):
             if reg:
                 end["late"] = dict(sorted(reg.items()))
         self._last = end
-        return end
+        return self._emit_offset(end)
+
+    # -- delta-offset emission (module docstring "Offsets also stay
+    # SMALL") ---------------------------------------------------------------
+
+    def _emit_offset(self, end: dict) -> dict:
+        """The offset Spark checkpoints: inline below the threshold,
+        otherwise a delta against the persisted base catalog — offset
+        bytes then track the arrival rate, not the live-name count."""
+        files = end["files"]
+        late = end.get("late", {})
+        if (
+            not self._delta_threshold
+            or len(files) + len(late) <= self._delta_threshold
+        ):
+            return end
+        if self._base is not None:
+            ref, bfiles, blate = self._base
+            adds = {k: v for k, v in files.items() if bfiles.get(k) != v}
+            removes = sorted(k for k in bfiles if k not in files)
+            ladds = {k: v for k, v in late.items() if blate.get(k) != v}
+            lremoves = sorted(k for k in blate if k not in late)
+            n_delta = len(adds) + len(removes) + len(ladds) + len(lremoves)
+            # rewrite the base only when the delta outgrows ~1% of it:
+            # amortizes one full-catalog write over ~100 triggers while
+            # keeping steady-state offsets a few KB
+            if n_delta <= max(64, len(bfiles) // 100):
+                out = {
+                    "base_ref": ref,
+                    "base_dir": self._base_dir,
+                    "watermark_ns": end["watermark_ns"],
+                }
+                if adds:
+                    out["adds"] = adds
+                if removes:
+                    out["removes"] = removes
+                if ladds:
+                    out["late_adds"] = ladds
+                if lremoves:
+                    out["late_removes"] = lremoves
+                return out
+        ref = self._write_base(files, late)
+        if ref is None:  # base dir unwritable: stay inline (warned once)
+            return end
+        return {
+            "base_ref": ref,
+            "base_dir": self._base_dir,
+            "watermark_ns": end["watermark_ns"],
+        }
+
+    def _write_base(self, files: dict, late: dict) -> str | None:
+        """Persist a new base-catalog generation atomically (tmp +
+        replace) and GC to the newest 8 — enough for any offset Spark's
+        own log retention can replay, since the base only rewrites every
+        ~100 triggers. Returns the ref (filename), or None when the base
+        dir is unwritable (offsets then stay inline)."""
+        import json
+        import uuid
+
+        from hive_dwrf_spark.format.fs import get_fs, join_path
+
+        d = self._base_dir
+        try:
+            fs = get_fs(d)
+            fs.makedirs(d)
+            if self._base_seq is None:
+                seqs = []
+                for p in fs.list_files(d, (".json",)):
+                    name = p.rsplit("/", 1)[-1]
+                    if name.startswith("base-"):
+                        try:
+                            seqs.append(int(name.split("-")[1]))
+                        except (IndexError, ValueError):
+                            pass
+                self._base_seq = max(seqs, default=0)
+            self._base_seq += 1
+            ref = f"base-{self._base_seq:08d}-{uuid.uuid4().hex[:8]}.json"
+            body = json.dumps({"files": files, "late": late})
+            fp = join_path(d, ref)
+            if hasattr(fs, "replace"):
+                tmp = join_path(d, f"{ref}.{uuid.uuid4().hex[:8]}.tmp")
+                with fs.open(tmp, "w") as f:
+                    f.write(body)
+                fs.replace(tmp, fp)
+            else:  # object stores: whole-object PUT is the atom
+                with fs.open(fp, "w") as f:
+                    f.write(body)
+            bases = sorted(
+                p
+                for p in fs.list_files(d, (".json",))
+                if p.rsplit("/", 1)[-1].startswith("base-")
+            )
+            for old in bases[:-8]:
+                fs.remove(old)
+        except OSError as e:
+            if not self._warned_base_dir:
+                self._warned_base_dir = True
+                logging.getLogger(__name__).warning(
+                    "dwrf_stream %s: offset base dir %s unwritable (%s) "
+                    "— falling back to inline full-catalog offsets",
+                    self.path,
+                    d,
+                    e,
+                )
+            return None
+        self._base = (ref, dict(files), dict(late))
+        return ref
 
     def partitions(self, start: dict, end: dict):
         DwrfStreamDataSource._bootstrap()
@@ -710,8 +898,8 @@ class _DwrfPartitionStreamReader(DataSourceStreamReader):
             _pack_stripe_runs,
         )
 
-        start_files, start_wm, start_late = self._norm(start)
-        end_files, _, end_late = self._norm(end)
+        start_files, start_wm, start_late = self._resolve(start)
+        end_files, _, end_late = self._resolve(end)
         # a name below the START watermark was either processed-and-
         # retired or arrived too late — either way it must not replay.
         # Admitted backfills travel in the late registry instead (new
@@ -972,8 +1160,13 @@ def stream_dwrf_dir(spark: SparkSession, path: str, **options) -> DataFrame:
     (per-batch admission caps — whichever budget runs out first),
     ``allowLateFiles`` (admit backfilled below-watermark files instead
     of refusing them; refusals are counted and logged either way),
-    ``committedOnly`` (tail only manifest-committed files),
-    ``columns`` (explicit projection)."""
+    ``committedOnly`` (tail only manifest-committed files; also enables
+    compact_sink lineage resolution, so compacting the tailed dir never
+    double-ingests), ``columns`` (explicit projection),
+    ``offsetDeltaThreshold`` (live names beyond which offsets become
+    deltas against a persisted base catalog; default 4096, 0 = always
+    inline) and ``offsetBaseDir`` (where base generations live, default
+    ``<path>/_dwrf_offsets``)."""
     import sys
 
     from pyspark import cloudpickle

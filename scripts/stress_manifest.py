@@ -10,17 +10,25 @@
    being prevented. Correctness is asserted inline: after every phase
    the committed set equals exactly the live committed files.
 
-2. `_offset_catalog_100k` — the stream source offset payload ceiling.
-   latestOffset() serializes the full live-name catalog per trigger; at
-   100k live names this measures the practical cost: listing+stat wall
-   seconds, offset JSON bytes, and the steady-state partitions() diff
-   wall when 3 fresh files arrive against a 100k-name start offset.
-   SCALE.md "Streaming" converts these numbers into maxFileAgeSec
-   guidance (names_in_offset ~= arrival_rate * maxFileAgeSec).
+2. `_offset_catalog_100k` — the stream source offset payload at 100k
+   live names, INLINE (offsetDeltaThreshold=0, the round-11 shape and
+   its measured 4.1 MB/trigger ceiling) vs DELTA (round-12 default: a
+   persisted base catalog + {base_ref, adds, removes} offsets). For
+   each mode: listing+stat wall seconds, cold + steady offset JSON
+   bytes, and the steady-state partitions() diff wall when 3 fresh
+   files arrive against a 100k-name start offset. The row asserts the
+   delta steady-state offset is >=100x smaller than inline.
+
+3. `_offset_catalog_1m` — the delta scheme at the scale that motivates
+   it: 1,000,000 live names via a SYNTHETIC listing (the monkeypatched
+   reader isolates offset machinery — base-catalog build/write, delta
+   computation, offset resolution + diff — from fs listing cost, which
+   row 2 measures with real files). Records base build seconds, base
+   bytes on disk, steady offset bytes, and resolve+diff seconds.
 
 Usage: python scripts/stress_manifest.py [out.json]
-Merges both entries into out.json (default STRESS_r11.json). No Spark
-session needed — both structures are driver-side planner/commit logic.
+Merges the entries into out.json (default STRESS_r12.json). No Spark
+session needed — these structures are driver-side planner/commit logic.
 """
 
 from __future__ import annotations
@@ -146,31 +154,116 @@ def offset_100k(names: int = 100_000) -> dict:
     create_sec = time.perf_counter() - t0
 
     schema = StructType([StructField("k", LongType())])
-    rdr = _DwrfPartitionStreamReader(schema, {"path": src})
-    rdr.initialOffset()
-    t0 = time.perf_counter()
-    end1 = rdr.latestOffset()
-    latest_sec = time.perf_counter() - t0
-    offset_bytes = len(json.dumps(end1).encode())
-    # steady state: 3 fresh arrivals against the 100k-name catalog
-    for i in range(3):
-        shutil.copyfile(seed, os.path.join(src, f"fresh-{i}.dwrf"))
-    t0 = time.perf_counter()
-    end2 = rdr.latestOffset()
-    latest2_sec = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    parts = rdr.partitions(end1, end2)
-    diff_sec = time.perf_counter() - t0
-    assert len(parts) >= 3
-    shutil.rmtree(src, ignore_errors=True)
-    return {
+    entry: dict = {
         "live_names": names + 1,
         "dir_create_sec": round(create_sec, 2),
-        "latest_offset_cold_sec": round(latest_sec, 3),
-        "latest_offset_steady_sec": round(latest2_sec, 3),
-        "offset_json_bytes": offset_bytes,
-        "offset_bytes_per_name": round(offset_bytes / (names + 1), 1),
-        "partitions_diff_sec_3_fresh": round(diff_sec, 4),
+    }
+    for tag, extra in (
+        ("inline", {"offsetDeltaThreshold": "0"}),
+        ("delta", {}),
+    ):
+        rdr = _DwrfPartitionStreamReader(
+            schema, {"path": src, **extra}
+        )
+        rdr.initialOffset()
+        t0 = time.perf_counter()
+        end1 = rdr.latestOffset()
+        entry[f"{tag}_latest_offset_cold_sec"] = round(
+            time.perf_counter() - t0, 3
+        )
+        entry[f"{tag}_offset_json_bytes_cold"] = len(
+            json.dumps(end1).encode()
+        )
+        # steady state: 3 fresh arrivals against the 100k-name catalog
+        for i in range(3):
+            shutil.copyfile(
+                seed, os.path.join(src, f"fresh-{tag}-{i}.dwrf")
+            )
+        t0 = time.perf_counter()
+        end2 = rdr.latestOffset()
+        entry[f"{tag}_latest_offset_steady_sec"] = round(
+            time.perf_counter() - t0, 3
+        )
+        entry[f"{tag}_offset_json_bytes_steady"] = len(
+            json.dumps(end2).encode()
+        )
+        t0 = time.perf_counter()
+        parts = rdr.partitions(end1, end2)
+        entry[f"{tag}_partitions_diff_sec_3_fresh"] = round(
+            time.perf_counter() - t0, 4
+        )
+        assert len(parts) >= 3
+    entry["offset_bytes_per_name_inline"] = round(
+        entry["inline_offset_json_bytes_steady"] / (names + 1), 1
+    )
+    # the round-12 point: steady-state delta offsets are ~flat vs
+    # live-name count (they track the arrival rate instead)
+    entry["delta_flat"] = (
+        entry["delta_offset_json_bytes_steady"]
+        * 100
+        <= entry["inline_offset_json_bytes_steady"]
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    return entry
+
+
+def offset_1m(names: int = 1_000_000) -> dict:
+    """Delta offsets at 1M live names over a SYNTHETIC listing — the
+    planner's _listing is replaced with an in-memory catalog so the row
+    isolates offset machinery (base build/write, delta computation,
+    resolution + diff) from fs listing cost (offset_100k covers that
+    with real files)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from hive_dwrf_spark.streaming.dwrf_stream import (
+        _DwrfPartitionStreamReader,
+    )
+
+    src = "/tmp/stress_offset_1m"
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    base_ns = time.time_ns()
+    listing = {
+        f"f{i:07d}.dwrf": (base_ns + i * 1_000_000, 1 << 20)
+        for i in range(names)
+    }
+    schema = StructType([StructField("k", LongType())])
+    rdr = _DwrfPartitionStreamReader(schema, {"path": src})
+    rdr._listing = lambda: dict(listing)
+    rdr.initialOffset()
+    t0 = time.perf_counter()
+    o1 = rdr.latestOffset()
+    cold_sec = time.perf_counter() - t0
+    assert "base_ref" in o1, "delta scheme did not engage"
+    bdir = os.path.join(src, "_dwrf_offsets")
+    base_bytes = sum(
+        os.path.getsize(os.path.join(bdir, f)) for f in os.listdir(bdir)
+    )
+    # steady state: 3 arrivals into the synthetic listing
+    for i in range(3):
+        listing[f"g{i}.dwrf"] = (base_ns + names * 1_000_000 + i, 1 << 20)
+    t0 = time.perf_counter()
+    o2 = rdr.latestOffset()
+    steady_sec = time.perf_counter() - t0
+    steady_bytes = len(json.dumps(o2).encode())
+    assert set(o2.get("adds", {})) == {"g0.dwrf", "g1.dwrf", "g2.dwrf"}
+    # resolution + diff cost a restart/trigger pays (partitions() minus
+    # footer planning, which needs real files)
+    t0 = time.perf_counter()
+    sf, _, _ = rdr._resolve(o1)
+    ef, _, _ = rdr._resolve(o2)
+    fresh = [n for n in ef if n not in sf]
+    resolve_sec = time.perf_counter() - t0
+    assert len(fresh) == 3
+    shutil.rmtree(src, ignore_errors=True)
+    return {
+        "live_names": names,
+        "synthetic_listing": True,
+        "base_build_write_sec": round(cold_sec, 3),
+        "base_catalog_bytes": base_bytes,
+        "offset_json_bytes_steady": steady_bytes,
+        "latest_offset_steady_sec": round(steady_sec, 3),
+        "resolve_plus_diff_sec": round(resolve_sec, 3),
     }
 
 
@@ -178,11 +271,12 @@ def main() -> int:
     out_path = (
         sys.argv[1]
         if len(sys.argv) > 1
-        else os.path.join(REPO, "STRESS_r11.json")
+        else os.path.join(REPO, "STRESS_r12.json")
     )
     entries = {
         "_manifest_10k_batches": manifest_10k(),
         "_offset_catalog_100k": offset_100k(),
+        "_offset_catalog_1m": offset_1m(),
     }
     prior = {}
     if os.path.exists(out_path):
@@ -193,7 +287,11 @@ def main() -> int:
         json.dump(prior, f, indent=1, sort_keys=True)
     print(json.dumps(entries, indent=1))
     print(f"-> {out_path}")
-    return 0 if entries["_manifest_10k_batches"]["flat"] else 1
+    ok = (
+        entries["_manifest_10k_batches"]["flat"]
+        and entries["_offset_catalog_100k"]["delta_flat"]
+    )
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

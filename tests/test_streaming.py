@@ -1556,3 +1556,263 @@ def test_simple_reader_honors_merged_lineage(tmp_path):
     # replay of the same range (prefetch-cache contract)
     replay = [r[0] for r in rdr.readBetweenOffsets(o2, o3)]
     assert replay == ["d:0"], replay
+
+
+def _mk_plain_dir(out, names, rows_per=1, mtimes=None):
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    from hive_dwrf_spark.format import write_arrow_table
+
+    for i, n in enumerate(names):
+        write_arrow_table(
+            f"{out}/{n}", pa.table({"k": pa.array(list(range(rows_per)))})
+        )
+        if mtimes:
+            os.utime(f"{out}/{n}", (mtimes[i], mtimes[i]))
+
+
+def test_delta_offsets_emit_resolve_and_compact(tmp_path):
+    """Past offsetDeltaThreshold the planner persists a base catalog and
+    emits {base_ref, adds, removes, watermark_ns} deltas; partitions()
+    resolves them identically to inline offsets; steady-state arrivals
+    keep the SAME base_ref with small adds; the base rewrites when the
+    delta outgrows the 1% rule."""
+    import json
+    import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from hive_dwrf_spark.streaming.dwrf_stream import (
+        _DwrfPartitionStreamReader,
+    )
+
+    out = str(tmp_path / "src")
+    _mk_plain_dir(out, [f"f{i:03d}.dwrf" for i in range(8)])
+    schema = StructType([StructField("k", LongType())])
+    rdr = _DwrfPartitionStreamReader(
+        schema, {"path": out, "offsetDeltaThreshold": "4"}
+    )
+    o0 = rdr.initialOffset()
+    o1 = rdr.latestOffset()
+    # 8 names > threshold 4: delta form, fresh base, empty delta
+    assert "base_ref" in o1 and "files" not in o1, o1
+    assert not o1.get("adds") and not o1.get("removes")
+    base_fp = os.path.join(out, "_dwrf_offsets", o1["base_ref"])
+    assert os.path.exists(base_fp)
+    doc = json.load(open(base_fp))
+    assert len(doc["files"]) == 8
+    # the base dir never pollutes the stream's own listing
+    parts = rdr.partitions(o0, o1)
+    assert len({p.path for p in parts}) == 8
+
+    # steady state: 2 arrivals -> same base_ref, adds only
+    _mk_plain_dir(out, ["g0.dwrf", "g1.dwrf"])
+    o2 = rdr.latestOffset()
+    assert o2["base_ref"] == o1["base_ref"]
+    assert set(o2["adds"]) == {"g0.dwrf", "g1.dwrf"} and "removes" not in o2
+    parts = rdr.partitions(o1, o2)
+    assert {p.path.rsplit("/", 1)[-1] for p in parts} == {
+        "g0.dwrf",
+        "g1.dwrf",
+    }
+    # offset bytes: delta ~2 entries vs 10-name catalog
+    assert len(json.dumps(o2)) < len(json.dumps({"files": doc["files"]}))
+
+    # outgrow the 1% / 64-name floor is high for this size; force a
+    # rewrite by dropping the floor via a tiny base: simulate with many
+    # arrivals instead — 70 new files exceed max(64, 10//100)
+    _mk_plain_dir(out, [f"h{i:03d}.dwrf" for i in range(70)])
+    o3 = rdr.latestOffset()
+    assert o3["base_ref"] != o1["base_ref"], o3
+    assert not o3.get("adds")
+    # resolution across generations: partitions(o2, o3) plans exactly
+    # the 70 arrivals
+    parts = rdr.partitions(o2, o3)
+    assert len({p.path for p in parts}) == 70
+
+
+def test_delta_offsets_restart_interchange_and_gc(tmp_path):
+    """A RESTARTED planner resolves a checkpointed delta offset through
+    the base file on disk; the simple reader interchanges; base GC keeps
+    the newest 8 generations; a rolled-back-too-far ref errors clearly;
+    an unwritable base dir falls back to inline offsets."""
+    import json
+    import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from hive_dwrf_spark.streaming.dwrf_stream import (
+        _DwrfPartitionStreamReader,
+        _DwrfStreamReader,
+    )
+
+    out = str(tmp_path / "src")
+    _mk_plain_dir(out, [f"f{i:03d}.dwrf" for i in range(6)])
+    schema = StructType([StructField("k", LongType())])
+    opts = {"path": out, "offsetDeltaThreshold": "2"}
+    rdr = _DwrfPartitionStreamReader(schema, opts)
+    rdr.initialOffset()
+    o1 = rdr.latestOffset()
+    assert "base_ref" in o1
+
+    # restart: a FRESH planner resolves o1 from disk and plans only the
+    # new arrival
+    _mk_plain_dir(out, ["g0.dwrf"])
+    rdr2 = _DwrfPartitionStreamReader(schema, opts)
+    o2 = rdr2.latestOffset()
+    parts = rdr2.partitions(o1, o2)
+    assert {p.path.rsplit("/", 1)[-1] for p in parts} == {"g0.dwrf"}
+
+    # interchange: the simple reader treats the delta offset's catalog
+    # as processed
+    simple = _DwrfStreamReader(schema, opts)
+    it, o3 = simple.read(o2)
+    assert list(it) == []  # everything already covered
+    _mk_plain_dir(out, ["g1.dwrf"])
+    it, o4 = simple.read(o3)
+    assert len(list(it)) == 1
+
+    # GC: many generations -> newest 8 kept
+    for i in range(12):
+        rdr3 = _DwrfPartitionStreamReader(schema, opts)
+        rdr3.initialOffset()
+        rdr3.latestOffset()  # fresh planner -> new base generation
+    bases = sorted(os.listdir(os.path.join(out, "_dwrf_offsets")))
+    assert len(bases) == 8, bases
+    # a ref older than the retention errors with an explanation
+    import pytest
+
+    with pytest.raises(ValueError, match="base catalog"):
+        rdr3.partitions(
+            {"base_ref": "base-00000001-deadbeef.json", "watermark_ns": 0},
+            rdr3.latestOffset(),
+        )
+
+    # unwritable base dir: inline fallback (offsets keep working)
+    ro = str(tmp_path / "ro_src")
+    _mk_plain_dir(ro, [f"f{i}.dwrf" for i in range(4)])
+    blocker = str(tmp_path / "ro_src" / "_dwrf_offsets")
+    open(blocker, "w").close()  # a FILE where the dir should be
+    rdr4 = _DwrfPartitionStreamReader(
+        schema, {"path": ro, "offsetDeltaThreshold": "2"}
+    )
+    rdr4.initialOffset()
+    o = rdr4.latestOffset()
+    assert "files" in o and len(o["files"]) == 4  # inline fallback
+
+
+def test_retired_on_disk_files_not_counted_late(tmp_path):
+    """A file this planner processed and then RETIRED (aged out) while
+    it stayed on disk must not inflate late_files_dropped — only
+    never-admitted below-watermark names are refusals."""
+    import time
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from hive_dwrf_spark.streaming.dwrf_stream import (
+        _DwrfPartitionStreamReader,
+    )
+
+    out = str(tmp_path / "src")
+    now = time.time()
+    _mk_plain_dir(out, ["old.dwrf"], mtimes=[now - 500])
+    schema = StructType([StructField("k", LongType())])
+    rdr = _DwrfPartitionStreamReader(
+        schema, {"path": out, "maxFileAgeSec": "60"}
+    )
+    rdr.initialOffset()
+    o1 = rdr.latestOffset()
+    assert "old.dwrf" in o1["files"]
+    # a new file advances the watermark past old.dwrf -> it retires but
+    # stays on disk
+    _mk_plain_dir(out, ["new.dwrf"], mtimes=[now])
+    o2 = rdr.latestOffset()
+    assert "old.dwrf" not in o2["files"]
+    # next trigger re-sees old.dwrf below the watermark: NOT a refusal
+    o3 = rdr.latestOffset()
+    assert rdr.late_files_dropped == 0, rdr.late_files_dropped
+    # a genuinely never-seen backfill still counts
+    _mk_plain_dir(out, ["backfill.dwrf"], mtimes=[now - 800])
+    rdr.latestOffset()
+    assert rdr.late_files_dropped == 1
+
+
+def test_simple_reader_allow_late_emits_backfills(tmp_path):
+    """ADVICE (r11): on a planner-to-simpleReader switch, a backfill
+    below the planner's watermark is EMITTED when allowLateFiles is set
+    (default still folds it as processed), and the replay path agrees."""
+    import time
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from hive_dwrf_spark.streaming.dwrf_stream import _DwrfStreamReader
+
+    out = str(tmp_path / "src")
+    now = time.time()
+    _mk_plain_dir(
+        out, ["seen.dwrf", "backfill.dwrf"], mtimes=[now, now - 900]
+    )
+    schema = StructType([StructField("k", LongType())])
+    start = {
+        "files": {"seen.dwrf": int((now - 1) * 1e9)},
+        "watermark_ns": int((now - 100) * 1e9),
+    }
+    # default: folded silently (pre-round-12 behavior, offsets bounded)
+    rdr = _DwrfStreamReader(schema, {"path": out})
+    it, end = rdr.read(start)
+    assert list(it) == []
+    assert "backfill.dwrf" in end["processed"]
+    # allowLateFiles: the backfill flows, exactly once, replay included
+    rdr2 = _DwrfStreamReader(schema, {"path": out, "allowLateFiles": "true"})
+    it2, end2 = rdr2.read(start)
+    assert len(list(it2)) == 1
+    assert len(list(rdr2.readBetweenOffsets(start, end2))) == 1
+    it3, _ = rdr2.read(end2)
+    assert list(it3) == []  # no replay on the next batch
+
+
+def test_initial_offset_never_clobbers_anchor(tmp_path):
+    """Regression (round 12): the engine calls latestOffset BEFORE
+    initialOffset on a new query. Resetting the rate-limit anchor in
+    initialOffset made every later capped trigger re-admit
+    already-ingested names (oldest-first), so emitted offsets stopped
+    being supersets of the checkpoint — duplicated rows whenever a
+    backdated backfill sorted below the seed files."""
+    import time
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from hive_dwrf_spark.streaming.dwrf_stream import (
+        _DwrfPartitionStreamReader,
+    )
+
+    out = str(tmp_path / "src")
+    now = time.time()
+    # seeds NEWER than the backdated backfill that arrives later
+    _mk_plain_dir(
+        out,
+        ["seed0.dwrf", "seed1.dwrf", "seed2.dwrf"],
+        mtimes=[now - 2, now - 1.5, now - 1],
+    )
+    schema = StructType([StructField("k", LongType())])
+    rdr = _DwrfPartitionStreamReader(
+        schema, {"path": out, "maxFilesPerTrigger": "1"}
+    )
+    # engine order on a new query: latestOffset first (uncapped superset)
+    o1 = rdr.latestOffset()
+    assert set(o1["files"]) == {"seed0.dwrf", "seed1.dwrf", "seed2.dwrf"}
+    o0 = rdr.initialOffset()  # ...then initialOffset; must not reset
+    assert o0["files"] == {}
+    # a backdated backlog lands (sorts BELOW every seed)
+    _mk_plain_dir(out, ["back.dwrf"], mtimes=[now - 10])
+    o2 = rdr.latestOffset()
+    # superset invariant: nothing previously admitted may leave, and the
+    # only new admission is the backlog file
+    assert set(o1["files"]) <= set(o2["files"]), o2
+    assert set(o2["files"]) - set(o1["files"]) == {"back.dwrf"}
+    # and the planned batch is exactly the backlog, never a seed replay
+    names = {
+        p.path.rsplit("/", 1)[-1] for p in rdr.partitions(o1, o2)
+    }
+    assert names == {"back.dwrf"}, names
