@@ -1166,7 +1166,10 @@ def stream_dwrf_dir(spark: SparkSession, path: str, **options) -> DataFrame:
     ``offsetDeltaThreshold`` (live names beyond which offsets become
     deltas against a persisted base catalog; default 4096, 0 = always
     inline) and ``offsetBaseDir`` (where base generations live, default
-    ``<path>/_dwrf_offsets``)."""
+    ``<path>/_dwrf_offsets``; base GC keeps the newest 8 PER DIRECTORY,
+    so when several queries tail the same wide directory give each its
+    own offsetBaseDir — interleaved generations from two writers would
+    otherwise share one retention budget)."""
     import sys
 
     from pyspark import cloudpickle
