@@ -230,6 +230,17 @@ class _StripeDecoder:
         self._cache: dict[tuple[int, int], np.ndarray] = {}
         self._raw_cache: dict[tuple[int, int], np.ndarray] = {}
         self._ri_cache: dict[int, proto.RowIndex] = {}
+        # decompressed-block cache for the stride-seek path (_buf_at):
+        # consecutive stride seeks overwhelmingly land in the SAME
+        # compression block (a 256 KB block holds ~5-10 strides of a
+        # typical int stream), so without this every point lookup re-ran
+        # zlib over bytes a previous lookup already inflated — measured
+        # ~50% of read_row wall time on the sf0.1 lookup table. Keyed by
+        # (column, stream kind, block offset); insertion-order eviction
+        # under a byte budget, same GIL-atomic discipline as _cache.
+        self._blk_cache: dict[tuple[int, int, int], np.ndarray] = {}
+        self._blk_cache_bytes = 0
+        self._blk_cache_budget = 32 * 1024 * 1024
         # per-thread decode scratch (present mask handoff to stride-dict
         # decode) so columns can decode concurrently
         import threading
@@ -349,14 +360,27 @@ class _StripeDecoder:
         while p < rng_len and have < need_total:
             header = int(comp[p]) | (int(comp[p + 1]) << 8) | (int(comp[p + 2]) << 16)
             bl = header >> 1
-            body = comp[p + 3 : p + 3 + bl]
             if header & 1:
-                part = body
+                part = comp[p + 3 : p + 3 + bl]  # stored: zero-copy view
             else:
-                part = np.frombuffer(
-                    codecs._decompress_block(body.tobytes(), self.r.compression),
-                    dtype=np.uint8,
-                )
+                ck = (col, int(kind), p)
+                part = self._blk_cache.get(ck)
+                if part is None:
+                    part = np.frombuffer(
+                        codecs._decompress_block(
+                            comp[p + 3 : p + 3 + bl].tobytes(),
+                            self.r.compression,
+                        ),
+                        dtype=np.uint8,
+                    )
+                    self._blk_cache[ck] = part
+                    self._blk_cache_bytes += part.nbytes
+                    while (
+                        self._blk_cache_bytes > self._blk_cache_budget
+                        and self._blk_cache
+                    ):
+                        old = self._blk_cache.pop(next(iter(self._blk_cache)))
+                        self._blk_cache_bytes -= old.nbytes
             parts.append(part)
             have += len(part)
             p += 3 + bl

@@ -81,6 +81,7 @@ def pagerank_fixed_point(
     damping_pct: int = 85,
     checkpoint_interval: int = 4,
     local_threshold: int | None = None,
+    edge_count_bound: int | None = None,
 ) -> DataFrame:
     """Undirected PageRank in exact integer fixed-point.
 
@@ -121,6 +122,19 @@ def pagerank_fixed_point(
         )
     pinned = None
     if local_threshold:
+        # When the caller KNOWS an upper bound on the edge count (e.g. a
+        # bipartite edge list is at most one edge per fact row, and the
+        # fact table's row count is free from the parquet footer), a
+        # bound under the gate proves the local path applies without the
+        # persist + count materialization — the edge derivation (often a
+        # join+distinct) then runs exactly once, in the toArrow collect.
+        # Both paths compute identical results, so the gate may use any
+        # sound bound (optimization round 12).
+        if edge_count_bound is not None and 2 * edge_count_bound <= local_threshold:
+            tbl = edges.select("src", "dst").toArrow()
+            return _pagerank_local(
+                edges.sparkSession, tbl, iterations, scale, damping_pct
+            )
         e = edges.select("src", "dst").persist()
         if 2 * e.count() <= local_threshold:
             tbl = e.toArrow()

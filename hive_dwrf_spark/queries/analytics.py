@@ -19,6 +19,21 @@ from ..tables import fan_out, load
 from . import query
 
 
+def _parquet_rows(sf_dir: str, name: str) -> int | None:
+    """Row count of a test table from parquet footer metadata alone —
+    zero data bytes, driver-side, no Spark job. Used only for SOUND size
+    bounds feeding adaptive gates (both gate outcomes compute identical
+    results); returns None when the layout is not a plain file."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.read_metadata(os.path.join(sf_dir, f"{name}.parquet")).num_rows
+    except Exception:
+        return None
+
+
 def _zorder_oracle(bits: int = 8) -> str:
     """DuckDB replay of operators/layout.py::add_zorder_key for
     (l_partkey, l_suppkey): identical integer quantization (width =
@@ -661,7 +676,13 @@ def graph_pagerank(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem")
     edges = graph.bipartite_edges(o, l)
-    return graph.pagerank_fixed_point(edges, iterations=3).orderBy("node")
+    # distinct (customer, supplier) pairs <= lineitem rows, and the row
+    # count is free from the parquet footer — a sound edge-count bound
+    # that lets the small-graph gate skip its persist+count probe
+    bound = _parquet_rows(sf_dir, "lineitem")
+    return graph.pagerank_fixed_point(
+        edges, iterations=3, edge_count_bound=bound
+    ).orderBy("node")
 
 
 @query(

@@ -240,7 +240,7 @@ def _numbered_lineitem(spark, sf_dir):
     (rn, values) set), plus a LIST and a STRUCT column derived from the
     scalars so nested decode paths can be cross-checked in-engine."""
     li = load(spark, sf_dir, "lineitem")
-    w = Window.orderBy(
+    keys = [
         "l_orderkey",
         "l_linenumber",
         "l_quantity",
@@ -248,11 +248,44 @@ def _numbered_lineitem(spark, sf_dir):
         "l_returnflag",
         "l_partkey",
         "l_suppkey",
+    ]
+    # Parallel global row number (optimization round 12, guide §2.4/§2.5):
+    # the old shape was `row_number() OVER (ORDER BY keys)` — an
+    # Exchange SinglePartition plus a one-task sort of the whole table
+    # (and at 100 TB, of the whole CORPUS) before anything else runs.
+    # Range-partition by the same key tuple instead (equal keys never
+    # split across range partitions), rank within each partition, and
+    # add per-partition row-count offsets — a catalog-sized (#partitions
+    # rows) collect. Global rn under the same total order, computed by
+    # every core. The projection is narrowed to the key columns before
+    # the exchange (guide §2.3).
+    par = spark.sparkContext.defaultParallelism
+    part = (
+        li.select(*keys)
+        .repartitionByRange(par, *keys)
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
     )
+    # per-partition rn offsets = exclusive prefix sum of partition row
+    # counts in pid order — a #partitions-row frame computed lazily from
+    # the same cached scan (no separate driver-side counts job; the
+    # single-partition window below is over ~#cores rows)
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off_df = (
+        part.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("rn_off"),
+        )
+    )
+    w = Window.partitionBy("pid").orderBy(*keys)
     qty_c = F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint")
     price_c = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
-    return li.select(
-        (F.row_number().over(w) - 1).alias("rn"),
+    out = part.join(F.broadcast(off_df), "pid").select(
+        (F.row_number().over(w) - 1 + F.col("rn_off")).alias("rn"),
         F.col("l_orderkey").alias("okey"),
         F.col("l_linenumber").alias("ln"),
         qty_c.alias("qty_c"),
@@ -261,6 +294,21 @@ def _numbered_lineitem(spark, sf_dir):
         F.array(qty_c, price_c).alias("arr"),
         F.struct(F.col("l_returnflag").alias("f")).alias("st"),
     )
+    return _with_pinned(out, part)
+
+
+def _with_pinned(df, pinned):
+    """Tag `df` with the persisted frame it reads so callers can
+    unpersist after consuming (the pagerank/minhash release discipline:
+    repeated calls in one session must not accumulate cached blocks)."""
+    df._pinned_src = pinned
+    return df
+
+
+def _release_pinned(df) -> None:
+    pinned = getattr(df, "_pinned_src", None)
+    if pinned is not None:
+        pinned.unpersist()
 
 
 @query(
@@ -311,10 +359,19 @@ def format_point_lookup(spark, sf_dir):
     shutil.rmtree(path, ignore_errors=True)
     df = _numbered_lineitem(spark, sf_dir)
     # one sorted file so global row number == file row number (the
-    # range-sorted layout a point-lookup table has at any scale)
-    df.orderBy("rn").coalesce(1).write.format("dwrf").option(
-        "path", path
-    ).mode("overwrite").save()
+    # range-sorted layout a point-lookup table has at any scale).
+    # repartitionByRange(1) + sortWithinPartitions replaces
+    # orderBy().coalesce(1): the old form collapsed the whole upstream
+    # (window included) into ONE task — coalesce propagates up through
+    # the sort — while an explicit exchange keeps the window stage wide
+    # and leaves only the final rn sort in the one task that must exist
+    # to write one file. Range (not round-robin) partitioning into the
+    # single partition: repartition(1) would pay SPARK-23207's
+    # all-column local sort of every upstream partition first.
+    df.repartitionByRange(1, "rn").sortWithinPartitions("rn").write.format(
+        "dwrf"
+    ).option("path", path).mode("overwrite").save()
+    _release_pinned(df)
     fp = sorted(glob.glob(os.path.join(path, "*.dwrf")))[0]
     out = []
     with DwrfFile(fp) as f:
@@ -329,8 +386,16 @@ def format_point_lookup(spark, sf_dir):
                 (row["rn"], row["okey"], row["ln"], row["qty_c"],
                  row["price_c"], row["flag"])
             )
+    import pandas as _pd
+
+    # Arrow path for the k-row result frame: the list-of-tuples form
+    # pickles through the RDD path and round-trips a 32-task job; a
+    # pandas frame ships as ONE Arrow batch (guide §6 driver transfers)
     return spark.createDataFrame(
-        out, "rn long, okey long, ln int, qty_c long, price_c long, flag string"
+        _pd.DataFrame(
+            out, columns=["rn", "okey", "ln", "qty_c", "price_c", "flag"]
+        ),
+        "rn long, okey long, ln int, qty_c long, price_c long, flag string",
     ).orderBy("rn")
 
 
@@ -381,6 +446,7 @@ def format_point_lookup_batch(spark, sf_dir):
     df.repartitionByRange(4, "rn").sortWithinPartitions("rn").write.format(
         "dwrf"
     ).option("path", path).mode("overwrite").save()
+    _release_pinned(df)
     # row count from footers only (A27 raw-size accounting surface): the
     # key domain is known without scanning any data bytes
     n = dwrf_path_stats(path)["rows"]
@@ -1808,6 +1874,7 @@ def format_sql_lookup(spark, sf_dir):
     df.repartitionByRange(4, "rn").sortWithinPartitions("rn").write.format(
         "dwrf"
     ).option("path", path).mode("overwrite").save()
+    _release_pinned(df)
     n = dwrf_path_stats(path)["rows"]
     katoms = ", ".join(str(k) for k in range(0, n, 101))
     return spark.sql(

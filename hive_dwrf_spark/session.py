@@ -39,12 +39,21 @@ RUNTIME_CONFS: dict[str, str] = {
 
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable confs to a session we did not build."""
+    """Apply runtime-settable confs to a session we did not build.
+
+    Memoized per session object: tables.load() calls this on every
+    table load (the driver may hand us a bare session at any entry
+    point), and each conf.set is a py4j round-trip — measurable when a
+    query loads several tables (optimization round 12). The flag lives
+    on the session wrapper, same idiom as shipping.ensure_shipped."""
+    if getattr(spark, "_hive_dwrf_confs_applied", False):
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-runtime conf on this build; builder path sets it
+    spark._hive_dwrf_confs_applied = True
     return spark
 
 
