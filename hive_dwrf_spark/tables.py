@@ -35,6 +35,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     apply_runtime_confs(spark)
     ensure_shipped(spark)
+    # Memoize the LAZY DataFrame per (session, dir, table): every
+    # spark.read.parquet() re-runs schema inference + file listing
+    # (~50-200 ms of driver work), and a query calls load() for each of
+    # its tables on every invocation — q04 alone loads five. This is the
+    # file-listing-cache class of optimization (guide §6), not result
+    # caching: the object held is an immutable lazy plan over the
+    # parquet files; every action on it still scans the files. The test
+    # corpora under sf_dir are immutable; anything mutable goes through
+    # the dwrf DataSource, not this loader.
+    cache = getattr(spark, "_dwrf_table_dfs", None)
+    if cache is None:
+        cache = {}
+        spark._dwrf_table_dfs = cache
+    key = (os.path.abspath(sf_dir), name)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -44,6 +61,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
         )
+    cache[key] = df
     return df
 
 
@@ -66,6 +84,10 @@ def fan_out(df: DataFrame, *keys: str) -> DataFrame:
     load() measurably regressed the overall bench."""
     sc = df.sparkSession.sparkContext
     par = sc.defaultParallelism
+    # note: the rdd-probe here is ~1 ms on a load()-memoized DataFrame
+    # (the RDD lineage caches on the reused object); the ~200 ms that
+    # used to be attributed to this probe was spark.read.parquet's
+    # schema/listing cost, now memoized in load() (optimization r12)
     if df.rdd.getNumPartitions() * 2 <= par:
         return df.repartition(par, *keys) if keys else df.repartition(par)
     return df
