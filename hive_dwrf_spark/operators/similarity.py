@@ -469,22 +469,38 @@ def random_projection(
     df_q = df.filter(F.col(vec_col).isNotNull()).select(
         *[F.col(c) for c in id_cols], q.alias("__q")
     )
-    comps = []
+    # The sign matrix folds into the plan as out_dim ARRAY literals
+    # consumed by higher-order functions (optimization round 12): the
+    # previous shape materialized dim x out_dim individual literal
+    # Columns (512 CreateArray children at the defaults), and the
+    # analyzer/codegen cost of that tree (~0.5 s per invocation) was the
+    # whole cost of the operator at bench scale. One array<array<long>>
+    # literal + sequence/element_at/zip_with/aggregate computes the
+    # identical exact-integer sums with an O(out_dim)-node tree.
     zero = F.lit(0).cast("long")
-    for k in range(out_dim):
-        signs_k = F.array(*[F.lit(sign(j, k)).cast("long") for j in range(dim)])
-        comp = F.aggregate(
-            F.zip_with(F.col("__q"), signs_k, lambda x, s: x * s),
-            zero,
-            lambda a, b: a + b,
-        )
-        comps.append(
-            F.struct(
-                F.lit(k + 1).cast("int").alias("k"), comp.alias("comp_e4")
-            )
-        )
+    signs_lit = F.array(
+        *[
+            F.lit([sign(j, k) for j in range(dim)]).cast("array<long>")
+            for k in range(out_dim)
+        ]
+    )
+    comps = F.transform(
+        F.sequence(F.lit(1), F.lit(out_dim)),
+        lambda k: F.struct(
+            k.cast("int").alias("k"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("__q"),
+                    F.element_at(signs_lit, k),
+                    lambda x, s: x * s,
+                ),
+                zero,
+                lambda a, b: a + b,
+            ).alias("comp_e4"),
+        ),
+    )
     return df_q.select(
-        *[F.col(c) for c in id_cols], F.explode(F.array(*comps)).alias("__c")
+        *[F.col(c) for c in id_cols], F.explode(comps).alias("__c")
     ).select(*id_cols, F.col("__c.k").alias("k"), F.col("__c.comp_e4").alias("comp_e4"))
 
 

@@ -311,6 +311,58 @@ def _release_pinned(df) -> None:
         pinned.unpersist()
 
 
+def _write_range_sorted(spark, df, path, key, n_files):
+    """Range-sorted DWRF layout written WIDE, then stripe-concatenated
+    (optimization round 12, guide §2.4 — remove the serial funnel):
+    ``repartitionByRange(n_files, key)`` pushes the sort + Arrow handoff
+    + encode of the whole frame into n_files tasks — for the single-file
+    layout, ONE task over the whole table (at 100 TB, the whole corpus).
+    Instead the frame is written as ~#cores range parts (every core
+    sorts and encodes only its own key range), and the parts are
+    stripe-concatenated driver-side in key order with A22's
+    ``merge_files`` — a raw byte copy of position-independent stripes
+    (index/data/footer move verbatim, only directory offsets change), no
+    decode or re-encode, IO-bound. Part order comes from each part's
+    footer min(key) statistics (part names are uuids, zero data bytes
+    read); range partitioning makes per-part key ranges disjoint, so
+    concatenation preserves the global sort the stride lookups rely on."""
+    import glob as _glob
+    import math
+    import shutil as _shutil
+
+    from ..format.merge import merge_files
+    from ..format.reader import DwrfFile
+
+    par = spark.sparkContext.defaultParallelism
+    if par <= n_files:
+        df.repartitionByRange(n_files, key).sortWithinPartitions(
+            key
+        ).write.format("dwrf").option("path", path).mode("overwrite").save()
+        return
+    parts_dir = path + "_parts"
+    _shutil.rmtree(parts_dir, ignore_errors=True)
+    df.repartitionByRange(par, key).sortWithinPartitions(key).write.format(
+        "dwrf"
+    ).option("path", parts_dir).mode("overwrite").save()
+    ordered = []
+    for fp in _glob.glob(os.path.join(parts_dir, "*.dwrf")):
+        with DwrfFile(fp) as f:
+            if f.num_rows == 0:
+                continue  # empty range part: contributes no stripes
+            ordered.append((f.file_stats(f._top_level_id(key)).minimum, fp))
+    ordered.sort()
+    parts = [fp for _, fp in ordered]
+    _shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    chunk = math.ceil(len(parts) / n_files)
+    for i in range(0, len(parts), chunk):
+        merge_files(
+            parts[i : i + chunk],
+            os.path.join(path, f"part-{i // chunk:05d}.dwrf"),
+        )
+    _shutil.rmtree(parts_dir)
+
+
 @query(
     "format_point_lookup",
     # row_number ties: the window key includes every selected column (plus
@@ -368,11 +420,15 @@ def format_point_lookup(spark, sf_dir):
     # to write one file. Range (not round-robin) partitioning into the
     # single partition: repartition(1) would pay SPARK-23207's
     # all-column local sort of every upstream partition first.
-    df.repartitionByRange(1, "rn").sortWithinPartitions("rn").write.format(
-        "dwrf"
-    ).option("path", path).mode("overwrite").save()
+    # wide parallel write + driver-side stripe concat replaces the
+    # one-task sort+encode funnel (optimization round 12, guide §2.4)
+    _write_range_sorted(spark, df, path, "rn", 1)
     _release_pinned(df)
     fp = sorted(glob.glob(os.path.join(path, "*.dwrf")))[0]
+    # serial lookup loop kept deliberately: a 16-thread pool over the
+    # same handle was MEASURED SLOWER here (0.94 s vs 0.29 s serial on
+    # the merged layout — the per-lookup work is numpy assembly under
+    # the GIL once stripes are small, so threads only add contention)
     out = []
     with DwrfFile(fp) as f:
         for r in range(0, f.num_rows, 4999):
@@ -443,9 +499,9 @@ def format_point_lookup_batch(spark, sf_dir):
     path = f"/tmp/hive_dwrf_spark_ptlkb_{base}"
     shutil.rmtree(path, ignore_errors=True)
     df = _numbered_lineitem(spark, sf_dir)
-    df.repartitionByRange(4, "rn").sortWithinPartitions("rn").write.format(
-        "dwrf"
-    ).option("path", path).mode("overwrite").save()
+    # wide parallel write + driver-side stripe concat into the 4-file
+    # range layout (optimization round 12, guide §2.4)
+    _write_range_sorted(spark, df, path, "rn", 4)
     _release_pinned(df)
     # row count from footers only (A27 raw-size accounting surface): the
     # key domain is known without scanning any data bytes
@@ -1448,7 +1504,15 @@ def format_verify_on_read(spark, sf_dir):
     shutil.rmtree(bad_dir, ignore_errors=True)
     os.makedirs(bad_dir)
     e = load(spark, sf_dir, "events")
-    e.repartition(2).write.format("dwrf").option("path", path).option(
+    # repartitionByRange instead of round-robin repartition(2): a keyless
+    # repartition pays SPARK-23207's all-column local sort of every input
+    # partition before the exchange (deterministic retry placement); a
+    # range exchange on the unique event_id needs no such sort and yields
+    # the same two-file checksummed layout (optimization round 12,
+    # guide §2.5 note)
+    e.repartitionByRange(2, "event_id").write.format("dwrf").option(
+        "path", path
+    ).option(
         "stripe_rows", "2000"
     ).option("checksums", "true").mode("overwrite").save()
     # negative path: flip ONE data byte in a copy -> the verified read
@@ -1871,9 +1935,9 @@ def format_sql_lookup(spark, sf_dir):
     path = f"/tmp/hive_dwrf_spark_sqllk_{base}"
     shutil.rmtree(path, ignore_errors=True)
     df = _numbered_lineitem(spark, sf_dir)
-    df.repartitionByRange(4, "rn").sortWithinPartitions("rn").write.format(
-        "dwrf"
-    ).option("path", path).mode("overwrite").save()
+    # wide parallel write + driver-side stripe concat into the 4-file
+    # range layout (optimization round 12, guide §2.4)
+    _write_range_sorted(spark, df, path, "rn", 4)
     _release_pinned(df)
     n = dwrf_path_stats(path)["rows"]
     katoms = ", ".join(str(k) for k in range(0, n, 101))

@@ -196,3 +196,65 @@ class TestDistributedCompaction:
             assert total == 2 * sum(range(300))
         finally:
             _SCHEME_FS.pop("mock", None)
+
+
+class TestWriteRangeSorted:
+    """The wide-write + stripe-concat path behind the point-lookup
+    layouts (queries/roundtrip.py::_write_range_sorted, optimization
+    round 12): parts written by ~#cores tasks must concatenate into a
+    globally key-sorted file set with no row lost or reordered."""
+
+    def _frame(self, spark, n=5000):
+        from pyspark.sql import functions as F
+
+        # non-trivial order: hash-scrambled key so input order != rn order
+        return (
+            spark.range(n)
+            .select(
+                F.xxhash64("id").alias("scramble"),
+                F.col("id").alias("rn"),
+                (F.col("id") * 3).alias("v"),
+            )
+            .repartition(7, "scramble")
+            .drop("scramble")
+        )
+
+    @pytest.mark.parametrize("n_files", [1, 3])
+    def test_global_sort_and_row_parity(self, spark, tmp_path, n_files):
+        from hive_dwrf_spark.queries.roundtrip import _write_range_sorted
+        from hive_dwrf_spark.sources import register
+
+        register(spark)
+        out = str(tmp_path / f"rs{n_files}")
+        _write_range_sorted(spark, self._frame(spark), out, "rn", n_files)
+        import glob
+
+        files = sorted(glob.glob(out + "/*.dwrf"))
+        assert 1 <= len(files) <= n_files
+        seen = []
+        last = -1
+        for fp in files:
+            with DwrfFile(fp) as f:
+                vals = f.read().column("rn").to_pylist()
+            # within-file sorted AND files disjoint in sorted name order
+            assert vals == sorted(vals)
+            assert vals[0] > last
+            last = vals[-1]
+            seen.extend(vals)
+        assert seen == list(range(5000))
+
+    def test_single_file_read_row_seeks(self, spark, tmp_path):
+        from hive_dwrf_spark.queries.roundtrip import _write_range_sorted
+        from hive_dwrf_spark.sources import register
+
+        register(spark)
+        out = str(tmp_path / "rs_seek")
+        _write_range_sorted(spark, self._frame(spark), out, "rn", 1)
+        import glob
+
+        (fp,) = glob.glob(out + "/*.dwrf")
+        with DwrfFile(fp) as f:
+            # file row number == rn across every concatenated stripe
+            for r in (0, 1, 999, 2500, 4999):
+                row = f.read_row(r)
+                assert row["rn"] == r and row["v"] == 3 * r
