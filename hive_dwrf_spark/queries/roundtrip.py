@@ -250,22 +250,36 @@ def _numbered_lineitem(spark, sf_dir):
         "l_suppkey",
     ]
     # Parallel global row number (optimization round 12, guide §2.4/§2.5):
-    # the old shape was `row_number() OVER (ORDER BY keys)` — an
+    # the original shape was `row_number() OVER (ORDER BY keys)` — an
     # Exchange SinglePartition plus a one-task sort of the whole table
     # (and at 100 TB, of the whole CORPUS) before anything else runs.
-    # Range-partition by the same key tuple instead (equal keys never
-    # split across range partitions), rank within each partition, and
-    # add per-partition row-count offsets — a catalog-sized (#partitions
-    # rows) collect. Global rn under the same total order, computed by
-    # every core. The projection is narrowed to the key columns before
-    # the exchange (guide §2.3).
+    # Range-partition by the key tuple (equal keys never split across
+    # range partitions) and sort within partitions instead: partition i's
+    # keys all precede partition j's for i < j, so after the local sort
+    # the global rank of a row is its row position within its partition
+    # plus the total row count of the partitions before it. Both terms
+    # come WITHOUT a window: `monotonically_increasing_id()` is specified
+    # as (partition id << 33) | row position, so projecting it right
+    # after the sort yields (pid, local rank) for free, and the offsets
+    # are an exclusive prefix sum over the ~#cores-row per-pid count
+    # frame (broadcast join; the only window left is over that tiny
+    # frame). vs the windowed form this removes one hash exchange of the
+    # full frame (clustering by pid — rows are already physically
+    # clustered by pid), the full-frame row_number window, and lets the
+    # already-sorted output flow straight into the range-layout write
+    # with no further exchange or sort (see _write_range_sorted
+    # presorted=True). The projection is narrowed to the key columns
+    # before the exchange (guide §2.3).
     par = spark.sparkContext.defaultParallelism
     part = (
         li.select(*keys)
         .repartitionByRange(par, *keys)
-        .withColumn("pid", F.spark_partition_id())
+        .sortWithinPartitions(*keys)
+        .withColumn("mid", F.monotonically_increasing_id())
         .persist()
     )
+    pid = F.shiftright("mid", 33)
+    local = F.col("mid").bitwiseAND(F.lit((1 << 33) - 1))
     # per-partition rn offsets = exclusive prefix sum of partition row
     # counts in pid order — a #partitions-row frame computed lazily from
     # the same cached scan (no separate driver-side counts job; the
@@ -274,18 +288,17 @@ def _numbered_lineitem(spark, sf_dir):
         Window.unboundedPreceding, -1
     )
     off_df = (
-        part.groupBy("pid")
+        part.groupBy(pid.alias("pid"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
             "pid",
             F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("rn_off"),
         )
     )
-    w = Window.partitionBy("pid").orderBy(*keys)
     qty_c = F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint")
     price_c = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
-    out = part.join(F.broadcast(off_df), "pid").select(
-        (F.row_number().over(w) - 1 + F.col("rn_off")).alias("rn"),
+    out = part.withColumn("pid", pid).join(F.broadcast(off_df), "pid").select(
+        (local + F.col("rn_off")).alias("rn"),
         F.col("l_orderkey").alias("okey"),
         F.col("l_linenumber").alias("ln"),
         qty_c.alias("qty_c"),
@@ -311,7 +324,7 @@ def _release_pinned(df) -> None:
         pinned.unpersist()
 
 
-def _write_range_sorted(spark, df, path, key, n_files):
+def _write_range_sorted(spark, df, path, key, n_files, presorted=False):
     """Range-sorted DWRF layout written WIDE, then stripe-concatenated
     (optimization round 12, guide §2.4 — remove the serial funnel):
     ``repartitionByRange(n_files, key)`` pushes the sort + Arrow handoff
@@ -325,7 +338,17 @@ def _write_range_sorted(spark, df, path, key, n_files):
     decode or re-encode, IO-bound. Part order comes from each part's
     footer min(key) statistics (part names are uuids, zero data bytes
     read); range partitioning makes per-part key ranges disjoint, so
-    concatenation preserves the global sort the stride lookups rely on."""
+    concatenation preserves the global sort the stride lookups rely on.
+
+    ``presorted=True`` asserts the frame is ALREADY range-partitioned
+    and sorted by ``key`` within partitions (the _numbered_lineitem
+    output: rn order is construction-equal to the partition layout), so
+    the repartitionByRange here — whose hidden cost is a SAMPLING JOB
+    that evaluates the whole upstream once more, plus a full shuffle and
+    re-sort of the frame — is skipped and each task writes its partition
+    as-is. The footer min/max stats of every part are checked disjoint
+    before concatenation, so a violated precondition fails loudly rather
+    than producing an unsorted file."""
     import glob as _glob
     import math
     import shutil as _shutil
@@ -334,24 +357,36 @@ def _write_range_sorted(spark, df, path, key, n_files):
     from ..format.reader import DwrfFile
 
     par = spark.sparkContext.defaultParallelism
-    if par <= n_files:
+    if par <= n_files and not presorted:
         df.repartitionByRange(n_files, key).sortWithinPartitions(
             key
         ).write.format("dwrf").option("path", path).mode("overwrite").save()
         return
     parts_dir = path + "_parts"
     _shutil.rmtree(parts_dir, ignore_errors=True)
-    df.repartitionByRange(par, key).sortWithinPartitions(key).write.format(
-        "dwrf"
-    ).option("path", parts_dir).mode("overwrite").save()
+    w = (
+        df
+        if presorted
+        else df.repartitionByRange(par, key).sortWithinPartitions(key)
+    )
+    w.write.format("dwrf").option("path", parts_dir).mode(
+        "overwrite"
+    ).save()
     ordered = []
     for fp in _glob.glob(os.path.join(parts_dir, "*.dwrf")):
         with DwrfFile(fp) as f:
             if f.num_rows == 0:
                 continue  # empty range part: contributes no stripes
-            ordered.append((f.file_stats(f._top_level_id(key)).minimum, fp))
+            st = f.file_stats(f._top_level_id(key))
+            ordered.append((st.minimum, st.maximum, fp))
     ordered.sort()
-    parts = [fp for _, fp in ordered]
+    for (_, mx1, fp1), (mn2, _, fp2) in zip(ordered, ordered[1:]):
+        if mx1 >= mn2:
+            raise AssertionError(
+                f"range parts overlap on {key}: {fp1} max={mx1} vs "
+                f"{fp2} min={mn2}"
+            )
+    parts = [fp for _, _, fp in ordered]
     _shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path)
     chunk = math.ceil(len(parts) / n_files)
@@ -411,18 +446,12 @@ def format_point_lookup(spark, sf_dir):
     shutil.rmtree(path, ignore_errors=True)
     df = _numbered_lineitem(spark, sf_dir)
     # one sorted file so global row number == file row number (the
-    # range-sorted layout a point-lookup table has at any scale).
-    # repartitionByRange(1) + sortWithinPartitions replaces
-    # orderBy().coalesce(1): the old form collapsed the whole upstream
-    # (window included) into ONE task — coalesce propagates up through
-    # the sort — while an explicit exchange keeps the window stage wide
-    # and leaves only the final rn sort in the one task that must exist
-    # to write one file. Range (not round-robin) partitioning into the
-    # single partition: repartition(1) would pay SPARK-23207's
-    # all-column local sort of every upstream partition first.
-    # wide parallel write + driver-side stripe concat replaces the
-    # one-task sort+encode funnel (optimization round 12, guide §2.4)
-    _write_range_sorted(spark, df, path, "rn", 1)
+    # range-sorted layout a point-lookup table has at any scale). The
+    # numbered frame is already range-partitioned and rn-sorted by
+    # construction, so the wide parallel write + driver-side stripe
+    # concat (optimization round 12, guide §2.4) needs no further
+    # exchange or sort — presorted=True writes each partition as-is
+    _write_range_sorted(spark, df, path, "rn", 1, presorted=True)
     _release_pinned(df)
     fp = sorted(glob.glob(os.path.join(path, "*.dwrf")))[0]
     # serial lookup loop kept deliberately: a 16-thread pool over the
@@ -501,7 +530,7 @@ def format_point_lookup_batch(spark, sf_dir):
     df = _numbered_lineitem(spark, sf_dir)
     # wide parallel write + driver-side stripe concat into the 4-file
     # range layout (optimization round 12, guide §2.4)
-    _write_range_sorted(spark, df, path, "rn", 4)
+    _write_range_sorted(spark, df, path, "rn", 4, presorted=True)
     _release_pinned(df)
     # row count from footers only (A27 raw-size accounting surface): the
     # key domain is known without scanning any data bytes
@@ -1937,7 +1966,7 @@ def format_sql_lookup(spark, sf_dir):
     df = _numbered_lineitem(spark, sf_dir)
     # wide parallel write + driver-side stripe concat into the 4-file
     # range layout (optimization round 12, guide §2.4)
-    _write_range_sorted(spark, df, path, "rn", 4)
+    _write_range_sorted(spark, df, path, "rn", 4, presorted=True)
     _release_pinned(df)
     n = dwrf_path_stats(path)["rows"]
     katoms = ", ".join(str(k) for k in range(0, n, 101))

@@ -258,3 +258,85 @@ class TestWriteRangeSorted:
             for r in (0, 1, 999, 2500, 4999):
                 row = f.read_row(r)
                 assert row["rn"] == r and row["v"] == 3 * r
+
+    def test_presorted_skips_exchange_and_stays_sorted(
+        self, spark, tmp_path
+    ):
+        """presorted=True on a frame that IS range-laid-out writes the
+        partitions as-is and still concatenates to a global sort."""
+        from pyspark.sql import functions as F
+
+        from hive_dwrf_spark.queries.roundtrip import _write_range_sorted
+        from hive_dwrf_spark.sources import register
+
+        register(spark)
+        df = (
+            self._frame(spark)
+            .repartitionByRange(7, "rn")
+            .sortWithinPartitions("rn")
+        )
+        out = str(tmp_path / "rs_presorted")
+        _write_range_sorted(spark, df, out, "rn", 1, presorted=True)
+        import glob
+
+        (fp,) = glob.glob(out + "/*.dwrf")
+        with DwrfFile(fp) as f:
+            assert f.read().column("rn").to_pylist() == list(range(5000))
+
+    def test_presorted_precondition_violation_fails_loudly(
+        self, spark, tmp_path
+    ):
+        """A frame whose partitions overlap on the key (hash layout) must
+        raise on the footer-stats disjointness check, not silently
+        produce an unsorted file."""
+        from hive_dwrf_spark.queries.roundtrip import _write_range_sorted
+        from hive_dwrf_spark.sources import register
+
+        register(spark)
+        # hash-partitioned: per-part rn ranges all span ~[0, n)
+        df = self._frame(spark).repartition(7, "rn")
+        out = str(tmp_path / "rs_bad")
+        with pytest.raises(AssertionError, match="range parts overlap"):
+            _write_range_sorted(spark, df, out, "rn", 1, presorted=True)
+
+    def test_numbered_lineitem_matches_window_rank(self, spark):
+        """The monotonically_increasing_id-derived global rank equals
+        row_number() OVER (ORDER BY keys) on the same frame (sf0.001)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from hive_dwrf_spark.queries.roundtrip import (
+            _numbered_lineitem,
+            _release_pinned,
+        )
+        from hive_dwrf_spark.tables import load
+
+        sf = "/root/testdata/sf0.001"
+        df = _numbered_lineitem(spark, sf)
+        got = {
+            (r["rn"], r["okey"], r["ln"], r["qty_c"], r["price_c"], r["flag"])
+            for r in df.collect()
+        }
+        _release_pinned(df)
+        li = load(spark, sf, "lineitem")
+        keys = [
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_returnflag", "l_partkey", "l_suppkey",
+        ]
+        w = Window.orderBy(*keys)
+        want = {
+            tuple(r)
+            for r in li.select(
+                (F.row_number().over(w) - 1).alias("rn"),
+                F.col("l_orderkey").alias("okey"),
+                F.col("l_linenumber").alias("ln"),
+                F.floor(F.col("l_quantity") * 100 + 0.5)
+                .cast("bigint")
+                .alias("qty_c"),
+                F.floor(F.col("l_extendedprice") * 100 + 0.5)
+                .cast("bigint")
+                .alias("price_c"),
+                F.col("l_returnflag").alias("flag"),
+            ).collect()
+        }
+        assert got == want
