@@ -675,13 +675,17 @@ def graph_pagerank(spark, sf_dir):
     arithmetic makes every iteration bit-replayable in SQL."""
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem")
-    edges = graph.bipartite_edges(o, l)
-    # distinct (customer, supplier) pairs <= lineitem rows, and the row
+    # raw pair stream: the distinct shuffle removed only ~2% of rows at
+    # this graph's density, so dedup is delegated to pagerank_fixed_point
+    # (numpy pass on the local path, the same distinct on the
+    # distributed path — optimization round 12, guide §2.4)
+    edges = graph.bipartite_edges(o, l, distinct=False)
+    # (customer, supplier) pairs <= lineitem rows, and the row
     # count is free from the parquet footer — a sound edge-count bound
     # that lets the small-graph gate skip its persist+count probe
     bound = _parquet_rows(sf_dir, "lineitem")
     return graph.pagerank_fixed_point(
-        edges, iterations=3, edge_count_bound=bound
+        edges, iterations=3, edge_count_bound=bound, dedup_edges=True
     ).orderBy("node")
 
 

@@ -2117,6 +2117,62 @@ def test_pagerank_local_matches_distributed_random_graph(spark):
     assert a == b and len(a) > 50
 
 
+def test_pagerank_dedup_edges_matches_predistincted(spark):
+    """dedup_edges=True on a duplicated pair stream must equal the
+    default path on the pre-distincted list, on BOTH the local path
+    (numpy dedup — packed and row-wise branches) and the distributed
+    loop (its own distinct)."""
+    from hive_dwrf_spark.operators.graph import (
+        _pagerank_local,
+        pagerank_fixed_point,
+    )
+
+    rows = [(i % 23, (i * 7 + 3) % 41 + 100) for i in range(300)]
+    dup = rows + rows[::3] + rows[:40]  # heavy duplication
+    dedges = spark.createDataFrame(dup, ["src", "dst"])
+    want = {
+        r.node: r.rank_fp
+        for r in pagerank_fixed_point(
+            spark.createDataFrame(sorted(set(rows)), ["src", "dst"]),
+            iterations=3,
+        ).collect()
+    }
+    got_local = {
+        r.node: r.rank_fp
+        for r in pagerank_fixed_point(
+            dedges, iterations=3, dedup_edges=True
+        ).collect()
+    }
+    got_dist = {
+        r.node: r.rank_fp
+        for r in pagerank_fixed_point(
+            dedges, iterations=3, local_threshold=0, dedup_edges=True
+        ).collect()
+    }
+    assert got_local == want and got_dist == want
+    # row-wise np.unique fallback branch: negative src ids defeat the
+    # int64 packing, exercising the np.unique(axis=0) dedup on an
+    # isomorphic graph (src shifted by -50)
+    import pyarrow as pa
+
+    shifted = [(s - 50, d) for s, d in dup]
+    tbl = pa.table(
+        {
+            "src": pa.array([s for s, _ in shifted], type=pa.int64()),
+            "dst": pa.array([d for _, d in shifted], type=pa.int64()),
+        }
+    )
+    got_shift = {
+        r.node: r.rank_fp
+        for r in _pagerank_local(
+            spark, tbl, 3, 1_000_000, 85, dedup=True
+        ).collect()
+    }
+    assert got_shift == {
+        (n - 50 if n < 100 else n): v for n, v in want.items()
+    }
+
+
 def test_dataset_diff_classifies_all_four(spark):
     """Constructed snapshots: one removed, one added, one changed payload,
     one untouched — each lands in its own counter."""
