@@ -52,34 +52,45 @@ def funnel(
     type steps[i] occurs at-or-after their step i-1 time (min-timestamp
     semantics). Returns one row per step with the user count.
 
-    Each stage is `filter -> partial agg on user -> co-partitioned join`;
-    the event-type filters push down to the scan, so each step reads only
-    its slice. Step outputs shrink monotonically, and all joins share the
-    user_id partitioning."""
-    reached = None  # DataFrame[user_col, t] of users who reached prev step
-    counts = []
+    ONE scan, ONE keyed shuffle (optimization round 12, guide §2.4): the
+    old shape ran each stage as its own `filter -> agg -> join` pipeline,
+    so a k-step funnel re-scanned the corpus 2(k-1) times (k step slices
+    + the per-stage join sides — 6 scans and 8 exchanges for k=3). All
+    step times are instead computed in a single pass: filter to the step
+    types (one pushed IN predicate), hash-exchange by user once, and take
+    per-user chained window minima over the whole partition —
+    t_i = min(ts where type = steps[i] and ts >= t_{i-1}) — which is
+    exactly the per-stage min-timestamp recurrence. The per-user flags
+    then fold into one global count row per step. The window carries no
+    ordering requirement beyond the partition sort Spark inserts, and its
+    per-task buffer is one user's step-typed events — the same user-keyed
+    window envelope as the SCD2/rolling-median operators."""
+    w = Window.partitionBy(user_col)
+    ev = df.filter(F.col(type_col).isin(list(steps))).select(
+        user_col, ts_col, type_col
+    )
+    prev = None
     for i, step in enumerate(steps):
-        ev = df.filter(F.col(type_col) == step)
-        if reached is None:
-            reached = ev.groupBy(user_col).agg(F.min(ts_col).alias("t"))
-        else:
-            reached = (
-                ev.join(reached, user_col)
-                .filter(F.col(ts_col) >= F.col("t"))
-                .groupBy(user_col)
-                .agg(F.min(ts_col).alias("t"))
-            )
-        counts.append(
-            reached.agg(
-                F.lit(i + 1).alias("step"),
-                F.lit(step).alias("event_type"),
-                F.count(F.lit(1)).alias("n_users"),
-            )
-        )
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionAll(c)
-    return out
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) >= F.col(prev))
+        ev = ev.withColumn(f"_t{i}", F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = f"_t{i}"
+    per_user = ev.groupBy(user_col).agg(
+        *[F.max(f"_t{i}").alias(f"_t{i}") for i in range(len(steps))]
+    )
+    counts = per_user.agg(
+        *[
+            F.count(f"_t{i}").alias(f"_n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    stack_args = ", ".join(
+        f"BIGINT({i + 1}), '{step}', _n{i}" for i, step in enumerate(steps)
+    )
+    return counts.selectExpr(
+        f"stack({len(steps)}, {stack_args}) AS (step, event_type, n_users)"
+    )
 
 
 def retention(

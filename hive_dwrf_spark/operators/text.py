@@ -913,6 +913,14 @@ def line_dedup(
             )
         ).alias("idx", "chunk"),
     )
+    # Examined for single-pass sharing (optimization round 12) and left
+    # two-pass DELIBERATELY: the reassembly branch must carry `idx` per
+    # chunk occurrence while the df-count branch can never consume it, so
+    # column pruning always specializes the two subtrees below any shared
+    # exchange and ReuseExchange cannot fire — an explicit chunk
+    # repartition was measured to only ADD an exchange. The two-pass
+    # shape keeps the df count map-side-combinable on unshuffled data,
+    # which is also what keeps hot boilerplate chunks scalar counters.
     dfreq = chunks.groupBy("chunk").agg(
         F.countDistinct("_id").alias("chunk_df")
     )

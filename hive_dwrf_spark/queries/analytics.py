@@ -1346,13 +1346,32 @@ def text_novelty(spark, sf_dir):
     meet in an equi-join on gram that AQE's skew-join splits if a gram is
     hot. Every aggregate here has a partial stage; no key ever pins a
     whole task."""
-    # the 8-gram tokenize/explode is the dominant cost and the subtree is
-    # evaluated twice (first-occurrence table + join side); fan the docs
-    # across cores when the scan arrives as a single unsplittable file
+    # fan the docs across cores when the scan arrives as a single
+    # unsplittable file
     d = fan_out(load(spark, sf_dir, "documents"), "doc_id")
     g = text.word_ngrams(d, "text", "doc_id", n=8)
+    # ONE tokenize pass (optimization round 12, guide §2.4): the per-doc
+    # counts and the first-occurrence table both consume the gram stream,
+    # and without a shared exchange each consumer re-evaluated the 8-gram
+    # explode — two full corpus tokenizations (two Generate nodes in the
+    # old plan). The explicit gram-keyed exchange over the RAW (doc_id,
+    # gram) pairs is a subplan both consumers sit directly above, and its
+    # columns are exactly {partition key, a column every branch consumes}
+    # — nothing branch-specific column pruning could specialize away — so
+    # Spark's ReuseExchange collapses the two instances: tokenize runs
+    # once, the shuffle is written once and read twice. Both aggregates
+    # and the gram equi-join are satisfied by this partitioning (gram is
+    # a subset of each grouping key), so no further gram exchange exists.
+    # Skew stays bounded: one gram contributes at most one row per
+    # containing document to its partition (8-gram repeats within a doc
+    # are rare), so even a gram present in EVERY document adds ~n_docs
+    # rows to one partition — a few percent of a partition's share when
+    # documents carry hundreds of grams — and both aggregates stream
+    # (no per-gram collection anywhere); the join remains
+    # AQE-skew-splittable exactly as before.
+    g = g.repartition("gram")
     per_doc = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
-    first = per_doc.groupBy("gram").agg(F.min("doc_id").alias("first_id"))
+    first = g.groupBy("gram").agg(F.min("doc_id").alias("first_id"))
     novel_cnt = F.sum(
         F.when(F.col("first_id") == F.col("doc_id"), F.col("cnt")).otherwise(
             F.lit(0)

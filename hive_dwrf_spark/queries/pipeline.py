@@ -2450,6 +2450,16 @@ def sketch_hll_merge(spark, sf_dir):
         "source",
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
     ).filter(F.col("tok") != "")
+    # Examined for single-pass sharing (optimization round 12) and left
+    # three-pass DELIBERATELY: a (source, tok)-keyed repartition does get
+    # all three consumers onto one reused exchange (tokenize once), but
+    # it ships the RAW token stream through the shuffle, while the
+    # three-pass shape's branches each partial-combine BEFORE their
+    # exchange (distinct toks / distinct sources / per-task HLL partials
+    # — all tiny). Interleaved A/B at sf0.1: 0.46 s three-pass vs 0.62 s
+    # shared-exchange, slower in all 5 matched pairs; the explode is
+    # cheaper than materializing the token stream at any realistic
+    # token-dedup density, locally and at scale.
     sketches = sketch.hll_partial_sketches(toks, "source", "tok")
     merged = sketch.hll_merge_estimate(sketches)
     exact = toks.agg(

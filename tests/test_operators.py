@@ -1277,6 +1277,31 @@ def test_funnel_requires_order(spark):
     assert out == {"view": 3, "click": 1, "purchase": 1}
 
 
+def test_funnel_ties_and_skipped_steps(spark):
+    """Edge cases pinned for the round-12 single-pass funnel rewrite
+    (chained window minima): 'at-or-after' means a click at EXACTLY the
+    first view's timestamp counts, and a user with purchases but no
+    qualifying click must not reach step 3 (t2 is null, so ts >= t2 is
+    never true)."""
+    from hive_dwrf_spark.operators.events import funnel
+
+    df = spark.createDataFrame(
+        [
+            # u1: click ties the first view's timestamp -> reaches step 2;
+            # purchase ties the click -> reaches step 3
+            (1, "view", 1.0), (1, "click", 1.0), (1, "purchase", 1.0),
+            # u2: purchases without ever clicking -> stops at step 1
+            (2, "view", 1.0), (2, "purchase", 2.0),
+            # u3: click before the view, purchase after a later view ->
+            # step 1 only (no click at-or-after the first view)
+            (3, "click", 1.0), (3, "view", 2.0), (3, "purchase", 3.0),
+        ],
+        "user_id bigint, event_type string, value double",
+    ).selectExpr("user_id", "event_type", "timestamp_seconds(value) as ts")
+    out = {r.event_type: r.n_users for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert out == {"view": 3, "click": 1, "purchase": 1}
+
+
 def test_zscore_outliers_flags_extremes(spark):
     from hive_dwrf_spark.operators.events import zscore_outliers
 
