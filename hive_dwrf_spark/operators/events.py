@@ -303,22 +303,39 @@ def gap_fill_daily(
     user's first and last event, attach the observed daily aggregate, and
     carry the most recent observed value forward across the gaps.
 
-    Scale shape: the observed aggregate is one map-side-combinable shuffle
-    on (user, day); the grid is a pure sequence+explode projection of the
-    per-user (min_day, max_day) row — grid size is users x span, bounded by
-    calendar time, never by event volume; the forward fill is one window
-    sort per user. No self-joins, no per-day scans. Values accumulate as
-    integer cents so the fill is float-order independent.
+    Scale shape: ONE events scan (optimization round 12, guide §2.4). The
+    observed aggregate is one map-side-combinable shuffle on (user, day);
+    the per-user span comes from that aggregate, NOT a second pass — the
+    span's min/max compare (day, day_cents) structs, which is value-
+    identical to min/max(day) because day is unique within a user's
+    aggregate, but makes the span branch consume day_cents, so the
+    optimizer can neither collapse the bounds through the sum down to the
+    raw scan nor prune the aggregate's value column: both consumers keep
+    the identical (user, day) exchange and ReuseExchange runs the scan
+    once (a plain min(day) here was measured to re-scan events — two
+    FileScans in the plan). The grid is a pure sequence+explode projection
+    of the per-user (min_day, max_day) row — grid size is users x span,
+    bounded by calendar time, never by event volume; the forward fill is
+    one window sort per user. No self-joins, no per-day scans. Values
+    accumulate as integer cents so the fill is float-order independent.
     """
     day = F.date_trunc("day", F.col(ts_col)).cast("date")
     cents = _cents(value_col)
     observed = (
         events.select(F.col(user_col).alias("u"), day.alias("day"), cents.alias("c"))
+        # null grid keys can never match the left-outer join below anyway;
+        # filtering them HERE (not above the aggregate) matters for plan
+        # sharing: the join infers exactly these isnotnull predicates on
+        # its build side and pushes them below the exchange, so without
+        # the same filter on the span branch the two subtrees diverge and
+        # the scan runs twice
+        .filter(F.col("u").isNotNull() & F.col("day").isNotNull())
         .groupBy("u", "day")
         .agg(F.sum("c").alias("day_cents"))
     )
+    dc = F.struct("day", "day_cents")
     span = observed.groupBy("u").agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
+        F.min(dc)["day"].alias("d0"), F.max(dc)["day"].alias("d1")
     )
     grid = span.select(
         "u", F.explode(F.sequence("d0", "d1")).alias("day")
@@ -351,18 +368,28 @@ def gap_fill_interpolate(
     integer cents with floored division, so the interpolated series is
     bit-exact under any partitioning and in any engine.
 
-    Same scale shape as gap_fill_daily — calendar-bounded grid, one
-    combinable daily aggregate — plus two window passes per user (one
-    forward for the previous observation, one backward for the next)."""
+    Same scale shape as gap_fill_daily — ONE events scan (the span's
+    struct min/max keeps both consumers on the shared (user, day)
+    exchange, see gap_fill_daily), calendar-bounded grid, one combinable
+    daily aggregate — plus two window passes per user (one forward for
+    the previous observation, one backward for the next)."""
     day = F.date_trunc("day", F.col(ts_col)).cast("date")
     cents = _cents(value_col)
     observed = (
         events.select(F.col(user_col).alias("u"), day.alias("day"), cents.alias("c"))
+        # null grid keys can never match the left-outer join below anyway;
+        # filtering them HERE (not above the aggregate) matters for plan
+        # sharing: the join infers exactly these isnotnull predicates on
+        # its build side and pushes them below the exchange, so without
+        # the same filter on the span branch the two subtrees diverge and
+        # the scan runs twice
+        .filter(F.col("u").isNotNull() & F.col("day").isNotNull())
         .groupBy("u", "day")
         .agg(F.sum("c").alias("day_cents"))
     )
+    dc = F.struct("day", "day_cents")
     span = observed.groupBy("u").agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
+        F.min(dc)["day"].alias("d0"), F.max(dc)["day"].alias("d1")
     )
     grid = span.select("u", F.explode(F.sequence("d0", "d1")).alias("day"))
     wb = (
