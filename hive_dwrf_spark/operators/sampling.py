@@ -97,7 +97,18 @@ def temperature_sample(
     precision identically on both engines, so oracles replay it exactly."""
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    # null group keys can never match the final equi-join anyway; filtering
+    # them BELOW the aggregate matters for plan sharing (optimization round
+    # 12, guide §2.4): the join infers exactly this isnotnull predicate on
+    # the rates branch and pushes it under the group exchange, so without
+    # the same filter the nmin branch's subtree diverges and the group
+    # count re-scans the corpus — one reused exchange now feeds both tiny
+    # aggregates (two corpus scans instead of three).
+    counts = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
     nmin = counts.agg(F.min("__n").alias("__nmin"))
     rates = counts.crossJoin(F.broadcast(nmin)).select(
         group_col,
