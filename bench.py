@@ -30,15 +30,23 @@ RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 # steady state. Artifacts carry the raw numbers; the flag is advisory.
 PROBE_QUIET_NS = 4.8
 
-# The decisive quiet gate (BASELINE.md §3, round-11 calibration): three
-# stable headline queries whose quiet-window medians are pinned across
-# rounds. Probes and JVM throughput DECOUPLE on this host (round 11:
-# probes 5.4-5.8 with clean controls, total below the prior round), so
-# an artifact is judged quiet by the CONTROL TRIAD; the probe fields are
-# recorded context. Bands: quiet medians r10/r11 were q04 1.0-1.05,
-# q18 1.1-1.35, graph_pagerank 1.5-2.3; the noisy-window signature is
-# q04 >=1.26 / q18 >=1.44 / pagerank >=2.74 (all three inflate together).
-CONTROL_BANDS = {"q04": 1.15, "q18": 1.40, "graph_pagerank": 2.45}
+# The decisive quiet gate (BASELINE.md §3): three stable headline
+# queries whose quiet-window medians are pinned across rounds. Probes
+# and JVM throughput DECOUPLE on this host (round 11: probes 5.4-5.8
+# with clean controls, total below the prior round), so an artifact is
+# judged quiet by the CONTROL TRIAD; the probe fields are recorded
+# context.
+#
+# Bands RECALIBRATED for the round-12 optimized code (the round-11
+# bands q04<=1.15 / q18<=1.40 / pagerank<=2.45 were set against
+# pre-optimization quiet medians of 1.0/1.2/2.1; after the round-12
+# speedups the quiet medians are q04 0.51 / q18 1.05 / pagerank 0.67,
+# so a window 60%+ degraded still passed the old bands — observed in
+# this round's first baseline attempt, 73.8 s total with "clean"
+# controls, kept as BENCH_r12_opt1_noisy_baseline.json). New bands hug
+# the r12-quiet medians at ~1.25x; the noisy signature remains "all
+# three inflate together".
+CONTROL_BANDS = {"q04": 0.65, "q18": 1.30, "graph_pagerank": 0.85}
 
 
 def host_probe_ns_per_elem() -> float:
