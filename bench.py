@@ -49,6 +49,47 @@ PROBE_QUIET_NS = 4.8
 CONTROL_BANDS = {"q04": 0.65, "q18": 1.30, "graph_pagerank": 0.85}
 
 
+def classify_controls(per_query: dict, bands: dict = None) -> str:
+    """Disambiguate "host busy" from "code got slower" when the control
+    triad is out of band (optimization round 13; the bands alone cannot
+    tell the two apart — a genuinely regressed control would make every
+    future window read "noisy" and no quiet artifact could ever stamp
+    the regression).
+
+    The two failure modes have distinct signatures, measured across the
+    round-11/12 noisy artifacts: ambient host noise (hypervisor steal)
+    inflates ALL THREE controls together by comparable factors
+    (observed band-ratios 1.13-1.43 within one window, max/min <= 1.3),
+    while a code regression is query-shaped — it moves the control(s)
+    sharing the regressed operator and leaves the rest in band.
+
+    Returns one of:
+      "quiet"             — all controls within their bands
+      "noisy_host"        — ALL controls out of band by comparable
+                            factors (max/min band-ratio <= 2.0): the
+                            uniform-steal signature
+      "suspect_regression" — a PARTIAL or wildly uneven excursion: at
+                            least one control in band while another is
+                            out, or ratios spread beyond 2.0. Protocol:
+                            ABBA the control queries against the prior
+                            round's checkout before accepting any bench
+                            from such a window (the recorded artifact
+                            cannot adjudicate this by itself)."""
+    bands = bands or CONTROL_BANDS
+    ratios = [
+        per_query[name] / band
+        for name, band in bands.items()
+        if per_query.get(name) is not None
+    ]
+    if not ratios:
+        return "quiet"
+    if all(r <= 1.0 for r in ratios):
+        return "quiet"
+    if all(r > 1.0 for r in ratios) and max(ratios) / min(ratios) <= 2.0:
+        return "noisy_host"
+    return "suspect_regression"
+
+
 def host_probe_ns_per_elem() -> float:
     """ns per element of a numpy int64 modulo over 20M elements, min of
     5 — the quiet-host probe (BASELINE.md §3). Recorded INSIDE every
@@ -463,19 +504,42 @@ def main() -> None:
         "controls_quiet": {
             "triad": controls,
             "quiet": all(c["within"] for c in controls.values()),
+            "signature": classify_controls(per_query),
         },
         "extras": extras,
     }
-    line = json.dumps(artifact)
-    print(line)
-    # harnesses that capture only a byte-truncated stdout tail lose the
-    # head of this (long) line; the sibling file is the lossless copy
+    # The PRINTED line is bounded (optimization round 13): the driver's
+    # artifact capture keeps only a ~2000-char stdout tail, and the full
+    # artifact outgrew it two rounds running (BENCH_r10/r11 tails were
+    # head-truncated JSON, so PERF_r11/r12 lost every round-over-round
+    # speedup). Same metric, same value, same queries (3-decimal — the
+    # timing loop and medians are UNCHANGED, only the printed rounding),
+    # compact separators; `extras` and the per-control triad detail move
+    # to BENCH_LAST.json, which keeps the full-precision artifact.
+    compact = {
+        "metric": artifact["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in per_query.items()},
+        "sf": artifact["sf"],
+        # short keys in the PRINTED line only (byte budget); the full
+        # names live in BENCH_LAST.json
+        "probe_start": probe_start,
+        "probe_end": probe_end,
+        "host_quiet": artifact["host_quiet"],
+        "controls_quiet": {
+            "quiet": artifact["controls_quiet"]["quiet"],
+            "signature": artifact["controls_quiet"]["signature"],
+        },
+    }
+    print(json.dumps(compact, separators=(",", ":")))
+    # the sibling file is the lossless copy (full extras + triad detail)
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"),
             "w",
         ) as f:
-            f.write(line + "\n")
+            f.write(json.dumps(artifact) + "\n")
     except OSError:
         pass
     spark.stop()

@@ -233,6 +233,118 @@ def format_foreign_lzo(spark, sf_dir):
     return spark.read.format("dwrf").load(d).orderBy("i")
 
 
+def _footer_split_bounds(sf_dir, table, column, n_parts):
+    """Range-split bounds for `column` derived from parquet footer
+    row-group statistics — DRIVER-SIDE METADATA ONLY, zero data bytes
+    (optimization round 13; replaces the range-SAMPLING job, which at
+    100 TB re-scans the key column of the whole corpus). Each row group
+    contributes a (min, max, rows) segment; the piecewise-uniform CDF
+    over the segments is inverted at the i/n_parts quantiles. The bounds
+    only steer partition BALANCE — rank correctness never depends on
+    them (any monotone bucketing yields a correct global order), so the
+    uniform-within-row-group approximation is safe. Returns None when
+    stats are unavailable (caller falls back to repartitionByRange)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(path):
+            files = [
+                os.path.join(root, fn)
+                for root, _dirs, fns in os.walk(path)
+                for fn in fns
+                if fn.endswith(".parquet")
+            ]
+        else:
+            files = [path]
+        segs = []
+        for fp in files:
+            md = pq.ParquetFile(fp).metadata
+            idx = next(
+                (
+                    i
+                    for i in range(md.num_columns)
+                    if md.schema.column(i).name == column
+                ),
+                None,
+            )
+            if idx is None:
+                return None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                segs.append(
+                    (int(st.min), int(st.max), md.row_group(rg).num_rows)
+                )
+    except Exception:
+        return None
+    total = sum(rows for _, _, rows in segs)
+    if total == 0 or n_parts <= 1:
+        return None
+    lo = min(s[0] for s in segs)
+    hi = max(s[1] for s in segs)
+    if hi <= lo:
+        return None
+
+    def cdf(x):  # approx rows with key <= x under per-segment uniformity
+        acc = 0.0
+        for mn, mx, rows in segs:
+            if x >= mx:
+                acc += rows
+            elif x >= mn:
+                acc += rows * (x - mn + 1) / (mx - mn + 1)
+        return acc
+
+    bounds = []
+    for i in range(1, n_parts):
+        target = total * i / n_parts
+        a, b = lo, hi + 1
+        while a < b:  # smallest x with cdf(x) >= target
+            m = (a + b) // 2
+            if cdf(m) < target:
+                a = m + 1
+            else:
+                b = m
+        bounds.append(a)
+    bounds = sorted(set(bounds))
+    return bounds or None
+
+
+def _hash_bucket_tokens(spark, n):
+    """Longs t_0..t_{n-1} with pmod(hash(t_b), n) == b, so that
+    ``repartition(n, token_column)`` places bucket b in PARTITION b
+    exactly — a hash exchange that preserves partition order, which is
+    what lets the lookup rank pipeline swap its sampling-backed range
+    exchange for a sampling-free hash exchange (optimization round 13).
+    Tokens are discovered from the engine itself (one tiny spark.range
+    job, no input scan, ~4k synthetic rows), so the map is correct by
+    construction on any Spark version or hash seed. Memoized per
+    (session, n): pure engine metadata, independent of any input table —
+    NOT result caching."""
+    memo = getattr(spark, "_hive_dwrf_hash_tokens", None)
+    if memo is None:
+        memo = spark._hive_dwrf_hash_tokens = {}
+    if n in memo:
+        return memo[n]
+    k = 128 * n
+    for _ in range(3):  # oversample; retry bigger on a missing bucket
+        rows = (
+            spark.range(k)
+            .selectExpr("id", f"pmod(hash(id), {n}) AS b")
+            .collect()
+        )
+        toks: dict = {}
+        for r in rows:
+            if r["b"] not in toks:
+                toks[int(r["b"])] = int(r["id"])
+        if len(toks) == n:
+            memo[n] = [toks[b] for b in range(n)]
+            return memo[n]
+        k *= 16
+    return None
+
+
 def _numbered_lineitem(spark, sf_dir):
     """lineitem with a deterministic global row number `rn` (the window
     key includes every selected column plus partkey/suppkey as final
@@ -271,22 +383,45 @@ def _numbered_lineitem(spark, sf_dir):
     # presorted=True). The projection is narrowed to the key columns
     # before the exchange (guide §2.3).
     #
-    # The range exchange partitions by the LEADING key alone (session 3,
-    # "Not yet optimized" item 4): range partitioning only has to keep
-    # equal leading keys together and order partitions consistently with
-    # the total order — the full 7-key order is restored by the
-    # within-partition sort, and rows tying on l_orderkey can never
-    # straddle a range boundary (RangePartitioner assigns equal values to
-    # one partition). This cuts the hidden range-SAMPLING job from a
-    # 7-column scan of the table (at 100 TB, of the corpus) to a
-    # 1-column scan, and the shuffle's boundary comparator from a 7-tuple
-    # to one long. Balance under skewed leading keys is unchanged — the
-    # sampler sees the real distribution either way.
+    # The range exchange partitions by the LEADING key alone (round 12
+    # session 3): equal leading keys can never straddle a partition
+    # boundary, and the within-partition sort restores the full 7-key
+    # order. Round 13 removes the exchange's hidden range-SAMPLING job
+    # outright (guide §2.4; at 100 TB that job re-scans the key column
+    # of the whole corpus): split bounds come from the parquet footer
+    # row-group stats of l_orderkey (driver-side, zero data bytes), each
+    # row maps to a bucket with a 31-comparison array filter, and a hash
+    # exchange on per-bucket TOKENS — longs preimage-picked so
+    # pmod(hash(t_b), par) == b — lands bucket b in partition b exactly.
+    # Partition order still tracks key order (bucket is monotone in the
+    # key; equal keys share a bucket), which is all the rank derivation
+    # below needs; the footer bounds only steer balance. Falls back to
+    # the sampling-backed range exchange when footer stats are missing.
     par = spark.sparkContext.defaultParallelism
+    bounds = _footer_split_bounds(sf_dir, "lineitem", keys[0], par)
+    toks = _hash_bucket_tokens(spark, par) if bounds else None
+    if bounds and toks:
+        # bucket = #bounds <= key, as a SUM OF COMPARISONS: higher-order
+        # array functions (filter/aggregate) evaluate INTERPRETED per
+        # row — measured +0.5 s on the 600k-row frame — while this sum
+        # runs inside WholeStageCodegen
+        bucket = sum(
+            (F.col(keys[0]) >= F.lit(int(b))).cast("int") for b in bounds
+        )
+        # tokens MUST hash as BIGINT: the discovery job hashed long ids,
+        # and Murmur3 hashes int32 and int64 differently — an int literal
+        # here would land buckets in permuted partitions
+        tarr = F.array(*[F.lit(int(t)).cast("long") for t in toks])
+        clustered = (
+            li.select(*keys)
+            .withColumn("_tok", F.element_at(tarr, bucket + F.lit(1)))
+            .repartition(par, "_tok")
+            .drop("_tok")
+        )
+    else:
+        clustered = li.select(*keys).repartitionByRange(par, keys[0])
     part = (
-        li.select(*keys)
-        .repartitionByRange(par, keys[0])
-        .sortWithinPartitions(*keys)
+        clustered.sortWithinPartitions(*keys)
         .withColumn("mid", F.monotonically_increasing_id())
         .persist()
     )
@@ -344,13 +479,16 @@ def _write_range_sorted(spark, df, path, key, n_files, presorted=False):
     layout, ONE task over the whole table (at 100 TB, the whole corpus).
     Instead the frame is written as ~#cores range parts (every core
     sorts and encodes only its own key range), and the parts are
-    stripe-concatenated driver-side in key order with A22's
-    ``merge_files`` — a raw byte copy of position-independent stripes
-    (index/data/footer move verbatim, only directory offsets change), no
-    decode or re-encode, IO-bound. Part order comes from each part's
-    footer min(key) statistics (part names are uuids, zero data bytes
-    read); range partitioning makes per-part key ranges disjoint, so
-    concatenation preserves the global sort the stride lookups rely on.
+    stripe-concatenated in key order with A22's ``merge_files`` — a raw
+    byte copy of position-independent stripes (index/data/footer move
+    verbatim, only directory offsets change), no decode or re-encode,
+    IO-bound — with each output file's concat running as ONE EXECUTOR
+    TASK (optimization round 13; the round-12 driver-side loop funneled
+    100% of the table's bytes through the one driver process). Part
+    order comes from each part's footer min(key) statistics (part names
+    are uuids, zero data bytes read); range partitioning makes per-part
+    key ranges disjoint, so concatenation preserves the global sort the
+    stride lookups rely on.
 
     ``presorted=True`` asserts the frame is ALREADY range-partitioned
     and sorted by ``key`` within partitions (the _numbered_lineitem
@@ -365,7 +503,6 @@ def _write_range_sorted(spark, df, path, key, n_files, presorted=False):
     import math
     import shutil as _shutil
 
-    from ..format.merge import merge_files
     from ..format.reader import DwrfFile
 
     par = spark.sparkContext.defaultParallelism
@@ -402,11 +539,61 @@ def _write_range_sorted(spark, df, path, key, n_files, presorted=False):
     _shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path)
     chunk = math.ceil(len(parts) / n_files)
-    for i in range(0, len(parts), chunk):
-        merge_files(
-            parts[i : i + chunk],
-            os.path.join(path, f"part-{i // chunk:05d}.dwrf"),
+    groups = [
+        (parts[i : i + chunk], os.path.join(path, f"part-{i // chunk:05d}.dwrf"))
+        for i in range(0, len(parts), chunk)
+    ]
+    # Executor-side merges (optimization round 13, guide §5 — the driver
+    # should do almost no data work): the round-12 shape copied every
+    # part's stripes through the single driver process; at 100 TB the
+    # concat — not the encode — becomes the choke, and 100% of the
+    # table's bytes would funnel through one process. Each output file's
+    # stripe-concat runs as one executor task instead (the same
+    # parallelize+merge_files pattern as operators/layout.compact_table):
+    # the 4-file layouts merge 4-way in parallel, and even the 1-file
+    # layout moves its copy off the driver. The footer-stats overlap
+    # guard above still runs driver-side (footer reads only, zero data
+    # bytes).
+    #
+    # SCALE-ADAPTIVE crossover, measured: one parallelize+collect job
+    # costs ~0.15 s of launch overhead regardless of bytes, while the
+    # driver byte copy runs at local-disk speed (~10 MB of sf0.1 parts
+    # = 15 ms) — so distributing only pays past ~hundreds of MB. Below
+    # the threshold the driver loop is strictly faster; at/above it the
+    # executor tasks win AND remove the driver funnel. Parameterised
+    # (env override) with a local-sane default; production justification
+    # in OPTIMIZATION_r13.md.
+    total_bytes = sum(os.path.getsize(fp) for fp in parts)
+    min_distribute = int(
+        os.environ.get(
+            "SPARK_GRAFT_MERGE_DISTRIBUTE_MIN_BYTES", str(256 * 1024 * 1024)
         )
+    )
+    if total_bytes >= min_distribute:
+        from ..format.fs import fs_env_overlay
+        from ..shipping import ensure_shipped
+
+        ensure_shipped(spark)
+        fs_env = fs_env_overlay()
+
+        def _merge_group(spec):
+            import os as _os
+
+            _os.environ.update(fs_env)
+            from hive_dwrf_spark.format.merge import merge_files as _mf
+
+            srcs, out = spec
+            _mf(srcs, out)
+            return out
+
+        spark.sparkContext.parallelize(groups, len(groups)).map(
+            _merge_group
+        ).collect()
+    else:
+        from ..format.merge import merge_files
+
+        for srcs, out in groups:
+            merge_files(srcs, out)
     _shutil.rmtree(parts_dir)
 
 

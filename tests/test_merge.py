@@ -340,3 +340,89 @@ class TestWriteRangeSorted:
             ).collect()
         }
         assert got == want
+
+    def test_footer_split_bounds_metadata_only(self):
+        """Split bounds derive from parquet footer stats alone: sorted,
+        inside the key domain, and None on a stats-less request (the
+        caller then falls back to the sampling-backed range exchange)."""
+        from hive_dwrf_spark.queries.roundtrip import _footer_split_bounds
+
+        sf = "/root/testdata/sf0.001"
+        b = _footer_split_bounds(sf, "lineitem", "l_orderkey", 8)
+        assert b is not None and b == sorted(set(b))
+        assert all(0 <= x <= 1500 for x in b), b
+        # unknown column -> fallback, never a wrong bucketing
+        assert _footer_split_bounds(sf, "lineitem", "no_such_col", 8) is None
+        # degenerate split count -> fallback
+        assert _footer_split_bounds(sf, "lineitem", "l_orderkey", 1) is None
+
+    def test_hash_bucket_tokens_identity_placement(self, spark):
+        """pmod(hash(token_b), n) == b for every bucket — the property
+        that makes repartition(n, token) an order-preserving exchange."""
+        from pyspark.sql import functions as F
+
+        from hive_dwrf_spark.queries.roundtrip import _hash_bucket_tokens
+
+        n = 8
+        toks = _hash_bucket_tokens(spark, n)
+        assert toks is not None and len(toks) == n
+        df = spark.createDataFrame(
+            [(b, t) for b, t in enumerate(toks)], "b int, t long"
+        )
+        rows = df.select(
+            "b", F.expr(f"pmod(hash(t), {n})").alias("h")
+        ).collect()
+        assert all(r["b"] == r["h"] for r in rows)
+        # memoized per session (engine metadata, not input data)
+        assert _hash_bucket_tokens(spark, n) is toks
+
+    def test_numbered_lineitem_has_no_range_sampling_exchange(self, spark):
+        """The round-13 shape: a hash exchange on the bucket token —
+        NO rangepartitioning in the data path, so the hidden range-
+        sampling job (a second scan of the key column; at 100 TB, of
+        the corpus) is gone."""
+        from hive_dwrf_spark.queries.roundtrip import (
+            _numbered_lineitem,
+            _release_pinned,
+        )
+
+        df = _numbered_lineitem(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        _release_pinned(df)
+        assert "rangepartitioning" not in plan.lower(), plan
+        assert "hashpartitioning(_tok" in plan, plan
+
+    def test_executor_merge_path_matches_driver_merge(self, spark, tmp_path, monkeypatch):
+        """The distributed stripe-concat (round 13: each output file's
+        merge runs as one executor task past the byte threshold) produces
+        the same rows and global order as the driver-side loop."""
+        from hive_dwrf_spark.format.reader import DwrfFile
+        from hive_dwrf_spark.queries.roundtrip import _write_range_sorted
+        from hive_dwrf_spark.sources import register
+
+        register(spark)
+
+        def read_all(path):
+            import glob as g
+            import os
+
+            rows = []
+            for fp in sorted(g.glob(os.path.join(str(path), "*.dwrf"))):
+                with DwrfFile(fp) as f:
+                    rows.extend(zip(f.read()["rn"].to_pylist(),
+                                    f.read()["v"].to_pylist()))
+            return rows
+
+        df = self._frame(spark, 4000)
+        monkeypatch.setenv("SPARK_GRAFT_MERGE_DISTRIBUTE_MIN_BYTES", "0")
+        out_e = str(tmp_path / "exec")
+        _write_range_sorted(spark, df, out_e, "rn", 3)
+        monkeypatch.setenv(
+            "SPARK_GRAFT_MERGE_DISTRIBUTE_MIN_BYTES", str(1 << 60)
+        )
+        out_d = str(tmp_path / "driver")
+        _write_range_sorted(spark, df, out_d, "rn", 3)
+        got_e, got_d = read_all(out_e), read_all(out_d)
+        assert got_e == got_d
+        assert [r[0] for r in got_e] == sorted(r[0] for r in got_e)
+        assert len(got_e) == 4000
