@@ -997,14 +997,21 @@ _COMPRESS_POOL = None
 
 def _compress_pool():
     # lazy shared pool for multi-block streams; zlib/snappy release the
-    # GIL, so block compression parallelizes within one writer thread
+    # GIL, so block compression parallelizes within one writer thread.
+    # SPARK_GRAFT_COMPRESS_THREADS caps it on packed executors (many
+    # task slots x per-worker pools oversubscribe cores — see
+    # writer._encode_pool); local default unchanged.
     global _COMPRESS_POOL
     if _COMPRESS_POOL is None:
         import os
         from concurrent.futures import ThreadPoolExecutor
 
+        env = os.environ.get("SPARK_GRAFT_COMPRESS_THREADS")
+        workers = (
+            max(1, int(env)) if env else min(4, os.cpu_count() or 2)
+        )
         _COMPRESS_POOL = ThreadPoolExecutor(
-            max_workers=min(4, os.cpu_count() or 2),
+            max_workers=workers,
             thread_name_prefix="dwrf-compress",
         )
     return _COMPRESS_POOL

@@ -114,13 +114,25 @@ def _encode_pool():
     """Shared per-process pool for top-level column encode (mirrors
     codecs._compress_pool): one spin-up per Python worker, not one per
     stripe flush — a multi-stripe write (stripe_rows small, streaming
-    sinks) flushes many times."""
+    sinks) flushes many times.
+
+    Sized by SPARK_GRAFT_ENCODE_THREADS when set (optimization round
+    13): on a packed executor (many task slots, each forking a Python
+    worker with its own pool) a constant 8 can oversubscribe cores —
+    8 threads x 16 slots = 128 encode threads on a 16-core box. Set it
+    to ~cores/task-slots in executor env on real clusters; the local
+    default stays min(8, cpus), which the bench-scale writes were
+    tuned against."""
     global _ENCODE_POOL
     if _ENCODE_POOL is None:
         from concurrent.futures import ThreadPoolExecutor
 
+        env = os.environ.get("SPARK_GRAFT_ENCODE_THREADS")
+        workers = (
+            max(1, int(env)) if env else min(8, os.cpu_count() or 4)
+        )
         _ENCODE_POOL = ThreadPoolExecutor(
-            max_workers=min(8, os.cpu_count() or 4),
+            max_workers=workers,
             thread_name_prefix="dwrf-encode",
         )
     return _ENCODE_POOL

@@ -1084,6 +1084,7 @@ def connected_components(
     id2: str = "id2",
     max_iter: int = 50,
     local_threshold: int | None = None,
+    iter_times: list | None = None,
 ) -> DataFrame:
     """Near-dup clusters from a pair list: each node -> min id reachable
     (the SURVEY §2.D "union-find via iterative join", as min-label
@@ -1199,6 +1200,9 @@ def connected_components(
     )
     cur = edges
     for _ in range(max_iter):
+        import time as _time
+
+        _t0 = _time.perf_counter()
         lab = (
             cur.groupBy("a")
             .agg(F.least(F.col("a"), F.min("b")).alias("lbl"))
@@ -1246,6 +1250,14 @@ def connected_components(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         n_live = nxt.count()
+        if iter_times is not None:
+            # per-round wall time through the contraction count — stress-
+            # harness instrumentation (round-13 scale evidence: rounds =
+            # O(log diameter) with a shrinking live-edge list, as a
+            # measurement), never set on query paths
+            iter_times.append(
+                (round(_time.perf_counter() - _t0, 3), int(n_live))
+            )
         cur.unpersist()
         cur = nxt
         # fold this round's labels into the node mapping (left join: a

@@ -125,6 +125,7 @@ def kmeans_lloyd(
     k: int = 4,
     rounds: int = 2,
     scale: int = 10_000,
+    round_times: list | None = None,
 ) -> DataFrame:
     """Distributed Lloyd k-means over an embedding column with EXACT
     integer arithmetic — deterministic under any partitioning and
@@ -173,6 +174,9 @@ def kmeans_lloyd(
         .select(F.col("__id").alias("cid"), F.col("__qv").alias("__cv"))
     )
     for _ in range(rounds):
+        import time as _time
+
+        _t0 = _time.perf_counter()
         a = qdf.crossJoin(F.broadcast(cent))
         dist = F.aggregate(
             F.zip_with(F.col("__qv"), F.col("__cv"), lambda x, c: (x - c) * (x - c)),
@@ -208,6 +212,12 @@ def kmeans_lloyd(
         # blocks unreplicated; the k-row frame is trivially recomputable,
         # so the label_propagation reliable= escape hatch isn't needed.
         cent = cent.localCheckpoint(eager=True)
+        if round_times is not None:
+            # per-round wall time of the eager materialization above —
+            # stress-harness instrumentation (round-13 scale evidence:
+            # the "cost = rounds x one corpus scan + one kxd shuffle"
+            # claim as a measurement), never set on query paths
+            round_times.append(round(_time.perf_counter() - _t0, 3))
     # the final centroids are materialized above, so the quantized-corpus
     # cache can be released NOW — repeated calls in one session (e.g. via
     # ivf_lloyd_topk) must not pin corpus-sized caches forever (the
@@ -351,6 +361,7 @@ def ivf_lloyd_topk(
     nprobe: int = 2,
     rounds: int = 2,
     scale: int = 10_000,
+    round_times: list | None = None,
 ) -> DataFrame:
     """IVF approximate nearest-neighbor search that is EXACTLY replayable:
     the coarse quantizer is kmeans_lloyd (deterministic integer Lloyd, no
@@ -368,7 +379,8 @@ def ivf_lloyd_topk(
     import math
 
     cents = kmeans_lloyd(
-        df, vec_col, id_col, k=n_lists, rounds=rounds, scale=scale
+        df, vec_col, id_col, k=n_lists, rounds=rounds, scale=scale,
+        round_times=round_times,
     ).select("cid", "dim", "c_e4")
     assigned = kmeans_assign(df, vec_col, id_col, cents, scale=scale)
     qv = [int(math.floor(float(x) * scale + 0.5)) for x in query_vec]
@@ -477,27 +489,23 @@ def random_projection(
     # whole cost of the operator at bench scale. One array<array<long>>
     # literal + sequence/element_at/zip_with/aggregate computes the
     # identical exact-integer sums with an O(out_dim)-node tree.
-    zero = F.lit(0).cast("long")
-    signs_lit = F.array(
-        *[
-            F.lit([sign(j, k) for j in range(dim)]).cast("array<long>")
-            for k in range(out_dim)
-        ]
+    #
+    # The whole expression enters the plan as ONE SQL string (round 13):
+    # building it from Column objects cost one py4j round trip (~0.45 ms)
+    # per lit/call — hundreds per invocation, ~0.4 s of pure driver
+    # chatter; F.expr parses the identical expression tree JVM-side in
+    # one round trip.
+    signs_sql = "array(%s)" % ",".join(
+        "array(%s)" % ",".join(
+            str(sign(j, k)) + "L" for j in range(dim)
+        )
+        for k in range(out_dim)
     )
-    comps = F.transform(
-        F.sequence(F.lit(1), F.lit(out_dim)),
-        lambda k: F.struct(
-            k.cast("int").alias("k"),
-            F.aggregate(
-                F.zip_with(
-                    F.col("__q"),
-                    F.element_at(signs_lit, k),
-                    lambda x, s: x * s,
-                ),
-                zero,
-                lambda a, b: a + b,
-            ).alias("comp_e4"),
-        ),
+    comps = F.expr(
+        f"transform(sequence(1, {out_dim}), k -> named_struct("
+        "'k', cast(k as int), "
+        f"'comp_e4', aggregate(zip_with(__q, element_at({signs_sql}, k), "
+        "(x, s) -> x * s), cast(0 as bigint), (a, b) -> a + b)))"
     )
     return df_q.select(
         *[F.col(c) for c in id_cols], F.explode(comps).alias("__c")

@@ -55,18 +55,38 @@ def cms_build(
 ) -> DataFrame:
     """Build the sketch: (row_i, bucket, cnt) with depth x width cells.
 
-    One exploded projection (depth rows per key occurrence — pure
-    whole-stage-codegen expressions) into one hash aggregate with partial
-    (map-side) combine, so the exchange is bounded by depth x width cells
-    per map task regardless of corpus size.
+    Two-phase build (optimization round 13, guide §1.2 per-task work):
+    keys pre-aggregate to (key, n) FIRST — one map-side-combinable hash
+    count — and only the DISTINCT keys pay the depth x md5 bucket
+    expressions; the cell aggregate then sums the pre-counts. Value-
+    identical to hashing every occurrence (sum of per-key counts ==
+    occurrence count, per cell), but the md5 work drops from
+    depth x occurrences to depth x |vocab|: measured 4 x 270,704 ->
+    4 x 31 on the sf0.1 token stream. At 100 TB the first exchange
+    carries (key, partial-count) rows — bounded by per-map-task DISTINCT
+    keys, the same envelope as any token-frequency aggregate — and the
+    second stays bounded by depth x width cells per task; the md5 bill,
+    previously ~depth x corpus, becomes ~depth x vocab. For near-unique
+    key streams (every key once) the pre-count is a wash in bytes and
+    only defers the md5s; for the skewed streams CMS exists for
+    (heavy-hitter gates) it is the dominant saving.
     """
     rows = F.array(*[F.lit(i) for i in range(depth)])
-    cells = df.select(
-        F.col(key_col).alias("_k") if isinstance(key_col, str) else key_col.alias("_k")
-    ).select("_k", F.explode(rows).alias("row_i"))
+    counts = (
+        df.select(
+            F.col(key_col).alias("_k")
+            if isinstance(key_col, str)
+            else key_col.alias("_k")
+        )
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    cells = counts.select("_k", "_n", F.explode(rows).alias("row_i"))
     return cells.select(
-        "row_i", _bucket(F.col("row_i"), F.col("_k"), width).alias("bucket")
-    ).groupBy("row_i", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+        "row_i",
+        _bucket(F.col("row_i"), F.col("_k"), width).alias("bucket"),
+        "_n",
+    ).groupBy("row_i", "bucket").agg(F.sum("_n").alias("cnt"))
 
 
 def cms_estimate(
@@ -81,7 +101,12 @@ def cms_estimate(
     that is the CMS contract, and the oracle reproduces it exactly.
     """
     spark = sketch.sparkSession
-    kdf = spark.createDataFrame([(k,) for k in keys], "key string")
+    # literal-derived probe frame: spark.createDataFrame pays RDD +
+    # schema machinery (~0.1-0.3 s of driver work) for a k-row list;
+    # exploding a literal array is pure plan construction (round 13)
+    kdf = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in keys])).alias("key")
+    )
     probes = kdf.select(
         "key", F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row_i")
     )

@@ -35,6 +35,17 @@ RUNTIME_CONFS: dict[str, str] = {
     # pickled row-at-a-time BatchEvalPythonUDTF — same ~10-100x win as
     # pandas_udf vs plain udf on the scalar side
     "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
+    # PySpark's DataFrame-debugging hook (default ON) wraps EVERY
+    # DataFrame/Column API call with a JVM PySparkCurrentOrigin.set +
+    # clear (2-3 py4j round trips at ~0.45 ms each) plus a Python stack
+    # walk, purely to enrich error messages with user call sites. Plan
+    # CONSTRUCTION is pure py4j chatter, so this halves it on
+    # expression-heavy queries (measured: q04 0.112 -> 0.054 s,
+    # sketch_cms 0.373 -> 0.287 s, text_tfidf 0.173 -> 0.116 s per
+    # construction; optimization round 13, guide §1.2 per-task work —
+    # here the "task" is the driver). No query semantics change — only
+    # error-context detail is lost.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 
